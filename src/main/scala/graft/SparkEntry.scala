@@ -13,7 +13,11 @@ import graft.queries.Q
 object SparkEntry {
 
   def catalog: Seq[Q] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Relational2.all ++
+      graft.queries.TextOps.all ++
+      graft.queries.Dedup.all ++
+      graft.queries.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
+
+/** Deduplication operators over `documents` / `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *   - exact:    hash-groupBy — one shuffle on a 64-bit-ish key, fully
+  *               map-side combinable; at 100 TB this is the cheapest op
+  *               in the pipeline.
+  *   - MinHash:  per-doc signature is a narrow map; LSH banding turns
+  *               the O(n^2) pair problem into an equi-join on band keys
+  *               (shuffle ~ n * bands rows, candidates only where
+  *               buckets collide). This is THE scale path for near-dup.
+  *   - SimHash:  one 30-bit value per doc; near-dup = small Hamming
+  *               distance, bucketable by signature chunks.
+  *   - n-gram Jaccard: exact pair similarity, only ever run *blocked*
+  *               (here: by lang) — the verification stage after LSH,
+  *               never the discovery stage.
+  *   - cosine:   label-blocked exact pair similarity over embeddings
+  *               (the verify stage of an ANN pipeline).
+  *
+  * All hashing from [[XSql]] — bit-identical across Spark and DuckDB.
+  */
+object Dedup {
+
+  private def wordsE(implicit d: Dialect) = XSql.words("text")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    Q("d1_exact_dedup",
+      "exact dedup by content hash over a doubled corpus (keep min id)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH u AS (SELECT doc_id, text FROM documents
+           |           UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+           |SELECT ${XSql.charHash("text")} AS text_hash,
+           |       min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM u GROUP BY 1 ORDER BY text_hash""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      doubled
+        .withColumn("text_hash", expr(XSql.charHash("text")))
+        .groupBy("text_hash")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_hash")
+    },
+
+    // ---------------------------------------------------------------
+    Q("d2_minhash_sig",
+      "MinHash signatures (k=16) over word 3-gram shingles",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)
+           |SELECT doc_id, ${XSql.minhashSig("sh")} AS sig
+           |FROM sh ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
+        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .select(col("doc_id"), expr(XSql.minhashSig("sh")).as("sig"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    Q("d3_lsh_near_dup",
+      "MinHash-LSH near-dup pairs: band-bucket join, verified Jaccard >= 0.5",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b, ${XSql.jaccard("sa.sh", "sb.sh")} AS jacc
+           |FROM cand c
+           |JOIN sh sa ON sa.doc_id = c.doc_a
+           |JOIN sh sb ON sb.doc_id = c.doc_b
+           |WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
+        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .select("doc_id", "sh")
+      sh.cache()
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+      val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
+      val cand = a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+        .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
+        .filter(col("jacc") >= 0.5)
+        .select("doc_a", "doc_b", "jacc")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
+    Q("d4_simhash",
+      "30-bit SimHash per document + Hamming distance to doc 0",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |s AS (SELECT doc_id, ${XSql.simhash("wh")} AS simhash FROM w)
+           |SELECT s.doc_id, s.simhash,
+           |       bit_count(xor(s.simhash, s0.simhash)) AS hamming_to_0
+           |FROM s, (SELECT simhash FROM s WHERE doc_id = 0) s0
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sims = t(s, d, "documents")
+        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
+        .select(col("doc_id"), expr(XSql.simhash("wh")).as("simhash"))
+      val s0 = sims.filter(col("doc_id") === 0)
+        .select(col("simhash").as("simhash_0"))
+      sims.crossJoin(broadcast(s0))
+        .select(col("doc_id"), col("simhash"),
+          bit_count(col("simhash").bitwiseXOR(col("simhash_0"))).as("hamming_to_0"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    Q("d5_ngram_jaccard",
+      "blocked exact n-gram Jaccard: pairs within lang, sim >= 0.3",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, lang, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, lang, ${XSql.shingleHashes("wh")} AS sh FROM w)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       ${XSql.jaccard("a.sh", "b.sh")} AS jacc
+           |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
+        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .select("doc_id", "lang", "sh")
+      val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
+        .filter(col("jacc") >= 0.3)
+        .select("doc_a", "doc_b", "jacc")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
+    Q("d6_embed_near_dup",
+      "embedding-cosine near-dup: label-blocked pairs, sim >= 0.4",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, label, ${dlDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS sim
+           |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(dlDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .select("vec_id", "label", "v", "n2")
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("v_a"), col("n2").as("n2_a"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("v_b"), col("n2").as("n2_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim",
+          expr(XSql.cosineFromNorms(XSql.dot("v_a", "v_b"), "n2_a", "n2_b")))
+        .filter(col("sim") >= 0.4)
+        .select("vec_a", "vec_b", "sim")
+        .orderBy("vec_a", "vec_b")
+    }
+  )
+
+  private def dlDouble(d: Dialect): String = d.toDoubleArr("embedding")
+}

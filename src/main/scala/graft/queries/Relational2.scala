@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second tranche of SURVEY.md §2 operators: ordered array/string
+  * aggregation (A5-A7), the scalar-function families (F1-F18), the
+  * band self-join (J5) in its scale-safe bucketed form, and the
+  * config-driven union (U3).
+  */
+object Relational2 {
+
+  /** U3: refresh-policy-style config (discriminator, filter threshold)
+    * — the reference builds one UNION ALL branch per config row
+    * (response_refresher.py:151-209).
+    */
+  private val UnionConfig: Seq[(String, String, Double)] = Seq(
+    ("high_value", "purchase", 50.0),
+    ("mid_value", "purchase", 20.0),
+    ("clicks", "click", 0.0))
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // A5 — ARRAY_AGG IGNORE NULLS as a *set*: BQ order is
+    // nondeterministic (games_features.sqlx:15-55), so the engine
+    // contract is sorted-distinct.
+    Q("a5_array_agg_set",
+      "sorted-distinct array aggregation per key",
+      """SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // A6 — ARRAY_AGG(STRUCT(...) ORDER BY k) (game_profile.sqlx:23-34):
+    // explicit ordering via sort key embedded in the struct.
+    Q("a6_array_agg_struct",
+      "per-key ordered array of top-3 structs (value desc, id asc)",
+      """SELECT user_id,
+        |  list_transform(
+        |    list_slice(list_sort(list({'nv': -value, 'event_id': event_id, 'value': value})), 1, 3),
+        |    s_ -> {'event_id': s_.event_id, 'value': s_.value}) AS top_events
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(expr(
+          """transform(
+            |  slice(array_sort(collect_list(struct(-value AS nv, event_id, value))), 1, 3),
+            |  s_ -> struct(s_.event_id AS event_id, s_.value AS value))""".stripMargin)
+          .as("top_events"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // A7 — STRING_AGG(expr, ', ' ORDER BY rank)
+    // (best_player_counts.sqlx:58-59): CSV of ordered values.
+    Q("a7_string_agg_ordered",
+      "ordered CSV aggregation per key",
+      """SELECT user_id,
+        |  array_to_string(
+        |    list_transform(
+        |      list_slice(list_sort(list({'nv': -value, 'event_id': event_id})), 1, 3),
+        |      s_ -> cast(s_.event_id as varchar)), ', ') AS top_ids_csv
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(expr(
+          """array_join(
+            |  transform(
+            |    slice(array_sort(collect_list(struct(-value AS nv, event_id))), 1, 3),
+            |    s_ -> cast(s_.event_id as string)), ', ')""".stripMargin)
+          .as("top_ids_csv"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // F1/F2/F3/F5/F6 — arithmetic with ÷0 guard, ROUND, SAFE_CAST,
+    // LN, COALESCE (best_player_counts.sqlx:10-33, games_features:74).
+    Q("f1_scalar_math",
+      "guarded percentage math, round, try_cast, ln",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice = 0 THEN 0.0
+        |       ELSE round(100.0 * cast(o_shippriority + 1 as double)
+        |                  / cast(o_totalprice as double), 2) END AS pct,
+        |  try_cast(o_orderpriority as integer) AS prio_num,
+        |  round(ln(o_totalprice + 1), 6) AS ln_price,
+        |  coalesce(try_cast(substr(o_orderpriority, 1, 1) as integer), -1) AS prio_digit
+        |FROM (SELECT o_orderkey, o_totalprice, o_orderpriority, 0 AS o_shippriority
+        |      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .withColumn("o_shippriority", lit(0))
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") === 0, 0.0)
+            .otherwise(round(lit(100.0) * (col("o_shippriority") + 1).cast("double")
+              / col("o_totalprice").cast("double"), 2)).as("pct"),
+          expr("try_cast(o_orderpriority as int)").as("prio_num"),
+          round(log(col("o_totalprice") + 1), 6).as("ln_price"),
+          coalesce(substring(col("o_orderpriority"), 1, 1).cast("int"), lit(-1))
+            .as("prio_digit"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
+    // F8/F7 — STRUCT constructor + null-struct guard
+    // (game_profile.sqlx:99-113).
+    Q("f8_struct_nullguard",
+      "struct column, nulled when the join key is absent",
+      """SELECT c.c_custkey,
+        |  CASE WHEN o.o_custkey IS NULL THEN NULL
+        |       ELSE {'n_orders': o.n, 'max_price': o.mx} END AS order_stats
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mx
+        |           FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          when(col("o_custkey").isNull, lit(null))
+            .otherwise(struct(col("n").as("n_orders"), col("mx").as("max_price")))
+            .as("order_stats"))
+        .orderBy("c_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // F10/F11 — interval arithmetic + date diffs
+    // (response_fetcher.py:62, bgg_predictions.sqlx:45-46).
+    Q("f10_time_arith",
+      "interval subtraction, day diff, hour extraction",
+      """SELECT event_id, ts - INTERVAL 36 HOUR AS ts_lag,
+        |  date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_in,
+        |  extract(hour FROM ts) AS hr
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        (col("ts") - expr("INTERVAL 36 HOURS")).as("ts_lag"),
+        datediff(col("ts"), lit("2024-01-01 00:00:00").cast("timestamp")).as("days_in"),
+        hour(col("ts")).cast("long").as("hr"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
+    // F15/F17 — UNNEST to rows + RANGE_BUCKET partition key
+    // (response_fetcher.py:70-71; game_profile.sqlx:15).
+    Q("f15_explode_bucket",
+      "explode an array column to rows, integer range-bucketing",
+      """SELECT o_orderkey, unnest([1, 2, 3]) AS slot,
+        |  cast(floor(o_orderkey / 1000) as bigint) AS key_bucket
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey, slot""".stripMargin) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          explode(array(lit(1), lit(2), lit(3))).as("slot"),
+          floor(col("o_orderkey") / 1000).as("key_bucket"))
+        .orderBy("o_orderkey", "slot")
+    },
+
+    // ---------------------------------------------------------------
+    // J5 — the band self-join (game_neighbors.sqlx:53-65), in the
+    // bucketed form that survives scale: bucket the band column at
+    // band width, explode each left row into its bucket ± 1, equi-join
+    // on the bucket, re-check the true band predicate. Turns an O(n^2)
+    // theta join into a shuffle-bounded equi-join.
+    Q("j5_band_join_bucketed",
+      "band self-join via bucket-explode equi-join (scale-safe theta join)",
+      """SELECT a.p_partkey, count(*) AS n_close
+        |FROM part a JOIN part b
+        |  ON b.p_partkey != a.p_partkey
+        | AND b.p_retailprice BETWEEN a.p_retailprice - 0.5 AND a.p_retailprice + 0.5
+        |GROUP BY a.p_partkey ORDER BY a.p_partkey""".stripMargin) { (s, d) =>
+      val p = t(s, d, "part").select("p_partkey", "p_retailprice")
+      val width = 0.5
+      val a = p.select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"))
+        .withColumn("bucket",
+          explode(array((-1 to 1).map(o => floor(col("a_price") / width) + o): _*)))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+        .withColumn("bucket", floor(col("b_price") / width))
+      a.join(b, Seq("bucket"))
+        .filter(col("b_key") =!= col("a_key")
+          && col("b_price").between(col("a_price") - width, col("a_price") + width))
+        .groupBy(col("a_key").as("p_partkey"))
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------
+    // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
+    Q("u3_config_union",
+      "config-driven union of filtered aggregates",
+      UnionConfig.map { case (tag, typ, minV) =>
+        s"""SELECT '$tag' AS bucket, user_id, count(*) AS n
+           |FROM events WHERE event_type = '$typ' AND value >= $minV
+           |GROUP BY user_id""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY bucket, user_id")) { (s, d) =>
+      val ev = t(s, d, "events")
+      UnionConfig.map { case (tag, typ, minV) =>
+        ev.filter(col("event_type") === typ && col("value") >= minV)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .select(lit(tag).as("bucket"), col("user_id"), col("n"))
+      }.reduce(_ unionByName _)
+        .orderBy("bucket", "user_id")
+    }
+  )
+}

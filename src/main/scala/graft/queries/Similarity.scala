@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Three tiers, mirroring how a 100 TB ANN pipeline is actually built:
+  *   - k1: brute-force cosine top-k — the correctness baseline and the
+  *         "live query" path (broadcast the query vector, one scan,
+  *         TakeOrderedAndProject; no shuffle of the big side).
+  *   - k2: random-hyperplane LSH — bucket assignment is a narrow map;
+  *         search touches only the query's bucket. The bucket id is an
+  *         equi-join key, so candidate retrieval is partition-prunable
+  *         at scale (bucket as partition column).
+  *   - k3: IVF-style — coarse quantize by centroid (here: per-label
+  *         means, computed with a deterministic sorted fold so the
+  *         oracle matches bit-for-bit), probe the nearest list only.
+  *
+  * Hyperplane weights are pseudo-random integers from a fixed affine
+  * generator — deterministic, embedded identically in both engines.
+  */
+object Similarity {
+
+  private val Planes = 8
+  private val Dims = 64
+  private val A2: Seq[Long] = (0 until Planes).map(p => (1103515245L * (p + 7) + 12345L) % 1000003L)
+  private val B2: Seq[Long] = (0 until Planes).map(p => (69069L * (p + 13) + 3571L) % 1000003L)
+
+  /** w(p, d) in [-1, 1]: ((A2[p]*(d+1) + B2[p]) mod 2001 - 1000) / 1000. */
+  private def planeW(p: String, i: String)(implicit d: Dialect): String = {
+    val a = d.idx(d.bigintArr(A2), p)
+    val b = d.idx(d.bigintArr(B2), p)
+    s"cast((($a * (($i) + 1) + $b) % 2001) - 1000 as double) / 1000.0"
+  }
+
+  /** LSH bucket id of a double-vector expression: sign bits of the dot
+    * products against the fixed hyperplanes, packed into a BIGINT.
+    */
+  private def lshBucket(v: String)(implicit d: Dialect): String = {
+    val dotP = d.foldD(d.seq0(Dims.toString), "acc_", "i_",
+      s"acc_ + ${d.idx(s"($v)", "i_")} * ${planeW("p_", "i_")}")
+    val bits = d.xform(d.seq0(Planes.toString), "p_",
+      s"CASE WHEN ($dotP) > 0 THEN ${d.shiftLeft1("p_")} ELSE ${zero(d)} END")
+    d.foldL(bits, 0L, "a2_", "x2_", "a2_ + x2_")
+  }
+
+  private def zero(d: Dialect): String =
+    if (d == SqlSpark) "bigint(0)" else "cast(0 as bigint)"
+
+  private def vDouble(d: Dialect): String = d.toDoubleArr("embedding")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    Q("k1_knn_brute",
+      "brute-force cosine top-10 for a query vector (broadcast 1-row)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0)
+           |SELECT vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n, q WHERE vec_id != 0
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .select("vec_id", "v", "n2")
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      n.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    Q("k2_ann_lsh",
+      "hyperplane-LSH ANN: probe the query's bucket, rerank exact",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2, bucket AS qb FROM n WHERE vec_id = 0)
+           |SELECT vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n, q WHERE n.bucket = q.qb AND vec_id != 0
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .withColumn("bucket", expr(lshBucket("v")))
+        .select("vec_id", "v", "n2", "bucket")
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"), col("bucket").as("qb"))
+      n.join(broadcast(q), n("bucket") === q("qb"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    Q("k3_ann_ivf",
+      "IVF-style ANN: per-label centroids, probe nearest list, rerank",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |flat AS (SELECT label, i, v[i + 1] AS val
+           |         FROM e, (SELECT unnest(range(0, $Dims)) AS i)),
+           |dimavg AS (SELECT label, i,
+           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+           |      / cast(count(*) as double) AS m
+           |  FROM flat GROUP BY label, i),
+           |cent AS (SELECT label,
+           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS c
+           |  FROM dimavg GROUP BY label),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |pick AS (SELECT cent.label FROM cent, q
+           |  ORDER BY ${SqlDuck.foldD(SqlDuck.seq0(Dims.toString), "a_", "i_",
+                 s"a_ + (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})" +
+                   s" * (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})")},
+           |           cent.label LIMIT 1)
+           |SELECT vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n, q, pick WHERE n.label = pick.label AND vec_id != 0
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+        .select("vec_id", "label", "v", "n2")
+      // deterministic per-label mean: sort the per-dimension values and
+      // left-fold — same order as the oracle, bit-identical result.
+      val flat = e.select(col("label"), posexplode(col("v")))
+        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
+      val dimavg = flat.groupBy("label", "i")
+        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"), "a_", "x_", "a_ + x_"))
+          / count(lit(1)).cast("double")).as("m"))
+      val cent = dimavg.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)").as("c"))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cent.crossJoin(broadcast(q))
+        .withColumn("d2", expr(SqlSpark.foldD(SqlSpark.seq0(Dims.toString), "a_", "i_",
+          "a_ + (element_at(qv, i_ + 1) - element_at(c, i_ + 1))" +
+            " * (element_at(qv, i_ + 1) - element_at(c, i_ + 1))")))
+        .orderBy(col("d2"), col("label"))
+        .limit(1)
+        .select("label")
+      n.join(broadcast(pick), Seq("label"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
+
+/** Text-analysis operators over the `documents` table — the pieces a
+  * large-scale training-data pipeline needs: token counting, quality
+  * scoring, language-ID heuristics, and document fingerprinting.
+  *
+  * Everything is a narrow per-row map (no shuffle except the final
+  * presentation sort), so it scales linearly: at 100 TB these run as a
+  * single parquet scan stage with whole-stage codegen, and the only
+  * plan concern is input split sizing.
+  *
+  * Both the Spark expressions and the DuckDB oracle SQL are emitted
+  * from [[graft.functions.XSql]] with the same constants, so results
+  * are bit-identical (integer hashing; single-division doubles).
+  */
+object TextOps {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct. */
+  private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private val StopWords = Seq("the", "a", "and", "of", "to")
+
+  /** Fixed marker-word lists for the language-ID heuristic (top
+    * distinctive words per language measured on the corpus). On this
+    * synthetic corpus all languages share one vocabulary, so accuracy
+    * is inherently weak — the operator contract is determinism, and
+    * the shape (argmax over per-language n-gram/marker scores) is the
+    * real-world design.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row", "column", "big"),
+    "en" -> Seq("hash", "order", "table", "window", "row", "batch"),
+    "es" -> Seq("slow", "agg", "hash", "merge", "vector", "value"),
+    "fr" -> Seq("scan", "data", "batch", "query", "small", "join"),
+    "zh" -> Seq("join", "small", "customer", "row", "column", "scan"))
+
+  private def strArr(vals: Seq[String])(implicit d: Dialect): String = {
+    val quoted = vals.map(v => s"'$v'")
+    d match {
+      case SqlSpark => quoted.mkString("array(", ", ", ")")
+      case SqlDuck  => quoted.mkString("[", ", ", "]")
+    }
+  }
+
+  // Per-dialect fragments -------------------------------------------------
+
+  private def wordsE(implicit d: Dialect) = XSql.words("text")
+
+  private def langScores(implicit d: Dialect): Seq[(String, String)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> s"${d.arrSize(d.arrIntersect(d.arrDistinct("w"), strArr(markers)))}"
+    }
+
+  /** argmax with ties broken by list order (de,en,es,fr,zh). */
+  private def argmaxCase(scoreCol: String => String): String = {
+    val langs = LangMarkers.map(_._1)
+    // branch i fires iff lang i is the first index attaining the max;
+    // if none of the first n-1 fire, the last lang is it → plain ELSE.
+    val branches = langs.init.zipWithIndex.map { case (l, i) =>
+      val geAll = langs.drop(i + 1).map(o => s"${scoreCol(l)} >= ${scoreCol(o)}")
+      val gtPrev = langs.take(i).map(o => s"${scoreCol(l)} > ${scoreCol(o)}")
+      s"WHEN ${(gtPrev ++ geAll).mkString(" AND ")} THEN '$l'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    Q("t1_token_count",
+      "whitespace + BPE-ish regex token counting per document",
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), w_ -> w_ != '')) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '$TokenRe')) AS n_re_tokens,
+         |  n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        expr(s"size(${XSql.words("text")(SqlSpark)})").as("n_ws_tokens"),
+        expr(s"size(regexp_extract_all(text, '$TokenRe', 0))").as("n_re_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    Q("t2_quality_score",
+      "document quality scoring: word stats, stopword/alpha ratios",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, text, n_chars, $wordsE AS w FROM documents)
+           |SELECT doc_id,
+           |  ${dl.arrSize("w")} AS n_words,
+           |  cast(${dl.foldL(dl.xform("w", "w_", "cast(length(w_) as bigint)"), 0, "a_", "x_", "a_ + x_")} as double)
+           |    / cast(${dl.arrSize("w")} as double) AS avg_word_len,
+           |  cast(${dl.arrSize(dl.filt("w", "w_", s"list_contains(${strArr(StopWords)}, w_)"))} as double)
+           |    / cast(${dl.arrSize("w")} as double) AS stopword_ratio,
+           |  cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+           |    / cast(n_chars as double) AS alpha_ratio
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .withColumn("w", expr(wordsE))
+        .select(
+          col("doc_id"),
+          expr(dl.arrSize("w")).as("n_words"),
+          expr(s"cast(${dl.foldL(dl.xform("w", "w_", "bigint(length(w_))"), 0, "a_", "x_", "a_ + x_")} as double)" +
+            s" / cast(${dl.arrSize("w")} as double)").as("avg_word_len"),
+          expr(s"cast(${dl.arrSize(dl.filt("w", "w_", s"array_contains(${strArr(StopWords)}, w_)"))} as double)" +
+            s" / cast(${dl.arrSize("w")} as double)").as("stopword_ratio"),
+          expr(s"cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
+            s" / cast(n_chars as double)").as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    Q("t3_lang_id",
+      "language-ID heuristic: argmax of per-language marker scores",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val scores = langScores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")
+        s"""WITH w AS (SELECT doc_id, lang, $wordsE AS w FROM documents),
+           |s AS (SELECT doc_id, lang,
+           |  $scores
+           |FROM w)
+           |SELECT doc_id, lang, ${argmaxCase(l => s"s_$l")} AS pred_lang,
+           |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+           |FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val base = t(s, d, "documents").withColumn("w", expr(wordsE))
+      val scored = langScores.foldLeft(base) { case (df, (l, e)) =>
+        df.withColumn(s"s_$l", expr(e))
+      }
+      scored.select(
+        col("doc_id"), col("lang"),
+        expr(argmaxCase(l => s"s_$l")).as("pred_lang"),
+        greatest(LangMarkers.map(m => col(s"s_${m._1}")): _*).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    Q("t4_fingerprint",
+      "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH k AS (SELECT doc_id, ${XSql.kgramHashes("text", 8)} AS kh FROM documents)
+           |SELECT doc_id, ${XSql.winnow("kh", 4)} AS fingerprints
+           |FROM k ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .withColumn("kh", expr(XSql.kgramHashes("text", 8)))
+        .select(col("doc_id"), expr(XSql.winnow("kh", 4)).as("fingerprints"))
+        .orderBy("doc_id")
+    }
+  )
+}
