@@ -17,7 +17,10 @@ object SparkEntry {
       graft.queries.Relational2.all ++
       graft.queries.TextOps.all ++
       graft.queries.Dedup.all ++
-      graft.queries.Similarity.all
+      graft.queries.Similarity.all ++
+      graft.queries.Sinks.all ++
+      graft.queries.StreamingOps.all ++
+      graft.queries.MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with a
+  * typed metadata struct, processed by an imperative per-partition
+  * featurizer — the Spark-side plumbing (schema, batching, partition
+  * shape) a real image/audio pipeline needs.
+  *
+  * The actual media *decode* is the only non-real piece: no codec
+  * libraries exist in this environment, so [[decodeStub]] is a
+  * clearly-marked deterministic stand-in (byte histogram). Swapping it
+  * for a JPEG/PNG decoder changes nothing outside that one function —
+  * the Dataset schema, the mapPartitions batch shape, and the
+  * downstream aggregation contract all stay as they are.
+  *
+  * Scale notes: the binary payload never passes through a shuffle (the
+  * featurizer runs map-side against the scan); only the small feature
+  * vector flows on. Partition sizing is the scan's
+  * `maxPartitionBytes`, which is the right knob for fat binary rows.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, width: Int, height: Int)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      byte_hist: Array[Long], mean_byte: Double)
+
+  /** Synthesize a media table from `documents`: UTF-8 bytes stand in
+    * for the opaque payload; metadata derived deterministically.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("image/fake").as("media_type"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode ??? — stands in for the real codec: deterministic
+    * 16-bin byte histogram + mean byte value. A real implementation
+    * would decode `payload` per `media_type` and emit pixel/sample
+    * features; it replaces ONLY this function body.
+    */
+  def decodeStub(payload: Array[Byte]): (Array[Long], Double) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b % 16) += 1
+      sum += b
+      i += 1
+    }
+    (hist, if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+  }
+
+  /** Per-partition featurization — the imperative boundary. Batching
+    * is per-partition (a real decoder would reuse codec contexts per
+    * partition exactly here).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (hist, mean) = decodeStub(r.payload)
+        MediaFeatures(r.doc_id, r.payload.length.toLong, hist, mean)
+      }
+    }
+  }
+
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    extractFeatures(mediaTable(spark, sfDir)).toDF()
+}

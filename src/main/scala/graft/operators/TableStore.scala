@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's four write disciplines over partitioned parquet
+  * (SURVEY.md §2.1 S5-S12, §2.10 I1):
+  *
+  *   - append           — WRITE_APPEND time-series load (loader.py:125-127)
+  *   - overwrite        — WRITE_TRUNCATE temp/scheduled tables (loader.py:135)
+  *   - insertIfAbsent   — MERGE ... WHEN NOT MATCHED THEN INSERT for
+  *                        dimensions (loader.py:151-158)
+  *   - deleteInsert     — DELETE WHERE key IN (...) + append for bridge
+  *                        tables (loader.py:57-84,166-176)
+  *   - upsertByKey      — Dataform incremental MERGE on uniqueKey
+  *                        (games_active.sqlx:1-5): source wins
+  *   - archiveOlderThan — timestamped parquet archive (loader.py:375-405)
+  *   - maxWatermark     — high-watermark read for incremental models
+  *                        (games_active.sqlx:43)
+  *
+  * Rewrites go through a write-new/swap-dirs cycle because plain
+  * parquet cannot be overwritten while being read. Single-writer only:
+  * at production scale this layer is where a transactional table format
+  * (or partition-level replaceWhere) takes over — the call sites stay
+  * the same, which is the point of isolating the discipline here.
+  * Anti-join + union keeps every op shuffle-bounded by the key column;
+  * none of them collect to the driver.
+  */
+object TableStore {
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S7: insert source rows whose key is absent from the target;
+    * existing target rows are never touched.
+    */
+  def insertIfAbsent(spark: SparkSession, path: String, src: DataFrame,
+      keys: Seq[String]): Unit =
+    if (!exists(spark, path)) overwrite(src, path)
+    else {
+      val fresh = src.join(read(spark, path).select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+      append(fresh, path)
+    }
+
+  /** S8: partition rewrite by key set — drop target rows whose key
+    * appears in the new batch (handles removals), then add the batch.
+    */
+  def deleteInsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String]): Unit =
+    if (!exists(spark, path)) overwrite(batch, path)
+    else {
+      val kept = read(spark, path)
+        .join(batch.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      rewrite(spark, path, kept.unionByName(batch))
+    }
+
+  /** S12/I1: key-preserving upsert — source rows win on key collision. */
+  def upsertByKey(spark: SparkSession, path: String, src: DataFrame,
+      keys: Seq[String]): Unit =
+    if (!exists(spark, path)) overwrite(src, path)
+    else {
+      val kept = read(spark, path)
+        .join(src.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      rewrite(spark, path, kept.unionByName(src))
+    }
+
+  /** S11: move rows older than `cutoff` into an archive table. */
+  def archiveOlderThan(spark: SparkSession, path: String, archivePath: String,
+      tsCol: String, cutoff: java.sql.Timestamp): Unit = {
+    val cur = read(spark, path)
+    val old = cur.filter(col(tsCol) < lit(cutoff))
+    append(old, archivePath)
+    rewrite(spark, path, cur.filter(col(tsCol) >= lit(cutoff)))
+  }
+
+  /** I1: the stored high watermark, or None for an empty/absent table.
+    * One tiny aggregate action — the only driver-side value in the
+    * incremental path.
+    */
+  def maxWatermark(spark: SparkSession, path: String,
+      tsCol: String): Option[java.sql.Timestamp] =
+    if (!exists(spark, path)) None
+    else Option(read(spark, path).agg(max(col(tsCol))).head().getTimestamp(0))
+
+  /** Write `df` next to `path`, then swap directories. `df` must be
+    * derived from `path`'s current contents, hence the staging dir.
+    */
+  private def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val staged = path + "__staged"
+    df.write.mode("overwrite").parquet(staged)
+    val f = fs(spark, path)
+    f.delete(new Path(path), true)
+    f.rename(new Path(staged), new Path(path))
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.TableStore
+
+/** Sink-discipline operators (SURVEY.md §2.1 S5-S12, §2.10 I1),
+  * exercised as round-trips: build a scratch table under a temp dir,
+  * apply the discipline, read the final state back. The oracle SQL
+  * states the same final table algebraically over the source tables,
+  * so the driver's DuckDB gate checks the *semantics* of each write
+  * mode, not just that files appeared.
+  */
+object Sinks {
+
+  private def scratch(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_$name").toFile
+    dir.deleteOnExit()
+    s"${dir.getAbsolutePath}/t"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // S5 — append sink: two appended batches = UNION ALL.
+    Q("s5_append_sink",
+      "append-mode sink: two batches accumulate",
+      """SELECT o_custkey, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val path = scratch("s5")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      TableStore.append(o.filter(col("o_orderkey") % 2 === 0), path)
+      TableStore.append(o.filter(col("o_orderkey") % 2 === 1), path)
+      TableStore.read(s, path)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // S6 — truncate-load: second write replaces the first.
+    Q("s6_overwrite_sink",
+      "overwrite-mode sink: last write wins",
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_nationkey < 10
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val path = scratch("s6")
+      val c = t(s, d, "customer")
+      TableStore.overwrite(c.filter(col("c_nationkey") >= 10), path)
+      TableStore.overwrite(c.filter(col("c_nationkey") < 10), path)
+      TableStore.read(s, path)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---------------------------------------------------------------
+    // S7 — MERGE insert-if-absent (dimension discipline): overlapping
+    // key ranges, existing rows kept.
+    Q("s7_insert_if_absent",
+      "merge-if-absent sink: existing keys kept, new keys inserted",
+      """SELECT p_partkey, p_brand FROM (
+        |  SELECT p_partkey, p_brand FROM part WHERE p_partkey <= 1200
+        |  UNION ALL
+        |  SELECT p_partkey, 'LATE-' || p_brand AS p_brand FROM part
+        |  WHERE p_partkey > 1200 AND p_partkey <= 1600)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val path = scratch("s7")
+      val p = t(s, d, "part").select("p_partkey", "p_brand")
+      TableStore.overwrite(p.filter(col("p_partkey") <= 1200), path)
+      // second batch overlaps 800..1200 (must NOT replace) and adds
+      // 1200..1600 with a marker brand (must insert).
+      val late = p.filter(col("p_partkey") > 800 && col("p_partkey") <= 1600)
+        .withColumn("p_brand", concat(lit("LATE-"), col("p_brand")))
+      TableStore.insertIfAbsent(s, path, late, Seq("p_partkey"))
+      TableStore.read(s, path).orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------
+    // S8 — delete+insert partition rewrite: rewritten keys reflect
+    // removals (bridge-table discipline).
+    Q("s8_delete_insert",
+      "delete-by-keys + insert sink: rewritten key set reflects removals",
+      """WITH batch_keys AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_custkey <= 100 AND o_orderkey % 5 = 0)
+        |SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderkey % 3 != 0
+        |    AND o_custkey NOT IN (SELECT o_custkey FROM batch_keys)
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_custkey <= 100 AND o_orderkey % 5 = 0)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val path = scratch("s8")
+      val o = t(s, d, "orders").select("o_custkey", "o_orderkey")
+      TableStore.overwrite(o.filter(col("o_orderkey") % 3 =!= 0), path)
+      // rebatch customers <= 100 with a different orderset: their old
+      // rows must vanish, others stay.
+      val batch = o.filter(col("o_custkey") <= 100 && col("o_orderkey") % 5 === 0)
+      TableStore.deleteInsert(s, path, batch, Seq("o_custkey"))
+      TableStore.read(s, path).orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
+    // S11 — archive sink: age-based split into archive + live.
+    Q("s11_archive_sink",
+      "archive rows older than a cutoff; live table keeps the rest",
+      """SELECT 'archive' AS part, count(*) AS n FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |UNION ALL
+        |SELECT 'live' AS part, count(*) AS n FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY part""".stripMargin) { (s, d) =>
+      val path = scratch("s11_live")
+      val arch = scratch("s11_arch")
+      TableStore.overwrite(t(s, d, "events"), path)
+      TableStore.archiveOlderThan(s, path, arch, "ts",
+        java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val a = TableStore.read(s, arch).agg(count(lit(1)).as("n"))
+        .select(lit("archive").as("part"), col("n"))
+      val l = TableStore.read(s, path).agg(count(lit(1)).as("n"))
+        .select(lit("live").as("part"), col("n"))
+      a.unionByName(l).orderBy("part")
+    },
+
+    // ---------------------------------------------------------------
+    // I1/S12 — incremental high-watermark upsert: process rows after
+    // the stored watermark, key-preserving MERGE; final state must
+    // equal the full recompute (that equivalence IS the oracle).
+    Q("i1_incremental_upsert",
+      "watermark-incremental upsert equals the full recompute",
+      """SELECT user_id, count(*) AS n, max(ts) AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val path = scratch("i1")
+      val ev = t(s, d, "events")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+      // bootstrap run: everything before the cut
+      TableStore.overwrite(aggOf(ev.filter(col("ts") < cut)), path)
+      // incremental run: watermark read, late slice only, merged stats
+      val wm = TableStore.maxWatermark(s, path, "last_ts").get
+      val delta = ev.filter(col("ts") > lit(wm))
+      val touched = delta.select("user_id").distinct()
+      val refreshed = aggOf(ev.join(touched, Seq("user_id"), "left_semi"))
+      TableStore.upsertByKey(s, path, refreshed, Seq("user_id"))
+      TableStore.read(s, path).orderBy("user_id")
+    }
+  )
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (SURVEY.md §2.10: the
+  * reference is batch-incremental, so this is the beyond-parity stream
+  * layer — `readStream` → event-time transforms → sink).
+  *
+  * The parquet file source replays the table as a stream with
+  * `Trigger.AvailableNow`; the same code runs unchanged against a live
+  * directory of arriving files (or a queue source) on a cluster. State
+  * is keyed by `user_id`, so it scales with the shuffle: watermarks
+  * bound the windowed-agg state, and sessionization state is one small
+  * buffer per active user.
+  */
+object EventStream {
+
+  /** Raw schema as the file source sees it (ts = TIMESTAMP(NANOS),
+    * which Spark reads as a nanosecond long under the legacy flag).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      // the file source wants a directory; filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling daily windowed aggregation with a 1-hour watermark.
+    * Complete output mode so every window is emitted even at the tail
+    * of a replay (append would hold back unclosed windows).
+    */
+  def dailyWindowedAgg(events: DataFrame): DataFrame = {
+    import graft.queries.dsum
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events within
+    * `gapMinutes` of the previous event (per user) share a session.
+    *
+    * The state buffer holds only the current open session per user;
+    * with AvailableNow replay all of a user's events arrive before the
+    * group call ends, so every session can be emitted eagerly. On a
+    * continuous stream the open session would instead be flushed by an
+    * event-time timeout — the state shape is already right for that.
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Ev], state: GroupState[List[Ev]]) => {
+          val buffered = state.getOption.getOrElse(Nil) ++ it.toList
+          val sorted = buffered.sortBy(e => (e.ts.getTime, e.event_id))
+          state.update(Nil)
+          val sessions = scala.collection.mutable.ListBuffer.empty[Session]
+          var start: Ev = null
+          var last: Ev = null
+          var n = 0L
+          sorted.foreach { e =>
+            if (start == null) { start = e; last = e; n = 1 }
+            else if (e.ts.getTime - last.ts.getTime > gapMs) {
+              sessions += Session(userId, start.ts, last.ts, n)
+              start = e; last = e; n = 1
+            } else { last = e; n += 1 }
+          }
+          if (start != null) sessions += Session(userId, start.ts, last.ts, n)
+          sessions.iterator
+        })
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table
+    * and return the result (AvailableNow = process everything queued,
+    * then stop — the batch-replay trigger).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
