@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.XSql.{Spark => SqlSpark}
+import org.apache.spark.sql.functions.expr
+
+/** Pins the hash/fold primitives to known values — these constants are
+  * the cross-engine contract with the DuckDB oracle (validated against
+  * DuckDB interactively; any drift here breaks every dedup oracle).
+  */
+class XSqlSpec extends SparkSpec {
+
+  private implicit val d: SqlSpark.type = SqlSpark
+
+  private def eval1(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").head().get(0)
+
+  test("charHash('hash') matches the pinned cross-engine value") {
+    assert(eval1(XSql.charHash("'hash'")) == 9659797L)
+  }
+
+  test("dot product left fold is exact") {
+    assert(eval1(XSql.dot("array(1.0D, 2.0D)", "array(3.0D, 4.0D)")) == 11.0)
+  }
+
+  test("words drops empty strings") {
+    assert(eval1(s"size(${XSql.words("'a  b '")})") == 2)
+  }
+
+  test("minhash signature has k entries, stable first value") {
+    val sig = eval1(
+      XSql.minhashSig(XSql.shingleHashes(XSql.wordHashes(XSql.words("'a b c d'")))))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(sig.length == XSql.MinhashK)
+    // 2 shingles; every sig entry is a valid residue
+    assert(sig.forall(v => v >= 0 && v < XSql.P))
+  }
+
+  test("simhash is within 30 bits and deterministic") {
+    val v1 = eval1(XSql.simhash(XSql.wordHashes(XSql.words("'spark fast table'"))))
+      .asInstanceOf[Long]
+    val v2 = eval1(XSql.simhash(XSql.wordHashes(XSql.words("'spark fast table'"))))
+      .asInstanceOf[Long]
+    assert(v1 == v2)
+    assert(v1 >= 0 && v1 < (1L << 30))
+  }
+
+  test("jaccard of overlapping sets") {
+    assert(eval1(XSql.jaccard("array(1, 2, 3)", "array(2, 3, 4)")) == 0.5)
+  }
+
+  test("winnow produces sorted distinct fingerprints") {
+    val fp = eval1(XSql.winnow(XSql.kgramHashes("'abcdefghijklmno'", 8), 4))
+      .asInstanceOf[scala.collection.Seq[Long]]
+    assert(fp == fp.sorted && fp.distinct == fp)
+    assert(fp.nonEmpty)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.{SparkSpec, TestSpark}
+
+/** Write-discipline semantics on tiny tables (SURVEY §2.1 S5-S12). */
+class TableStoreSpec extends SparkSpec {
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_store_spec").toString + "/t"
+
+  private def kv(rows: (Long, String)*) = {
+    import TestSpark.spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def readSorted(path: String): Seq[(Long, String)] =
+    TableStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  test("insertIfAbsent keeps existing keys, adds new ones") {
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a", 2L -> "b"), p)
+    TableStore.insertIfAbsent(spark, p, kv(2L -> "NEW", 3L -> "c"), Seq("k"))
+    assert(readSorted(p) == Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("upsertByKey lets the source win") {
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a", 2L -> "b"), p)
+    TableStore.upsertByKey(spark, p, kv(2L -> "NEW", 3L -> "c"), Seq("k"))
+    assert(readSorted(p) == Seq(1L -> "a", 2L -> "NEW", 3L -> "c"))
+  }
+
+  test("deleteInsert drops all rows of rewritten keys") {
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a", 1L -> "a2", 2L -> "b"), p)
+    TableStore.deleteInsert(spark, p, kv(1L -> "only"), Seq("k"))
+    assert(readSorted(p) == Seq(1L -> "only", 2L -> "b"))
+  }
+
+  test("maxWatermark on absent table is None") {
+    assert(TableStore.maxWatermark(spark, scratch(), "ts").isEmpty)
+  }
+}
