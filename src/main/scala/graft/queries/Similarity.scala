@@ -83,6 +83,36 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // Same query as k1 but through the native `vector_distance`
+    // Catalyst expression (codegen'd loop, no lambda interpreter) —
+    // the scale implementation of F14 / ML.DISTANCE. The oracle is
+    // shared with k1: both must produce bit-identical distances.
+    Q("k4_knn_native_expr",
+      "brute-force kNN via the codegen'd vector_distance expression",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0)
+           |SELECT vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n, q WHERE vec_id != 0
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .select("vec_id", "v")
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          expr("vector_distance(v, qv, 'COSINE')").as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
     Q("k2_ann_lsh",
       "hyperplane-LSH ANN: probe the query's bucket, rerank exact",
       {
