@@ -141,61 +141,80 @@ object Dedup {
     },
 
     // ---------------------------------------------------------------
+    // Blocking key (lang, source) bounds the pair count: exact
+    // pairwise Jaccard is quadratic per block, so the block must stay
+    // small — global discovery is d3's LSH job, this is the verify-
+    // style exact op. The union size is derived as |A|+|B|-|A∩B|
+    // (arrays are distinct), so each pair costs ONE intersect, and the
+    // intersect is computed in a materialized column (not re-evaluated
+    // by a pushed-down filter).
     Q("d5_ngram_jaccard",
-      "blocked exact n-gram Jaccard: pairs within lang, sim >= 0.3",
+      "blocked exact n-gram Jaccard: pairs within (lang, source), sim >= 0.3",
       {
         implicit val dl: Dialect = SqlDuck
-        s"""WITH w AS (SELECT doc_id, lang, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
-           |sh AS (SELECT doc_id, lang, ${XSql.shingleHashes("wh")} AS sh FROM w)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       ${XSql.jaccard("a.sh", "b.sh")} AS jacc
-           |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           |WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3
+        s"""WITH w AS (SELECT doc_id, lang, source, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, lang, source, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         ${dl.arrSize(dl.arrIntersect("a.sh", "b.sh"))} AS inter,
+           |         ${dl.arrSize("a.sh")} AS sa, ${dl.arrSize("b.sh")} AS sb
+           |  FROM sh a JOIN sh b
+           |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b,
+           |       cast(inter as double) / cast(sa + sb - inter as double) AS jacc
+           |FROM pairs
+           |WHERE cast(inter as double) / cast(sa + sb - inter as double) >= 0.3
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       val sh = t(s, d, "documents")
         .withColumn("wh", expr(XSql.wordHashes(wordsE)))
         .withColumn("sh", expr(XSql.shingleHashes("wh")))
-        .select("doc_id", "lang", "sh")
-      val a = sh.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang"))
+        .select("doc_id", "lang", "source", "sh")
+      val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))
+      val b = sh.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
+        .select(col("doc_a"), col("doc_b"),
+          expr(dl.arrSize(dl.arrIntersect("sh_a", "sh_b"))).as("inter"),
+          expr(dl.arrSize("sh_a")).as("sa"), expr(dl.arrSize("sh_b")).as("sb"))
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
         .filter(col("jacc") >= 0.3)
         .select("doc_a", "doc_b", "jacc")
         .orderBy("doc_a", "doc_b")
     },
 
     // ---------------------------------------------------------------
+    // Distances through the codegen'd native expression — the oracle
+    // states the identical interleaved-fold formula. Near-dup = cosine
+    // distance <= 0.6 (sim >= 0.4).
     Q("d6_embed_near_dup",
-      "embedding-cosine near-dup: label-blocked pairs, sim >= 0.4",
+      "embedding-cosine near-dup: label-blocked pairs, distance <= 0.6",
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH e AS (SELECT vec_id, label, ${dlDouble(SqlDuck)} AS v FROM embeddings),
-           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e)
-           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |       ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS sim
-           |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-           |WHERE ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} >= 0.4
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS dist
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, dist FROM pairs WHERE dist <= 0.6
            |ORDER BY vec_a, vec_b""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(dlDouble(SqlSpark)))
-        .withColumn("n2", expr(XSql.norm2("v")))
-        .select("vec_id", "label", "v", "n2")
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("v").as("v_a"), col("n2").as("n2_a"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("v").as("v_b"), col("n2").as("n2_b"))
+        .select("vec_id", "label", "v")
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("v_a"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("v_b"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("sim",
-          expr(XSql.cosineFromNorms(XSql.dot("v_a", "v_b"), "n2_a", "n2_b")))
-        .filter(col("sim") >= 0.4)
-        .select("vec_a", "vec_b", "sim")
+        .withColumn("dist", expr("vector_distance(v_a, v_b, 'COSINE')"))
+        .filter(col("dist") <= 0.6)
+        .select("vec_a", "vec_b", "dist")
         .orderBy("vec_a", "vec_b")
     }
   )
