@@ -192,6 +192,28 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // W1 at scale: dedup-to-latest as a max(struct) aggregate instead
+    // of a window (SURVEY §4 "Dedup-to-latest before join"). Same
+    // result as w1_dedup_latest, but partial aggregation combines
+    // map-side — the shuffle carries one row per key, not the whole
+    // table, and there is no per-partition sort. At 100 TB this is the
+    // difference between shuffling ~n rows and shuffling ~k keys.
+    Q("w3_dedup_maxstruct",
+      "dedup-to-latest via max(struct) aggregate (map-side combinable)",
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
     // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
     Q("u3_config_union",
       "config-driven union of filtered aggregates",

@@ -143,6 +143,36 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // The game_neighbors analogue (§2.3 J5 + §2.5 W2 + §2.4 A6): the
+    // precomputed tier of the two-tier similarity design, as an
+    // ordered struct-array serving table.
+    Q("k5_precomputed_neighbors",
+      "precomputed top-3 in-label neighbors as ordered struct arrays",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |pairs AS (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS n_vec_id,
+           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS dist
+           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id),
+           |ranked AS (
+           |  SELECT vec_id, n_vec_id, dist,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, n_vec_id) AS rn
+           |  FROM pairs QUALIFY rn <= 3)
+           |SELECT vec_id,
+           |  list_transform(list_sort(list({'rn': rn, 'nv': n_vec_id, 'dist': dist})),
+           |    s_ -> {'vec_id': s_.nv, 'dist': s_.dist}) AS similar
+           |FROM ranked GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .select("vec_id", "label", "v")
+      graft.serve.Neighbors.precompute(emb, 3)
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------
     Q("k3_ann_ivf",
       "IVF-style ANN: per-label centroids, probe nearest list, rerank",
       {

@@ -1,0 +1,68 @@
+package graft.serve
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Serving-read layer — the reference's `GamesReader` semantics
+  * (src/warehouse/readers/games.py, SURVEY §3.3) re-expressed over
+  * cached DataFrames:
+  *
+  *   - point lookup on the serving table (games.py:241-250)
+  *   - precomputed top-k neighbors (games.py:177-185)
+  *   - live tuned similarity with a metric allow-list
+  *     (games.py:188-225, allow-list :131-135)
+  *
+  * Two-tier design as in the reference: the default path hits the
+  * precomputed neighbors table; only "tuned" requests pay for a live
+  * scan. Both lookups are partition-prunable point reads at scale
+  * (serving tables laid out bucketed/sorted by the key — the
+  * `RANGE_BUCKET` analogue, see game_profile.sqlx:6-17).
+  */
+final class Readers(spark: SparkSession, profiles: DataFrame,
+    neighbors: DataFrame, embeddings: DataFrame) {
+
+  GraftFunctions.register(spark)
+
+  private val prof = profiles.cache()
+  private val neigh = neighbors.cache()
+  private val emb = embeddings.cache()
+
+  val AllowedMetrics: Set[String] = Set("COSINE", "EUCLIDEAN", "DOT_PRODUCT")
+
+  /** `SELECT * FROM profile WHERE id = @id LIMIT 1` (S4). */
+  def profile(id: Long): Option[Row] =
+    prof.filter(col("vec_id") === id).limit(1).collect().headOption
+
+  /** Precomputed neighbor list for the default profile. */
+  def similarPrecomputed(id: Long): Option[Row] =
+    neigh.filter(col("vec_id") === id).limit(1).collect().headOption
+
+  /** Live tuned similarity — filter first, then rank (the reference's
+    * measured "filter-first" discipline, games.py:198-199): broadcast
+    * the query vector, scan once, TakeOrderedAndProject top-k.
+    */
+  def similarLive(id: Long, metric: String = "COSINE", k: Int = 10): DataFrame = {
+    require(AllowedMetrics.contains(metric), s"metric $metric not allowed")
+    val q = emb.filter(col("vec_id") === id)
+      .select(col("v").as("qv"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= id)
+      .select(col("vec_id"),
+        expr(s"vector_distance(v, qv, '$metric')").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+}
+
+object Readers {
+  /** Build the serving tables from the embeddings source table. */
+  def build(spark: SparkSession, sfDir: String, k: Int = 10): Readers = {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("v", expr("transform(embedding, x_ -> double(x_))"))
+      .select("vec_id", "label", "v")
+    new Readers(spark, emb.select("vec_id", "label"),
+      Neighbors.precompute(emb, k), emb)
+  }
+}
