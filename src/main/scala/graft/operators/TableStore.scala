@@ -92,10 +92,11 @@ object TableStore {
     if (!exists(spark, path)) None
     else Option(read(spark, path).agg(max(col(tsCol))).head().getTimestamp(0))
 
-  /** Write `df` next to `path`, then swap directories. `df` must be
-    * derived from `path`'s current contents, hence the staging dir.
+  /** Write `df` next to `path`, then swap directories. Use this (not
+    * `overwrite`) whenever `df` is derived from `path`'s current
+    * contents — plain overwrite truncates the input mid-read.
     */
-  private def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
+  def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val staged = path + "__staged"
     df.write.mode("overwrite").parquet(staged)
     val f = fs(spark, path)
