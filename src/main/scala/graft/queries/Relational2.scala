@@ -192,6 +192,73 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // J4 + F6/F7/F8 + A5/A6 — the game_profile assembly shape
+    // (game_profile.sqlx:115-119): left-join independent aggregate
+    // blocks into one nested serving row; struct nulled when its
+    // block is absent, arrays coalesced to empty.
+    Q("j4_profile_assembly",
+      "serving-row assembly: left-joined blocks, null-guarded struct, coalesced arrays",
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |b1 AS (SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |b2 AS (SELECT user_id,
+         |         list_sort(list_distinct(list(event_type))) AS types
+         |       FROM events GROUP BY user_id)
+         |SELECT u.user_id,
+         |  CASE WHEN b1.user_id IS NULL THEN NULL
+         |       ELSE {'n_purchases': b1.n, 'total_spent': b1.total} END AS purchases,
+         |  coalesce(b2.types, []) AS event_types
+         |FROM u LEFT JOIN b1 ON u.user_id = b1.user_id
+         |       LEFT JOIN b2 ON u.user_id = b2.user_id
+         |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val u = ev.select("user_id").distinct()
+      val b1 = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .withColumnRenamed("user_id", "b1_user_id")
+      val b2 = ev.groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .withColumnRenamed("user_id", "b2_user_id")
+      u.join(b1, col("user_id") === col("b1_user_id"), "left")
+        .join(b2, col("user_id") === col("b2_user_id"), "left")
+        .select(col("user_id"),
+          when(col("b1_user_id").isNull, lit(null))
+            .otherwise(struct(col("n").as("n_purchases"), col("total").as("total_spent")))
+            .as("purchases"),
+          coalesce(col("types"), array().cast("array<string>")).as("event_types"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // P10 — latest-version filter via scalar subquery
+    // (bgg_game_embeddings.sqlx:10-13): stays distributed as a
+    // broadcast 1-row aggregate, no driver collect.
+    Q("p10_latest_version",
+      "filter to the max 'version' via broadcast scalar subquery",
+      """SELECT vec_id, label FROM embeddings
+        |WHERE label = (SELECT max(label) FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val mx = e.agg(max(col("label")).as("max_label"))
+      e.crossJoin(broadcast(mx))
+        .filter(col("label") === col("max_label"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
+    // ---------------------------------------------------------------
+    // F16 — GENERATE_UUID (raw_responses.record_id). Inherently
+    // nondeterministic, so no value oracle: the driver records a
+    // rows-only check. The shape (uuid per landed row) is the point.
+    Q.noOracle("f16_uuid",
+      "uuid() assigned per ingested row (rows-only check)") { (s, d) =>
+      t(s, d, "events").limit(100)
+        .select(col("event_id"), expr("uuid()").as("record_id"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // W1 at scale: dedup-to-latest as a max(struct) aggregate instead
     // of a window (SURVEY §4 "Dedup-to-latest before join"). Same
     // result as w1_dedup_latest, but partial aggregation combines
