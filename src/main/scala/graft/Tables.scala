@@ -18,6 +18,9 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // every catalog query loads through here — make graft's native
+    // functions (vector_distance, graft_char_hash) resolvable
+    graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // The events table is written as parquet TIMESTAMP(NANOS), which
     // Spark 4 refuses to map to TimestampType. We read nanos as a long

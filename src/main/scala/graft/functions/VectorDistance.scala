@@ -139,17 +139,23 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
   * (`spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 object GraftFunctions {
-  private val info = new ExpressionInfo(
-    classOf[VectorDistance].getName, "vector_distance")
-
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vector_distance"), info,
+      FunctionIdentifier("vector_distance"),
+      new ExpressionInfo(classOf[VectorDistance].getName, "vector_distance"),
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "vector_distance(a, b, metric) takes exactly 3 arguments")
         VectorDistance(children(0), children(1), children(2))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_char_hash"),
+      new ExpressionInfo(classOf[CharPolyHash].getName, "graft_char_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_char_hash(s) takes exactly 1 argument")
+        CharPolyHash(children.head)
+      })
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

@@ -124,8 +124,22 @@ object XSql {
   def words(text: String)(implicit d: Dialect): String =
     d.filt(d.strSplit(text, " "), "w_", "w_ != ''")
 
-  /** 31-polynomial char hash of a string expression, mod P. */
-  def charHash(s: String)(implicit d: Dialect): String =
+  /** 31-polynomial char hash of a string expression, mod P. On the
+    * Spark side this is the native codegen'd [[CharPolyHash]] (the
+    * lambda form it replaces is pinned equal in XSqlSpec); the oracle
+    * runs the equivalent fold.
+    */
+  def charHash(s: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_char_hash($s)"
+    case Duck =>
+      d.foldL(d.xform(d.chars(s), "c_", d.codepoint("c_")), H0,
+        "acc_", "x_", s"(acc_ * $CharM + x_) % $P")
+  }
+
+  /** The lambda-built form (both dialects) — kept for the cross-engine
+    * equivalence spec that pins [[CharPolyHash]] to it.
+    */
+  def charHashLambda(s: String)(implicit d: Dialect): String =
     d.foldL(d.xform(d.chars(s), "c_", d.codepoint("c_")), H0,
       "acc_", "x_", s"(acc_ * $CharM + x_) % $P")
 

@@ -12,11 +12,25 @@ class XSqlSpec extends SparkSpec {
 
   private implicit val d: SqlSpark.type = SqlSpark
 
-  private def eval1(sql: String): Any =
+  private def eval1(sql: String): Any = {
+    GraftFunctions.register(spark)
     spark.sql(s"SELECT $sql AS v").head().get(0)
+  }
 
   test("charHash('hash') matches the pinned cross-engine value") {
     assert(eval1(XSql.charHash("'hash'")) == 9659797L)
+  }
+
+  // NOTE: the empty string is deliberately outside the equivalence
+  // domain — split('','') yields [''] whose codepoint differs between
+  // engines (Spark ascii=0, DuckDB unicode=-1, native skips). Every
+  // hashing operator filters empty strings first (XSql.words).
+  test("native graft_char_hash equals the lambda fold it replaced") {
+    for (s <- Seq("hash", "a", "spark fast table", "Ünïcode mix 123!")) {
+      val native = eval1(XSql.charHash(s"'$s'"))
+      val lambda = eval1(XSql.charHashLambda(s"'$s'"))
+      assert(native == lambda, s"mismatch for '$s'")
+    }
   }
 
   test("dot product left fold is exact") {
