@@ -76,4 +76,48 @@ object Multimodal {
 
   def features(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaTable(spark, sfDir)).toDF()
+
+  // ---------------------------------------------------------- resize
+
+  final case class ResizedMedia(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int)
+
+  /** STUB resize ??? — downsamples the payload by keeping every n-th
+    * byte (a real implementation decodes, rescales pixels, re-encodes;
+    * it replaces only this body — the schema and partition shape are
+    * the contract).
+    */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => ResizedMedia(r.doc_id,
+      resizeStub(r.payload, factor),
+      math.max(r.width / factor, 1), math.max(r.height / factor, 1))))
+  }
+
+  // ----------------------------------------------------- frame sample
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling ??? — treats the payload as fixed-size
+    * "frames" and emits every `stride`-th one (a real video path
+    * demuxes; same flatMap shape, one row per sampled frame).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = r.payload.length / frameBytes
+      (0 until nFrames by stride).map { f =>
+        Frame(r.doc_id, f,
+          java.util.Arrays.copyOfRange(r.payload, f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
 }

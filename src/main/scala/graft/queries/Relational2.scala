@@ -281,6 +281,23 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // Skew path: salted two-stage aggregation. The oracle is the
+    // PLAIN aggregate — salting must be result-identical (decimal
+    // partials keep the double exact across the extra stage).
+    Q("x1_salted_agg",
+      "salted two-stage aggregation == plain aggregate (skew mitigation)",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      graft.operators.Salt.saltedSumCount(
+        t(s, d, "events"), Seq("user_id"), col("event_id"),
+        col("value").cast(DecimalType(30, 2)), buckets = 8)
+        .select(col("user_id"), col("n"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
     // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
     Q("u3_config_union",
       "config-driven union of filtered aggregates",

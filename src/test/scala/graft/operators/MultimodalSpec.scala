@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: schema/partition shape is real, decode is a
+  * deterministic stub (no codec libs in this environment).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+
+  test("features: histogram sums to byte count, mean in range") {
+    val f = Multimodal.extractFeatures(media).head()
+    assert(f.byte_hist.sum == f.n_bytes)
+    assert(f.mean_byte > 0 && f.mean_byte < 256)
+  }
+
+  test("resize shrinks payload and dimensions") {
+    val before = media.head()
+    val after = Multimodal.resize(media, 4).filter(_.doc_id == before.doc_id).head()
+    assert(after.payload.length == (before.payload.length + 3) / 4)
+    assert(after.width == math.max(before.width / 4, 1))
+  }
+
+  test("frame sampling emits every stride-th fixed-size frame") {
+    val r = media.filter(_.doc_id == 0L).head()
+    val frames = Multimodal.sampleFrames(media.filter(_.doc_id == 0L), 16, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == (r.payload.length / 16 + 1) / 2)
+    assert(frames.forall(_.frame.length == 16))
+    assert(frames.map(_.frame_idx).toSeq == (0 until r.payload.length / 16 by 2))
+  }
+}
