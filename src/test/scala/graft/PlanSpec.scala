@@ -56,6 +56,13 @@ class PlanSpec extends SparkSpec {
     assert(plan("w1_dedup_latest").contains("Window"))
   }
 
+  test("w2: rank<=k pushes a partial WindowGroupLimit below the shuffle") {
+    // Spark's own map-side top-k pushdown — the reason SURVEY §4
+    // concludes no custom SparkPlan is justified for W2.
+    val p = plan("w2_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("k1: knn scan broadcasts the query row") {
     val p = plan("k1_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
