@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Similarity.all ++
       graft.queries.Sinks.all ++
       graft.queries.StreamingOps.all ++
-      graft.queries.MultimodalOps.all
+      graft.queries.MultimodalOps.all ++
+      graft.queries.CorpusOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
+
+/** The flagship composition: a full training-corpus cleaning pipeline
+  * — language filter → quality filter → exact dedup → LSH near-dup
+  * removal → token accounting — as ONE dataflow, oracle-checked end
+  * to end. This is the shape a 100 TB pretraining-data job takes; at
+  * scale each stage is a narrow map or a key-bounded join, and the
+  * only quadratic-risk step (near-dup) is LSH-band-bounded.
+  *
+  * Near-dup policy: within a confirmed pair (Jaccard >= 0.5) the
+  * higher doc_id is dropped (greedy, deterministic). Single pass — a
+  * kept doc may itself have been a dropper; the fixed policy is what
+  * the oracle states, so both engines agree exactly.
+  */
+object CorpusOps {
+
+  val all: Seq[Q] = Seq(
+    Q("c1_corpus_pipeline",
+      "langid filter -> quality filter -> exact dedup -> LSH near-dup removal -> token stats",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH base AS (
+           |  SELECT doc_id, text, n_chars, $w AS w FROM documents),
+           |langed AS (
+           |  SELECT * FROM base WHERE ${TextOps.predLangExpr} = 'en'),
+           |quality AS (
+           |  SELECT * FROM langed
+           |  WHERE ${dl.arrSize("w")} >= 20
+           |    AND cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
+           |          / cast(n_chars as double) >= 0.7),
+           |hashed AS (
+           |  SELECT *, ${XSql.charHash("text")} AS th FROM quality),
+           |exact AS (
+           |  SELECT * FROM hashed
+           |  QUALIFY row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1),
+           |wh AS (SELECT doc_id, w, ${XSql.wordHashes("w")} AS wh FROM exact),
+           |sh AS (SELECT doc_id, w, ${XSql.shingleHashes("wh")} AS sh FROM wh),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (
+           |  SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |         unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.sh AS sh_a, b.sh AS sh_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id),
+           |drops AS (
+           |  SELECT DISTINCT doc_b AS doc_id FROM cand
+           |  WHERE ${XSql.jaccard("sh_a", "sh_b")} >= 0.5)
+           |SELECT s.doc_id,
+           |  ${dl.arrSize("s.w")} AS n_tokens,
+           |  length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS n_alpha
+           |FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+           |WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
+           |ORDER BY s.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val base = t(s, d, "documents")
+        .withColumn("w", expr(XSql.words("text")))
+      val langed = base.filter(expr(TextOps.predLangExpr) === "en")
+      val quality = langed.filter(
+        expr(dl.arrSize("w")) >= 20 &&
+          expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
+            " / cast(n_chars as double)") >= 0.7)
+      val exact = quality
+        .withColumn("th", expr(XSql.charHash("text")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("th").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+      val sh = exact
+        .withColumn("wh", expr(XSql.wordHashes("w")))
+        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .select("doc_id", "w", "sh")
+      sh.cache()
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+      val a = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val cand = a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      val drops = cand
+        .filter(expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      sh.join(drops, Seq("doc_id"), "left_anti")
+        .join(t(s, d, "documents").select("doc_id", "text"), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr(dl.arrSize("w")).as("n_tokens"),
+          expr("length(regexp_replace(text, '[^a-z]', ''))").as("n_alpha"))
+        .orderBy("doc_id")
+    }
+  )
+}

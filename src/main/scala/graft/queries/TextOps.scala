@@ -38,6 +38,14 @@ object TextOps {
     "fr" -> Seq("scan", "data", "batch", "query", "small", "join"),
     "zh" -> Seq("join", "small", "customer", "row", "column", "scan"))
 
+  /** Predicted-language CASE expression over a words column named
+    * `w` — shared with the corpus pipeline (CorpusOps).
+    */
+  def predLangExpr(implicit d: Dialect): String = {
+    val scores = langScores.map { case (l, e) => l -> e }.toMap
+    argmaxCase(l => s"(${scores(l)})")
+  }
+
   private def strArr(vals: Seq[String])(implicit d: Dialect): String = {
     val quoted = vals.map(v => s"'$v'")
     d match {
@@ -50,7 +58,7 @@ object TextOps {
 
   private def wordsE(implicit d: Dialect) = XSql.words("text")
 
-  private def langScores(implicit d: Dialect): Seq[(String, String)] =
+  private[queries] def langScores(implicit d: Dialect): Seq[(String, String)] =
     LangMarkers.map { case (lang, markers) =>
       lang -> s"${d.arrSize(d.arrIntersect(d.arrDistinct("w"), strArr(markers)))}"
     }
