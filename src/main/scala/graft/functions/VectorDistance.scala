@@ -159,9 +159,15 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_distance"),
       new ExpressionInfo(classOf[VectorDistance].getName, "vector_distance"),
       (children: Seq[Expression]) => VectorDistance(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_hash"),
+      new ExpressionInfo(classOf[CharPolyHash].getName, "graft_char_hash"),
+      (children: Seq[Expression]) => CharPolyHash(children.head)))
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }

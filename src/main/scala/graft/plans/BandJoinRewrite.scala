@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Optimizer rule: rewrite a pure *band* theta join
+  *
+  *   `A JOIN B ON b.x BETWEEN a.x - w AND a.x + w [AND residual...]`
+  *
+  * into a bucketed equi-join: bucket both sides at width `w`
+  * (`floor(x / w)`), explode the left row into buckets {b-1, b, b+1},
+  * join on the bucket, and keep the original predicate as the
+  * residual filter. Any value within ±w of `a.x` falls in one of the
+  * three neighbouring buckets, so the rewrite is semantics-preserving
+  * for any w > 0.
+  *
+  * Why (SURVEY §4 "Custom Catalyst work" item 2, §7.4 trap 7): without
+  * an equi conjunct Spark can only plan a band join as
+  * BroadcastNestedLoopJoin or a cartesian product — O(n·m) and
+  * undistributable when neither side fits in memory. With the bucket
+  * key it becomes a shuffled hash/sort-merge join whose cost is
+  * bounded by the band density. The rule only fires when the join has
+  * NO other equi conjunct (if one exists, Spark already hash-joins).
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule`).
+  */
+object BandJoinRewrite extends Rule[LogicalPlan] {
+
+  /** (leftAnchor, rightProbe, width) of a symmetric band predicate. */
+  private def extractBand(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+    def sideOf(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(left.outputSet)) Some(true)
+      else if (refs.subsetOf(right.outputSet)) Some(false)
+      else None
+    }
+    def litVal(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) => Some(v)
+      case Literal(v: java.math.BigDecimal, _) => Some(v.doubleValue())
+      case _ => None
+    }
+    // lower: probe >= anchor - w   /   upper: probe <= anchor + w
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(p, Subtract(a, w, _)) if litVal(w).isDefined =>
+        (p, a, litVal(w).get)
+      case LessThanOrEqual(Subtract(a, w, _), p) if litVal(w).isDefined =>
+        (p, a, litVal(w).get)
+    }
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(p, Add(a, w, _)) if litVal(w).isDefined =>
+        (p, a, litVal(w).get)
+      case GreaterThanOrEqual(Add(a, w, _), p) if litVal(w).isDefined =>
+        (p, a, litVal(w).get)
+    }
+    (for {
+      (p1, a1, w1) <- lowers
+      (p2, a2, w2) <- uppers
+      if p1.semanticEquals(p2) && a1.semanticEquals(a2) && w1 == w2 && w1 > 0
+      if sideOf(a1).contains(true) && sideOf(p1).contains(false)
+    } yield (a1, p1, w1)).headOption
+  }
+
+  private def hasEquiConjunct(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+          (l.references.subsetOf(right.outputSet) && r.references.subsetOf(left.outputSet))
+      case _ => false
+    }
+
+  private def bucketOf(x: Expression, w: Double): Expression =
+    Floor(Divide(Cast(x, DoubleType), Literal(w, DoubleType)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !j.getTagValue(rewritten).contains(true) =>
+      val conjuncts = splitConjuncts(cond)
+      if (hasEquiConjunct(conjuncts, left, right)) j
+      else extractBand(conjuncts, left, right) match {
+        case None => j
+        case Some((anchor, probe, w)) =>
+          // left side: explode bucket-1..bucket+1 of the anchor
+          val anchorBucket = bucketOf(anchor, w)
+          val bucketsArr = CreateArray(Seq(
+            Subtract(anchorBucket, Literal(1L, LongType)),
+            anchorBucket,
+            Add(anchorBucket, Literal(1L, LongType))))
+          val lBucket = AttributeReference("__band_bucket_l", LongType)()
+          val leftGen = Generate(Explode(bucketsArr), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(lBucket),
+            child = left)
+          // right side: its own bucket
+          val rBucketAlias = Alias(bucketOf(probe, w), "__band_bucket_r")()
+          val rightProj = Project(right.output :+ rBucketAlias, right)
+          val newCond = And(EqualTo(lBucket, rBucketAlias.toAttribute), cond)
+          val newJoin = Join(leftGen, rightProj, Inner, Some(newCond), hint)
+          newJoin.setTagValue(rewritten, true)
+          Project(j.output, newJoin)
+      }
+  }
+
+  private val rewritten =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.bandJoinRewritten")
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The band-join optimizer rule, exercised through a real optimizer
+  * pass (experimental.extraOptimizations — the GraftExtensions hook
+  * injects the same rule into new sessions).
+  */
+class BandJoinRewriteSpec extends SparkSpec {
+
+  private def bandJoinDf = {
+    val p = graft.Tables.load(spark, "/root/testdata/sf0.001", "part")
+      .select("p_partkey", "p_retailprice")
+    val a = p.select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+    a.join(b, col("b_price") >= col("a_price") - 0.5 &&
+      col("b_price") <= col("a_price") + 0.5 &&
+      col("b_key") =!= col("a_key"))
+  }
+
+  test("pure band theta join is rewritten to a bucketed equi-join") {
+    // without the rule: nested-loop territory
+    val naivePlan = bandJoinDf.queryExecution.executedPlan.toString()
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"), naivePlan)
+    val naiveCount = bandJoinDf.count()
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val rewritten = bandJoinDf
+      val plan = rewritten.queryExecution.executedPlan.toString()
+      assert(plan.contains("Generate explode"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      assert(rewritten.count() == naiveCount)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
+  test("joins with an equi conjunct are left untouched") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      val a = ev.select(col("user_id"), col("value").as("va"))
+      val b = ev.select(col("user_id").as("ub"), col("value").as("vb"))
+      val j = a.join(b, col("user_id") === col("ub") &&
+        col("vb") >= col("va") - 1.0 && col("vb") <= col("va") + 1.0)
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Generate explode"), plan)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+}
