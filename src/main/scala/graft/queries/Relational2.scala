@@ -281,6 +281,32 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // J5 again, but written as the NAIVE theta join and rewritten
+    // automatically by graft.plans.BandJoinRewrite — proving the
+    // optimizer rule inside the correctness gate (same oracle shape
+    // as j5_band_join_bucketed's manual form).
+    Q("j5b_band_join_auto",
+      "naive band theta join auto-rewritten by the optimizer rule",
+      """SELECT a.p_partkey, count(*) AS n_close
+        |FROM part a JOIN part b
+        |  ON b.p_retailprice BETWEEN a.p_retailprice - 0.5 AND a.p_retailprice + 0.5
+        | AND b.p_partkey != a.p_partkey
+        |GROUP BY a.p_partkey ORDER BY a.p_partkey""".stripMargin) { (s, d) =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      val p = t(s, d, "part").select("p_partkey", "p_retailprice")
+      val a = p.select(col("p_partkey").as("a_key"), col("p_retailprice").as("a_price"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_retailprice").as("b_price"))
+      a.join(b, col("b_price") >= col("a_price") - 0.5 &&
+          col("b_price") <= col("a_price") + 0.5 &&
+          col("b_key") =!= col("a_key"))
+        .groupBy(col("a_key").as("p_partkey"))
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------
     // Skew path: salted two-stage aggregation. The oracle is the
     // PLAIN aggregate — salting must be result-identical (decimal
     // partials keep the double exact across the extra stage).
