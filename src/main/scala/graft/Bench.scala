@@ -16,11 +16,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen the scan + shuffle paths so the
     // first measured query isn't charged for session bring-up.
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // noop sink: evaluates every output column (count() would let
+    // Catalyst prune expensive projections and under-report)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -155,6 +155,26 @@ object GraftFunctions {
         require(children.length == 1, "graft_char_hash(s) takes exactly 1 argument")
         CharPolyHash(children.head)
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash30].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash30(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => IntersectSize(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => Winnow(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => LshBucket(children.head))
   }
 }
 

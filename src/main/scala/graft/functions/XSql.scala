@@ -35,6 +35,14 @@ object XSql {
 
   val SimhashBits = 30
 
+  /** Hyperplane-LSH constants (shared by the native LshBucket
+    * expression, the lambda emitter, and the DuckDB oracle).
+    */
+  val LshPlanes = 8
+  val PlaneMod = 2001L
+  val A2: Seq[Long] = (0 until LshPlanes).map(p => (1103515245L * (p + 7) + 12345L) % 1000003L)
+  val B2: Seq[Long] = (0 until LshPlanes).map(p => (69069L * (p + 13) + 3571L) % 1000003L)
+
   sealed trait Dialect {
     def xform(l: String, v: String, body: String): String
     def filt(l: String, v: String, body: String): String
@@ -160,8 +168,17 @@ object XSql {
     d.arrDistinct(d.xform(d.seq0(s"${d.arrSize(s"($whE)")} - 2"), i, inlined))
   }
 
-  /** MinHash signature (k=16) of a shingle-hash array expression. */
-  def minhashSig(shE: String)(implicit d: Dialect): String = {
+  /** MinHash signature (k=16) of a shingle-hash array expression.
+    * Spark runs the native [[MinHashSig]] loop; the oracle runs the
+    * equivalent lambda fold (pinned equal in XSqlSpec). Input arrays
+    * must be non-empty (guaranteed: every document has >= 3 words).
+    */
+  def minhashSig(shE: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_minhash_sig($shE)"
+    case Duck => minhashSigLambda(shE)
+  }
+
+  def minhashSigLambda(shE: String)(implicit d: Dialect): String = {
     val perm = s"(${d.idx(d.bigintArr(A), "j_")} * s_ + ${d.idx(d.bigintArr(B), "j_")}) % $P"
     d.xform(d.seq0(MinhashK.toString), "j_", d.arrMin(d.xform(shE, "s_", perm)))
   }
@@ -175,8 +192,15 @@ object XSql {
     d.xform(d.seq0(LshBands.toString), "b_", key.replace("sg_", s"($sigE)"))
   }
 
-  /** 30-bit SimHash of a word-hash array expression. */
-  def simhash(whE: String)(implicit d: Dialect): String = {
+  /** 30-bit SimHash of a word-hash array expression. Spark: native
+    * [[SimHash30]]; oracle: the equivalent lambda fold.
+    */
+  def simhash(whE: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_simhash($whE)"
+    case Duck => simhashLambda(whE)
+  }
+
+  def simhashLambda(whE: String)(implicit d: Dialect): String = {
     val bitVote =
       d.foldL(s"($whE)", 0L, "acc_", "h_",
         s"acc_ + (CASE WHEN ${d.shiftRight("h_", "b_")} % 2 = 1 THEN 1 ELSE -1 END)")
@@ -186,17 +210,32 @@ object XSql {
     folded.replace("bigint_zero_", if (d == Spark) "bigint(0)" else "cast(0 as bigint)")
   }
 
-  /** Exact Jaccard similarity of two distinct-element arrays (double). */
+  /** Exact Jaccard similarity of two distinct-element arrays (double).
+    * |A∪B| is derived as |A|+|B|-|A∩B| (arrays are distinct), so each
+    * pair costs one intersect; Spark runs the native sort-merge count.
+    */
   def jaccard(a: String, b: String)(implicit d: Dialect): String = {
-    val inter = d.arrSize(d.arrIntersect(a, b))
-    val union = d.arrSize(d.arrDistinct(d.arrConcat(a, b)))
-    s"cast($inter as double) / cast($union as double)"
+    val inter = d match {
+      case Spark => s"graft_intersect_size($a, $b)"
+      case Duck => d.arrSize(d.arrIntersect(a, b))
+    }
+    val sizes = s"${d.arrSize(a)} + ${d.arrSize(b)}"
+    s"cast($inter as double) / cast(($sizes) - ($inter) as double)"
   }
 
   /** Rolling k-gram char hashes of a text expression (winnowing input). */
   def kgramHashes(text: String, k: Int)(implicit d: Dialect): String = {
     val gram = s"substr(($text), i_ + 1, $k)"
     d.xform(d.seq0(s"length($text) - ${k - 1}"), "i_", charHash(gram))
+  }
+
+  /** Winnowing fingerprints of a TEXT expression (k=8 grams, window
+    * 4): Spark runs the native [[Winnow]] loop; the oracle composes
+    * the lambda forms.
+    */
+  def winnowText(text: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_winnow($text)"
+    case Duck => winnow(kgramHashes(text, Winnow.K), Winnow.W)
   }
 
   /** Winnowing: min hash of each length-`w` window, distinct + sorted. */

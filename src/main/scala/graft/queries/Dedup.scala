@@ -141,6 +141,58 @@ object Dedup {
     },
 
     // ---------------------------------------------------------------
+    // SimHash near-dup pairs: Hamming distance <= 3 over the 30-bit
+    // signature. Pigeonhole banding — split the signature into 4
+    // chunks; any pair within distance 3 must agree on at least one
+    // chunk, so candidates come from 4 equi-joins on (chunk_idx,
+    // chunk_value), never an all-pairs scan.
+    Q("d4b_simhash_pairs",
+      "SimHash near-dup pairs via pigeonhole chunk banding, hamming <= 1",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |s AS (SELECT doc_id, ${XSql.simhash("wh")} AS sim FROM w),
+           |chunks AS (
+           |  SELECT doc_id, sim, unnest(range(0, 2)) AS chunk_idx,
+           |         unnest([sim & 32767, (sim >> 15) & 32767]) AS chunk_val
+           |  FROM s),
+           |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |                a.sim AS sim_a, b.sim AS sim_b
+           |         FROM chunks a JOIN chunks b
+           |           ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           |          AND a.doc_id < b.doc_id)
+           |SELECT DISTINCT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+           |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 1
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sims = t(s, d, "documents")
+        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
+        .select(col("doc_id"), expr(XSql.simhash("wh")).as("sim"))
+      // 2 chunks of 15 bits: wide chunks keep buckets sparse (the
+      // sum-of-squared-bucket-sizes is what the join pays); pigeonhole
+      // needs distance < #chunks, so the threshold is 1
+      val chunks = sims.select(col("doc_id"), col("sim"),
+        posexplode(array(
+          col("sim").bitwiseAND(32767),
+          shiftright(col("sim"), 15).bitwiseAND(32767))))
+        .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
+      val a = chunks.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+      val b = chunks.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+      // filter on the cheap bit_count BEFORE deduplicating candidates:
+      // the distinct then shuffles only matching pairs, not the full
+      // chunk-collision cross product
+      a.join(b, Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
     // Blocking key (lang, source) bounds the pair count: exact
     // pairwise Jaccard is quadratic per block, so the block must stay
     // small — global discovery is d3's LSH job, this is the verify-
@@ -178,7 +230,7 @@ object Dedup {
       a.join(b, Seq("lang", "source"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          expr(dl.arrSize(dl.arrIntersect("sh_a", "sh_b"))).as("inter"),
+          expr("graft_intersect_size(sh_a, sh_b)").as("inter"),
           expr(dl.arrSize("sh_a")).as("sa"), expr(dl.arrSize("sh_b")).as("sb"))
         .withColumn("jacc",
           col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))

@@ -23,27 +23,29 @@ import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
   */
 object Similarity {
 
-  private val Planes = 8
+  private val Planes = XSql.LshPlanes
   private val Dims = 64
-  private val A2: Seq[Long] = (0 until Planes).map(p => (1103515245L * (p + 7) + 12345L) % 1000003L)
-  private val B2: Seq[Long] = (0 until Planes).map(p => (69069L * (p + 13) + 3571L) % 1000003L)
 
   /** w(p, d) in [-1, 1]: ((A2[p]*(d+1) + B2[p]) mod 2001 - 1000) / 1000. */
   private def planeW(p: String, i: String)(implicit d: Dialect): String = {
-    val a = d.idx(d.bigintArr(A2), p)
-    val b = d.idx(d.bigintArr(B2), p)
-    s"cast((($a * (($i) + 1) + $b) % 2001) - 1000 as double) / 1000.0"
+    val a = d.idx(d.bigintArr(XSql.A2), p)
+    val b = d.idx(d.bigintArr(XSql.B2), p)
+    s"cast((($a * (($i) + 1) + $b) % ${XSql.PlaneMod}) - 1000 as double) / 1000.0"
   }
 
   /** LSH bucket id of a double-vector expression: sign bits of the dot
     * products against the fixed hyperplanes, packed into a BIGINT.
+    * Spark runs the native [[graft.functions.LshBucket]] loop; the
+    * oracle composes the equivalent lambda fold.
     */
-  private def lshBucket(v: String)(implicit d: Dialect): String = {
-    val dotP = d.foldD(d.seq0(Dims.toString), "acc_", "i_",
-      s"acc_ + ${d.idx(s"($v)", "i_")} * ${planeW("p_", "i_")}")
-    val bits = d.xform(d.seq0(Planes.toString), "p_",
-      s"CASE WHEN ($dotP) > 0 THEN ${d.shiftLeft1("p_")} ELSE ${zero(d)} END")
-    d.foldL(bits, 0L, "a2_", "x2_", "a2_ + x2_")
+  private def lshBucket(v: String)(implicit d: Dialect): String = d match {
+    case SqlSpark => s"graft_lsh_bucket($v)"
+    case SqlDuck =>
+      val dotP = d.foldD(d.seq0(Dims.toString), "acc_", "i_",
+        s"acc_ + ${d.idx(s"($v)", "i_")} * ${planeW("p_", "i_")}")
+      val bits = d.xform(d.seq0(Planes.toString), "p_",
+        s"CASE WHEN ($dotP) > 0 THEN ${d.shiftLeft1("p_")} ELSE ${zero(d)} END")
+      d.foldL(bits, 0L, "a2_", "x2_", "a2_ + x2_")
   }
 
   private def zero(d: Dialect): String =

@@ -156,14 +156,12 @@ object TextOps {
       "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima",
       {
         implicit val dl: Dialect = SqlDuck
-        s"""WITH k AS (SELECT doc_id, ${XSql.kgramHashes("text", 8)} AS kh FROM documents)
-           |SELECT doc_id, ${XSql.winnow("kh", 4)} AS fingerprints
-           |FROM k ORDER BY doc_id""".stripMargin
+        s"""SELECT doc_id, ${XSql.winnowText("text")} AS fingerprints
+           |FROM documents ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       t(s, d, "documents")
-        .withColumn("kh", expr(XSql.kgramHashes("text", 8)))
-        .select(col("doc_id"), expr(XSql.winnow("kh", 4)).as("fingerprints"))
+        .select(col("doc_id"), expr(XSql.winnowText("text")).as("fingerprints"))
         .orderBy("doc_id")
     }
   )

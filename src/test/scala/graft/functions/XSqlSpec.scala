@@ -59,8 +59,17 @@ class XSqlSpec extends SparkSpec {
     assert(v1 >= 0 && v1 < (1L << 30))
   }
 
+  test("native simhash and minhash sig equal their lambda forms") {
+    val wh = XSql.wordHashes(XSql.words("'spark fast table spark row batch'"))
+    assert(eval1(XSql.simhash(wh)) == eval1(XSql.simhashLambda(wh)))
+    val sh = XSql.shingleHashes(wh)
+    assert(eval1(XSql.minhashSig(sh)) == eval1(XSql.minhashSigLambda(sh)))
+  }
+
   test("jaccard of overlapping sets") {
-    assert(eval1(XSql.jaccard("array(1, 2, 3)", "array(2, 3, 4)")) == 0.5)
+    assert(eval1(XSql.jaccard(
+      "array(bigint(1), bigint(2), bigint(3))",
+      "array(bigint(2), bigint(3), bigint(4))")) == 0.5)
   }
 
   test("winnow produces sorted distinct fingerprints") {
