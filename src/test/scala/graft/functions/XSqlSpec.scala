@@ -66,6 +66,26 @@ class XSqlSpec extends SparkSpec {
     assert(eval1(XSql.minhashSig(sh)) == eval1(XSql.minhashSigLambda(sh)))
   }
 
+  test("native intersect size equals builtin array_intersect size") {
+    val a = "array(bigint(5), bigint(1), bigint(9), bigint(3))"
+    val b = "array(bigint(3), bigint(9), bigint(8))"
+    assert(eval1(s"graft_intersect_size($a, $b)") ==
+      eval1(s"bigint(size(array_intersect($a, $b)))"))
+  }
+
+  test("native winnow equals the lambda composition") {
+    val t = "'the quick brown fox jumps over the lazy dog'"
+    assert(eval1(XSql.winnowText(t)) ==
+      eval1(XSql.winnow(XSql.kgramHashes(t, 8), 4)))
+  }
+
+  test("native lsh bucket is stable and within plane-bit range") {
+    val v = (1 to 64).map(i => s"double(${i % 7} - 3)").mkString("array(", ",", ")")
+    val x = eval1(s"graft_lsh_bucket($v)").asInstanceOf[Long]
+    assert(x == eval1(s"graft_lsh_bucket($v)").asInstanceOf[Long])
+    assert(x >= 0 && x < (1L << XSql.LshPlanes))
+  }
+
   test("jaccard of overlapping sets") {
     assert(eval1(XSql.jaccard(
       "array(bigint(1), bigint(2), bigint(3))",
