@@ -24,6 +24,163 @@ object Models {
       .withColumn("last_updated", lit(now))
   }
 
+  /** `games_features` (definitions/games_features.sqlx): the feature
+    * serving row — scalars, derived ML features, and six entity-name
+    * arrays collapsed from the bridge tables (J2 + A5 + F5/F6).
+    * BQ's ARRAY_AGG order is nondeterministic; the engine contract is
+    * sorted arrays (SURVEY §7.4 trap 3).
+    */
+  def gamesFeatures(gamesActive: DataFrame,
+      entities: Map[String, (DataFrame, DataFrame, String)],
+      now: java.sql.Timestamp): DataFrame = {
+    val withAggs = entities.foldLeft(gamesActive.as("g")) {
+      case (acc, (colName, (bridge, dim, idCol))) =>
+        val agg = bridge.join(dim, Seq(idCol), "left")
+          .groupBy("game_id")
+          .agg(sort_array(collect_list(col("name"))).as(colName))
+          .withColumnRenamed("game_id", s"${colName}_gid")
+        acc.join(agg, col("game_id") === col(s"${colName}_gid"), "left")
+          .drop(s"${colName}_gid")
+    }
+    withAggs.select(
+      (Seq(
+        col("game_id"), col("name"), col("year_published"),
+        col("bayes_average"), col("average_rating"), col("average_weight"),
+        col("users_rated"),
+        when(col("users_rated") >= 25, 1).otherwise(0).as("hurdle"),
+        col("bayes_average").as("geek_rating"),
+        col("average_weight").as("complexity"),
+        col("average_rating").as("rating"),
+        log(col("users_rated") + 1).as("log_users_rated"),
+        col("num_weights"), col("min_players"), col("max_players"),
+        col("min_playtime"), col("max_playtime"), col("min_age"),
+        col("image"), col("thumbnail"), col("description")) ++
+        entities.keys.toSeq.sorted.map(c =>
+          coalesce(col(c), array().cast("array<string>")).as(c)) ++
+        Seq(col("load_timestamp"), lit(now).as("last_updated"))): _*)
+  }
+
+  /** `player_count_recommendations` (view): vote percentages per
+    * (game, player_count) with the BQ division semantics.
+    */
+  def playerCountRecommendations(gamesActive: DataFrame,
+      playerCounts: DataFrame): DataFrame = {
+    val total = col("best_votes") + col("recommended_votes") + col("not_recommended_votes")
+    def pct(num: Column): Column =
+      when(col("total_votes") === 0, 0.0)
+        .otherwise(round(num.cast("double") / col("total_votes").cast("double") * 100, 2))
+    val stats = playerCounts
+      .withColumn("total_votes", total)
+      .withColumn("best_percentage", pct(col("best_votes")))
+      .withColumn("recommended_percentage", pct(col("recommended_votes")))
+      .filter(col("best_votes").isNotNull && col("recommended_votes").isNotNull &&
+        col("not_recommended_votes").isNotNull)
+    gamesActive.select("game_id", "name")
+      .join(stats, Seq("game_id"))
+      .select("game_id", "name", "player_count", "best_votes",
+        "recommended_votes", "not_recommended_votes", "total_votes",
+        "best_percentage", "recommended_percentage")
+      .orderBy(col("total_votes").desc, col("best_percentage").desc,
+        col("game_id"), col("player_count"))
+  }
+
+  /** `filter_categories` / `_mechanics` / `_designers` / `_publishers`
+    * (filter_*.sqlx): top-N entities by distinct-game count among
+    * rated games (J3 + A2 + P3 + O2).
+    */
+  def filterEntities(dim: DataFrame, bridge: DataFrame, gamesActive: DataFrame,
+      idCol: String, limit: Int): DataFrame =
+    dim.join(bridge, Seq(idCol))
+      .join(gamesActive.filter(col("bayes_average").isNotNull &&
+        col("bayes_average") > 0).select("game_id"), Seq("game_id"))
+      .groupBy(idCol, "name")
+      .agg(countDistinct("game_id").as("game_count"))
+      .orderBy(col("game_count").desc, col("name"), col(idCol))
+      .limit(limit)
+
+  /** `filter_options_combined` (U1): the typed filter tables unioned
+    * under a discriminator.
+    */
+  def filterOptionsCombined(filters: Seq[(String, String, DataFrame)]): DataFrame =
+    filters.map { case (entityType, idCol, df) =>
+      df.select(lit(entityType).as("entity_type"), col(idCol).as("entity_id"),
+        col("name"), col("game_count"))
+    }.reduce(_ unionByName _)
+
+  /** `game_dropdown_options` (O1): top-N by geek rating. */
+  def gameDropdownOptions(gamesActive: DataFrame, limit: Int = 25000): DataFrame =
+    gamesActive.select("game_id", "name", "year_published", "bayes_average")
+      .orderBy(coalesce(col("bayes_average"), lit(0.0)).desc, col("game_id"))
+      .limit(limit)
+
+  /** `game_features_hash` (F13 + J11): feature fingerprint for change
+    * detection; unchanged rows preserve their old timestamp. The hash
+    * is xxhash64-of-json in place of FARM_FINGERPRINT — values differ
+    * from BQ, semantics (stability) are identical (SURVEY §7.3).
+    */
+  def gameFeaturesHash(gamesFeatures: DataFrame, oldHashes: Option[DataFrame],
+      now: java.sql.Timestamp): DataFrame = {
+    val newHashes = gamesFeatures
+      .filter(col("year_published").isNotNull)
+      .select(col("game_id"), col("name"),
+        xxhash64(to_json(struct(
+          col("year_published"), col("categories"), col("mechanics"),
+          col("designers"), col("artists"), col("publishers"), col("families"),
+          col("min_age"), col("min_playtime"), col("max_playtime"),
+          col("min_players"), col("max_players"), col("description"))))
+          .as("feature_hash"))
+    val old = oldHashes.getOrElse(
+      gamesFeatures.sparkSession.emptyDataFrame
+        .select(lit(null).cast("long").as("game_id"),
+          lit(null).cast("long").as("o_hash"),
+          lit(null).cast("timestamp").as("o_last_updated"))
+        .limit(0))
+      .select(col("game_id").as("o_gid"), col("o_hash"), col("o_last_updated"))
+    newHashes.join(old, col("game_id") === col("o_gid"), "left")
+      .select(col("game_id"), col("name"), col("feature_hash"),
+        when(col("o_gid").isNull, lit(now))
+          .when(col("feature_hash") =!= col("o_hash"), lit(now))
+          .otherwise(col("o_last_updated")).as("last_updated"))
+  }
+
+  /** `game_profile` (game_profile.sqlx): the one-row-per-game serving
+    * document — feature scalars + entity arrays + nested player-count
+    * block (A6) + null-guarded struct blocks (F7/F8, J4).
+    */
+  def gameProfile(gamesFeatures: DataFrame, pcr: DataFrame,
+      provenance: DataFrame): DataFrame = {
+    val pcAgg = pcr.groupBy(col("game_id").as("pc_gid"))
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(player_count, best_votes,
+          |    recommended_votes, not_recommended_votes, total_votes,
+          |    best_percentage, recommended_percentage))),
+          |  s_ -> s_)""".stripMargin).as("player_counts"))
+    val provLatest = provenance
+      .groupBy(col("game_id").as("pr_gid"))
+      .agg(max(struct(col("fetch_timestamp"), col("success"))).as("m"))
+      .select(col("pr_gid"), col("m.fetch_timestamp").as("fetch_timestamp"),
+        col("m.success").as("fetch_success"))
+    gamesFeatures
+      .join(pcAgg, col("game_id") === col("pc_gid"), "left")
+      .join(provLatest, col("game_id") === col("pr_gid"), "left")
+      .select((gamesFeatures.columns.map(col).toSeq :+
+        coalesce(col("player_counts"),
+          expr("cast(array() as array<struct<player_count:string," +
+            "best_votes:bigint,recommended_votes:bigint," +
+            "not_recommended_votes:bigint,total_votes:bigint," +
+            "best_percentage:double,recommended_percentage:double>>)"))
+          .as("player_counts") :+
+        when(col("pr_gid").isNull, lit(null))
+          .otherwise(struct(col("fetch_timestamp"), col("fetch_success")))
+          .as("provenance")): _*)
+  }
+
+  /** `game_first_prediction`: first score timestamp per game (A1). */
+  def gameFirstPrediction(predictionsLanding: DataFrame): DataFrame =
+    predictionsLanding.groupBy("game_id")
+      .agg(min(col("score_ts")).as("first_prediction_ts"))
+
   /** `best_player_counts` (definitions/best_player_counts.sqlx) —
     * exact port including the BQ semantics traps (SURVEY §7.4):
     * SAFE_CAST -> null for "4+" strings, INT64/INT64 division is
