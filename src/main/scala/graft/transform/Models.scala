@@ -181,6 +181,45 @@ object Models {
     predictionsLanding.groupBy("game_id")
       .agg(min(col("score_ts")).as("first_prediction_ts"))
 
+  /** `bgg_predictions` (bgg_predictions.sqlx): dedup the ML landing
+    * table to the latest score per game (W1, tiebreak job_id DESC) and
+    * attach freshness flags from the first-prediction table (J12).
+    * `today` injected (F9: the reference uses CURRENT_DATE()).
+    */
+  def bggPredictions(landing: DataFrame, firstPrediction: DataFrame,
+      today: java.sql.Date): DataFrame = {
+    val w = Window.partitionBy("game_id")
+      .orderBy(col("score_ts").desc, col("job_id").desc)
+    val latest = landing
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val fp = firstPrediction
+      .withColumnRenamed("game_id", "fp_gid")
+    latest.join(fp, col("game_id") === col("fp_gid"), "left")
+      .drop("fp_gid")
+      .withColumn("is_new_1d",
+        datediff(lit(today), to_date(col("first_prediction_ts"))) <= 1)
+      .withColumn("is_new_7d",
+        datediff(lit(today), to_date(col("first_prediction_ts"))) <= 7)
+  }
+
+  /** `bgg_game_embeddings` (bgg_game_embeddings.sqlx): keep only the
+    * latest embedding_version (P10, one consistent vector space), then
+    * dedup to the latest row per game (W1).
+    */
+  def bggGameEmbeddings(embeddingsLanding: DataFrame): DataFrame = {
+    val latestVersion = embeddingsLanding.agg(
+      max(col("embedding_version")).as("max_version"))
+    val w = Window.partitionBy("game_id")
+      .orderBy(col("created_ts").desc, col("job_id").desc)
+    embeddingsLanding
+      .crossJoin(broadcast(latestVersion))
+      .filter(col("embedding_version") === col("max_version"))
+      .drop("max_version")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** `best_player_counts` (definitions/best_player_counts.sqlx) —
     * exact port including the BQ semantics traps (SURVEY §7.4):
     * SAFE_CAST -> null for "4+" strings, INT64/INT64 division is

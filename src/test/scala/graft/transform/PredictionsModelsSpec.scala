@@ -1,0 +1,46 @@
+package graft.transform
+
+import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.functions._
+
+/** The predictions-layer models: latest-score dedup with tiebreaks,
+  * freshness flags, latest-version embedding filter.
+  */
+class PredictionsModelsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bgg_predictions: dedup to latest (score_ts, job_id), freshness flags") {
+    import TestSpark.spark.implicits._
+    val landing = Seq(
+      (1L, "j1", 0.5, ts("2026-01-01 00:00:00")),
+      (1L, "j3", 0.7, ts("2026-01-05 00:00:00")), // latest for game 1
+      (1L, "j2", 0.6, ts("2026-01-05 00:00:00")), // same ts, lower job
+      (2L, "j1", 0.9, ts("2026-02-27 00:00:00"))
+    ).toDF("game_id", "job_id", "predicted_rating", "score_ts")
+    val first = Models.gameFirstPrediction(landing)
+    val out = Models.bggPredictions(landing, first,
+      java.sql.Date.valueOf("2026-02-28")).orderBy("game_id").collect()
+
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("job_id") == "j3")
+    assert(out(0).getAs[Double]("predicted_rating") == 0.7)
+    // game 1 first seen 2026-01-01 -> not new; game 2 first seen 02-27 -> new
+    assert(!out(0).getAs[Boolean]("is_new_7d"))
+    assert(out(1).getAs[Boolean]("is_new_1d") && out(1).getAs[Boolean]("is_new_7d"))
+  }
+
+  test("bgg_game_embeddings: latest version only, then latest per game") {
+    import TestSpark.spark.implicits._
+    val landing = Seq(
+      (1L, Seq(0.1, 0.2), 1, "a", ts("2026-01-01 00:00:00")),
+      (1L, Seq(0.3, 0.4), 2, "b", ts("2026-01-02 00:00:00")),
+      (1L, Seq(0.5, 0.6), 2, "c", ts("2026-01-02 00:00:00")), // v2 tie -> job c
+      (2L, Seq(0.7, 0.8), 1, "a", ts("2026-01-03 00:00:00"))  // only v1 -> dropped
+    ).toDF("game_id", "embedding", "embedding_version", "job_id", "created_ts")
+    val out = Models.bggGameEmbeddings(landing).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("game_id") == 1L)
+    assert(out.head.getAs[String]("job_id") == "c")
+  }
+}
