@@ -220,6 +220,91 @@ object Models {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** `game_similarity_search` (game_similarity_search.sqlx):
+    * embeddings enriched with filter/display features. Deliberately
+    * unclustered in the reference (layout measured useless for the
+    * self-joined live query); here a plain table.
+    */
+  def gameSimilaritySearch(embeddings: DataFrame, gamesFeatures: DataFrame,
+      complexityPredictions: DataFrame): DataFrame = {
+    val g = gamesFeatures.select(
+      col("game_id").as("g_gid"), col("users_rated"), col("average_rating"),
+      col("bayes_average").as("geek_rating"), col("min_players"),
+      col("max_players"), col("min_playtime"), col("max_playtime"),
+      col("thumbnail"), col("image"))
+    val c = complexityPredictions.select(
+      col("game_id").as("c_gid"), col("predicted_complexity").as("complexity"))
+    embeddings
+      .join(g, col("game_id") === col("g_gid"))
+      .join(c, col("game_id") === col("c_gid"), "left")
+      .drop("g_gid", "c_gid")
+  }
+
+  /** Similarity profile (game_neighbors.sqlx js PROFILES): the one
+    * place the defaults live (min ratings floor 100, complexity band
+    * 0.75, COSINE, 64 dims, top 10).
+    */
+  final case class SimilarityProfile(
+      name: String = "default",
+      minUsersRated: Int = 100,
+      complexityBand: Double = 0.75,
+      distance: String = "COSINE",
+      dims: Int = 64,
+      topK: Int = 10) {
+    def embeddingColumn: String =
+      if (dims == 64) "embedding" else s"embedding_$dims"
+  }
+
+  /** `game_neighbors` (game_neighbors.sqlx): per profile — candidate
+    * floor, source-relative complexity band self-join (J5: written as
+    * the NAIVE theta join; enable
+    * [[graft.plans.BandJoinRewrite]] on the session to get the
+    * bucketed equi-join plan), native `vector_distance` (F14), per-
+    * source rank, top-k, ordered neighbor structs (A6+W2), one branch
+    * per profile unioned (U4). Self-describing tuning columns carried
+    * on the row.
+    */
+  def gameNeighbors(similaritySearch: DataFrame,
+      profiles: Seq[SimilarityProfile], now: java.sql.Timestamp): DataFrame = {
+    graft.functions.GraftFunctions.register(similaritySearch.sparkSession)
+    profiles.map { p =>
+      val cand = similaritySearch
+        .filter(col("users_rated") >= p.minUsersRated && col("complexity").isNotNull)
+        .select(col("game_id"), col("name"), col("year_published"),
+          col("complexity"),
+          expr(s"transform(${p.embeddingColumn}, x_ -> double(x_))").as("embedding"))
+      val s = cand.select(col("game_id").as("src_game_id"),
+        col("complexity").as("src_complexity"), col("embedding").as("src_embedding"))
+      val t = cand.select(col("game_id").as("nbr_game_id"),
+        col("name").as("nbr_name"), col("year_published").as("nbr_year_published"),
+        col("complexity").as("nbr_complexity"), col("embedding").as("nbr_embedding"))
+      val w = Window.partitionBy("src_game_id")
+        .orderBy(col("distance"), col("nbr_game_id"))
+      s.join(t,
+          col("nbr_game_id") =!= col("src_game_id") &&
+            col("nbr_complexity") >= col("src_complexity") - p.complexityBand &&
+            col("nbr_complexity") <= col("src_complexity") + p.complexityBand)
+        .withColumn("distance",
+          expr(s"vector_distance(src_embedding, nbr_embedding, '${p.distance}')"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= p.topK)
+        .groupBy(col("src_game_id").as("game_id"))
+        .agg(expr(
+          """transform(
+            |  array_sort(collect_list(struct(rn, nbr_game_id, nbr_name,
+            |    nbr_year_published, distance))),
+            |  s_ -> struct(s_.nbr_game_id AS game_id, s_.nbr_name AS name,
+            |    s_.nbr_year_published AS year_published, s_.distance AS distance))"""
+            .stripMargin).as("similar"))
+        .select(lit(p.name).as("profile"), col("game_id"), col("similar"),
+          lit(p.minUsersRated).as("min_users_rated"),
+          lit(p.complexityBand).as("complexity_band"),
+          lit(p.distance).as("distance_type"),
+          lit(p.dims).as("embedding_dims"),
+          lit(now).as("computed_ts"))
+    }.reduce(_ unionByName _)
+  }
+
   /** `best_player_counts` (definitions/best_player_counts.sqlx) —
     * exact port including the BQ semantics traps (SURVEY §7.4):
     * SAFE_CAST -> null for "4+" strings, INT64/INT64 division is
