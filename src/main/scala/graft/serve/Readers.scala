@@ -38,6 +38,20 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
   def similarPrecomputed(id: Long): Option[Row] =
     neigh.filter(col("vec_id") === id).limit(1).collect().headOption
 
+  /** The composed `GET /games/{id}` document (games.py:253-289): the
+    * profile row plus the precomputed neighbor list, issued as two
+    * point lookups (the reference runs them concurrently; here they
+    * are two actions against cached frames).
+    */
+  def document(id: Long): Option[Map[String, Any]] =
+    profile(id).map { row =>
+      val base = row.schema.fieldNames.zip(row.toSeq).toMap
+      val similar = similarPrecomputed(id)
+        .map(r => r.getSeq[Row](r.fieldIndex("similar")))
+        .getOrElse(Seq.empty)
+      base + ("similar" -> similar)
+    }
+
   /** Live tuned similarity — filter first, then rank (the reference's
     * measured "filter-first" discipline, games.py:198-199): broadcast
     * the query vector, scan once, TakeOrderedAndProject top-k.

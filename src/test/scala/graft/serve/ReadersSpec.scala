@@ -30,6 +30,13 @@ class ReadersSpec extends SparkSpec {
     assert(top.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("document composes profile + neighbors; missing id -> None") {
+    val doc = readers.document(0L).get
+    assert(doc.contains("vec_id") && doc.contains("similar"))
+    assert(doc("similar").asInstanceOf[Seq[_]].nonEmpty)
+    assert(readers.document(99999999L).isEmpty)
+  }
+
   test("metric allow-list rejects unknown metrics") {
     intercept[IllegalArgumentException] {
       readers.similarLive(0L, "MANHATTAN", 3)
