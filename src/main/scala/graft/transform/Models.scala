@@ -305,6 +305,87 @@ object Models {
     }.reduce(_ unionByName _)
   }
 
+  /** `bgg_complexity_predictions`: latest complexity score per game
+    * (W1 with the same score_ts/job_id tiebreaks).
+    */
+  def bggComplexityPredictions(landing: DataFrame): DataFrame = {
+    val w = Window.partitionBy("game_id")
+      .orderBy(col("score_ts").desc, col("job_id").desc)
+    landing.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** `user_collection_predictions` (user_collection_predictions.sqlx):
+    * landing joined to ACTIVE registry models on the composite key
+    * (J8 + P9), deduped to the latest score per (username, game,
+    * outcome) (W1), registry metadata rejoined USING-style.
+    */
+  def userCollectionPredictions(landing: DataFrame, registry: DataFrame): DataFrame = {
+    val active = registry.filter(col("status") === "active")
+      .select("username", "outcome", "model_version",
+        "finalize_through_year", "registered_at")
+    val w = Window.partitionBy("username", "game_id", "outcome")
+      .orderBy(col("score_ts").desc, col("job_id").desc)
+    landing
+      .join(active.select("username", "outcome", "model_version"),
+        Seq("username", "outcome", "model_version"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(active, Seq("username", "outcome", "model_version"))
+      .select("username", "game_id", "outcome", "predicted_prob",
+        "predicted_label", "threshold", "model_name", "model_version",
+        "score_ts", "finalize_through_year", "registered_at")
+  }
+
+  /** `deployed_models` (deployed_models.sqlx): the 7-way model-
+    * metadata union (U2 + F4 typed nulls + A2) — one grouped
+    * projection per prediction model type, plus the two embedding
+    * blocks.
+    */
+  def deployedModels(predictionsLanding: DataFrame,
+      gameEmbeddings: DataFrame, descriptionEmbeddings: DataFrame): DataFrame = {
+    val predTypes = Seq("hurdle", "complexity", "rating", "users_rated", "geek_rating")
+    val nullStr = lit(null).cast("string")
+    val nullInt = lit(null).cast("long")
+    val predBlocks = predTypes.map { t =>
+      predictionsLanding
+        .groupBy(col(s"${t}_model_name"), col(s"${t}_model_version"),
+          col(s"${t}_experiment"))
+        .agg(countDistinct("game_id").as("games_count"),
+          max(col("score_ts")).as("last_updated"))
+        .select(lit("prediction").as("model_category"), lit(t).as("model_type"),
+          col(s"${t}_model_name").as("model_name"),
+          col(s"${t}_model_version").as("model_version"),
+          col(s"${t}_experiment").as("experiment"),
+          nullStr.as("algorithm"), nullInt.as("embedding_dim"),
+          nullStr.as("document_method"), col("games_count"), col("last_updated"))
+    }
+    val gameEmb = gameEmbeddings
+      .groupBy("embedding_model", "embedding_version", "algorithm", "embedding_dim")
+      .agg(countDistinct("game_id").as("games_count"),
+        max(col("created_ts")).as("last_updated"))
+      .select(lit("embedding").as("model_category"),
+        lit("game_embedding").as("model_type"),
+        col("embedding_model").as("model_name"),
+        col("embedding_version").cast("string").as("model_version"),
+        nullStr.as("experiment"), col("algorithm"),
+        col("embedding_dim").cast("long").as("embedding_dim"),
+        nullStr.as("document_method"), col("games_count"), col("last_updated"))
+    val descEmb = descriptionEmbeddings
+      .groupBy("embedding_model", "embedding_version", "algorithm",
+        "embedding_dim", "document_method")
+      .agg(countDistinct("game_id").as("games_count"),
+        max(col("created_ts")).as("last_updated"))
+      .select(lit("embedding").as("model_category"),
+        lit("text_embedding").as("model_type"),
+        col("embedding_model").as("model_name"),
+        col("embedding_version").cast("string").as("model_version"),
+        nullStr.as("experiment"), col("algorithm"),
+        col("embedding_dim").cast("long").as("embedding_dim"),
+        col("document_method"), col("games_count"), col("last_updated"))
+    (predBlocks :+ gameEmb :+ descEmb).reduce(_ unionByName _)
+  }
+
   /** `best_player_counts` (definitions/best_player_counts.sqlx) —
     * exact port including the BQ semantics traps (SURVEY §7.4):
     * SAFE_CAST -> null for "4+" strings, INT64/INT64 division is
