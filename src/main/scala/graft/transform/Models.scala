@@ -32,10 +32,25 @@ object Models {
     */
   def gamesFeatures(gamesActive: DataFrame,
       entities: Map[String, (DataFrame, DataFrame, String)],
-      now: java.sql.Timestamp): DataFrame = {
-    val withAggs = entities.foldLeft(gamesActive.as("g")) {
+      now: java.sql.Timestamp,
+      watermark: Option[java.sql.Timestamp] = None): DataFrame = {
+    // Incremental mode (games_features.sqlx:8-12 + SURVEY §4
+    // "join-input reduction"): restrict to games past the stored
+    // watermark FIRST, and semi-join that set into every per-entity
+    // aggregate BEFORE grouping — Catalyst will not invent this
+    // reduction, and it is what turned the reference's 4h full scan
+    // into an 8s run (docs/dataform_operations.md:15).
+    val base = watermark match {
+      case Some(wm) => gamesActive.filter(col("load_timestamp") > lit(wm))
+      case None => gamesActive
+    }
+    val toProcess = base.select("game_id")
+    val withAggs = entities.foldLeft(base.as("g")) {
       case (acc, (colName, (bridge, dim, idCol))) =>
-        val agg = bridge.join(dim, Seq(idCol), "left")
+        val reduced =
+          if (watermark.isDefined) bridge.join(toProcess, Seq("game_id"), "left_semi")
+          else bridge
+        val agg = reduced.join(dim, Seq(idCol), "left")
           .groupBy("game_id")
           .agg(sort_array(collect_list(col("name"))).as(colName))
           .withColumnRenamed("game_id", s"${colName}_gid")
