@@ -19,6 +19,79 @@ import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
 object CorpusOps {
 
   val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // Cross-modal near-dup detection: a pair is a candidate if EITHER
+    // the text signal (MinHash-LSH + verified Jaccard >= 0.5) OR the
+    // embedding signal (label-blocked cosine distance <= 0.6) fires;
+    // the output carries which signals agreed. This is the
+    // multi-signal shape of production dedup — text catches copies,
+    // embeddings catch paraphrases — and both candidate generators
+    // stay join-bounded (LSH bands / label blocks).
+    Q("c2_crossmodal_dedup",
+      "near-dup pairs by text-LSH OR embedding-cosine, with signal provenance",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH joined AS (
+           |  SELECT d.doc_id, d.text, e.label, ${dl.toDoubleArr("e.embedding")} AS v
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes(XSql.wordHashes(w))} AS sh
+           |       FROM joined),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
+           |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
+           |text_pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 'text' AS signal
+           |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+           |  WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
+           |n AS (SELECT doc_id, label, v, ${XSql.norm2("v")} AS n2 FROM joined),
+           |embed_pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'embedding' AS signal
+           |  FROM n a JOIN n b ON a.label = b.label AND a.doc_id < b.doc_id
+           |  WHERE 1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} <= 0.6)
+           |SELECT doc_a, doc_b, list_sort(list(DISTINCT signal)) AS signals
+           |FROM (SELECT * FROM text_pairs UNION ALL SELECT * FROM embed_pairs)
+           |GROUP BY doc_a, doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      implicit val dl: Dialect = SqlSpark
+      val joined = t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .withColumn("v", expr(dl.toDoubleArr("embedding")))
+        .select("doc_id", "text", "label", "v")
+      joined.cache()
+      val sh = joined
+        .withColumn("sh", expr(XSql.shingleHashes(XSql.wordHashes(XSql.words("text")))))
+        .select("doc_id", "sh")
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
+      val ba = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))
+      val bb = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"))
+      val textPairs = ba.join(bb, Seq("bi", "bk"))
+        .filter(col("doc_a") < col("doc_b")
+          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"), lit("text").as("signal")).distinct()
+      val n = joined.withColumn("n2", expr(XSql.norm2("v")))
+      val na = n.select(col("label"), col("doc_id").as("doc_a"),
+        col("v").as("v_a"), col("n2").as("n2_a"))
+      val nb = n.select(col("label"), col("doc_id").as("doc_b"),
+        col("v").as("v_b"), col("n2").as("n2_b"))
+      val embedPairs = na.join(nb, Seq("label"))
+        .filter(col("doc_a") < col("doc_b")
+          && expr("vector_distance(v_a, v_b, 'COSINE')") <= 0.6)
+        .select(col("doc_a"), col("doc_b"), lit("embedding").as("signal"))
+      textPairs.unionByName(embedPairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(sort_array(collect_set(col("signal"))).as("signals"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     Q("c1_corpus_pipeline",
       "langid filter -> quality filter -> exact dedup -> LSH near-dup removal -> token stats",
       {
