@@ -42,4 +42,27 @@ class TableStoreSpec extends SparkSpec {
   test("maxWatermark on absent table is None") {
     assert(TableStore.maxWatermark(spark, scratch(), "ts").isEmpty)
   }
+
+  test("upsertByKey and insertIfAbsent are idempotent") {
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a"), p)
+    val batch = kv(1L -> "NEW", 2L -> "b")
+    TableStore.upsertByKey(spark, p, batch, Seq("k"))
+    val once = readSorted(p)
+    TableStore.upsertByKey(spark, p, batch, Seq("k"))
+    assert(readSorted(p) == once)
+
+    val q = scratch()
+    TableStore.overwrite(kv(1L -> "a"), q)
+    TableStore.insertIfAbsent(spark, q, batch, Seq("k"))
+    val onceQ = readSorted(q)
+    TableStore.insertIfAbsent(spark, q, batch, Seq("k"))
+    assert(readSorted(q) == onceQ)
+  }
+
+  test("deleteInsert on an absent table bootstraps it") {
+    val p = scratch()
+    TableStore.deleteInsert(spark, p, kv(7L -> "x"), Seq("k"))
+    assert(readSorted(p) == Seq(7L -> "x"))
+  }
 }
