@@ -83,6 +83,25 @@ object TableStore {
     rewrite(spark, path, cur.filter(col(tsCol) >= lit(cutoff)))
   }
 
+  /** Compact a table's files (the append disciplines accrete small
+    * files; at scale, scan cost and listing pressure grow with file
+    * count, not bytes). `targetFileRows` sizes the output: one file
+    * per ceil(rows/targetFileRows), optionally sorted within files so
+    * min/max stats stay selective after compaction.
+    */
+  def compact(spark: SparkSession, path: String, targetFileRows: Long,
+      sortCols: Seq[String] = Nil): Unit = {
+    val cur = read(spark, path)
+    val n = cur.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetFileRows).toInt)
+    val arranged =
+      if (sortCols.nonEmpty)
+        cur.repartitionByRange(files, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else cur.repartition(files)
+    rewrite(spark, path, arranged)
+  }
+
   /** I1: the stored high watermark, or None for an empty/absent table.
     * One tiny aggregate action — the only driver-side value in the
     * incremental path.

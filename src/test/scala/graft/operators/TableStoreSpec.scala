@@ -60,6 +60,21 @@ class TableStoreSpec extends SparkSpec {
     assert(readSorted(q) == onceQ)
   }
 
+  test("compact merges accreted small files, preserving rows") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    // ten appends -> many small files
+    (1 to 10).foreach { i =>
+      TableStore.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), p)
+    }
+    def fileCount = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(fileCount >= 10)
+    TableStore.compact(spark, p, targetFileRows = 100, sortCols = Seq("k"))
+    assert(fileCount == 1)
+    assert(readSorted(p) == (1 to 10).map(i => i.toLong -> s"v$i"))
+  }
+
   test("deleteInsert on an absent table bootstraps it") {
     val p = scratch()
     TableStore.deleteInsert(spark, p, kv(7L -> "x"), Seq("k"))
