@@ -248,6 +248,24 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // F18-adjacent — typed JSON parsing of a stored payload column
+    // (the reference re-parses stringified payloads,
+    // response_processor.py:254-265): from_json with an explicit
+    // schema, never inference (SURVEY §1.2).
+    Q("f18_json_parse",
+      "from_json with explicit schema over the stored payload column",
+      """SELECT event_id, cast(json_extract(props, '$.k') as bigint) AS k,
+        |  cast(json_extract(props, '$.k') as bigint) % 10 AS k_mod
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        .select(col("event_id"), col("j.k").as("k"),
+          (col("j.k") % 10).as("k_mod"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // F16 — GENERATE_UUID (raw_responses.record_id). Inherently
     // nondeterministic, so no value oracle: the driver records a
     // rows-only check. The shape (uuid per landed row) is the point.

@@ -92,6 +92,18 @@ class XSqlSpec extends SparkSpec {
       "array(bigint(2), bigint(3), bigint(4))")) == 0.5)
   }
 
+  test("sketch algebra: jaccard(a,a)=1, symmetry, sig equality on equal sets") {
+    val a = "array(bigint(4), bigint(7), bigint(9))"
+    val b = "array(bigint(7), bigint(8))"
+    assert(eval1(XSql.jaccard(a, a)) == 1.0)
+    assert(eval1(XSql.jaccard(a, b)) == eval1(XSql.jaccard(b, a)))
+    val j = eval1(XSql.jaccard(a, b)).asInstanceOf[Double]
+    assert(j >= 0.0 && j <= 1.0)
+    // minhash of the same element set is identical regardless of order
+    assert(eval1(XSql.minhashSig("array(bigint(3), bigint(5), bigint(11))")) ==
+      eval1(XSql.minhashSig("array(bigint(11), bigint(3), bigint(5))")))
+  }
+
   test("winnow produces sorted distinct fingerprints") {
     val fp = eval1(XSql.winnow(XSql.kgramHashes("'abcdefghijklmno'", 8), 4))
       .asInstanceOf[scala.collection.Seq[Long]]
