@@ -54,10 +54,16 @@ object SimHash30 {
   }
 }
 
-/** `graft_minhash_sig(sh)` — k=16 MinHash signature (XSql.minhashSig). */
+/** `graft_minhash_sig(sh)` — k=16 MinHash signature (XSql.minhashSig).
+  * An EMPTY shingle array has no defined signature: the result is NULL,
+  * matching the guarded lambda/oracle form (a min over nothing is not a
+  * hash — returning sentinel values here would silently poison LSH
+  * band joins with colliding all-MAX signatures).
+  */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -66,11 +72,19 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
       s"graft_minhash_sig expects array<bigint>, got ${t.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashSig.sig(input.asInstanceOf[ArrayData])
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else MinHashSig.sig(arr)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if ($c.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.MinHashSig.sig($c);
+      }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

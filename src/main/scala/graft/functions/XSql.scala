@@ -170,8 +170,10 @@ object XSql {
 
   /** MinHash signature (k=16) of a shingle-hash array expression.
     * Spark runs the native [[MinHashSig]] loop; the oracle runs the
-    * equivalent lambda fold (pinned equal in XSqlSpec). Input arrays
-    * must be non-empty (guaranteed: every document has >= 3 words).
+    * equivalent lambda fold (pinned equal in XSqlSpec). An empty
+    * shingle array (a document with < 3 words) has NO signature: both
+    * forms yield NULL, so degenerate docs drop out of LSH band joins
+    * instead of colliding on a sentinel signature.
     */
   def minhashSig(shE: String)(implicit d: Dialect): String = d match {
     case Spark => s"graft_minhash_sig($shE)"
@@ -180,7 +182,8 @@ object XSql {
 
   def minhashSigLambda(shE: String)(implicit d: Dialect): String = {
     val perm = s"(${d.idx(d.bigintArr(A), "j_")} * s_ + ${d.idx(d.bigintArr(B), "j_")}) % $P"
-    d.xform(d.seq0(MinhashK.toString), "j_", d.arrMin(d.xform(shE, "s_", perm)))
+    val sig = d.xform(d.seq0(MinhashK.toString), "j_", d.arrMin(d.xform(shE, "s_", perm)))
+    s"(CASE WHEN ${d.arrSize(s"($shE)")} = 0 THEN NULL ELSE $sig END)"
   }
 
   /** LSH band keys (4 bands x 4 rows) of a signature array expression. */

@@ -74,13 +74,26 @@ object TableStore {
       rewrite(spark, path, kept.unionByName(src))
     }
 
-  /** S11: move rows older than `cutoff` into an archive table. */
+  /** S11: move rows older than `cutoff` into an archive table. Rows
+    * with a NULL timestamp are kept in the live table (they have no
+    * age, so they must never silently vanish: `ts < cutoff` and
+    * `ts >= cutoff` are both false for NULL).
+    *
+    * Failure semantics: archive-append happens BEFORE the live
+    * rewrite, so a crash between the two steps leaves the row in both
+    * places and a retry re-appends it — duplicates in the archive, but
+    * never data loss (the reverse order would lose rows). Readers of
+    * the archive must dedup by key, or the caller must clean the last
+    * archive batch before retrying; true exactly-once needs a
+    * transactional table format (see class doc).
+    */
   def archiveOlderThan(spark: SparkSession, path: String, archivePath: String,
       tsCol: String, cutoff: java.sql.Timestamp): Unit = {
     val cur = read(spark, path)
     val old = cur.filter(col(tsCol) < lit(cutoff))
     append(old, archivePath)
-    rewrite(spark, path, cur.filter(col(tsCol) >= lit(cutoff)))
+    rewrite(spark, path,
+      cur.filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull))
   }
 
   /** Compact a table's files (the append disciplines accrete small

@@ -30,9 +30,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object BandJoinRewrite extends Rule[LogicalPlan] {
 
-  /** (leftAnchor, rightProbe, width) of a symmetric band predicate. */
+  /** (leftAnchor, rightProbe, width, lowerEndpoint, upperEndpoint) of a
+    * symmetric band predicate. The endpoint EXPRESSIONS (`a - w`,
+    * `a + w`) are returned as-is: bucketing the left side by
+    * `floor(endpoint / w)` makes candidate generation provably
+    * complete — every probe passing the residual satisfies
+    * `lower <= p <= upper`, and cast/divide/floor are all monotone, so
+    * its bucket lies in `[floor(lower/w), floor(upper/w)]`. A
+    * hand-derived `bucket(a) ± 1` range is NOT safe at widths that are
+    * not binary-representable (boundary pairs fall one bucket outside
+    * it — caught by BandJoinRewriteSpec's exact-boundary test).
+    */
   private def extractBand(conjuncts: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+      right: LogicalPlan): Option[(Expression, Expression, Double, Expression, Expression)] = {
     def sideOf(e: Expression): Option[Boolean] = {
       val refs = e.references
       if (refs.isEmpty) None
@@ -42,28 +52,33 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
     }
     def litVal(e: Expression): Option[Double] = e match {
       case Literal(v: Double, DoubleType) => Some(v)
+      // SQL decimal literals (e.g. `0.5` parsed under ANSI decimals)
+      // carry Spark's internal Decimal, not java BigDecimal
+      case Literal(v: org.apache.spark.sql.types.Decimal, _: org.apache.spark.sql.types.DecimalType) =>
+        Some(v.toDouble)
       case Literal(v: java.math.BigDecimal, _) => Some(v.doubleValue())
+      case Cast(inner, _, _, _) => litVal(inner)
       case _ => None
     }
     // lower: probe >= anchor - w   /   upper: probe <= anchor + w
     val lowers = conjuncts.collect {
-      case GreaterThanOrEqual(p, Subtract(a, w, _)) if litVal(w).isDefined =>
-        (p, a, litVal(w).get)
-      case LessThanOrEqual(Subtract(a, w, _), p) if litVal(w).isDefined =>
-        (p, a, litVal(w).get)
+      case GreaterThanOrEqual(p, sub @ Subtract(a, w, _)) if litVal(w).isDefined =>
+        (p, a, litVal(w).get, sub: Expression)
+      case LessThanOrEqual(sub @ Subtract(a, w, _), p) if litVal(w).isDefined =>
+        (p, a, litVal(w).get, sub: Expression)
     }
     val uppers = conjuncts.collect {
-      case LessThanOrEqual(p, Add(a, w, _)) if litVal(w).isDefined =>
-        (p, a, litVal(w).get)
-      case GreaterThanOrEqual(Add(a, w, _), p) if litVal(w).isDefined =>
-        (p, a, litVal(w).get)
+      case LessThanOrEqual(p, add @ Add(a, w, _)) if litVal(w).isDefined =>
+        (p, a, litVal(w).get, add: Expression)
+      case GreaterThanOrEqual(add @ Add(a, w, _), p) if litVal(w).isDefined =>
+        (p, a, litVal(w).get, add: Expression)
     }
     (for {
-      (p1, a1, w1) <- lowers
-      (p2, a2, w2) <- uppers
+      (p1, a1, w1, lo) <- lowers
+      (p2, a2, w2, hi) <- uppers
       if p1.semanticEquals(p2) && a1.semanticEquals(a2) && w1 == w2 && w1 > 0
       if sideOf(a1).contains(true) && sideOf(p1).contains(false)
-    } yield (a1, p1, w1)).headOption
+    } yield (a1, p1, w1, lo, hi)).headOption
   }
 
   private def hasEquiConjunct(conjuncts: Seq[Expression], left: LogicalPlan,
@@ -85,13 +100,16 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       if (hasEquiConjunct(conjuncts, left, right)) j
       else extractBand(conjuncts, left, right) match {
         case None => j
-        case Some((anchor, probe, w)) =>
-          // left side: explode bucket-1..bucket+1 of the anchor
-          val anchorBucket = bucketOf(anchor, w)
-          val bucketsArr = CreateArray(Seq(
-            Subtract(anchorBucket, Literal(1L, LongType)),
-            anchorBucket,
-            Add(anchorBucket, Literal(1L, LongType))))
+        case Some((_, probe, w, lowerE, upperE)) =>
+          // left side: explode every bucket the band's own endpoints
+          // span — complete by monotonicity (see extractBand doc),
+          // normally 3 buckets
+          // Sequence is TimeZoneAwareExpression: without an explicit
+          // timeZoneId it reports unresolved and fails plan validation
+          val bucketsArr = Sequence(
+            bucketOf(lowerE, w), bucketOf(upperE, w),
+            Some(Literal(1L, LongType)),
+            Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
           val lBucket = AttributeReference("__band_bucket_l", LongType)()
           val leftGen = Generate(Explode(bucketsArr), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(lBucket),

@@ -50,7 +50,8 @@ object CorpusOps {
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'embedding' AS signal
            |  FROM n a JOIN n b ON a.label = b.label AND a.doc_id < b.doc_id
            |  WHERE 1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} <= 0.6)
-           |SELECT doc_a, doc_b, list_sort(list(DISTINCT signal)) AS signals
+           |SELECT doc_a, doc_b,
+           |  array_to_string(list_sort(list(DISTINCT signal)), '|') AS signals_csv
            |FROM (SELECT * FROM text_pairs UNION ALL SELECT * FROM embed_pairs)
            |GROUP BY doc_a, doc_b
            |ORDER BY doc_a, doc_b""".stripMargin
@@ -88,7 +89,7 @@ object CorpusOps {
         .select(col("doc_a"), col("doc_b"), lit("embedding").as("signal"))
       textPairs.unionByName(embedPairs)
         .groupBy("doc_a", "doc_b")
-        .agg(sort_array(collect_set(col("signal"))).as("signals"))
+        .agg(array_join(sort_array(collect_set(col("signal"))), "|").as("signals_csv"))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -59,15 +59,19 @@ object Dedup {
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
-           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)
-           |SELECT doc_id, ${XSql.minhashSig("sh")} AS sig
-           |FROM sh ORDER BY doc_id""".stripMargin
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, ${XSql.minhashSig("sh")} AS sig FROM sh)
+           |SELECT doc_id,
+           |  array_to_string(list_transform(sig, x_ -> cast(x_ as varchar)), ',') AS sig_csv
+           |FROM sig ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       t(s, d, "documents")
         .withColumn("wh", expr(XSql.wordHashes(wordsE)))
         .withColumn("sh", expr(XSql.shingleHashes("wh")))
-        .select(col("doc_id"), expr(XSql.minhashSig("sh")).as("sig"))
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"),
+          expr("array_join(transform(sig, x_ -> cast(x_ as string)), ',')").as("sig_csv"))
         .orderBy("doc_id")
     },
 

@@ -20,11 +20,16 @@ object MultimodalOps {
         val sum = dl.foldL(dl.xform(chars, "c_", dl.codepoint("c_")), 0,
           "a_", "x_", "a_ + x_")
         s"""SELECT doc_id, cast(length(text) as bigint) AS n_bytes,
-           |  $hist AS byte_hist,
+           |  array_to_string(list_transform($hist, x_ -> cast(x_ as varchar)), ',') AS byte_hist_csv,
            |  cast($sum as double) / cast(length(text) as double) AS mean_byte
            |FROM documents ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
+      import org.apache.spark.sql.functions._
       Multimodal.features(s, d)
+        .select(col("doc_id"), col("n_bytes"),
+          expr("array_join(transform(byte_hist, x_ -> cast(x_ as string)), ',')")
+            .as("byte_hist_csv"),
+          col("mean_byte"))
         .orderBy("doc_id")
     }
   )

@@ -23,13 +23,16 @@ object Relational2 {
     // ---------------------------------------------------------------
     // A5 — ARRAY_AGG IGNORE NULLS as a *set*: BQ order is
     // nondeterministic (games_features.sqlx:15-55), so the engine
-    // contract is sorted-distinct.
+    // contract is sorted-distinct. The gate output is the CSV-joined
+    // form — the driver's compare only handles scalar cells; the array
+    // aggregation itself still runs in the plan.
     Q("a5_array_agg_set",
-      "sorted-distinct array aggregation per key",
-      """SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+      "sorted-distinct array aggregation per key (CSV-flattened for the gate)",
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), '|') AS types_csv
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       t(s, d, "events").groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), "|").as("types_csv"))
         .orderBy("user_id")
     },
 
@@ -37,13 +40,12 @@ object Relational2 {
     // A6 — ARRAY_AGG(STRUCT(...) ORDER BY k) (game_profile.sqlx:23-34):
     // explicit ordering via sort key embedded in the struct.
     Q("a6_array_agg_struct",
-      "per-key ordered array of top-3 structs (value desc, id asc)",
-      """SELECT user_id,
-        |  list_transform(
-        |    list_slice(list_sort(list({'nv': -value, 'event_id': event_id, 'value': value})), 1, 3),
-        |    s_ -> {'event_id': s_.event_id, 'value': s_.value}) AS top_events
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      "per-key ordered array of top-3 structs (value desc, id asc), re-exploded to scalar rows for the gate",
+      """SELECT user_id, rn AS rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rn <= 3 ORDER BY user_id, rnk""".stripMargin) { (s, d) =>
       t(s, d, "events").filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(expr(
@@ -51,7 +53,10 @@ object Relational2 {
             |  slice(array_sort(collect_list(struct(-value AS nv, event_id, value))), 1, 3),
             |  s_ -> struct(s_.event_id AS event_id, s_.value AS value))""".stripMargin)
           .as("top_events"))
-        .orderBy("user_id")
+        .select(col("user_id"), posexplode(col("top_events")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.event_id").as("event_id"), col("col.value").as("value"))
+        .orderBy("user_id", "rnk")
     },
 
     // ---------------------------------------------------------------
@@ -110,10 +115,11 @@ object Relational2 {
     // F8/F7 — STRUCT constructor + null-struct guard
     // (game_profile.sqlx:99-113).
     Q("f8_struct_nullguard",
-      "struct column, nulled when the join key is absent",
+      "null-guarded struct column, fields projected back to scalars for the gate",
       """SELECT c.c_custkey,
-        |  CASE WHEN o.o_custkey IS NULL THEN NULL
-        |       ELSE {'n_orders': o.n, 'max_price': o.mx} END AS order_stats
+        |  o.o_custkey IS NOT NULL AS has_stats,
+        |  CASE WHEN o.o_custkey IS NULL THEN NULL ELSE o.n END AS n_orders,
+        |  CASE WHEN o.o_custkey IS NULL THEN NULL ELSE o.mx END AS max_price
         |FROM customer c
         |LEFT JOIN (SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mx
         |           FROM orders GROUP BY o_custkey) o
@@ -127,6 +133,10 @@ object Relational2 {
           when(col("o_custkey").isNull, lit(null))
             .otherwise(struct(col("n").as("n_orders"), col("mx").as("max_price")))
             .as("order_stats"))
+        .select(col("c_custkey"),
+          col("order_stats").isNotNull.as("has_stats"),
+          col("order_stats.n_orders").as("n_orders"),
+          col("order_stats.max_price").as("max_price"))
         .orderBy("c_custkey")
     },
 
@@ -197,7 +207,7 @@ object Relational2 {
     // blocks into one nested serving row; struct nulled when its
     // block is absent, arrays coalesced to empty.
     Q("j4_profile_assembly",
-      "serving-row assembly: left-joined blocks, null-guarded struct, coalesced arrays",
+      "serving-row assembly: left-joined blocks, null-guarded struct, coalesced arrays (gate output flattened)",
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
          |b1 AS (SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
          |       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
@@ -205,9 +215,10 @@ object Relational2 {
          |         list_sort(list_distinct(list(event_type))) AS types
          |       FROM events GROUP BY user_id)
          |SELECT u.user_id,
-         |  CASE WHEN b1.user_id IS NULL THEN NULL
-         |       ELSE {'n_purchases': b1.n, 'total_spent': b1.total} END AS purchases,
-         |  coalesce(b2.types, []) AS event_types
+         |  b1.user_id IS NOT NULL AS has_purchases,
+         |  CASE WHEN b1.user_id IS NULL THEN NULL ELSE b1.n END AS n_purchases,
+         |  CASE WHEN b1.user_id IS NULL THEN NULL ELSE b1.total END AS total_spent,
+         |  array_to_string(coalesce(b2.types, []), '|') AS event_types_csv
          |FROM u LEFT JOIN b1 ON u.user_id = b1.user_id
          |       LEFT JOIN b2 ON u.user_id = b2.user_id
          |ORDER BY u.user_id""".stripMargin) { (s, d) =>
@@ -227,6 +238,11 @@ object Relational2 {
             .otherwise(struct(col("n").as("n_purchases"), col("total").as("total_spent")))
             .as("purchases"),
           coalesce(col("types"), array().cast("array<string>")).as("event_types"))
+        .select(col("user_id"),
+          col("purchases").isNotNull.as("has_purchases"),
+          col("purchases.n_purchases").as("n_purchases"),
+          col("purchases.total_spent").as("total_spent"),
+          array_join(col("event_types"), "|").as("event_types_csv"))
         .orderBy("user_id")
     },
 
@@ -266,14 +282,21 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
-    // F16 — GENERATE_UUID (raw_responses.record_id). Inherently
-    // nondeterministic, so no value oracle: the driver records a
-    // rows-only check. The shape (uuid per landed row) is the point.
-    Q.noOracle("f16_uuid",
-      "uuid() assigned per ingested row (rows-only check)") { (s, d) =>
-      t(s, d, "events").limit(100)
-        .select(col("event_id"), expr("uuid()").as("record_id"))
-        .orderBy("event_id")
+    // F16 — GENERATE_UUID (raw_responses.record_id). The values are
+    // nondeterministic, so the gate checks STRUCTURE instead: every
+    // generated id must be a well-formed v4 UUID and all ids distinct.
+    // That summary is deterministic, so the oracle can state it.
+    Q("f16_uuid",
+      "uuid() per ingested row, verified structurally (format + distinctness)",
+      """SELECT n AS n_rows, n AS n_distinct, n AS n_wellformed
+        |FROM (SELECT least(count(*), 100) AS n FROM events)""".stripMargin) { (s, d) =>
+      t(s, d, "events").orderBy("event_id").limit(100)
+        .select(expr("uuid()").as("record_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("record_id")).as("n_distinct"),
+          sum(when(col("record_id").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"),
+            1L).otherwise(0L)).as("n_wellformed"))
     },
 
     // ---------------------------------------------------------------

@@ -149,7 +149,7 @@ object Similarity {
     // precomputed tier of the two-tier similarity design, as an
     // ordered struct-array serving table.
     Q("k5_precomputed_neighbors",
-      "precomputed top-3 in-label neighbors as ordered struct arrays",
+      "precomputed top-3 in-label neighbors (struct array re-exploded to scalar rows for the gate)",
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
@@ -162,16 +162,17 @@ object Similarity {
            |  SELECT vec_id, n_vec_id, dist,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, n_vec_id) AS rn
            |  FROM pairs QUALIFY rn <= 3)
-           |SELECT vec_id,
-           |  list_transform(list_sort(list({'rn': rn, 'nv': n_vec_id, 'dist': dist})),
-           |    s_ -> {'vec_id': s_.nv, 'dist': s_.dist}) AS similar
-           |FROM ranked GROUP BY vec_id ORDER BY vec_id""".stripMargin
+           |SELECT vec_id, rn AS rnk, n_vec_id, dist
+           |FROM ranked ORDER BY vec_id, rnk""".stripMargin
       }) { (s, d) =>
       val emb = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark)))
         .select("vec_id", "label", "v")
       graft.serve.Neighbors.precompute(emb, 3)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("similar")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.vec_id").as("n_vec_id"), col("col.dist").as("dist"))
+        .orderBy("vec_id", "rnk")
     },
 
     // ---------------------------------------------------------------

@@ -153,15 +153,19 @@ object TextOps {
 
     // ---------------------------------------------------------------
     Q("t4_fingerprint",
-      "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima",
+      "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima (CSV-flattened for the gate)",
       {
         implicit val dl: Dialect = SqlDuck
-        s"""SELECT doc_id, ${XSql.winnowText("text")} AS fingerprints
-           |FROM documents ORDER BY doc_id""".stripMargin
+        s"""WITH f AS (SELECT doc_id, ${XSql.winnowText("text")} AS fp FROM documents)
+           |SELECT doc_id, len(fp) AS n_fp,
+           |  array_to_string(list_transform(fp, x_ -> cast(x_ as varchar)), ',') AS fp_csv
+           |FROM f ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       t(s, d, "documents")
-        .select(col("doc_id"), expr(XSql.winnowText("text")).as("fingerprints"))
+        .withColumn("fp", expr(XSql.winnowText("text")))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          expr("array_join(transform(fp, x_ -> cast(x_ as string)), ',')").as("fp_csv"))
         .orderBy("doc_id")
     }
   )

@@ -68,27 +68,47 @@ private class FixtureScan(path: String, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hPath = new Path(path)
-    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // session Hadoop conf, not a blank one — custom filesystems /
+    // credentials configured on the session must reach the listing
+    val fs = hPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
     fs.listStatus(hPath)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .filter { s =>
+        // only `<numeric game_id>.json` participates; anything else in
+        // the landing dir is skipped at listing time instead of
+        // failing the whole scan mid-read
+        s.isFile && s.getPath.getName.endsWith(".json") &&
+          s.getPath.getName.stripSuffix(".json").forall(_.isDigit) &&
+          s.getPath.getName.stripSuffix(".json").nonEmpty
+      }
       .sortBy(_.getPath.getName)
       .map(s => FixturePartition(s.getPath.toString): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FixtureReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session conf to executor-side readers (Configuration
+    // itself is not serializable)
+    val confMap = {
+      val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new FixtureReaderFactory(required.fieldNames, confMap)
+  }
 }
 
 private case class FixturePartition(file: String) extends InputPartition
 
-private class FixtureReaderFactory(columns: Array[String])
-    extends PartitionReaderFactory {
+private class FixtureReaderFactory(columns: Array[String],
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FixtureReader(partition.asInstanceOf[FixturePartition].file, columns)
+    new FixtureReader(partition.asInstanceOf[FixturePartition].file, columns, confMap)
 }
 
-private class FixtureReader(file: String, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+private class FixtureReader(file: String, columns: Array[String],
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
   private var done = false
   private var row: InternalRow = _
 
@@ -100,7 +120,9 @@ private class FixtureReader(file: String, columns: Array[String])
       val gameId = name.stripSuffix(".json").toLong
       // payload bytes are read ONLY when response_data is required
       def payload: String = {
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confMap.foreach { case (k, v) => conf.set(k, v) }
+        val fs = p.getFileSystem(conf)
         val in = fs.open(p)
         try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()

@@ -66,6 +66,18 @@ class XSqlSpec extends SparkSpec {
     assert(eval1(XSql.minhashSig(sh)) == eval1(XSql.minhashSigLambda(sh)))
   }
 
+  test("minhash sig of an empty shingle array is NULL in both forms") {
+    // < 3 words => no shingles => no signature; the native expression
+    // and the lambda/oracle form must agree on NULL (not sentinel
+    // values, which would collide in LSH band joins)
+    val empty = "cast(array() as array<bigint>)"
+    assert(eval1(XSql.minhashSig(empty)) == null)
+    assert(eval1(XSql.minhashSigLambda(empty)) == null)
+    // and the shingle pipeline for a 2-word doc produces that empty case
+    val sh = XSql.shingleHashes(XSql.wordHashes(XSql.words("'two words'")))
+    assert(eval1(XSql.minhashSig(sh)) == null)
+  }
+
   test("native intersect size equals builtin array_intersect size") {
     val a = "array(bigint(5), bigint(1), bigint(9), bigint(3))"
     val b = "array(bigint(3), bigint(9), bigint(8))"

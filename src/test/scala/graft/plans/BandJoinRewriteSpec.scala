@@ -41,6 +41,36 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("SQL decimal band widths fire the rule, and boundary values survive") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      // values sitting EXACTLY on band edges at a width (0.3) that is
+      // not binary-representable — the adversarial case for the
+      // floor(x/w) bucketing
+      val vals = (0 to 40).map(i => i * 0.3) ++ Seq(0.2999999999999999, 0.30000000000000004)
+      import spark.implicits._
+      vals.zipWithIndex.toDF("x", "id").createOrReplaceTempView("band_vals")
+      // SQL literal 0.3 parses as DECIMAL(1,1) — the rule must match
+      // Literal(Decimal) (it previously only matched Double)
+      val q =
+        """SELECT a.id AS ia, b.id AS ib FROM band_vals a JOIN band_vals b
+          |  ON b.x BETWEEN a.x - 0.3 AND a.x + 0.3 AND b.id != a.id""".stripMargin
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("Generate explode"), plan)
+      // ground truth from the naive pair scan, no rule involved
+      val expected = (for {
+        (x1, i1) <- vals.zipWithIndex; (x2, i2) <- vals.zipWithIndex
+        if i1 != i2 && x2 >= x1 - 0.3 && x2 <= x1 + 0.3
+      } yield (i1, i2)).size
+      assert(df.count() == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
   test("joins with an equi conjunct are left untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BandJoinRewrite

@@ -66,6 +66,20 @@ def main():
         except Exception as e:  # noqa: BLE001
             results[name] = f"ERROR: {e}"
             continue
+        # The DRIVER's compare sorts with pandas, which cannot hash/sort
+        # list or struct cells — any non-scalar output column passes
+        # locally but fails the real gate. Reject it here.
+        nonscalar = None
+        for r in got[:5] + want[:5]:
+            for i, x in enumerate(r):
+                if isinstance(x, (list, tuple, dict)):
+                    nonscalar = got_cols[i] if i < len(got_cols) else f"#{i}"
+                    break
+            if nonscalar:
+                break
+        if nonscalar:
+            results[name] = f"NONSCALAR-OUTPUT col={nonscalar} (driver gate would crash)"
+            continue
         if got_cols != want_cols:
             results[name] = f"SCHEMA-MISMATCH got={got_cols} want={want_cols}"
             continue
