@@ -38,11 +38,22 @@ case class IntersectSize(left: Expression, right: Expression)
 }
 
 object IntersectSize {
-  def count(a: ArrayData, b: ArrayData): Long = {
+  /** Copy to a long[]; sort only if not already sorted. Callers in the
+    * pair-similarity path pre-sort their shingle arrays ONCE per
+    * document (sortedness check is O(n), a per-pair sort is
+    * O(n log n) × pairs — the dominant cost at scale).
+    */
+  private def sortedLongs(a: ArrayData): Array[Long] = {
     val x = a.toLongArray()
-    val y = b.toLongArray()
-    java.util.Arrays.sort(x)
-    java.util.Arrays.sort(y)
+    var i = 1
+    while (i < x.length && x(i - 1) <= x(i)) i += 1
+    if (i < x.length) java.util.Arrays.sort(x)
+    x
+  }
+
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val x = sortedLongs(a)
+    val y = sortedLongs(b)
     var i = 0
     var j = 0
     var n = 0L

@@ -140,6 +140,124 @@ object LshBucket {
   }
 }
 
+/** `graft_word_hashes(text)` — 31-poly charHash of every non-empty
+  * ' '-separated word, in order. One native pass over the string:
+  * replaces the interpreted `transform(filter(split(text,' '),...),...)`
+  * lambda chain (~1 ms/doc on the HOF path — the dominant per-document
+  * cost of the text/dedup pipeline; this is ~1 µs).
+  */
+case class WordHashes(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_word_hashes expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashes.wordHashArray(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashes.wordHashArray($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(text)` — SORTED-distinct word-3-gram shingle hashes
+  * straight from the text. Values are exactly the lambda pipeline's
+  * (`shingleHashes(wordHashes(words(text)))`); only the order differs
+  * (sorted vs first-occurrence), and every consumer — minhash, LSH
+  * bands, jaccard-by-intersection — is order-invariant. Sorted output
+  * also lets [[IntersectSize]] skip its per-pair sort.
+  */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.shingles(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.shingles($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** charHash of each non-empty ' '-separated word (single pass,
+    * accumulating the polynomial while scanning — no word substrings
+    * are materialized). Identical to
+    * `transform(filter(split(text,' '), w->w!=''), w->charHash(w))`:
+    * split(' ') treats ONLY the space character as a separator.
+    */
+  def wordHashArray(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    var buf = new Array[Long](16)
+    var m = 0
+    var acc = XSql.H0
+    var len = 0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') {
+        if (len > 0) {
+          if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m * 2)
+          buf(m) = acc; m += 1
+        }
+        acc = XSql.H0; len = 0
+      } else {
+        acc = (acc * XSql.CharM + cp) % XSql.P
+        len += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (len > 0) {
+      if (m == buf.length) buf = java.util.Arrays.copyOf(buf, m + 1)
+      buf(m) = acc; m += 1
+    }
+    java.util.Arrays.copyOf(buf, m)
+  }
+
+  /** Sorted-distinct 3-gram shingle hashes of the word-hash sequence. */
+  def shingles(s: UTF8String): ArrayData = {
+    val wh = wordHashArray(s)
+    val n = wh.length - 2
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val sh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      sh(i) = (((wh(i) * XSql.WordM + wh(i + 1)) % XSql.P) * XSql.WordM + wh(i + 2)) % XSql.P
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || sh(i) != sh(m - 1)) { sh(m) = sh(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sh, m))
+  }
+}
+
 object MinHashSig {
   private val A = XSql.A.toArray
   private val B = XSql.B.toArray

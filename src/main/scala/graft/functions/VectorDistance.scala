@@ -175,6 +175,14 @@ object GraftFunctions {
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucket(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "graft_word_hashes"),
+      (children: Seq[Expression]) => WordHashes(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleSet(children.head))
   }
 }
 

@@ -155,6 +155,26 @@ object XSql {
   def wordHashes(wordsE: String)(implicit d: Dialect): String =
     d.xform(wordsE, "w_", charHash("w_"))
 
+  /** Word hashes straight from a TEXT column: native single-pass scan
+    * on Spark (no per-row word array, no interpreted lambdas); the
+    * lambda pipeline on the oracle. Values identical (XSqlSpec).
+    */
+  def wordHashesOfText(text: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_word_hashes($text)"
+    case Duck => wordHashes(words(text))
+  }
+
+  /** Shingle hashes straight from a TEXT column: native sorted-distinct
+    * on Spark, lambda pipeline on the oracle. Element ORDER differs
+    * (sorted vs first-occurrence) — every consumer (minhash, bands,
+    * jaccard) is order-invariant, and sorted arrays let the native
+    * intersect skip its per-pair sort.
+    */
+  def shinglesOfText(text: String)(implicit d: Dialect): String = d match {
+    case Spark => s"graft_shingles($text)"
+    case Duck => shingleHashes(wordHashes(words(text)))
+  }
+
   /** Distinct hashes of word 3-gram shingles, from a word-hash array. */
   def shingleHashes(whE: String)(implicit d: Dialect): String = {
     val i = "i_"

@@ -64,7 +64,7 @@ object CorpusOps {
         .select("doc_id", "text", "label", "v")
       joined.cache()
       val sh = joined
-        .withColumn("sh", expr(XSql.shingleHashes(XSql.wordHashes(XSql.words("text")))))
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       val bands = sh
         .withColumn("sig", expr(XSql.minhashSig("sh")))
@@ -148,8 +148,7 @@ object CorpusOps {
           org.apache.spark.sql.expressions.Window.partitionBy("th").orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
       val sh = exact
-        .withColumn("wh", expr(XSql.wordHashes("w")))
-        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "w", "sh")
       sh.cache()
       val bands = sh

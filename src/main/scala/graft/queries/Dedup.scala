@@ -66,10 +66,10 @@ object Dedup {
            |FROM sig ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
+      // one fused native chain: text -> shingles -> signature (no
+      // interpreted lambda stages, no intermediate word arrays)
       t(s, d, "documents")
-        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
-        .withColumn("sh", expr(XSql.shingleHashes("wh")))
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .withColumn("sig", expr(XSql.minhashSig(XSql.shinglesOfText("text"))))
         .select(col("doc_id"),
           expr("array_join(transform(sig, x_ -> cast(x_ as string)), ',')").as("sig_csv"))
         .orderBy("doc_id")
@@ -97,26 +97,30 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
+      // native sorted shingles: jaccard/minhash are order-invariant,
+      // and sorted inputs let the native intersect skip its per-pair
+      // sort (the dominant pairwise cost)
       val sh = t(s, d, "documents")
-        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
-        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       sh.cache()
+      // carry the shingles THROUGH the band join (the reference
+      // candidate-then-rejoin shape costs two extra shuffles; a pair
+      // colliding in several bands re-checks jaccard at most 4x, far
+      // cheaper than re-joining the shingle table twice)
       val bands = sh
         .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), posexplode(expr(XSql.bandKeys("sig"))))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
         .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
-      val a = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"))
-      val cand = a.join(b, Seq("band_idx", "band_key"))
+      val a = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("band_idx", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
         .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
         .filter(col("jacc") >= 0.5)
-        .select("doc_a", "doc_b", "jacc")
+        .select("doc_a", "doc_b", "jacc").distinct()
         .orderBy("doc_a", "doc_b")
     },
 
@@ -134,8 +138,8 @@ object Dedup {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       val sims = t(s, d, "documents")
-        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
-        .select(col("doc_id"), expr(XSql.simhash("wh")).as("simhash"))
+        .select(col("doc_id"),
+          expr(XSql.simhash(XSql.wordHashesOfText("text"))).as("simhash"))
       val s0 = sims.filter(col("doc_id") === 0)
         .select(col("simhash").as("simhash_0"))
       sims.crossJoin(broadcast(s0))
@@ -171,8 +175,8 @@ object Dedup {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       val sims = t(s, d, "documents")
-        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
-        .select(col("doc_id"), expr(XSql.simhash("wh")).as("sim"))
+        .select(col("doc_id"),
+          expr(XSql.simhash(XSql.wordHashesOfText("text"))).as("sim"))
       // 2 chunks of 15 bits: wide chunks keep buckets sparse (the
       // sum-of-squared-bucket-sizes is what the join pays); pigeonhole
       // needs distance < #chunks, so the threshold is 1
@@ -223,9 +227,9 @@ object Dedup {
            |ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
+      // native sorted shingles: the intersect skips per-pair sorts
       val sh = t(s, d, "documents")
-        .withColumn("wh", expr(XSql.wordHashes(wordsE)))
-        .withColumn("sh", expr(XSql.shingleHashes("wh")))
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "lang", "source", "sh")
       val a = sh.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
         col("sh").as("sh_a"))

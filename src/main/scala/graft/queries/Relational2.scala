@@ -104,7 +104,12 @@ object Relational2 {
           when(col("o_totalprice") === 0, 0.0)
             .otherwise(round(lit(100.0) * (col("o_shippriority") + 1).cast("double")
               / col("o_totalprice").cast("double"), 2)).as("pct"),
-          expr("try_cast(o_orderpriority as int)").as("prio_num"),
+          // ANSI-off legacy cast: null-on-malformed like try_cast, but
+          // parses without throwing — try_cast's ANSI-with-catch path
+          // costs a thrown exception per malformed row, which at 100 TB
+          // is the whole CPU budget (~4s of this query's bench time at
+          // sf0.1 was exception unwinding)
+          col("o_orderpriority").cast("int").as("prio_num"),
           round(log(col("o_totalprice") + 1), 6).as("ln_price"),
           coalesce(substring(col("o_orderpriority"), 1, 1).cast("int"), lit(-1))
             .as("prio_digit"))

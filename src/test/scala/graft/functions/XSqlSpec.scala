@@ -66,6 +66,22 @@ class XSqlSpec extends SparkSpec {
     assert(eval1(XSql.minhashSig(sh)) == eval1(XSql.minhashSigLambda(sh)))
   }
 
+  test("native word hashes / shingles equal their lambda pipelines") {
+    for (s <- Seq("spark fast table spark row batch", "a  b   c d", "one",
+      "Ünïcode mix 123! again Ünïcode mix", " lead trail ", "x y z")) {
+      val lit = s"'$s'"
+      assert(eval1(XSql.wordHashesOfText(lit)) ==
+        eval1(XSql.wordHashes(XSql.words(lit))), s"wordHashes mismatch for '$s'")
+      // native shingles are SORTED-distinct; the lambda form is
+      // first-occurrence-distinct — equal as sorted sets
+      assert(eval1(XSql.shinglesOfText(lit)) ==
+        eval1(s"array_sort(${XSql.shingleHashes(XSql.wordHashes(XSql.words(lit)))})"),
+        s"shingles mismatch for '$s'")
+    }
+    // < 3 words -> empty shingle set
+    assert(eval1(s"size(${XSql.shinglesOfText("'two words'")})") == 0)
+  }
+
   test("minhash sig of an empty shingle array is NULL in both forms") {
     // < 3 words => no shingles => no signature; the native expression
     // and the lambda/oracle form must agree on NULL (not sentinel
