@@ -115,16 +115,25 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // Multi-probe: the query's own bucket plus every bucket at Hamming
+    // distance 1 (flip each of the 8 sign bits). Single-probe recall
+    // collapses when the query sits near a hyperplane; multi-probe is
+    // the standard fix and keeps the scan bucket-bounded (9 of 256
+    // buckets) — at scale, bucket is a partition column and this is 9
+    // partition lookups instead of a full scan.
     Q("k2_ann_lsh",
-      "hyperplane-LSH ANN: probe the query's bucket, rerank exact",
+      "hyperplane-LSH ANN: multi-probe query bucket + hamming-1 buckets, rerank exact",
       {
         implicit val dl: Dialect = SqlDuck
+        val probeCond = (Seq("n.bucket = q.qb") ++
+          (0 until Planes).map(p => s"n.bucket = xor(q.qb, ${1L << p})"))
+          .mkString("(", " OR ", ")")
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
            |q AS (SELECT v AS qv, n2 AS qn2, bucket AS qb FROM n WHERE vec_id = 0)
            |SELECT vec_id,
            |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
-           |FROM n, q WHERE n.bucket = q.qb AND vec_id != 0
+           |FROM n, q WHERE $probeCond AND vec_id != 0
            |ORDER BY dist, vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
@@ -135,7 +144,12 @@ object Similarity {
         .select("vec_id", "v", "n2", "bucket")
       val q = n.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("n2").as("qn2"), col("bucket").as("qb"))
-      n.join(broadcast(q), n("bucket") === q("qb"))
+      // 9 probe rows broadcast; the candidate retrieval is an equi-join
+      // on the bucket key (partition-prunable at scale)
+      val probes = q.select(col("qv"), col("qn2"),
+        explode(array(Seq(col("qb")) ++
+          (0 until Planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      n.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))

@@ -24,6 +24,23 @@ object StreamingOps {
       out.orderBy("win_start", "event_type")
     },
 
+    // I5 as a stream: the same table replayed TWICE (simulated
+    // at-least-once delivery) must aggregate identically to the batch
+    // single-copy truth once the in-stream dedup has run.
+    Q("st3_stream_dedup",
+      "doubled (at-least-once) replay deduped in-stream == batch single-copy agg",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val doubled = EventStream.readEvents(s, d)
+        .unionByName(EventStream.readEvents(s, d))
+      val deduped = EventStream.dedupWithinWatermark(doubled)
+      val out = EventStream.runToMemory(s, deduped,
+        s"st3_mem_${System.nanoTime()}", OutputMode.Append())
+      out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("user_id")
+    },
+
     Q("st2_sessionize",
       "flatMapGroupsWithState gap sessionization == SQL gaps-and-islands",
       """WITH o AS (

@@ -90,6 +90,19 @@ object EventStream {
         })
   }
 
+  /** At-least-once delivery repair (SURVEY §2.10 I5): drop duplicate
+    * event_ids as they stream through. State is BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark`) — plain
+    * `dropDuplicates` would hold every key ever seen, which on an
+    * unbounded stream is an OOM, not an operator. First occurrence is
+    * emitted immediately (append mode); re-deliveries inside the
+    * watermark horizon are swallowed.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to completion into an in-memory table
     * and return the result (AvailableNow = process everything queued,
     * then stop — the batch-replay trigger).
