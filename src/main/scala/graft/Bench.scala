@@ -22,7 +22,15 @@ object Bench {
     // noop sink: evaluates every output column (count() would let
     // Catalyst prune expensive projections and under-report)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev profiling: SPARK_GRAFT_ONLY=q1,q2 restricts the measured set
+    // (the driver never sets it, so round benches always run everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val measured =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = measured.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
