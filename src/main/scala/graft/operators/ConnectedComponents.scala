@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation — the step a
+  * production dedup pipeline needs AFTER pair discovery: near-dup
+  * pairs (LSH-verified) form an undirected graph, and the keep/drop
+  * policy operates on whole components ("keep the smallest doc_id of
+  * each cluster"), not on individual pairs (pairwise greedy drops
+  * break on chains A~B~C).
+  *
+  * Algorithm: every node starts labeled with its own id; each round
+  * takes the min of its label and its neighbors' labels; fixpoint =
+  * every node holds the smallest id reachable from it. The fixpoint is
+  * a pure graph property, so the result is deterministic regardless of
+  * execution/iteration order — which is what lets a DuckDB recursive
+  * CTE state the same answer for the oracle.
+  *
+  * Scale shape: each round is one equi-join + one map-side-combinable
+  * min-aggregate, O(diameter) rounds. Near-dup graphs are
+  * short-diameter (clusters of copies), so 2-4 rounds in practice; a
+  * 100 TB run with adversarial long chains would switch to
+  * large-star/small-star (same join primitives, O(log n) rounds).
+  * Labels are cached per round and the previous round is unpersisted —
+  * peak state is two label tables of one row per node.
+  */
+object ConnectedComponents {
+
+  /** edges: two long columns `a`, `b` (undirected, any orientation).
+    * Returns (node, component) for every endpoint, component = min
+    * reachable node id.
+    */
+  def minLabel(edges: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .cache()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // neighbor labels flow one hop; min with own label
+      val nbr = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("component"))
+      val next = labels.unionByName(nbr)
+        .groupBy("node").agg(min("component").as("component"))
+        .cache()
+      next.count() // materialize before unpersisting the parent
+      val improved = next.join(
+        labels.withColumnRenamed("component", "prev"), Seq("node"))
+        .filter(col("component") < col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = improved == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

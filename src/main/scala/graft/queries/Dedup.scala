@@ -248,6 +248,60 @@ object Dedup {
     },
 
     // ---------------------------------------------------------------
+    // The step AFTER pair discovery that production dedup needs:
+    // LSH-verified pairs form a graph; the keep/drop unit is the
+    // CONNECTED COMPONENT (pairwise-greedy breaks on chains A~B~C).
+    // Spark runs iterative min-label propagation
+    // (operators/ConnectedComponents, O(diameter) join+min rounds);
+    // the oracle states the same fixpoint as a recursive CTE — legal
+    // because min-reachable-id is a pure graph property, independent
+    // of how either engine iterates.
+    Q("d7_dup_components",
+      "near-dup clusters: LSH pairs -> connected components (min-label)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |           AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a)
+           |SELECT src AS doc_id, min(node) AS component
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+      val a = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b")
+          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.3)
+        .select("doc_a", "doc_b").distinct()
+      graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
     // Distances through the codegen'd native expression — the oracle
     // states the identical interleaved-fold formula. Near-dup = cosine
     // distance <= 0.6 (sim >= 0.4).

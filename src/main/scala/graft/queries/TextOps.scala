@@ -152,6 +152,61 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // Pretraining-style text normalization: strip everything outside
+    // the lowercase-alpha+space alphabet, collapse runs of spaces,
+    // trim — then account for what was removed and fingerprint the
+    // cleaned form. Pure per-row map (no shuffle), identical regex
+    // semantics in both engines (no lookaround, 'g' flag on the
+    // oracle side since DuckDB replaces first-match by default).
+    Q("t5_clean_text",
+      "normalize text (strip non-alpha, collapse spaces) + removal stats + cleaned hash",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH c AS (
+           |  SELECT doc_id, text,
+           |    trim(regexp_replace(regexp_replace(text, '[^a-z ]', '', 'g'),
+           |         ' +', ' ', 'g')) AS cleaned
+           |  FROM documents)
+           |SELECT doc_id,
+           |  cast(length(text) - length(cleaned) as bigint) AS n_removed,
+           |  cast(length(cleaned) as bigint) AS n_kept,
+           |  ${XSql.charHash("cleaned")} AS cleaned_hash
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .withColumn("cleaned",
+          trim(regexp_replace(regexp_replace(col("text"), "[^a-z ]", ""), " +", " ")))
+        .select(col("doc_id"),
+          (length(col("text")) - length(col("cleaned"))).cast("long").as("n_removed"),
+          length(col("cleaned")).cast("long").as("n_kept"),
+          expr(XSql.charHash("cleaned")).as("cleaned_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Deterministic train/validation split: bucket by content hash, not
+    // by random() — reproducible across runs/engines, stable under
+    // re-partitioning, and duplicate documents land in the SAME split
+    // (random splits leak near-dups across train/val).
+    Q("t6_hash_split",
+      "content-hash train/val split (95/5), deterministic across engines",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""SELECT doc_id,
+           |  CASE WHEN ${XSql.charHash("text")} % 100 < 95 THEN 'train'
+           |       ELSE 'val' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(expr(XSql.charHash("text")) % 100 < 95, "train")
+            .otherwise("val").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
     Q("t4_fingerprint",
       "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima (CSV-flattened for the gate)",
       {

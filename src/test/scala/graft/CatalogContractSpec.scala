@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Contracts every catalog entry must honor for the driver's
+  * correctness gate (the round-1 failure class: the driver compares
+  * results with pandas, which cannot sort/hash array, map, or struct
+  * cells — a query emitting one passes every local test and then
+  * silently fails the real gate).
+  */
+class CatalogContractSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every catalog query output schema is scalar-only") {
+    // building the DataFrame runs analysis (schema) without executing
+    // a job for pure queries; sink-backed queries do their small
+    // writes at sf0.001
+    val offenders = SparkEntry.catalog.flatMap { q =>
+      val schema = q.run(spark, sfDir).schema
+      val bad = schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      if (bad.isEmpty) None
+      else Some(s"${q.name}: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (driver gate would crash):\n${offenders.mkString("\n")}")
+  }
+
+  test("every catalog query has an oracle") {
+    // rows-only checks are a weaker gate; the whole catalog is
+    // SQL-expressible today, so hold that line
+    val missing = SparkEntry.catalog.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle SQL: ${missing.mkString(", ")}")
+  }
+
+  test("catalog names are unique and well-formed") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size == names.size)
+    names.foreach(n => assert(n.matches("[a-z0-9_]+"), s"odd query name: $n"))
+  }
+}

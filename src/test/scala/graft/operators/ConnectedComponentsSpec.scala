@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.minLabel(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains collapse to the min id (multi-round propagation)") {
+    // a 6-node path given in descending orientation — min label needs
+    // several rounds to travel the diameter
+    val path = Seq((6L, 5L), (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L))
+    assert(components(path) == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint clusters keep separate labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+    val got = components(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("star and cycle shapes converge") {
+    val star = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    assert(components(star).values.toSet == Set(1L))
+    val cycle = Seq((7L, 8L), (8L, 9L), (9L, 7L))
+    assert(components(cycle) == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+}
