@@ -370,6 +370,94 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // Beyond-reference: AS-OF join — "state at event time" (each event
+    // joined to the user's latest purchase at-or-before its ts). The
+    // naive form is a theta join (quadratic); the scale form used here
+    // is the classic union-merge: tag both sides, ONE shuffle+sort per
+    // user, carry the last-seen purchase forward with
+    // last(ignoreNulls) over an unbounded-preceding frame. The oracle
+    // is DuckDB's native ASOF LEFT JOIN — deterministic because
+    // (user_id, ts) is unique among purchases. At equal timestamps the
+    // purchase sorts before its own event row (kind 0 < 1), matching
+    // ASOF's inclusive `>=`.
+    Q("j13_asof_join",
+      "as-of join (latest purchase at-or-before each event) via union-merge",
+      """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id, value AS p_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, p.p_id AS prev_purchase_id, p.p_value AS prev_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+      val e = ev.select(
+        col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(e)
+        .withColumn("prev_purchase_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("prev_purchase_value", last(col("p_value"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("prev_purchase_id"), col("prev_purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Beyond-reference window FRAMES: rolling 7-row money sum per user.
+    // The frame sum goes through decimal (exact partials) and casts
+    // back, so both engines agree bitwise on every row of the running
+    // aggregate — the same dsum discipline, per-frame.
+    Q("w4_rolling_frame",
+      "rolling 7-row decimal-exact sum + frame count per user",
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value as decimal(30,2))) OVER w as double) AS rolling_sum,
+        |  count(*) OVER w AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(30, 2))).over(w)
+            .cast(DoubleType).as("rolling_sum"),
+          count(lit(1)).over(w).as("n_in_frame"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Beyond-reference analytics: lag/lead navigation — per-user
+    // previous value, next event id, and the delta (single IEEE
+    // subtraction, deterministic cross-engine).
+    Q("w5_lag_lead",
+      "lag/lead navigation with null-guarded delta per user",
+      """SELECT event_id, user_id,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(event_id) OVER w AS next_event_id,
+        |  value - lag(value) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
     Q("u3_config_union",
       "config-driven union of filtered aggregates",
