@@ -370,6 +370,30 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // Beyond-reference: ROLLUP — subtotals + grand total in one pass
+    // (partial-agg friendly: Spark expands grouping sets before the
+    // shuffle, so map-side combine still applies). grouping() flags
+    // disambiguate real NULL keys from subtotal rows.
+    Q("a13_rollup",
+      "rollup subtotals with grouping flags and decimal-exact sums",
+      s"""SELECT c_mktsegment, c_nationkey,
+         |  cast(grouping(c_mktsegment) as bigint) AS g_seg,
+         |  cast(grouping(c_nationkey) as bigint) AS g_nat,
+         |  count(*) AS n, ${dsumSql("c_acctbal")} AS total_bal
+         |FROM customer
+         |GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+         |ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"),
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .select("c_mktsegment", "c_nationkey", "g_seg", "g_nat", "n", "total_bal")
+        .orderBy("g_seg", "g_nat", "c_mktsegment", "c_nationkey")
+    },
+
+    // ---------------------------------------------------------------
     // Beyond-reference: AS-OF join — "state at event time" (each event
     // joined to the user's latest purchase at-or-before its ts). The
     // naive form is a theta join (quadratic); the scale form used here

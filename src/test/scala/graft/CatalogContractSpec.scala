@@ -29,6 +29,22 @@ class CatalogContractSpec extends SparkSpec {
       s"non-scalar output columns (driver gate would crash):\n${offenders.mkString("\n")}")
   }
 
+  test("approx_count_distinct tracks exact counts (the documented scale option for A2)") {
+    // SURVEY §2.4: COUNT(DISTINCT) is exact in the reference;
+    // approx_count_distinct is the 100 TB alternative — HLL sketches
+    // are map-side combinable and shuffle O(sketch) instead of
+    // O(distinct values). Not oracle-checkable (DuckDB's HLL differs),
+    // so the contract is relative error on real data here.
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct, col}
+    val ev = Tables.load(spark, sfDir, "events")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("every catalog query has an oracle") {
     // rows-only checks are a weaker gate; the whole catalog is
     // SQL-expressible today, so hold that line
