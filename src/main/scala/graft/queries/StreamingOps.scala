@@ -41,6 +41,60 @@ object StreamingOps {
         .orderBy("user_id")
     },
 
+    // Stream-static enrichment: the streaming side joins a static
+    // dimension without any stream state (the dim is broadcast per
+    // microbatch) — the bread-and-butter streaming ETL shape.
+    Q("st4_stream_static_join",
+      "stream-static dimension enrichment == batch join",
+      s"""SELECT e.event_id, e.user_id, c.c_mktsegment
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val dim = t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"))
+      val enriched = EventStream.readEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      EventStream.runToMemory(s, enriched,
+        s"st4_mem_${System.nanoTime()}", OutputMode.Append())
+        .orderBy("event_id")
+    },
+
+    // Stream-stream interval join: purchases matched to the same
+    // user's clicks in the preceding 10 minutes. Both sides carry
+    // watermarks and the join condition bounds event time on both
+    // sides, so the buffered state is a sliding 10-minute window per
+    // user — bounded, regardless of stream length. The oracle is the
+    // identical interval join run as batch.
+    Q("st5_stream_stream_join",
+      "watermarked stream-stream interval join == batch interval join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val purchases = EventStream.readEvents(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = EventStream.readEvents(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+      EventStream.runToMemory(s, joined,
+        s"st5_mem_${System.nanoTime()}", OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    },
+
     Q("st2_sessionize",
       "flatMapGroupsWithState gap sessionization == SQL gaps-and-islands",
       """WITH o AS (
