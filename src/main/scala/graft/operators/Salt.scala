@@ -38,4 +38,24 @@ object Salt {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
   }
+
+  /** Salted join for a skewed big side: each big-side row gets a
+    * deterministic salt in [0, buckets); the small side is replicated
+    * `buckets` times; the join runs on (key, salt), so one hot key's
+    * rows spread across `buckets` reducers instead of one. Result is
+    * row-identical to the plain join (every big row still meets every
+    * matching small row exactly once — at the one salt it carries).
+    *
+    * This is the manual form of what AQE skew-join does at runtime;
+    * keep it for engines/paths where AQE cannot see the skew (e.g.
+    * skew introduced by an upstream explode in the same stage).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      rowId: Column, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(rowId), lit(buckets.toLong)))
+    val rep = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    saltedBig.join(rep, Seq(key, "__salt")).drop("__salt")
+  }
 }

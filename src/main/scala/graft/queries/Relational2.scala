@@ -482,6 +482,24 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // Skew-join path: salt the (skewed) big side, replicate the small
+    // side buckets× — the manual form of AQE skew splitting, for skew
+    // AQE can't see. The oracle is the PLAIN join: salting must be
+    // row-identical.
+    Q("x2_salted_join",
+      "salted skewed join == plain join (replicated small side)",
+      """SELECT e.event_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      graft.operators.Salt.saltedJoin(
+        t(s, d, "events").select(col("event_id"), col("user_id").as("c_custkey")),
+        t(s, d, "customer").select("c_custkey", "c_mktsegment"),
+        "c_custkey", col("event_id"), buckets = 8)
+        .select("event_id", "c_mktsegment")
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
     Q("u3_config_union",
       "config-driven union of filtered aggregates",

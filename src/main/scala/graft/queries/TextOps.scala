@@ -207,6 +207,55 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // TF-IDF top-terms per document — the classic corpus-scoring
+    // composition: explode to (doc, term), term frequencies, document
+    // frequencies, idf join, rank per doc. Scores are ROUNDED to 6
+    // decimals before ranking: ln() may differ by 1 ulp between libm
+    // and the JVM, and ranking on the rounded score (term as tiebreak)
+    // keeps the cross-engine order identical. At scale each stage is
+    // a map-side-combinable aggregate; the df table (one row per
+    // term) broadcasts into the scoring join.
+    Q("t7_tfidf",
+      "top-3 TF-IDF terms per document (rounded scores, deterministic ranking)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH terms AS (
+           |  SELECT doc_id, unnest(${XSql.words("text")}) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.term,
+           |    round(tf.tf * ln(cast(n.n_docs as double) / cast(df.df as double)), 6) AS score
+           |  FROM tf JOIN df ON tf.term = df.term, n),
+           |ranked AS (
+           |  SELECT doc_id, term, score, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+           |  FROM scored)
+           |SELECT doc_id, rn AS rnk, term, score
+           |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(expr(XSql.words("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "score")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------
     Q("t4_fingerprint",
       "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima (CSV-flattened for the gate)",
       {
