@@ -31,6 +31,66 @@ object MultimodalOps {
             .as("byte_hist_csv"),
           col("mean_byte"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Frame sampling as a gate query: the flatMap plumbing (one row
+    // per sampled fixed-size frame) is the real contract; the oracle
+    // states the same byte slicing as substr arithmetic (payload ==
+    // ASCII text bytes), and each frame is content-hashed so the
+    // comparison covers the bytes, not just the shape.
+    Q("m2_frame_sample",
+      "video-style frame sampling: every 2nd 64-byte frame, content-hashed",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val frame = "substr(text, frame_idx * 64 + 1, 64)"
+        s"""WITH f AS (
+           |  SELECT doc_id, text,
+           |    unnest(list_filter(range(0, cast(floor(length(text) / 64) as bigint)),
+           |                       i_ -> i_ % 2 = 0)) AS frame_idx
+           |  FROM documents)
+           |SELECT doc_id, frame_idx,
+           |  cast(length($frame) as bigint) AS frame_bytes,
+           |  ${graft.functions.XSql.charHash(frame)} AS frame_hash
+           |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val frames = Multimodal.sampleFrames(
+        Multimodal.mediaTable(s, d), frameBytes = 64, stride = 2)
+      frames.toDF()
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("cast(length(frame) as bigint)").as("frame_bytes"),
+          expr("graft_char_hash(decode(frame, 'UTF-8'))").as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // ---------------------------------------------------------------
+    // Resize as a gate query: keep every 3rd byte (the stub's
+    // decimation). Oracle rebuilds the same byte subsequence with a
+    // list comprehension over substr and hashes it — so the resized
+    // BYTES are compared, not just lengths.
+    Q("m3_resize",
+      "media resize stub: every-3rd-byte decimation, content-hashed",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val resized =
+          "array_to_string(list_transform(range(0, cast(ceil(length(text) / 3.0) as bigint)), " +
+            "i_ -> substr(text, cast(i_ * 3 + 1 as bigint), 1)), '')"
+        s"""WITH r AS (SELECT doc_id, $resized AS resized FROM documents)
+           |SELECT doc_id, cast(length(resized) as bigint) AS n_bytes,
+           |  ${graft.functions.XSql.charHash("resized")} AS resized_hash
+           |FROM r ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(s)
+      val resized = Multimodal.resize(Multimodal.mediaTable(s, d), factor = 3)
+      resized.toDF()
+        .select(col("doc_id"),
+          expr("cast(length(payload) as bigint)").as("n_bytes"),
+          expr("graft_char_hash(decode(payload, 'UTF-8'))").as("resized_hash"))
+        .orderBy("doc_id")
     }
   )
 }
