@@ -482,6 +482,29 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // Beyond-reference: exact interpolated percentiles (median/p90)
+    // per group. Both engines define quantiles as linear interpolation
+    // at q*(n-1); results are rounded to 6 decimals to pin potential
+    // 1-ulp interpolation differences. Scale note: exact percentiles
+    // need the group's values together (one shuffle); the streaming/
+    // huge-cardinality alternative is approx_percentile (t-digest),
+    // which is sketch-mergeable — same trade as count-distinct vs HLL.
+    Q("a14_percentiles",
+      "exact interpolated median/p90 per group (rounded to 6 decimals)",
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+        |  round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---------------------------------------------------------------
     // Skew-join path: salt the (skewed) big side, replicate the small
     // side buckets× — the manual form of AQE skew splitting, for skew
     // AQE can't see. The oracle is the PLAIN join: salting must be
