@@ -47,7 +47,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val n = results.count(_._2 >= 0)
+    val avg = if (n > 0) total / n else 0.0
+    // n_queries/avg make totals comparable across rounds as the
+    // catalog grows (a bigger catalog is not a slower engine)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
