@@ -93,6 +93,73 @@ object CorpusOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---------------------------------------------------------------
+    // The corpus pipeline with COMPONENT-based near-dup policy: LSH
+    // pairs -> connected components -> keep the min doc_id per
+    // cluster. Strictly better than c1's single-pass pair-greedy
+    // (which can drop B for A~B and then also drop C for B~C even
+    // though B is gone): the component policy keeps exactly one
+    // representative per near-dup cluster, deterministically.
+    Q("c3_dedup_by_components",
+      "quality filter -> LSH pairs -> components -> one representative per cluster",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH RECURSIVE
+           |base AS (
+           |  SELECT doc_id, text, $w AS w FROM documents
+           |  WHERE ${dl.arrSize(w)} >= 20),
+           |sh AS (SELECT doc_id, ${dl.arrSize("w")} AS n_tokens,
+           |              ${XSql.shingleHashes(XSql.wordHashes("w"))} AS sh FROM base),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
+           |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
+           |comp AS (SELECT src AS doc_id, min(node) AS component
+           |         FROM reach GROUP BY src)
+           |SELECT s.doc_id, s.n_tokens
+           |FROM sh s LEFT JOIN comp c ON s.doc_id = c.doc_id
+           |WHERE c.doc_id IS NULL OR c.component = s.doc_id
+           |ORDER BY s.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val base = t(s, d, "documents")
+        .withColumn("w", expr(XSql.words("text")))
+        .filter(expr(dl.arrSize("w")) >= 20)
+      val sh = base
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select(col("doc_id"), expr(dl.arrSize("w")).as("n_tokens"), col("sh"))
+      sh.cache()
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
+      val ba = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))
+      val bb = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"))
+      val pairs = ba.join(bb, Seq("bi", "bk"))
+        .filter(col("doc_a") < col("doc_b")
+          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+        .select("doc_a", "doc_b").distinct()
+      val comp = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "c_doc_id")
+      // keep: not in any cluster, or the cluster's representative
+      sh.join(comp, col("doc_id") === col("c_doc_id"), "left")
+        .filter(col("c_doc_id").isNull || col("component") === col("doc_id"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
+
     Q("c1_corpus_pipeline",
       "langid filter -> quality filter -> exact dedup -> LSH near-dup removal -> token stats",
       {
