@@ -15,6 +15,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     graft.queries.Relational.all ++
       graft.queries.Relational2.all ++
+      graft.queries.Relational3.all ++
+      graft.queries.RetrievalOps.all ++
       graft.queries.TextOps.all ++
       graft.queries.Dedup.all ++
       graft.queries.Similarity.all ++

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Third tranche of relational operators, beyond the reference's own
+  * surface (SURVEY.md §2.3/§2.4/§2.5/§2.7 families, widened): full
+  * outer join, INTERSECT/EXCEPT set ops, pivot/unpivot, the ranking
+  * window family, CUBE grouping sets, and exact statistical moments.
+  *
+  * The reference expresses set-difference as anti joins and never
+  * needs a full outer join or pivot (SURVEY §2.3/§2.7 "not present"
+  * notes) — these close that gap so a user can run the standard
+  * relational algebra end to end on this engine.
+  */
+object Relational3 {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // Full outer join: per-user purchase totals ⟗ click totals. Both
+    // sides are aggregates missing different users, so unmatched rows
+    // survive from each side. At scale this is a plain shuffled hash
+    // join on the (already aggregated, so small) per-key rows.
+    Q("j14_full_outer",
+      "full outer join of two per-user aggregates with both-side misses",
+      s"""WITH p AS (SELECT user_id, count(*) AS n_purch, ${dsumSql("value")} AS spent
+         |           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |c AS (SELECT user_id, count(*) AS n_click
+         |      FROM events WHERE event_type = 'click' GROUP BY user_id)
+         |SELECT coalesce(p.user_id, c.user_id) AS user_id,
+         |  p.user_id IS NOT NULL AS has_purch,
+         |  c.user_id IS NOT NULL AS has_click,
+         |  coalesce(p.n_purch, 0) AS n_purch,
+         |  coalesce(p.spent, 0.0) AS spent,
+         |  coalesce(c.n_click, 0) AS n_click
+         |FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase").groupBy("user_id")
+        .agg(count(lit(1)).as("n_purch"), dsum(col("value")).as("spent"))
+        .withColumnRenamed("user_id", "p_user")
+      val c = ev.filter(col("event_type") === "click").groupBy("user_id")
+        .agg(count(lit(1)).as("n_click"))
+        .withColumnRenamed("user_id", "c_user")
+      p.join(c, col("p_user") === col("c_user"), "full_outer")
+        .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+          col("p_user").isNotNull.as("has_purch"),
+          col("c_user").isNotNull.as("has_click"),
+          coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+          coalesce(col("spent"), lit(0.0)).as("spent"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // INTERSECT — users present in BOTH behavior sets. Spark plans
+    // this as a left-semi over distinct inputs; same dedup semantics
+    // as SQL INTERSECT (not INTERSECT ALL).
+    Q("u4_intersect",
+      "set intersection of two projections (INTERSECT semantics)",
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "purchase").select("user_id")
+        .intersect(ev.filter(col("event_type") === "view").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // EXCEPT — users who clicked but never purchased. The reference
+    // writes this shape as a left anti join (J6); EXCEPT adds the
+    // distinct-projection semantics on top.
+    Q("u5_except",
+      "set difference of two projections (EXCEPT semantics)",
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "click").select("user_id")
+        .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // PIVOT — event_type rows to per-type count columns. The value
+    // list is EXPLICIT (EventTypes): with an inferred list Spark runs
+    // an extra distinct job and the output schema depends on the data,
+    // which at 100 TB is both a wasted pass and a schema hazard.
+    Q("p11_pivot",
+      "pivot rows to typed count columns (explicit value list)",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id").pivot("event_type", EventTypes).agg(count(lit(1)))
+        .select(col("user_id") +: EventTypes.map(et =>
+          coalesce(col(et), lit(0L)).as(s"n_$et")): _*)
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // UNPIVOT — melt the pivoted counts back to (user_id, metric, n)
+    // rows: the pivot→unpivot round trip, minus the zero cells the
+    // pivot materialized (kept: they are real information the melt
+    // preserves). Spark's native unpivot is a narrow map — no shuffle.
+    Q("u6_unpivot",
+      "unpivot typed count columns back to rows (pivot round trip)",
+      """WITH p AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+        |    count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |    count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+        |    count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, metric, n FROM (
+        |  SELECT user_id, 'n_click' AS metric, n_click AS n FROM p
+        |  UNION ALL SELECT user_id, 'n_error', n_error FROM p
+        |  UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM p
+        |  UNION ALL SELECT user_id, 'n_signup', n_signup FROM p
+        |  UNION ALL SELECT user_id, 'n_view', n_view FROM p)
+        |ORDER BY user_id, metric""".stripMargin) { (s, d) =>
+      val pivoted = t(s, d, "events")
+        .groupBy("user_id").pivot("event_type", EventTypes).agg(count(lit(1)))
+        .select(col("user_id") +: EventTypes.map(et =>
+          coalesce(col(et), lit(0L)).as(s"n_$et")): _*)
+      pivoted.unpivot(
+        ids = Array(col("user_id")),
+        values = EventTypes.map(et => col(s"n_$et")).toArray,
+        variableColumnName = "metric",
+        valueColumnName = "n")
+        .orderBy("user_id", "metric")
+    },
+
+    // ---------------------------------------------------------------
+    // The ranking window family beyond ROW_NUMBER (the only one the
+    // reference uses, SURVEY §2.5): dense_rank / percent_rank /
+    // cume_dist / ntile over one ordered partition. The ORDER BY
+    // includes the unique o_orderkey tiebreak, so every function is
+    // deterministic and percent_rank's single IEEE division is
+    // bit-identical cross-engine.
+    Q("w6_rank_family",
+      "dense_rank / percent_rank / cume_dist / ntile over one window",
+      """SELECT o_orderkey, o_custkey,
+        |  dense_rank()   OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist()    OVER w AS cdist,
+        |  ntile(4)       OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
+    // CUBE — all 2^k grouping-set combinations (a13_rollup covers the
+    // hierarchical prefix sets). Spark expands grouping sets BELOW the
+    // shuffle, so map-side partial aggregation still applies to every
+    // set — the scan stays single-pass.
+    Q("a15_cube",
+      "cube subtotals over two dimensions with grouping flags",
+      s"""SELECT c_mktsegment, c_nationkey,
+         |  cast(grouping(c_mktsegment) as bigint) AS g_seg,
+         |  cast(grouping(c_nationkey) as bigint) AS g_nat,
+         |  count(*) AS n, ${dsumSql("c_acctbal")} AS total_bal
+         |FROM customer
+         |GROUP BY CUBE (c_mktsegment, c_nationkey)
+         |ORDER BY g_seg, g_nat, c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+          grouping(col("c_nationkey")).cast("long").as("g_nat"),
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .select("c_mktsegment", "c_nationkey", "g_seg", "g_nat", "n", "total_bal")
+        .orderBy("g_seg", "g_nat", "c_mktsegment", "c_nationkey")
+    },
+
+    // ---------------------------------------------------------------
+    // Exact statistical moments (variance / correlation). Built-in
+    // stddev/corr accumulate doubles in partial-aggregation order, so
+    // their low-order bits differ run to run AND engine to engine —
+    // unusable under a hash gate, and silently irreproducible at
+    // scale. Discipline instead: scale the 2-decimal money column to
+    // exact integer cents, sum xi / xi² / xi·yi as exact integers
+    // (decimal(38,0) where bigint could overflow — Σ(cents²) at 100 TB
+    // is ~1e25), and only THEN do a fixed, parenthesized sequence of
+    // IEEE ops. Every double op is a single correctly-rounded
+    // operation on identical inputs → bit-identical cross-engine, and
+    // the integer sums stay map-side combinable like any other sum.
+    Q("a16_moments",
+      "exact integer-sum variance and correlation (reproducible moments)",
+      """WITH c AS (SELECT l_returnflag,
+        |             cast(l_quantity as bigint) AS q,
+        |             cast(round(l_extendedprice * 100) as bigint) AS p
+        |           FROM lineitem),
+        |g AS (SELECT l_returnflag, count(*) AS n,
+        |        sum(q) AS sq, sum(p) AS sp,
+        |        sum(cast(q * q as decimal(38,0))) AS sqq,
+        |        sum(cast(p * p as decimal(38,0))) AS spp,
+        |        sum(cast(q * p as decimal(38,0))) AS sqp
+        |      FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(cast(sq as double) / cast(n as double), 6) AS mean_qty,
+        |  round(sqrt(cast(cast(n as decimal(38,0)) * sqq - cast(sq as decimal(38,0)) * cast(sq as decimal(38,0)) as double))
+        |        / cast(n as double), 6) AS sd_qty,
+        |  round(sqrt(cast(cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * cast(sp as decimal(38,0)) as double))
+        |        / cast(n as double) / 100.0, 6) AS sd_price,
+        |  round(cast(cast(n as decimal(38,0)) * sqp - cast(sq as decimal(38,0)) * cast(sp as decimal(38,0)) as double)
+        |        / (sqrt(cast(cast(n as decimal(38,0)) * sqq - cast(sq as decimal(38,0)) * cast(sq as decimal(38,0)) as double))
+        |           * sqrt(cast(cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * cast(sp as decimal(38,0)) as double))),
+        |        6) AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val c = t(s, d, "lineitem").selectExpr(
+        "l_returnflag",
+        "cast(l_quantity as bigint) AS q",
+        "cast(round(l_extendedprice * 100) as bigint) AS p")
+      // the cast to decimal happens PER ROW, inside the sum: a long
+      // sum of cents² overflows silently around 1e19 (per-row products
+      // still fit a long; their 100 TB total does not)
+      val g = c.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"),
+        sum((col("p") * col("p")).cast("decimal(38,0)")).as("spp"),
+        sum((col("q") * col("p")).cast("decimal(38,0)")).as("sqp"))
+      g.selectExpr(
+        "l_returnflag", "n",
+        "round(cast(sq as double) / cast(n as double), 6) AS mean_qty",
+        """round(sqrt(cast(cast(n as decimal(38,0)) * sqq - cast(sq as decimal(38,0)) * cast(sq as decimal(38,0)) as double))
+          |      / cast(n as double), 6) AS sd_qty""".stripMargin,
+        """round(sqrt(cast(cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * cast(sp as decimal(38,0)) as double))
+          |      / cast(n as double) / 100.0, 6) AS sd_price""".stripMargin,
+        """round(cast(cast(n as decimal(38,0)) * sqp - cast(sq as decimal(38,0)) * cast(sp as decimal(38,0)) as double)
+          |      / (sqrt(cast(cast(n as decimal(38,0)) * sqq - cast(sq as decimal(38,0)) * cast(sq as decimal(38,0)) as double))
+          |         * sqrt(cast(cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * cast(sp as decimal(38,0)) as double))),
+          |      6) AS corr_qty_price""".stripMargin)
+        .orderBy("l_returnflag")
+    }
+  )
+}

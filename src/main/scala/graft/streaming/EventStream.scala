@@ -106,16 +106,29 @@ object EventStream {
   /** Run a streaming DataFrame to completion into an in-memory table
     * and return the result (AvailableNow = process everything queued,
     * then stop — the batch-replay trigger).
+    *
+    * Stateful operators pin `spark.sql.shuffle.partitions` into the
+    * checkpoint at first run, and every micro-batch pays state-store
+    * snapshot+commit I/O PER PARTITION regardless of row count — so the
+    * state partitioning should be sized to state volume, not to the
+    * session's scan parallelism. These replays hold a few MB of state;
+    * 8 partitions cuts the fixed checkpoint cost ~4x vs inheriting the
+    * session's 32. On a real cluster this is the same knob, sized up.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
