@@ -261,6 +261,70 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // IVF with MULTI-PROBE: visit the 2 nearest centroid lists instead
+    // of 1. Single-probe IVF loses neighbors that quantize across a
+    // Voronoi boundary from the query; probing the runner-up list is
+    // the standard recall fix and keeps the scan list-bounded (2/nlist
+    // of the data). At scale the list id is a partition column, so
+    // this is 2 partition reads — same pruning story as k2's buckets.
+    Q("k7_ann_ivf_multiprobe",
+      "IVF ANN probing the 2 nearest centroid lists, exact rerank",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |flat AS (SELECT label, i, v[i + 1] AS val
+           |         FROM e, (SELECT unnest(range(0, $Dims)) AS i)),
+           |dimavg AS (SELECT label, i,
+           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+           |      / cast(count(*) as double) AS m
+           |  FROM flat GROUP BY label, i),
+           |cent AS (SELECT label,
+           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS c
+           |  FROM dimavg GROUP BY label),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |pick AS (SELECT cent.label FROM cent, q
+           |  ORDER BY ${SqlDuck.foldD(SqlDuck.seq0(Dims.toString), "a_", "i_",
+               s"a_ + (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})" +
+                 s" * (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})")},
+           |           cent.label LIMIT 2)
+           |SELECT vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n, q WHERE n.label IN (SELECT label FROM pick) AND vec_id != 0
+           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+        .select("vec_id", "label", "v", "n2")
+      val flat = e.select(col("label"), posexplode(col("v")))
+        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
+      val dimavg = flat.groupBy("label", "i")
+        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"), "a_", "x_", "a_ + x_"))
+          / count(lit(1)).cast("double")).as("m"))
+      val cent = dimavg.groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)").as("c"))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cent.crossJoin(broadcast(q))
+        .withColumn("d2", expr(SqlSpark.foldD(SqlSpark.seq0(Dims.toString), "a_", "i_",
+          "a_ + (element_at(qv, i_ + 1) - element_at(c, i_ + 1))" +
+            " * (element_at(qv, i_ + 1) - element_at(c, i_ + 1))")))
+        .orderBy(col("d2"), col("label"))
+        .limit(2)
+        .select("label")
+      n.join(broadcast(pick), Seq("label"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
     Q("k3_ann_ivf",
       "IVF-style ANN: per-label centroids, probe nearest list, rerank",
       {
