@@ -16,6 +16,10 @@ object Relational3 {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** One pivoted count cell: count(when(...)) counts only matches. */
+  private def countWhen(et: String) =
+    count(when(col("event_type") === et, 1)).as(s"n_$et")
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -87,12 +91,16 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
-    // PIVOT — event_type rows to per-type count columns. The value
-    // list is EXPLICIT (EventTypes): with an inferred list Spark runs
-    // an extra distinct job and the output schema depends on the data,
-    // which at 100 TB is both a wasted pass and a schema hazard.
+    // PIVOT — event_type rows to per-type count columns, as ONE
+    // conditional aggregation. Spark's `.pivot()` API (even with an
+    // explicit value list) plans TWO aggregations — groupBy(key,
+    // pivot_col) then a pivotfirst re-agg — i.e. an extra shuffle of
+    // the whole keyspace (verified in PlanSpec). The when()-projected
+    // form is the scale-correct pivot: one partial+final aggregate,
+    // map-side combinable, one shuffle. The value list is explicit
+    // either way: schema must not depend on the data.
     Q("p11_pivot",
-      "pivot rows to typed count columns (explicit value list)",
+      "pivot rows to typed count columns (single-shuffle conditional agg)",
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click')    AS n_click,
         |  count(*) FILTER (WHERE event_type = 'error')    AS n_error,
@@ -101,9 +109,8 @@ object Relational3 {
         |  count(*) FILTER (WHERE event_type = 'view')     AS n_view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       t(s, d, "events")
-        .groupBy("user_id").pivot("event_type", EventTypes).agg(count(lit(1)))
-        .select(col("user_id") +: EventTypes.map(et =>
-          coalesce(col(et), lit(0L)).as(s"n_$et")): _*)
+        .groupBy("user_id")
+        .agg(countWhen(EventTypes.head), EventTypes.tail.map(countWhen): _*)
         .orderBy("user_id")
     },
 
@@ -130,9 +137,8 @@ object Relational3 {
         |  UNION ALL SELECT user_id, 'n_view', n_view FROM p)
         |ORDER BY user_id, metric""".stripMargin) { (s, d) =>
       val pivoted = t(s, d, "events")
-        .groupBy("user_id").pivot("event_type", EventTypes).agg(count(lit(1)))
-        .select(col("user_id") +: EventTypes.map(et =>
-          coalesce(col(et), lit(0L)).as(s"n_$et")): _*)
+        .groupBy("user_id")
+        .agg(countWhen(EventTypes.head), EventTypes.tail.map(countWhen): _*)
       pivoted.unpivot(
         ids = Array(col("user_id")),
         values = EventTypes.map(et => col(s"n_$et")).toArray,

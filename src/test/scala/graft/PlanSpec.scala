@@ -72,4 +72,51 @@ class PlanSpec extends SparkSpec {
     val p = plan("j6_anti")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("t8: bm25 broadcasts the 1-row corpus stats; top-k is TakeOrdered") {
+    // corpus stats come back as a broadcast, never a shuffle of the
+    // doc side; top-20 must not sort the full corpus
+    val p = plan("t8_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d8: fuzzy matching is an equi-join on block keys, never a cartesian") {
+    val p = plan("d8_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // blocked join keys present as join condition (hash or sort-merge ok)
+    assert(p.contains("Join"), p)
+  }
+
+  test("p11: pivot is one partial+final aggregation — not .pivot()'s double shuffle") {
+    // Dataset.pivot (even with an explicit value list) plans
+    // groupBy(key, pivot_col) THEN a pivotfirst re-agg — two shuffles
+    // of the keyspace. The conditional-agg form used by p11 is the
+    // scale-correct pivot: one shuffle, map-side combinable.
+    val p = plan("p11_pivot")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("pivotfirst"), "should not use the double-agg pivot path:\n" + p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + order), got $exchanges:\n$p")
+  }
+
+  test("u6: unpivot is a narrow Expand — no extra shuffle beyond agg + order") {
+    val p = plan("u6_unpivot")
+    assert(p.contains("Expand"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$p")
+  }
+
+  test("a16: moment sums aggregate partially (map-side combinable integer sums)") {
+    val p = plan("a16_moments")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("u4/u5: set ops plan as joins over aggregates, not nested loops") {
+    assert(!plan("u4_intersect").contains("CartesianProduct"))
+    assert(!plan("u5_except").contains("CartesianProduct"))
+  }
 }
