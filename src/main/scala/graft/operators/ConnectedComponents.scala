@@ -47,6 +47,13 @@ object ConnectedComponents {
       .cache()
     var it = 0
     var converged = false
+    // labels only ever DECREASE, so Σ(component) is strictly monotone
+    // down until the fixpoint: an unchanged sum == converged. The probe
+    // is a tiny map-side-combinable aggregate (exact decimal — ids sum
+    // past a long at 100 TB), replacing a join of two n-row tables per
+    // round with an O(1)-output scan of the table we must materialize
+    // anyway.
+    var prevSum = BigDecimal(-1)
     while (!converged && it < maxIter) {
       // neighbor labels flow one hop; min with own label
       val nbr = sym.join(labels, sym("dst") === labels("node"))
@@ -54,14 +61,13 @@ object ConnectedComponents {
       val next = labels.unionByName(nbr)
         .groupBy("node").agg(min("component").as("component"))
         .cache()
-      // one action per round: the convergence probe both materializes
-      // `next` (so the parent cache can be dropped) and reads progress
-      val improved = next.join(
-        labels.withColumnRenamed("component", "prev"), Seq("node"))
-        .filter(col("component") < col("prev")).limit(1).count()
+      val curSum = BigDecimal(
+        next.agg(sum(col("component").cast("decimal(38,0)")))
+          .head().getDecimal(0))
       labels.unpersist()
       labels = next
-      converged = improved == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       it += 1
     }
     sym.unpersist()
