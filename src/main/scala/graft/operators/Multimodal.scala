@@ -103,6 +103,38 @@ object Multimodal {
 
   // ----------------------------------------------------- frame sample
 
+  // -------------------------------------------------- windowed energy
+
+  final case class AudioWindow(doc_id: Long, win_idx: Int, sum_sq: Long)
+
+  /** STUB audio decode ??? — treats payload bytes as unsigned 8-bit
+    * PCM samples and emits the exact integer energy (Σ sample²) of
+    * each full `winBytes` window. A real audio path decodes the
+    * container to PCM first and replaces only that read; the windowed
+    * flatMap shape, the exact-integer energy (floats would make the
+    * result partial-order-dependent), and the one-row-per-window
+    * contract stay.
+    */
+  def windowEnergy(media: Dataset[MediaRow], winBytes: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nWins = r.payload.length / winBytes
+      (0 until nWins).map { wi =>
+        var s = 0L
+        var i = wi * winBytes
+        val end = (wi + 1) * winBytes
+        while (i < end) {
+          val b = (r.payload(i) & 0xff).toLong
+          s += b * b
+          i += 1
+        }
+        AudioWindow(r.doc_id, wi, s)
+      }
+    }
+  }
+
+  // ----------------------------------------------------- frame sample
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** STUB frame sampling ??? — treats the payload as fixed-size

@@ -67,6 +67,40 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
+    // Audio-style windowed energy: payload bytes as unsigned 8-bit PCM,
+    // one row per full 50-sample window with exact integer energy and
+    // derived RMS + a silence flag. The energy is Σ sample² as a LONG —
+    // exact, so the cross-engine contract holds bit-for-bit; RMS is a
+    // fixed two-op IEEE derivation from it.
+    Q("m4_audio_energy",
+      "audio windowed RMS energy over the binary payload (stub PCM decode)",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val win = "substr(text, win_idx * 50 + 1, 50)"
+        val sumsq = dl.foldL(
+          dl.xform(dl.chars(win), "c_", dl.codepoint("c_")),
+          0, "a_", "x_", "a_ + x_ * x_")
+        s"""WITH w AS (
+           |  SELECT doc_id, text,
+           |    unnest(range(0, cast(floor(length(text) / 50) as bigint))) AS win_idx
+           |  FROM documents)
+           |SELECT doc_id, win_idx, $sumsq AS sum_sq,
+           |  round(sqrt(cast($sumsq as double) / 50.0), 6) AS rms,
+           |  sqrt(cast($sumsq as double) / 50.0) < 100.0 AS is_quiet
+           |FROM w ORDER BY doc_id, win_idx""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      Multimodal.windowEnergy(Multimodal.mediaTable(s, d), winBytes = 50)
+        .toDF()
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("sum_sq"),
+          round(sqrt(col("sum_sq").cast("double") / 50.0), 6).as("rms"),
+          (sqrt(col("sum_sq").cast("double") / 50.0) < 100.0).as("is_quiet"))
+        .orderBy("doc_id", "win_idx")
+    },
+
+    // ---------------------------------------------------------------
     // Resize as a gate query: keep every 3rd byte (the stub's
     // decimation). Oracle rebuilds the same byte subsequence with a
     // list comprehension over substr and hashes it — so the resized
