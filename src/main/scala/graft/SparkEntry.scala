@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.Relational2.all ++
       graft.queries.Relational3.all ++
       graft.queries.RetrievalOps.all ++
+      graft.queries.EventAnalytics.all ++
       graft.queries.TextOps.all ++
       graft.queries.Dedup.all ++
       graft.queries.Similarity.all ++

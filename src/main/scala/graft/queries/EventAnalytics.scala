@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Event-pipeline analytics over the `events` stream table: ordered
+  * funnel conversion and cohort retention — the two queries every
+  * event warehouse serves daily. Both are pure composition of
+  * operators already proved in the catalog (conditional min-aggs,
+  * semi-join step gating, date bucketing, distinct counts), arranged
+  * in the shapes that survive scale: per-step aggregates are
+  * map-side combinable and each step join is key-bounded.
+  */
+object EventAnalytics {
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // Ordered funnel: signup → view (at-or-after the signup) →
+    // purchase (at-or-after that view). Each step is a key-bounded
+    // join against the previous step's 1-row-per-user aggregate, so
+    // step k scans only step k-1 survivors — the funnel narrows the
+    // data, not just the numbers. Conversion is a single IEEE division
+    // on exact counts.
+    Q("e1_funnel",
+      "ordered 3-step funnel (signup -> view -> purchase) with conversion rate",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_viewed,
+        |       (SELECT count(*) FROM s3) AS n_converted,
+        |       round(cast((SELECT count(*) FROM s3) as double)
+        |             / cast((SELECT count(*) FROM s1) as double), 6) AS conversion""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_viewed")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_converted")))
+        .select(col("n_signup"), col("n_viewed"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_signup").cast("double"), 6)
+            .as("conversion"))
+    },
+
+    // ---------------------------------------------------------------
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per (cohort, day-offset) cell. The first-seen aggregate
+    // joins back key-bounded; the cell count is a distinct count per
+    // grid cell. Output is the full retention triangle.
+    Q("e2_cohort_retention",
+      "cohort-by-first-day retention triangle (distinct active users per offset)",
+      """WITH f AS (SELECT user_id, min(cast(ts as date)) AS d0
+        |           FROM events GROUP BY user_id)
+        |SELECT f.d0 AS cohort_day,
+        |       date_diff('day', f.d0, cast(e.ts as date)) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val f = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+      ev.join(f, Seq("user_id"))
+        .select(col("d0").as("cohort_day"),
+          datediff(to_date(col("ts")), col("d0")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    }
+  )
+}

@@ -95,6 +95,44 @@ object StreamingOps {
         .orderBy("purchase_id", "click_id")
     },
 
+    // The streaming incremental materialized view: each micro-batch's
+    // per-user delta is ADDITIVELY merged into a stored table via
+    // foreachBatch (read-modify-swap through TableStore). The replay is
+    // forced into 4 micro-batches (staged files + maxFilesPerTrigger=1
+    // — a lone file never splits), so the cross-batch merge path
+    // actually runs; counts and exact decimal
+    // sums are associative, so the final table equals the batch
+    // aggregate — which is the oracle. This is the streaming form of
+    // I1's watermark upsert, and the standard production pattern for
+    // keeping a serving aggregate fresh without recomputing it.
+    Q("st6_stream_upsert",
+      "foreachBatch additive upsert over a multi-batch replay == batch aggregate",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st6")
+      val path = tmp.resolve("t").toString
+      val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
+        tmp.resolve("stage").toString, nFiles = 4)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        val delta = batch.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,2)")).as("total"))
+        val merged =
+          if (!TableStore.exists(s, path)) delta
+          else TableStore.read(s, path)
+            .join(delta.select("user_id"), Seq("user_id"), "left_semi")
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        TableStore.upsertByKey(s, path, merged, Seq("user_id"))
+      }
+      TableStore.read(s, path)
+        .select(col("user_id"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+
     Q("st2_sessionize",
       "flatMapGroupsWithState gap sessionization == SQL gaps-and-islands",
       """WITH o AS (

@@ -37,6 +37,23 @@ object EventStream {
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** A genuinely MULTI-batch replay: the file source admits whole
+    * files per micro-batch (a single file is never split), so the
+    * events are staged as `nFiles` parquet files and streamed with
+    * maxFilesPerTrigger=1 → one micro-batch per file. This is the
+    * shape that actually exercises cross-batch state/merge logic — a
+    * single-batch replay makes any per-batch bug invisible — and it
+    * mirrors production, where files land over time.
+    */
+  def stagedFileStream(spark: SparkSession, events: DataFrame,
+      stageDir: String, nFiles: Int): DataFrame = {
+    events.repartition(nFiles).write.parquet(stageDir)
+    spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+  }
+
   /** Tumbling daily windowed aggregation with a 1-hour watermark.
     * Complete output mode so every window is emitted even at the tail
     * of a replay (append would hold back unclosed windows).
@@ -130,5 +147,24 @@ object EventStream {
       q.awaitTermination()
     } finally spark.conf.set(key, prev)
     spark.table(name)
+  }
+
+  /** Run a stream to completion through foreachBatch — the sink shape
+    * for streaming incremental materialized views (each micro-batch
+    * merges its delta into a stored table). Same state-partitioning
+    * discipline as [[runToMemory]].
+    */
+  def runForeachBatch(spark: SparkSession, streamed: DataFrame)(
+      fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streamed.writeStream
+        .foreachBatch(fn)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
   }
 }
