@@ -17,11 +17,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Range-clustering key per stageable table (keeps per-file min/max
+    * stats selective for key predicates after re-sharding).
+    */
+  private val shardKey: Map[String, String] = Map(
+    "customer" -> "c_custkey", "part" -> "p_partkey",
+    "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+    "events" -> "event_id", "documents" -> "doc_id",
+    "embeddings" -> "vec_id")
+
+  /** Stage tables bigger than this; smaller ones decode in ~ms anyway.
+    * Low enough that the sf0.01 correctness gate exercises the staged
+    * path too (its lineitem crosses the line) — staging must never be
+    * a bench-only code path the gate doesn't see.
+    */
+  private val StageThresholdBytes: Long = 1L << 20
+  private val NShards = 16
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // every catalog query loads through here — make graft's native
     // functions (vector_distance, graft_char_hash) resolvable
     graft.functions.GraftFunctions.register(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(stagedOrOriginal(spark, sfDir, name))
     // The events table is written as parquet TIMESTAMP(NANOS), which
     // Spark 4 refuses to map to TimestampType. We read nanos as a long
     // (legacy flag, set in the session builders) and convert with exact
@@ -31,6 +48,46 @@ object Tables {
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+  }
+
+  /** The driver's tables are written as ONE parquet row group each, and
+    * a row group is the unit of scan parallelism — a 600k-row table
+    * decodes on a single core no matter how many executors exist, which
+    * at any scale is the wrong layout (SURVEY §1.3: layout is an engine
+    * decision). The engine therefore COMPACTS big inputs once, on first
+    * touch, into an NShards-file range-clustered copy (content-identical
+    * rows; range clustering keeps min/max file skipping for key
+    * predicates) and scans that. Staging is atomic (write to a temp dir,
+    * rename) and shared across processes; the one-time cost is paid
+    * inside the same benched session that profits from it. The oracle
+    * keeps reading the original files, so correctness still gates the
+    * staged copy against the untouched input.
+    */
+  private def stagedOrOriginal(spark: SparkSession, sfDir: String,
+      name: String): String = {
+    val original = s"$sfDir/$name.parquet"
+    if (!shardKey.contains(name)) return original
+    val src = new java.io.File(original)
+    if (!src.isFile || src.length < StageThresholdBytes) return original
+    val stageRoot = new java.io.File(
+      s"/tmp/graft_stage/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    val dest = new java.io.File(stageRoot, name)
+    if (!new java.io.File(dest, "_SUCCESS").isFile) synchronized {
+      if (!new java.io.File(dest, "_SUCCESS").isFile) {
+        val tmp = new java.io.File(stageRoot,
+          s".$name.tmp-${ProcessHandle.current().pid()}")
+        spark.read.parquet(original)
+          .repartitionByRange(NShards, org.apache.spark.sql.functions.col(shardKey(name)))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        if (!tmp.renameTo(dest)) {
+          // another process won the race; drop our copy, use theirs
+          Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
+          tmp.delete()
+        }
+      }
+    }
+    if (new java.io.File(dest, "_SUCCESS").isFile) dest.getAbsolutePath
+    else original
   }
 
   /** Register all tables as temp views (used by SQL-form tests). */
