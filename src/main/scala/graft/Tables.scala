@@ -28,10 +28,10 @@ object Tables {
 
   /** Stage tables bigger than this; smaller ones decode in ~ms anyway.
     * Low enough that the sf0.01 correctness gate exercises the staged
-    * path too (its lineitem crosses the line) — staging must never be
-    * a bench-only code path the gate doesn't see.
+    * path too (its ~1.04 MB lineitem crosses the line) — staging must
+    * never be a bench-only code path the gate doesn't see.
     */
-  private val StageThresholdBytes: Long = 1L << 20
+  private val StageThresholdBytes: Long = 512L << 10
   private val NShards = 16
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
