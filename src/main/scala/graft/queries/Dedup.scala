@@ -302,6 +302,75 @@ object Dedup {
     },
 
     // ---------------------------------------------------------------
+    // INCREMENTAL near-dup dedup — the daily-crawl production shape:
+    // a new batch (doc_id % 5 = 4, ~20%) is deduped against the
+    // existing corpus + itself WITHOUT ever comparing old x old. Only
+    // the increment's bands drive the join, so the candidate work is
+    // |increment|-bounded — at 100 TB of corpus and a 0.1% daily
+    // increment, that is the difference between a job and no job.
+    // Policy (deterministic): a new doc drops if it near-dups any old
+    // doc, or any new doc with a smaller id.
+    Q("d9_incremental_dedup",
+      "new-batch dedup against existing corpus (increment-bounded LSH join)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
+           |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
+           |new_bands AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS na, b.doc_id AS ob, b.doc_id % 5 = 4 AS b_new
+           |  FROM new_bands a JOIN bands b
+           |    ON a.bi = b.bi AND a.bk = b.bk AND b.doc_id != a.doc_id
+           |  WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
+           |agg AS (
+           |  SELECT na,
+           |    count(DISTINCT CASE WHEN NOT b_new THEN ob END) AS n_dup_old,
+           |    count(DISTINCT CASE WHEN b_new AND ob < na THEN ob END) AS n_dup_new_prior
+           |  FROM cand GROUP BY na)
+           |SELECT s.doc_id,
+           |  coalesce(a.n_dup_old, 0) AS n_dup_old,
+           |  coalesce(a.n_dup_new_prior, 0) AS n_dup_new_prior,
+           |  coalesce(a.n_dup_old, 0) = 0 AND coalesce(a.n_dup_new_prior, 0) = 0 AS kept
+           |FROM sh s LEFT JOIN agg a ON s.doc_id = a.na
+           |WHERE s.doc_id % 5 = 4
+           |ORDER BY s.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val bands = sh
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
+      // ONLY the increment on the driving side — old x old never joins
+      val a = bands.filter(col("doc_id") % 5 === 4)
+        .select(col("bi"), col("bk"), col("doc_id").as("na"), col("sh").as("sh_a"))
+      val b = bands.select(col("bi"), col("bk"), col("doc_id").as("ob"),
+        col("sh").as("sh_b"))
+      val cand = a.join(b, Seq("bi", "bk"))
+        .filter(col("ob") =!= col("na")
+          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+        .select(col("na"), col("ob"), (col("ob") % 5 === 4).as("b_new"))
+        .distinct()
+      val agg = cand.groupBy("na").agg(
+        countDistinct(when(!col("b_new"), col("ob"))).as("n_dup_old"),
+        countDistinct(when(col("b_new") && col("ob") < col("na"), col("ob")))
+          .as("n_dup_new_prior"))
+      sh.filter(col("doc_id") % 5 === 4)
+        .join(agg, col("doc_id") === col("na"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_old"), lit(0L)).as("n_dup_old"),
+          coalesce(col("n_dup_new_prior"), lit(0L)).as("n_dup_new_prior"),
+          (coalesce(col("n_dup_old"), lit(0L)) === 0
+            && coalesce(col("n_dup_new_prior"), lit(0L)) === 0).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
     // Distances through the codegen'd native expression — the oracle
     // states the identical interleaved-fold formula. Near-dup = cosine
     // distance <= 0.6 (sim >= 0.4).

@@ -256,6 +256,36 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // n-gram counts — the LM-training counts table (tokenizer
+    // training, contamination checks, stop-gram lists all read this).
+    // Explode word bigrams, count, keep the head of the distribution.
+    // Scale shape: one narrow map + one partial-agg shuffle; the
+    // explode multiplies rows ~|doc| but the partial aggregate
+    // collapses them map-side before anything moves.
+    Q("t10_bigram_counts",
+      "corpus bigram counts: top-100 word bigrams by frequency",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        val bigrams = dl.xform(dl.seq0(s"${dl.arrSize("w")} - 1"), "i_",
+          s"${dl.idx("w", "i_")} || ' ' || ${dl.idx("w", "i_ + 1")}")
+        s"""WITH w AS (SELECT doc_id, $w AS w FROM documents),
+           |bg AS (SELECT unnest($bigrams) AS bigram FROM w)
+           |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+           |ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val bigrams = dl.xform(dl.seq0(s"${dl.arrSize("w")} - 1"), "i_",
+        s"concat(${dl.idx("w", "i_")}, ' ', ${dl.idx("w", "i_ + 1")})")
+      t(s, d, "documents")
+        .withColumn("w", expr(XSql.words("text")))
+        .select(explode(expr(bigrams)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(100)
+    },
+
+    // ---------------------------------------------------------------
     Q("t4_fingerprint",
       "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima (CSV-flattened for the gate)",
       {
