@@ -241,7 +241,12 @@ object TextOps {
       val terms = docs.select(col("doc_id"),
         explode(expr(XSql.words("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      tf.cache()
+      // df derives from tf — one row per (doc, term) already — instead
+      // of re-shuffling the full exploded term stream through a
+      // distinct; at corpus scale that second shuffle is the job, and
+      // the cache stops the explode+agg from running once per branch
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df), Seq("term"))
         .crossJoin(broadcast(nDocs))
