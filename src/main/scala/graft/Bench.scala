@@ -36,6 +36,11 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val results = measured.map { case (name, fn) =>
+      // queries cache intermediates (shingle tables etc.) and cannot
+      // unpersist them before returning; dropping the cache between
+      // queries keeps each measurement self-contained instead of
+      // letting earlier queries' blocks squat on storage memory
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
