@@ -19,11 +19,14 @@ object Bench {
     // trigger the one-time scan-parallelism staging for every table so
     // its cost doesn't land inside whichever measured query touches a
     // table first.
-    try {
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n))
-      SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    // per-item try: one failed staging must not skip the rest of the
+    // warmup (the swallowed cost would land inside measured queries)
+    def warm(tag: String)(f: => Unit): Unit =
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $tag failed: ${e.getMessage}") }
+    Tables.names.foreach(n => warm(n)(Tables.load(spark, sfDir, n)))
+    warm("q1")(SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
     // noop sink: evaluates every output column (count() would let
     // Catalyst prune expensive projections and under-report)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -69,9 +69,14 @@ object Tables {
     if (!shardKey.contains(name)) return original
     val src = new java.io.File(original)
     if (!src.isFile || src.length < StageThresholdBytes) return original
-    val stageRoot = new java.io.File(
-      s"/tmp/graft_stage/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}")
-    val dest = new java.io.File(stageRoot, name)
+    // cache key = full path hash + source size + mtime: a regenerated
+    // input (same path, new data) must MISS, or every query would
+    // silently read stale staged rows while the oracle reads the new
+    // originals; the hash also keeps distinct dirs from colliding
+    val pathTag = Integer.toHexString(src.getAbsolutePath.hashCode)
+    val stageRoot = new java.io.File(s"/tmp/graft_stage/$pathTag")
+    val dest = new java.io.File(stageRoot,
+      s"$name-${src.length}-${src.lastModified}")
     if (!new java.io.File(dest, "_SUCCESS").isFile) synchronized {
       if (!new java.io.File(dest, "_SUCCESS").isFile) {
         val tmp = new java.io.File(stageRoot,

@@ -45,6 +45,9 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .cache()
+    // empty edge set → empty components (the sum-probe below would
+    // read sum(∅) = NULL and throw instead)
+    if (labels.isEmpty) { sym.unpersist(); return labels }
     var it = 0
     var converged = false
     // labels only ever DECREASE, so Σ(component) is strictly monotone
@@ -71,6 +74,14 @@ object ConnectedComponents {
       it += 1
     }
     sym.unpersist()
+    // exiting via the iteration cap means the labels have NOT reached
+    // the fixpoint — returning them would be silently wrong clusters.
+    // Real graphs with diameter > maxIter need the large-star/small-star
+    // variant (class doc); fail loudly rather than mislabel.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter too large for min-label propagation)")
     labels
   }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Spark => SqlSpark}
+
+/** The MinHash-LSH candidate machinery shared by every near-dup
+  * operator (d3/d7/d9, c1/c2/c3): signature → band keys → band-bucket
+  * self-join → exact-Jaccard verification. One implementation so a
+  * banding fix lands everywhere at once (the oracle SQL states the
+  * equivalent CTE chain per query — declarative text, checked by the
+  * gate against THIS code every round).
+  *
+  * Scale shape: candidates come from an equi-join on (band_idx,
+  * band_key) — never an all-pairs product; the shingle arrays ride
+  * through the band join so a colliding pair re-checks Jaccard at most
+  * once per band (the candidate-then-rejoin alternative costs two
+  * extra shuffles of the shingle table).
+  */
+object Lsh {
+
+  /** Band rows of a `(doc_id, sh)` table: one row per (band_idx,
+    * band_key) per doc, shingles carried. Docs with NULL signatures
+    * (< 3 words → empty shingle set) drop out here by construction.
+    */
+  def bands(sh: DataFrame): DataFrame = {
+    implicit val dl: XSql.Dialect = SqlSpark
+    sh.withColumn("sig", expr(XSql.minhashSig("sh")))
+      .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+  }
+
+  /** Verified near-dup pairs: distinct (doc_a < doc_b, jacc) with
+    * exact Jaccard >= `threshold`, candidates bounded by band
+    * collisions. The jaccard filter runs BEFORE the distinct so the
+    * dedup shuffles only matching pairs, not the full collision set.
+    */
+  def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    implicit val dl: XSql.Dialect = SqlSpark
+    val bs = bands(sh)
+    val a = bs.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bs.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "jacc").distinct()
+  }
+}

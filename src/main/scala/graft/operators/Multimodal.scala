@@ -29,13 +29,21 @@ object Multimodal {
 
   /** Synthesize a media table from `documents`: UTF-8 bytes stand in
     * for the opaque payload; metadata derived deterministically.
+    *
+    * The payload is sanitized to printable ASCII first so one byte ==
+    * one character == one codepoint. The byte-level operators (frames,
+    * resize, windowed energy) are compared against substr-arithmetic
+    * oracles over the text; without the sanitization a single
+    * multi-byte UTF-8 char would silently shift every byte offset
+    * relative to the oracle's character offsets.
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
         col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+        encode(regexp_replace(col("text"), "[^\\x20-\\x7E]", "?"), "UTF-8")
+          .as("payload"),
         lit("image/fake").as("media_type"),
         (col("n_chars") % 64 + 1).cast("int").as("width"),
         (col("n_chars") % 48 + 1).cast("int").as("height"))

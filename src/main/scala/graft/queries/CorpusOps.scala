@@ -66,18 +66,8 @@ object CorpusOps {
       val sh = joined
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
-      val ba = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_a"),
-        col("sh").as("sh_a"))
-      val bb = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_b"),
-        col("sh").as("sh_b"))
-      val textPairs = ba.join(bb, Seq("bi", "bk"))
-        .filter(col("doc_a") < col("doc_b")
-          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
-        .select(col("doc_a"), col("doc_b"), lit("text").as("signal")).distinct()
+      val textPairs = graft.operators.Lsh.verifiedPairs(sh, 0.5)
+        .select(col("doc_a"), col("doc_b"), lit("text").as("signal"))
       val n = joined.withColumn("n2", expr(XSql.norm2("v")))
       val na = n.select(col("label"), col("doc_id").as("doc_a"),
         col("v").as("v_a"), col("n2").as("n2_a"))
@@ -139,18 +129,8 @@ object CorpusOps {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select(col("doc_id"), expr(dl.arrSize("w")).as("n_tokens"), col("sh"))
       sh.cache()
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
-      val ba = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_a"),
-        col("sh").as("sh_a"))
-      val bb = bands.select(col("bi"), col("bk"), col("doc_id").as("doc_b"),
-        col("sh").as("sh_b"))
-      val pairs = ba.join(bb, Seq("bi", "bk"))
-        .filter(col("doc_a") < col("doc_b")
-          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
-        .select("doc_a", "doc_b").distinct()
+      val pairs = graft.operators.Lsh.verifiedPairs(
+        sh.select("doc_id", "sh"), 0.5).select("doc_a", "doc_b")
       val comp = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .withColumnRenamed("node", "c_doc_id")
       // keep: not in any cluster, or the cluster's representative
@@ -218,19 +198,8 @@ object CorpusOps {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "w", "sh")
       sh.cache()
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
-      val a = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val cand = a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      val drops = cand
-        .filter(expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+      val drops = graft.operators.Lsh.verifiedPairs(
+        sh.select("doc_id", "sh"), 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       sh.join(drops, Seq("doc_id"), "left_anti")
         .join(t(s, d, "documents").select("doc_id", "text"), Seq("doc_id"))

@@ -99,28 +99,13 @@ object Dedup {
       implicit val dl: Dialect = SqlSpark
       // native sorted shingles: jaccard/minhash are order-invariant,
       // and sorted inputs let the native intersect skip its per-pair
-      // sort (the dominant pairwise cost)
+      // sort (the dominant pairwise cost). The band machinery is the
+      // shared operators/Lsh implementation.
       val sh = t(s, d, "documents")
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       sh.cache()
-      // carry the shingles THROUGH the band join (the reference
-      // candidate-then-rejoin shape costs two extra shuffles; a pair
-      // colliding in several bands re-checks jaccard at most 4x, far
-      // cheaper than re-joining the shingle table twice)
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
-      val a = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
-        .filter(col("jacc") >= 0.5)
-        .select("doc_a", "doc_b", "jacc").distinct()
+      graft.operators.Lsh.verifiedPairs(sh, 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -284,18 +269,8 @@ object Dedup {
       val sh = t(s, d, "documents")
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
-      val a = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val pairs = a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("doc_a") < col("doc_b")
-          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.3)
-        .select("doc_a", "doc_b").distinct()
+      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.3)
+        .select("doc_a", "doc_b")
       graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
@@ -342,16 +317,14 @@ object Dedup {
       val sh = t(s, d, "documents")
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
-      val bands = sh
-        .withColumn("sig", expr(XSql.minhashSig("sh")))
-        .select(col("doc_id"), col("sh"), posexplode(expr(XSql.bandKeys("sig"))))
-        .withColumnsRenamed(Map("pos" -> "bi", "col" -> "bk"))
+      val bands = graft.operators.Lsh.bands(sh)
       // ONLY the increment on the driving side — old x old never joins
       val a = bands.filter(col("doc_id") % 5 === 4)
-        .select(col("bi"), col("bk"), col("doc_id").as("na"), col("sh").as("sh_a"))
-      val b = bands.select(col("bi"), col("bk"), col("doc_id").as("ob"),
-        col("sh").as("sh_b"))
-      val cand = a.join(b, Seq("bi", "bk"))
+        .select(col("band_idx"), col("band_key"),
+          col("doc_id").as("na"), col("sh").as("sh_a"))
+      val b = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("ob"), col("sh").as("sh_b"))
+      val cand = a.join(b, Seq("band_idx", "band_key"))
         .filter(col("ob") =!= col("na")
           && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
         .select(col("na"), col("ob"), (col("ob") % 5 === 4).as("b_new"))

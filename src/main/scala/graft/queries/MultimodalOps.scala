@@ -9,6 +9,14 @@ import graft.functions.XSql.{Duck => SqlDuck}
   */
 object MultimodalOps {
 
+  /** Oracle twin of [[Multimodal.mediaTable]]'s payload sanitization:
+    * printable ASCII only, so byte == character == codepoint and the
+    * substr-arithmetic oracles line up with byte offsets on ANY input,
+    * not just fixtures that happen to be ASCII.
+    */
+  private val SrcCte =
+    "src AS (SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '?', 'g') AS text FROM documents)"
+
   val all: Seq[Q] = Seq(
     Q("m1_media_features",
       "binary media column -> mapPartitions featurizer (stub decode)",
@@ -19,10 +27,11 @@ object MultimodalOps {
           s"cast(${dl.arrSize(dl.filt(chars, "c_", "unicode(c_) % 16 = k_"))} as bigint)")
         val sum = dl.foldL(dl.xform(chars, "c_", dl.codepoint("c_")), 0,
           "a_", "x_", "a_ + x_")
-        s"""SELECT doc_id, cast(length(text) as bigint) AS n_bytes,
+        s"""WITH $SrcCte
+           |SELECT doc_id, cast(length(text) as bigint) AS n_bytes,
            |  array_to_string(list_transform($hist, x_ -> cast(x_ as varchar)), ',') AS byte_hist_csv,
            |  cast($sum as double) / cast(length(text) as double) AS mean_byte
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM src ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.sql.functions._
       Multimodal.features(s, d)
@@ -44,11 +53,12 @@ object MultimodalOps {
       {
         implicit val dl: SqlDuck.type = SqlDuck
         val frame = "substr(text, frame_idx * 64 + 1, 64)"
-        s"""WITH f AS (
+        s"""WITH $SrcCte,
+           |f AS (
            |  SELECT doc_id, text,
            |    unnest(list_filter(range(0, cast(floor(length(text) / 64) as bigint)),
            |                       i_ -> i_ % 2 = 0)) AS frame_idx
-           |  FROM documents)
+           |  FROM src)
            |SELECT doc_id, frame_idx,
            |  cast(length($frame) as bigint) AS frame_bytes,
            |  ${graft.functions.XSql.charHash(frame)} AS frame_hash
@@ -80,10 +90,11 @@ object MultimodalOps {
         val sumsq = dl.foldL(
           dl.xform(dl.chars(win), "c_", dl.codepoint("c_")),
           0, "a_", "x_", "a_ + x_ * x_")
-        s"""WITH w AS (
+        s"""WITH $SrcCte,
+           |w AS (
            |  SELECT doc_id, text,
            |    unnest(range(0, cast(floor(length(text) / 50) as bigint))) AS win_idx
-           |  FROM documents)
+           |  FROM src)
            |SELECT doc_id, win_idx, $sumsq AS sum_sq,
            |  round(sqrt(cast($sumsq as double) / 50.0), 6) AS rms,
            |  sqrt(cast($sumsq as double) / 50.0) < 100.0 AS is_quiet
@@ -112,7 +123,8 @@ object MultimodalOps {
         val resized =
           "array_to_string(list_transform(range(0, cast(ceil(length(text) / 3.0) as bigint)), " +
             "i_ -> substr(text, cast(i_ * 3 + 1 as bigint), 1)), '')"
-        s"""WITH r AS (SELECT doc_id, $resized AS resized FROM documents)
+        s"""WITH $SrcCte,
+           |r AS (SELECT doc_id, $resized AS resized FROM src)
            |SELECT doc_id, cast(length(resized) as bigint) AS n_bytes,
            |  ${graft.functions.XSql.charHash("resized")} AS resized_hash
            |FROM r ORDER BY doc_id""".stripMargin

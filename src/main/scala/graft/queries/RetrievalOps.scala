@@ -76,6 +76,9 @@ object RetrievalOps {
           Terms.zipWithIndex.map { case (t_, i) =>
             s"${dl.arrSize(dl.filt("w", "x_", s"x_ = '$t_'"))} AS tf$i"
           }: _*)
+      // tf feeds both the stats branch and the scoring branch — cache
+      // it or the scan+tokenize (the dominant cost) runs twice
+      tf.cache()
       val stats = tf.selectExpr(
         Seq("count(*) AS nd", "sum(dl) AS sdl") ++
           Terms.indices.map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"): _*)

@@ -20,9 +20,9 @@ package object queries {
     def apply(name: String, doc: String, oracle: String)(
         run: (SparkSession, String) => DataFrame): Q =
       Q(name, doc, run, Some(oracle))
-    def noOracle(name: String, doc: String)(
-        run: (SparkSession, String) => DataFrame): Q =
-      Q(name, doc, run, None)
+    // no `noOracle` constructor: CatalogContractSpec holds the line
+    // that every query ships an oracle — nondeterministic ops state a
+    // STRUCTURAL oracle instead (see f16_uuid)
   }
 
   /** Deterministic cross-engine double sum: casting to decimal before

@@ -24,6 +24,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("empty edge set returns empty components (not an NPE)") {
+    assert(components(Seq.empty) == Map.empty)
+  }
+
+  test("exceeding maxIter fails loudly instead of returning wrong labels") {
+    import spark.implicits._
+    val path = (1L until 8L).map(i => (i + 1, i))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(path.toDF("a", "b"), maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("star and cycle shapes converge") {
     val star = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
     assert(components(star).values.toSet == Set(1L))
