@@ -140,6 +140,42 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------
+    // The "dataset card" rollup: per-(lang, source) corpus statistics —
+    // doc counts, token totals, length quantiles, exact-dup rate —
+    // every released dataset ships this table. One scan, one grouped
+    // aggregate (all map-side combinable except the exact median,
+    // which needs the group's values once — the documented trade vs
+    // approx_percentile at extreme cardinality).
+    Q("c4_dataset_card",
+      "per-(lang, source) dataset-card stats: counts, tokens, median length, dup rate",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH d AS (
+           |  SELECT lang, source, ${dl.arrSize(w)} AS n_tokens, n_chars,
+           |         ${XSql.charHash("text")} AS th
+           |  FROM documents)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  sum(n_tokens) AS total_tokens,
+           |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+           |  count(*) - count(DISTINCT th) AS n_exact_dups
+           |FROM d GROUP BY lang, source
+           |ORDER BY lang, source""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .selectExpr("lang", "source",
+          s"${dl.arrSize(XSql.words("text"))} AS n_tokens", "n_chars",
+          s"${XSql.charHash("text")} AS th")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"))
+        .orderBy("lang", "source")
+    },
+
     Q("c1_corpus_pipeline",
       "langid filter -> quality filter -> exact dedup -> LSH near-dup removal -> token stats",
       {
