@@ -201,6 +201,125 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
+    // The canonical 3-way fact join + top-N (TPC-H Q3 shape): filtered
+    // dimension broadcast into the fact join, big-big equi-join on the
+    // order key, decimal-exact revenue, TakeOrdered top-10. This is
+    // the bread-and-butter analytics plan whose shape must survive
+    // 100x: dim filter first, broadcast, one shuffle for the big join,
+    // partial aggregation, bounded result.
+    Q("q3_shipping_priority",
+      "3-way join + grouped revenue + top-10 (TPC-H Q3 shape)",
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+         |  o_orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // The deep snowflake (TPC-H Q5 shape): 6 tables, two big-big joins
+    // (orders-lineitem, lineitem-supplier), three broadcast dims, and
+    // the co-nation constraint (customer and supplier in the same
+    // nation) applied as a post-join filter. Region/nation prune the
+    // supplier side BEFORE the fact joins.
+    Q("q5_region_volume",
+      "6-way snowflake join with co-nation constraint (TPC-H Q5 shape)",
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---------------------------------------------------------------
+    // Outlier detection from exact moments: per-type z-scores computed
+    // from integer-cent sums (a16's discipline), top-20 by |z|. The
+    // stats are a tiny broadcast back over the stream — the scan is
+    // one pass for stats, one for scoring, both narrow.
+    Q("e3_outliers",
+      "top-20 per-type z-score outliers from exact integer-sum moments",
+      """WITH c AS (SELECT event_id, event_type,
+        |             cast(round(value * 100) as bigint) AS cents
+        |           FROM events),
+        |g AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
+        |             sum(cast(cents * cents as decimal(38,0))) AS scc
+        |      FROM c GROUP BY event_type)
+        |SELECT event_id, c.event_type,
+        |  round((cast(cents as double) - cast(sc as double) / cast(n as double))
+        |        / (sqrt(cast(cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * cast(sc as decimal(38,0)) as double))
+        |           / cast(n as double)), 6) AS z
+        |FROM c JOIN g ON c.event_type = g.event_type
+        |ORDER BY abs(round((cast(cents as double) - cast(sc as double) / cast(n as double))
+        |        / (sqrt(cast(cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * cast(sc as decimal(38,0)) as double))
+        |           / cast(n as double)), 6)) DESC, event_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      val c = t(s, d, "events").selectExpr(
+        "event_id", "event_type", "cast(round(value * 100) as bigint) AS cents")
+      val g = c.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("scc"))
+      c.join(broadcast(g), Seq("event_type"))
+        .withColumn("z", expr(
+          """round((cast(cents as double) - cast(sc as double) / cast(n as double))
+            |      / (sqrt(cast(cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * cast(sc as decimal(38,0)) as double))
+            |         / cast(n as double)), 6)""".stripMargin))
+        .select("event_id", "event_type", "z")
+        .orderBy(abs(col("z")).desc, col("event_id"))
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------------
     // Exact statistical moments (variance / correlation). Built-in
     // stddev/corr accumulate doubles in partial-aggregation order, so
     // their low-order bits differ run to run AND engine to engine —
