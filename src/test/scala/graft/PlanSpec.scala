@@ -115,6 +115,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q3: filtered dim broadcasts; top-10 is TakeOrdered, not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q5: snowflake dims broadcast around the fact joins") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("u4/u5: set ops plan as joins over aggregates, not nested loops") {
     assert(!plan("u4_intersect").contains("CartesianProduct"))
     assert(!plan("u5_except").contains("CartesianProduct"))
