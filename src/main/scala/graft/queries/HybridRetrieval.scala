@@ -27,11 +27,12 @@ object HybridRetrieval {
       {
         implicit val dl: Dialect = SqlDuck
         val w = XSql.words("text")
-        s"""WITH lex AS (
+        s"""WITH wt AS (SELECT doc_id, $w AS w FROM documents),
+           |lex AS (
            |  SELECT doc_id,
-           |    ${dl.arrSize(dl.filt(w, "x_", "x_ = 'join'"))}
-           |      + ${dl.arrSize(dl.filt(w, "x_", "x_ = 'vector'"))} AS hits
-           |  FROM documents),
+           |    ${dl.arrSize(dl.filt("w", "x_", "x_ = 'join'"))}
+           |      + ${dl.arrSize(dl.filt("w", "x_", "x_ = 'vector'"))} AS hits
+           |  FROM wt),
            |lex_top AS (
            |  SELECT doc_id, row_number() OVER (ORDER BY hits DESC, doc_id) AS lex_rank
            |  FROM lex QUALIFY lex_rank <= $TierN),
@@ -56,11 +57,15 @@ object HybridRetrieval {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       import org.apache.spark.sql.expressions.Window
-      val w = XSql.words("text")
-      // lexical tier: term-hit count, global top-N rank
-      val lex = t(s, d, "documents").selectExpr("doc_id",
-        s"${dl.arrSize(dl.filt(w, "x_", "x_ = 'join'"))}" +
-          s" + ${dl.arrSize(dl.filt(w, "x_", "x_ = 'vector'"))} AS hits")
+      // lexical tier: tokenize ONCE into w, then count hits — inlining
+      // words(text) into each term filter would split the text twice
+      // per row (HOF lambdas are not codegen'd, so CSE is not
+      // guaranteed to rescue it)
+      val lex = t(s, d, "documents")
+        .selectExpr("doc_id", s"${XSql.words("text")} AS w")
+        .selectExpr("doc_id",
+          s"${dl.arrSize(dl.filt("w", "x_", "x_ = 'join'"))}" +
+            s" + ${dl.arrSize(dl.filt("w", "x_", "x_ = 'vector'"))} AS hits")
       // top-N first (TakeOrderedAndProject — never a global sort), THEN
       // rank: the single-partition row_number window only ever sees the
       // N survivors, not the corpus

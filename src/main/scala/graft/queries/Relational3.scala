@@ -239,11 +239,13 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
-    // The deep snowflake (TPC-H Q5 shape): 6 tables, two big-big joins
-    // (orders-lineitem, lineitem-supplier), three broadcast dims, and
-    // the co-nation constraint (customer and supplier in the same
-    // nation) applied as a post-join filter. Region/nation prune the
-    // supplier side BEFORE the fact joins.
+    // The deep snowflake (TPC-H Q5 shape): 6 tables, two big-big
+    // shuffled joins (customer-orders, orders-lineitem) and three
+    // broadcast sides (region, nation, and supplier pruned by region
+    // first — supplier shrinks 5x before it broadcasts, customer does
+    // NOT broadcast: it grows with the fact side). The co-nation
+    // constraint (customer and supplier in the same nation) rides the
+    // supplier join condition.
     Q("q5_region_volume",
       "6-way snowflake join with co-nation constraint (TPC-H Q5 shape)",
       s"""SELECT n_name,
@@ -270,7 +272,7 @@ object Relational3 {
           && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
       val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .join(t(s, d, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
           col("l_orderkey") === col("o_orderkey"))
@@ -293,22 +295,23 @@ object Relational3 {
         |             cast(round(value * 100) as bigint) AS cents
         |           FROM events),
         |g AS (SELECT event_type, count(*) AS n, sum(cents) AS sc,
-        |             sum(cast(cents * cents as decimal(38,0))) AS scc
+        |             sum(cast(cents as decimal(38,0)) * cents) AS scc
         |      FROM c GROUP BY event_type)
         |SELECT event_id, c.event_type,
         |  round((cast(cents as double) - cast(sc as double) / cast(n as double))
         |        / (sqrt(cast(cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * cast(sc as decimal(38,0)) as double))
         |           / cast(n as double)), 6) AS z
         |FROM c JOIN g ON c.event_type = g.event_type
-        |ORDER BY abs(round((cast(cents as double) - cast(sc as double) / cast(n as double))
-        |        / (sqrt(cast(cast(n as decimal(38,0)) * scc - cast(sc as decimal(38,0)) * cast(sc as decimal(38,0)) as double))
-        |           / cast(n as double)), 6)) DESC, event_id
+        |ORDER BY abs(z) DESC, event_id
         |LIMIT 20""".stripMargin) { (s, d) =>
       val c = t(s, d, "events").selectExpr(
         "event_id", "event_type", "cast(round(value * 100) as bigint) AS cents")
+      // cast BEFORE the multiply: a long cents² wraps past ~$30M values
+      // (non-ANSI Spark wraps silently; the oracle would error — a
+      // divergence, not a caught failure)
       val g = c.groupBy("event_type").agg(
         count(lit(1)).as("n"), sum(col("cents")).as("sc"),
-        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("scc"))
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("scc"))
       c.join(broadcast(g), Seq("event_type"))
         .withColumn("z", expr(
           """round((cast(cents as double) - cast(sc as double) / cast(n as double))

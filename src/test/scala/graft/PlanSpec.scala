@@ -122,10 +122,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
-  test("q5: snowflake dims broadcast around the fact joins") {
-    val p = plan("q5_region_volume")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("q5: fact joins are not FORCE-broadcast; hinted dims still are") {
+    // At sf0.001 Catalyst auto-broadcasts the tiny customer side —
+    // correct at this size, and at 100x the size estimate flips it to
+    // a shuffled join automatically. The regression to gate is a
+    // hard-coded broadcast() hint on the fact side, which would OOM at
+    // scale: with the size-based threshold disabled, only hinted sides
+    // may remain broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan("q5_region_volume")
+      // explicit dim hints (region/nation/pruned supplier) survive
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the customer-orders fact join shuffles — no forced hint
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "fact join must be able to shuffle (forced broadcast?):\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set(key, prev)
   }
 
   test("u4/u5: set ops plan as joins over aggregates, not nested loops") {
