@@ -177,6 +177,33 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
+    // Value-window navigation: first/last/nth event value per user
+    // ordered by time. last_value needs the explicit full-partition
+    // frame — the default frame stops at CURRENT ROW, which silently
+    // returns the running last, a classic window bug pinned here by
+    // the oracle.
+    Q("w7_value_windows",
+      "first_value / last_value / nth_value over full-partition frames",
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value)  OVER w AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // CUBE — all 2^k grouping-set combinations (a13_rollup covers the
     // hierarchical prefix sets). Spark expands grouping sets BELOW the
     // shuffle, so map-side partial aggregation still applies to every
