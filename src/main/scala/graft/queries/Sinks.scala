@@ -151,6 +151,38 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // I1's partition-wise sibling: BACKFILL. Late-arriving events
+    // touch a handful of day partitions; only those days are
+    // recomputed (from all of that day's rows) and swapped in via
+    // delete+insert on the day key. Untouched days never rescan — at
+    // 100 TB this is the difference between reprocessing 3 days and
+    // reprocessing 3 years. The oracle is the full recompute, so the
+    // gate proves backfill == rebuild.
+    Q("i2_partition_backfill",
+      "late-data backfill rewrites only affected day partitions == full recompute",
+      s"""SELECT cast(ts as date) AS day, event_type, count(*) AS n,
+         |  ${dsumSql("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val path = scratch("i2")
+      val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+      val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+      def daily(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      // bootstrap: everything seen so far
+      TableStore.overwrite(daily(ev.filter(col("ts") < cut)), path)
+      // late slice arrives: find the AFFECTED days, recompute only them
+      // from the full day (the cutoff day was partial in the bootstrap)
+      val late = ev.filter(col("ts") >= cut)
+      val affectedDays = late.select("day").distinct()
+      val refreshed = daily(ev.join(affectedDays, Seq("day"), "left_semi"))
+      TableStore.deleteInsert(s, path, refreshed, Seq("day"))
+      TableStore.read(s, path)
+        .select(col("day"), col("event_type"), col("n"), col("total"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---------------------------------------------------------------
     // I1/S12 — incremental high-watermark upsert: process rows after
     // the stored watermark, key-preserving MERGE; final state must
     // equal the full recompute (that equivalence IS the oracle).
