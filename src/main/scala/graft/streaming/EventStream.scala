@@ -129,14 +129,14 @@ object EventStream {
     * snapshot+commit I/O PER PARTITION regardless of row count — so the
     * state partitioning should be sized to state volume, not to the
     * session's scan parallelism. These replays hold a few MB of state;
-    * 8 partitions cuts the fixed checkpoint cost ~4x vs inheriting the
+    * 4 partitions cuts the fixed checkpoint cost ~8x vs inheriting the
     * session's 32. On a real cluster this is the same knob, sized up.
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val q = streamed.writeStream
         .format("memory")
@@ -158,7 +158,7 @@ object EventStream {
       fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, "4")
     try {
       val q = streamed.writeStream
         .foreachBatch(fn)

@@ -45,6 +45,23 @@ class CatalogContractSpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx_percentile tracks exact percentiles (a14's documented scale path)") {
+    // exact percentiles need each group's values together; the
+    // huge-cardinality alternative is the t-digest sketch
+    // (approx_percentile), which is map-side mergeable. Not
+    // oracle-checkable (sketch internals differ per engine), so the
+    // contract is bounded error on real data.
+    import org.apache.spark.sql.functions.{col, expr}
+    val c = Tables.load(spark, sfDir, "customer")
+    val row = c.agg(
+      expr("percentile(c_acctbal, 0.5)").as("exact"),
+      expr("approx_percentile(c_acctbal, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    val span = c.agg(expr("max(c_acctbal) - min(c_acctbal)")).head().getDouble(0)
+    assert(math.abs(approx - exact) / span <= 0.02,
+      s"approx=$approx exact=$exact span=$span")
+  }
+
   test("every catalog query has an oracle") {
     // rows-only checks are a weaker gate; the whole catalog is
     // SQL-expressible today, so hold that line
