@@ -151,6 +151,38 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // Additive schema evolution (SURVEY §1.3: the reference only ever
+    // ADDs columns — ALTER TABLE ADD COLUMN IF NOT EXISTS). Old files
+    // lack the new column; the read declares the CURRENT schema
+    // explicitly and old files null-fill it. No mergeSchema: schema
+    // inference over every file footer is a full listing+read pass at
+    // 100 TB, and the table's schema should be a declared constant,
+    // not a function of which files happen to exist.
+    Q("s14_additive_schema",
+      "additive column evolution: explicit unified schema over mixed-schema files",
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |       THEN o_orderpriority ELSE NULL END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.StructType
+      val path = scratch("s14")
+      val ord = t(s, d, "orders")
+      val cutoff = lit("1999-01-01 00:00:00").cast("timestamp")
+      // v1 era: the table had two columns
+      ord.filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("append").parquet(path)
+      // v2 era: a column was added; new files carry it
+      ord.filter(col("o_orderdate") >= cutoff)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(path)
+      val unified = StructType.fromDDL(
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+      s.read.schema(unified).parquet(path)
+        .orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
     // I1's partition-wise sibling: BACKFILL. Late-arriving events
     // touch a handful of day partitions; only those days are
     // recomputed (from all of that day's rows) and swapped in via
