@@ -143,10 +143,17 @@ object CorpusOps {
     // ---------------------------------------------------------------
     // The "dataset card" rollup: per-(lang, source) corpus statistics —
     // doc counts, token totals, length quantiles, exact-dup rate —
-    // every released dataset ships this table. One scan, one grouped
-    // aggregate (all map-side combinable except the exact median,
-    // which needs the group's values once — the documented trade vs
-    // approx_percentile at extreme cardinality).
+    // every released dataset ships this table. The median is computed
+    // RANK-BASED (row_number + count over the group, pick the middle
+    // one/two elements, average them) rather than via percentile()/
+    // quantile_cont(): engine quantile functions differ across
+    // versions in their interpolation convention, while "sum of the
+    // middle elements / their count" is pinned integer arithmetic plus
+    // exactly one IEEE division by 1 or 2 — bit-identical everywhere.
+    // Scale: the window and the groupBy share the (lang, source)
+    // partitioning, so this is still ONE shuffle; exact medians need
+    // the group's values together once regardless (the documented
+    // trade vs approx_percentile at extreme cardinality).
     Q("c4_dataset_card",
       "per-(lang, source) dataset-card stats: counts, tokens, median length, dup rate",
       {
@@ -155,23 +162,37 @@ object CorpusOps {
         s"""WITH d AS (
            |  SELECT lang, source, ${dl.arrSize(w)} AS n_tokens, n_chars,
            |         ${XSql.charHash("text")} AS th
-           |  FROM documents)
+           |  FROM documents),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+           |         count(*) OVER (PARTITION BY lang, source) AS n
+           |  FROM d)
            |SELECT lang, source, count(*) AS n_docs,
            |  sum(n_tokens) AS total_tokens,
-           |  round(quantile_cont(n_chars, 0.5), 6) AS median_chars,
+           |  round(cast(sum(CASE WHEN rn * 2 >= n AND rn * 2 <= n + 2 THEN n_chars END) as double)
+           |        / count(CASE WHEN rn * 2 >= n AND rn * 2 <= n + 2 THEN n_chars END), 6) AS median_chars,
            |  count(*) - count(DISTINCT th) AS n_exact_dups
-           |FROM d GROUP BY lang, source
+           |FROM r GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin
       }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       implicit val dl: Dialect = SqlSpark
+      val grp = Window.partitionBy("lang", "source")
+      // middle elements: odd n -> 2*rn == n+1; even n -> 2*rn in {n, n+2}.
+      // (n and n+2 are odd when n is odd, so the range test selects exactly
+      // the right one/two rows in both parities.)
+      val mid = col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2
       t(s, d, "documents")
         .selectExpr("lang", "source",
           s"${dl.arrSize(XSql.words("text"))} AS n_tokens", "n_chars",
           s"${XSql.charHash("text")} AS th")
+        .withColumn("rn", row_number().over(grp.orderBy("n_chars")))
+        .withColumn("n", count(lit(1)).over(grp))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"),
+          round(sum(when(mid, col("n_chars"))).cast("double")
+            / count(when(mid, col("n_chars"))), 6).as("median_chars"),
           (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"))
         .orderBy("lang", "source")
     },
@@ -181,22 +202,28 @@ object CorpusOps {
       {
         implicit val dl: Dialect = SqlDuck
         val w = XSql.words("text")
+        val scoreCols = TextOps.langScores.map { case (l, e) => s"$e AS s_$l" }
+          .mkString(", ")
         s"""WITH base AS (
-           |  SELECT doc_id, text, n_chars, $w AS w FROM documents),
+           |  SELECT doc_id, text, n_chars, $w AS w,
+           |         length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha
+           |  FROM documents),
+           |scored AS (
+           |  SELECT *, $scoreCols FROM base),
            |langed AS (
-           |  SELECT * FROM base WHERE ${TextOps.predLangExpr} = 'en'),
+           |  SELECT * FROM scored WHERE ${TextOps.predLangFromScores} = 'en'),
            |quality AS (
            |  SELECT * FROM langed
            |  WHERE ${dl.arrSize("w")} >= 20
-           |    AND cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)
-           |          / cast(n_chars as double) >= 0.7),
+           |    AND cast(n_alpha as double) / cast(n_chars as double) >= 0.7),
            |hashed AS (
            |  SELECT *, ${XSql.charHash("text")} AS th FROM quality),
            |exact AS (
            |  SELECT * FROM hashed
            |  QUALIFY row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1),
-           |wh AS (SELECT doc_id, w, ${XSql.wordHashes("w")} AS wh FROM exact),
-           |sh AS (SELECT doc_id, w, ${XSql.shingleHashes("wh")} AS sh FROM wh),
+           |wh AS (SELECT doc_id, w, n_alpha, ${XSql.wordHashes("w")} AS wh FROM exact),
+           |sh AS (SELECT doc_id, ${dl.arrSize("w")} AS n_tokens, n_alpha,
+           |              ${XSql.shingleHashes("wh")} AS sh FROM wh),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
            |bands AS (
            |  SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
@@ -210,21 +237,31 @@ object CorpusOps {
            |drops AS (
            |  SELECT DISTINCT doc_b AS doc_id FROM cand
            |  WHERE ${XSql.jaccard("sh_a", "sh_b")} >= 0.5)
-           |SELECT s.doc_id,
-           |  ${dl.arrSize("s.w")} AS n_tokens,
-           |  length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS n_alpha
-           |FROM sh s JOIN documents d ON s.doc_id = d.doc_id
+           |SELECT s.doc_id, s.n_tokens, s.n_alpha
+           |FROM sh s
            |WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
            |ORDER BY s.doc_id""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
+      // n_alpha is computed ONCE at the base scan and carried through:
+      // the quality filter and the final projection both read it, so
+      // the corpus is regexp-scanned once and `documents` is scanned
+      // once (the old shape re-joined documents at the end and ran the
+      // [^a-z] strip a second time — 2 full-text passes instead of 1).
       val base = t(s, d, "documents")
         .withColumn("w", expr(XSql.words("text")))
-      val langed = base.filter(expr(TextOps.predLangExpr) === "en")
+        .withColumn("n_alpha", expr("length(regexp_replace(text, '[^a-z]', ''))"))
+      // language scores materialized ONCE per row as columns; the
+      // argmax CASE then compares cheap column refs instead of
+      // re-evaluating arrDistinct+arrIntersect per comparison (the
+      // inlined predLangExpr form costs ~dozens of intersections/doc)
+      val scored = TextOps.langScores(SqlSpark).foldLeft(base) {
+        case (df, (l, e)) => df.withColumn(s"s_$l", expr(e))
+      }
+      val langed = scored.filter(expr(TextOps.predLangFromScores) === "en")
       val quality = langed.filter(
         expr(dl.arrSize("w")) >= 20 &&
-          expr("cast(length(regexp_replace(text, '[^a-z]', '')) as double)" +
-            " / cast(n_chars as double)") >= 0.7)
+          col("n_alpha").cast("double") / col("n_chars").cast("double") >= 0.7)
       val exact = quality
         .withColumn("th", expr(XSql.charHash("text")))
         .withColumn("rn", row_number().over(
@@ -232,16 +269,14 @@ object CorpusOps {
         .filter(col("rn") === 1).drop("rn")
       val sh = exact
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
-        .select("doc_id", "w", "sh")
+        .select(col("doc_id"), expr(dl.arrSize("w")).as("n_tokens"),
+          col("n_alpha"), col("sh"))
       sh.cache()
       val drops = graft.operators.Lsh.verifiedPairs(
         sh.select("doc_id", "sh"), 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       sh.join(drops, Seq("doc_id"), "left_anti")
-        .join(t(s, d, "documents").select("doc_id", "text"), Seq("doc_id"))
-        .select(col("doc_id"),
-          expr(dl.arrSize("w")).as("n_tokens"),
-          expr("length(regexp_replace(text, '[^a-z]', ''))").as("n_alpha"))
+        .select("doc_id", "n_tokens", "n_alpha")
         .orderBy("doc_id")
     }
   )

@@ -40,11 +40,23 @@ object TextOps {
 
   /** Predicted-language CASE expression over a words column named
     * `w` — shared with the corpus pipeline (CorpusOps).
+    *
+    * NOTE: this inlines the full marker-intersection expression into
+    * every CASE comparison (~4 comparisons x 2 sides x 5 branches), so
+    * each doc recomputes arrDistinct+arrIntersect ~dozens of times.
+    * Fine for a one-off predicate; in a pipeline stage prefer
+    * [[langScores]] materialized as columns once (see `s_<lang>`
+    * pattern in t3 / c1) and [[predLangFromScores]] over them.
     */
   def predLangExpr(implicit d: Dialect): String = {
     val scores = langScores.map { case (l, e) => l -> e }.toMap
     argmaxCase(l => s"(${scores(l)})")
   }
+
+  /** argmax CASE over already-materialized score columns `s_<lang>` —
+    * the cheap form: each score is evaluated once per row upstream.
+    */
+  def predLangFromScores: String = argmaxCase(l => s"s_$l")
 
   private def strArr(vals: Seq[String])(implicit d: Dialect): String = {
     val quoted = vals.map(v => s"'$v'")
