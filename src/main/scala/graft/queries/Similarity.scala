@@ -163,15 +163,24 @@ object Similarity {
     // precomputed tier of the two-tier similarity design, as an
     // ordered struct-array serving table.
     Q("k5_precomputed_neighbors",
-      "precomputed top-3 in-label neighbors (struct array re-exploded to scalar rows for the gate)",
+      "precomputed top-3 in-label neighbors, (label, LSH-bucket)-bounded candidates, exact rerank",
       {
         implicit val dl: Dialect = SqlDuck
+        // neighbor side probes its own bucket + the 8 hamming-1 flips;
+        // a hamming<=1 pair matches exactly one probe row, so the
+        // candidate join needs no DISTINCT (mirrors Neighbors.precompute)
+        val probeList = (Seq("bucket") ++
+          (0 until Planes).map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
         s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2,
+           |             ${lshBucket("v")} AS bucket FROM e),
+           |p AS (SELECT label, vec_id AS n_vec_id, v AS n_v, n2 AS n_n2,
+           |             unnest($probeList) AS bucket FROM n),
            |pairs AS (
-           |  SELECT a.vec_id AS vec_id, b.vec_id AS n_vec_id,
-           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS dist
-           |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id != b.vec_id),
+           |  SELECT a.vec_id AS vec_id, p.n_vec_id AS n_vec_id,
+           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("a.v", "p.n_v"), "a.n2", "p.n_n2")} AS dist
+           |  FROM n a JOIN p ON a.label = p.label AND a.bucket = p.bucket
+           |   AND a.vec_id != p.n_vec_id),
            |ranked AS (
            |  SELECT vec_id, n_vec_id, dist,
            |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, n_vec_id) AS rn

@@ -147,4 +147,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan("u4_intersect").contains("CartesianProduct"))
     assert(!plan("u5_except").contains("CartesianProduct"))
   }
+
+  test("k5: neighbor precompute pair join is (label, bucket)-bounded, not label-all-pairs") {
+    // A popular label at 100 TB is O(block²); the candidate join must
+    // carry the LSH bucket as an equi-join key alongside label so the
+    // block is |label ∩ bucket|, not |label|. Gate: the join keys
+    // include `bucket`, and nothing degenerates to a nested loop.
+    val p = plan("k5_precomputed_neighbors")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("label"))
+      .getOrElse(fail("no label join found in plan:\n" + p))
+    assert(joinLine.contains("bucket"),
+      "pair join must be keyed on (label, bucket):\n" + joinLine)
+  }
 }
