@@ -143,34 +143,39 @@ object CorpusOps {
     // ---------------------------------------------------------------
     // The "dataset card" rollup: per-(lang, source) corpus statistics —
     // doc counts, token totals, length quantiles, exact-dup rate —
-    // every released dataset ships this table. The median is computed
-    // RANK-BASED (row_number + count over the group, pick the middle
-    // one/two elements, average them) rather than via percentile()/
-    // quantile_cont(): engine quantile functions differ across
-    // versions in their interpolation convention, while "sum of the
-    // middle elements / their count" is pinned integer arithmetic plus
-    // exactly one IEEE division by 1 or 2 — bit-identical everywhere.
+    // every released dataset ships this table. The median is exposed as
+    // `median_chars_x2` = 2 × median, a BIGINT: the middle one/two
+    // elements by row_number are summed and, when the group size is odd
+    // (one middle element), doubled. This keeps the gated projection
+    // ALL-INTEGER — no division, no doubles — so the value hashes
+    // identically on every engine/version (float formatting/rounding of
+    // a `.5` median is exactly the cross-engine divergence a DOUBLE
+    // column re-introduces). Consumers divide by 2 at the edge.
+    // NULL discipline: `n` counts non-null n_chars and the rank order
+    // pins NULLS LAST in both dialects, so rows with rn <= n are exactly
+    // the non-null ones regardless of each engine's default placement.
     // Scale: the window and the groupBy share the (lang, source)
     // partitioning, so this is still ONE shuffle; exact medians need
     // the group's values together once regardless (the documented
     // trade vs approx_percentile at extreme cardinality).
     Q("c4_dataset_card",
-      "per-(lang, source) dataset-card stats: counts, tokens, median length, dup rate",
+      "per-(lang, source) dataset-card stats: counts, tokens, 2x median length, dup rate",
       {
         implicit val dl: Dialect = SqlDuck
         val w = XSql.words("text")
+        val midCase = "CASE WHEN rn * 2 >= n AND rn * 2 <= n + 2 THEN n_chars END"
         s"""WITH d AS (
            |  SELECT lang, source, ${dl.arrSize(w)} AS n_tokens, n_chars,
            |         ${XSql.charHash("text")} AS th
            |  FROM documents),
            |r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
-           |         count(*) OVER (PARTITION BY lang, source) AS n
+           |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY n_chars NULLS LAST) AS rn,
+           |         count(n_chars) OVER (PARTITION BY lang, source) AS n
            |  FROM d)
            |SELECT lang, source, count(*) AS n_docs,
-           |  sum(n_tokens) AS total_tokens,
-           |  round(cast(sum(CASE WHEN rn * 2 >= n AND rn * 2 <= n + 2 THEN n_chars END) as double)
-           |        / count(CASE WHEN rn * 2 >= n AND rn * 2 <= n + 2 THEN n_chars END), 6) AS median_chars,
+           |  cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  cast(CASE WHEN count($midCase) = 1 THEN 2 * sum($midCase)
+           |            ELSE sum($midCase) END AS BIGINT) AS median_chars_x2,
            |  count(*) - count(DISTINCT th) AS n_exact_dups
            |FROM r GROUP BY lang, source
            |ORDER BY lang, source""".stripMargin
@@ -182,17 +187,19 @@ object CorpusOps {
       // (n and n+2 are odd when n is odd, so the range test selects exactly
       // the right one/two rows in both parities.)
       val mid = col("rn") * 2 >= col("n") && col("rn") * 2 <= col("n") + 2
+      val midSum = sum(when(mid, col("n_chars")))
+      val midCnt = count(when(mid, col("n_chars")))
       t(s, d, "documents")
         .selectExpr("lang", "source",
           s"${dl.arrSize(XSql.words("text"))} AS n_tokens", "n_chars",
           s"${XSql.charHash("text")} AS th")
-        .withColumn("rn", row_number().over(grp.orderBy("n_chars")))
-        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("rn", row_number().over(grp.orderBy(col("n_chars").asc_nulls_last)))
+        .withColumn("n", count(col("n_chars")).over(grp))
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          round(sum(when(mid, col("n_chars"))).cast("double")
-            / count(when(mid, col("n_chars"))), 6).as("median_chars"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          when(midCnt === 1, midSum * 2).otherwise(midSum)
+            .cast("long").as("median_chars_x2"),
           (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"))
         .orderBy("lang", "source")
     },
