@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Sinks.all ++
       graft.queries.StreamingOps.all ++
       graft.queries.MultimodalOps.all ++
-      graft.queries.CorpusOps.all
+      graft.queries.CorpusOps.all ++
+      graft.queries.ParserOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
