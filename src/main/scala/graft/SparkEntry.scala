@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.StreamingOps.all ++
       graft.queries.MultimodalOps.all ++
       graft.queries.CorpusOps.all ++
-      graft.queries.ParserOps.all
+      graft.queries.ParserOps.all ++
+      graft.queries.RegistryOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
