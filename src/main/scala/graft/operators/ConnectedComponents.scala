@@ -19,11 +19,20 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each round is one equi-join + one map-side-combinable
   * min-aggregate, O(diameter) rounds. Near-dup graphs are
-  * short-diameter (clusters of copies), so 2-4 rounds in practice; a
-  * 100 TB run with adversarial long chains would switch to
-  * large-star/small-star (same join primitives, O(log n) rounds).
-  * Labels are cached per round and the previous round is unpersisted —
-  * peak state is two label tables of one row per node.
+  * short-diameter (clusters of copies), so 2-4 rounds in practice; if
+  * an adversarial long-chain graph (crawl data is full of near-dup
+  * chains) exhausts `maxIter`, the operator hands the edge set to the
+  * alternating large-star/small-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — same
+  * join+min primitives, O(log² n) rounds) instead of failing.
+  *
+  * Every per-round table is `localCheckpoint`ed: the data is
+  * materialized to executor storage exactly as `cache()` would (the
+  * convergence probe forces a full materialization anyway) but the
+  * lineage is CUT, so round k+1 plans against a constant-size plan
+  * rather than k accumulated rounds of join/agg lineage — analysis +
+  * codegen cost per round stays flat, which is what keeps the cold
+  * first run of an iterative query near its steady state.
   */
 object ConnectedComponents {
 
@@ -61,9 +70,10 @@ object ConnectedComponents {
       // neighbor labels flow one hop; min with own label
       val nbr = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("component"))
+      // eager localCheckpoint = materialize + CUT lineage (class doc)
       val next = labels.unionByName(nbr)
         .groupBy("node").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint()
       val curSum = BigDecimal(
         next.agg(sum(col("component").cast("decimal(38,0)")))
           .head().getDecimal(0))
@@ -74,14 +84,92 @@ object ConnectedComponents {
       it += 1
     }
     sym.unpersist()
-    // exiting via the iteration cap means the labels have NOT reached
-    // the fixpoint — returning them would be silently wrong clusters.
-    // Real graphs with diameter > maxIter need the large-star/small-star
-    // variant (class doc); fail loudly rather than mislabel.
-    if (!converged)
+    if (converged) labels
+    else {
+      // the iteration cap means the labels have NOT reached the
+      // fixpoint — a graph with diameter > maxIter. Contract it with
+      // the O(log² n)-round star algorithm instead; the fixpoint is
+      // the same pure graph property, so the result is identical.
+      val nodes = labels.select("node")
+      starContract(
+        edges.select(col(a).as("p"), col(b).as("q")), nodes)
+    }
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14). Input: raw undirected edges (p, q) in any orientation
+    * plus the distinct node set; output: (node, component) with
+    * component = min reachable id — the same fixpoint as [[minLabel]].
+    *
+    *   large-star(u): attach every neighbor v > u to m(u) = min(N(u)∪u)
+    *   small-star(u): attach u and its neighbors v < u to their min
+    *
+    * Both emit canonical (larger, smaller) pairs built from one
+    * groupBy-min + one equi-join each — the identical shuffle
+    * primitives as the propagation rounds, just O(log² n) of them.
+    * Convergence: the edge multiset is a fixpoint (checked cheaply by
+    * count + exact decimal sums, then confirmed exactly with a
+    * set-difference probe before trusting it).
+    */
+  private[operators] def starContract(rawEdges: DataFrame,
+      nodes: DataFrame, maxRounds: Int = 64): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("p").as("u"), col("q").as("v"))
+        .unionByName(e.select(col("q").as("u"), col("p").as("v")))
+        .distinct()
+
+    def largeStar(adj: DataFrame): DataFrame = {
+      val m = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("mn"))
+      adj.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("p"), col("mn").as("q"))
+        .filter(col("p") =!= col("q")).distinct()
+    }
+
+    def smallStar(adj: DataFrame): DataFrame = {
+      val smaller = adj.filter(col("v") < col("u"))
+      val m = smaller.groupBy("u").agg(min("v").as("mn"))
+      val vEdges = smaller.join(m, "u")
+        .select(col("v").as("p"), col("mn").as("q"))
+      val uEdges = m.select(col("u").as("p"), col("mn").as("q"))
+      vEdges.unionByName(uEdges)
+        .filter(col("p") =!= col("q")).distinct()
+    }
+
+    var e = rawEdges.filter(col("p") =!= col("q"))
+      .select(greatest(col("p"), col("q")).as("p"),
+        least(col("p"), col("q")).as("q"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var stable = false
+    def sig(d: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = d.agg(count(lit(1)),
+        sum(col("p").cast("decimal(38,0)")),
+        sum(col("q").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+        Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+    var prev = sig(e)
+    while (!stable && round < maxRounds) {
+      val next = smallStar(sym(largeStar(sym(e)))).localCheckpoint()
+      val cur = sig(next)
+      if (cur == prev) {
+        // signature fixpoint — confirm exactly before trusting it
+        // (one anti-join on a star-shaped edge table, runs once)
+        stable = next.exceptAll(e).isEmpty
+      }
+      e = next
+      prev = cur
+      round += 1
+    }
+    if (!stable)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter too large for min-label propagation)")
-    labels
+        s"star contraction did not converge in $maxRounds rounds")
+    // converged edges are stars (node → component min); roots and
+    // isolated nodes label themselves
+    nodes.join(e.select(col("p").as("node"), col("q").as("parent")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("parent"), col("node")).as("component"))
   }
 }

@@ -28,13 +28,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(components(Seq.empty) == Map.empty)
   }
 
-  test("exceeding maxIter fails loudly instead of returning wrong labels") {
+  test("exceeding maxIter falls back to star contraction, labels stay exact") {
     import spark.implicits._
     val path = (1L until 8L).map(i => (i + 1, i))
-    val e = intercept[IllegalStateException] {
-      ConnectedComponents.minLabel(path.toDF("a", "b"), maxIter = 2).collect()
-    }
-    assert(e.getMessage.contains("did not converge"))
+    val got = ConnectedComponents.minLabel(path.toDF("a", "b"), maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("path graph with diameter > default maxIter converges (large-star fallback)") {
+    import spark.implicits._
+    // 121-node path, diameter 120 > 50 — propagation alone cannot
+    // finish; the star-contraction fallback must produce the fixpoint
+    val path = (1L until 121L).map(i => (i + 1, i))
+    val got = ConnectedComponents.minLabel(path.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 121L).map(_ -> 1L).toMap)
+  }
+
+  test("star contraction alone matches propagation on mixed shapes") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 20L), (30L, 30L))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+    val got = ConnectedComponents
+      .starContract(edges.toDF("p", "q"), nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L))
   }
 
   test("star and cycle shapes converge") {
