@@ -79,21 +79,45 @@ object TableStore {
     * age, so they must never silently vanish: `ts < cutoff` and
     * `ts >= cutoff` are both false for NULL).
     *
-    * Failure semantics: archive-append happens BEFORE the live
-    * rewrite, so a crash between the two steps leaves the row in both
-    * places and a retry re-appends it — duplicates in the archive, but
-    * never data loss (the reverse order would lose rows). Readers of
-    * the archive must dedup by key, or the caller must clean the last
-    * archive batch before retrying; true exactly-once needs a
-    * transactional table format (see class doc).
+    * Failure semantics — RETRY-IDEMPOTENT: the batch is staged next to
+    * the archive, any files from a previous attempt of the SAME cutoff
+    * are swept (files are tagged `cutoff<epochMs>_`), the staged files
+    * are renamed in, and only then is the live table rewritten. A crash
+    * at any point is repaired by re-running with the same cutoff:
+    *   - before/during the move → live is untouched, so the batch is
+    *     recomputed identically, the sweep removes partial moves, and
+    *     the move is redone — no duplicates;
+    *   - after the live rewrite → the filter matches nothing and the
+    *     call is a no-op — the archived batch is preserved.
+    * The cutoff identifies the batch, so the caller's discipline is
+    * monotonically increasing cutoffs (the reference archives
+    * "older than now - N", loader.py:375-405); re-archiving NEW
+    * late-arriving rows under an already-used cutoff would replace that
+    * batch — use a fresh cutoff instead. True multi-writer exactly-once
+    * needs a transactional table format (class doc).
     */
   def archiveOlderThan(spark: SparkSession, path: String, archivePath: String,
       tsCol: String, cutoff: java.sql.Timestamp): Unit = {
     val cur = read(spark, path)
     val old = cur.filter(col(tsCol) < lit(cutoff))
-    append(old, archivePath)
-    rewrite(spark, path,
-      cur.filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull))
+    if (!old.isEmpty) {
+      val epoch = cutoff.getTime
+      val staged = archivePath + s"__batch$epoch"
+      old.write.mode("overwrite").parquet(staged)
+      val f = fs(spark, archivePath)
+      val archDir = new Path(archivePath)
+      if (!f.exists(archDir)) f.mkdirs(archDir)
+      val tag = s"cutoff${epoch}_"
+      f.listStatus(archDir).filter(_.getPath.getName.startsWith(tag))
+        .foreach(s => f.delete(s.getPath, false))
+      f.listStatus(new Path(staged))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(s =>
+          f.rename(s.getPath, new Path(archDir, tag + s.getPath.getName)))
+      f.delete(new Path(staged), true)
+      rewrite(spark, path,
+        cur.filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull))
+    }
   }
 
   /** Compact a table's files (the append disciplines accrete small

@@ -80,4 +80,54 @@ class TableStoreSpec extends SparkSpec {
     TableStore.deleteInsert(spark, p, kv(7L -> "x"), Seq("k"))
     assert(readSorted(p) == Seq(7L -> "x"))
   }
+
+  private def tsTable(rows: (Long, String)*) = {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    rows.toDF("k", "tss").select(col("k"), col("tss").cast("timestamp").as("ts"))
+  }
+
+  test("archiveOlderThan: retry after a simulated mid-op crash duplicates nothing") {
+    val live = scratch()
+    val arch = scratch()
+    val original = tsTable(
+      1L -> "2024-01-01 00:00:00", 2L -> "2024-01-02 00:00:00",
+      3L -> "2024-02-01 00:00:00")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    TableStore.overwrite(original, live)
+    TableStore.archiveOlderThan(spark, live, arch, "ts", cutoff)
+    def count(p: String) = TableStore.read(spark, p).count()
+    assert(count(arch) == 2 && count(live) == 1)
+    // simulate a crash AFTER the archive move but BEFORE the live
+    // rewrite: the archive holds the batch, live still has the rows
+    TableStore.overwrite(original, live)
+    TableStore.archiveOlderThan(spark, live, arch, "ts", cutoff)
+    assert(count(arch) == 2, "retry must replace, not re-append, its batch")
+    assert(count(live) == 1)
+    // retry after full completion is a no-op
+    TableStore.archiveOlderThan(spark, live, arch, "ts", cutoff)
+    assert(count(arch) == 2 && count(live) == 1)
+    // a later cutoff archives the remaining row alongside, not over,
+    // the first batch
+    TableStore.archiveOlderThan(spark, live, arch, "ts",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(count(arch) == 3 && count(live) == 0)
+  }
+
+  test("archiveOlderThan keeps NULL-timestamp rows live") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val live = scratch()
+    val arch = scratch()
+    val df = Seq(1L -> "2024-01-01 00:00:00", 2L -> "keepnull")
+      .toDF("k", "tss")
+      .select(col("k"),
+        when(col("tss") =!= "keepnull", col("tss")).cast("timestamp").as("ts"))
+    TableStore.overwrite(df, live)
+    TableStore.archiveOlderThan(spark, live, arch, "ts",
+      java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+    val liveKeys = TableStore.read(spark, live).collect().map(_.getLong(0)).toSet
+    assert(liveKeys == Set(2L))
+    assert(TableStore.read(spark, arch).count() == 1)
+  }
 }
