@@ -27,7 +27,14 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n =>
       try Tables.load(spark, sfDir, n) catch { case _: Throwable => () })
-    for (name <- names; fn = SparkEntry.queries(name); i <- 0 until reps) {
+    val qs = SparkEntry.queries // built once — rebuilding per (name, rep) re-runs the dup check
+    val unknown = names.filterNot(qs.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid names: ${qs.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
+    for (name <- names; fn = qs(name); i <- 0 until reps) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -48,8 +48,8 @@ object EventAnalytics {
         .filter(col("ts") >= col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
       s1.agg(count(lit(1)).as("n_signup"))
-        .crossJoin(s2.agg(count(lit(1)).as("n_viewed")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_converted")))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_viewed"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_converted"))))
         .select(col("n_signup"), col("n_viewed"), col("n_converted"),
           round(col("n_converted").cast("double") / col("n_signup").cast("double"), 6)
             .as("conversion"))

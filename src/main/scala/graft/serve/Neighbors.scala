@@ -26,6 +26,14 @@ import graft.functions.{GraftFunctions, XSql}
   * an equi-join (partition-prunable if bucket is a layout column), the
   * rank is a bounded window per source key, and the output is one
   * narrow row per source.
+  *
+  * Recall trade (vs the reference's exact-within-band scan): the
+  * neighbor lists are ANN, not exact — a true neighbor whose bucket is
+  * at hamming ≥ 2 is missed, and a vector whose (label, hamming ≤ 1)
+  * neighborhood is empty drops out of the serving table entirely
+  * (readers fall back to an empty `similar` list). Widening the probe
+  * radius — or an exact per-label fallback for small labels — buys
+  * recall back at candidate-set cost.
   */
 object Neighbors {
 

@@ -162,4 +162,15 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.contains("bucket"),
       "pair join must be keyed on (label, bucket):\n" + joinLine)
   }
+
+  test("e1: funnel's 1-row crossJoins broadcast (no unhinted BNLJ under misestimation)") {
+    // The three funnel counts are 1-row aggregates; without an explicit
+    // broadcast() hint their crossJoin shape depends on size estimation,
+    // and a misestimate at scale plans a non-broadcast nested loop over
+    // a shuffled side. Gate: both crossJoins broadcast.
+    val p = plan("e1_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj == 2, s"expected exactly 2 broadcast crossJoins, saw $bnlj:\n" + p)
+  }
 }
