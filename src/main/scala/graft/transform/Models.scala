@@ -353,28 +353,50 @@ object Models {
   }
 
   /** `deployed_models` (deployed_models.sqlx): the 7-way model-
-    * metadata union (U2 + F4 typed nulls + A2) — one grouped
-    * projection per prediction model type, plus the two embedding
-    * blocks.
+    * metadata union (U2 + F4 typed nulls + A2) — the five per-type
+    * grouped projections over the predictions landing, plus the two
+    * embedding blocks.
+    *
+    * Scale: the reference unions five separate grouped SELECTs over
+    * the same landing table (deployed_models.sqlx:24-98) — five scans.
+    * Here the five groupings run as ONE GROUPING SETS pass: the
+    * landing is read once, Expand replicates each row per set (the
+    * same map-side volume five scans would shuffle anyway), and a
+    * single projection decodes `grouping_id()` back into the
+    * per-type rows. One scan + one shuffle instead of five of each.
     */
   def deployedModels(predictionsLanding: DataFrame,
       gameEmbeddings: DataFrame, descriptionEmbeddings: DataFrame): DataFrame = {
     val predTypes = Seq("hurdle", "complexity", "rating", "users_rated", "geek_rating")
     val nullStr = lit(null).cast("string")
     val nullInt = lit(null).cast("long")
-    val predBlocks = predTypes.map { t =>
-      predictionsLanding
-        .groupBy(col(s"${t}_model_name"), col(s"${t}_model_version"),
-          col(s"${t}_experiment"))
-        .agg(countDistinct("game_id").as("games_count"),
-          max(col("score_ts")).as("last_updated"))
-        .select(lit("prediction").as("model_category"), lit(t).as("model_type"),
-          col(s"${t}_model_name").as("model_name"),
-          col(s"${t}_model_version").as("model_version"),
-          col(s"${t}_experiment").as("experiment"),
-          nullStr.as("algorithm"), nullInt.as("embedding_dim"),
-          nullStr.as("document_method"), col("games_count"), col("last_updated"))
+    val gcols = predTypes.flatMap(t => Seq(s"${t}_model_name",
+      s"${t}_model_version", s"${t}_experiment"))
+    val sets = predTypes.map(t => Seq(col(s"${t}_model_name"),
+      col(s"${t}_model_version"), col(s"${t}_experiment")))
+    // grouping_id bit i (from the MSB) marks grouping column i as
+    // aggregated-out; each set keeps exactly its type's 3 columns
+    val full = (1 << gcols.size) - 1
+    val maskOf = predTypes.indices.map { i =>
+      full & ~(0 to 2).map(j => 1 << (gcols.size - 1 - (3 * i + j))).sum
     }
+    def decode(pick: Int => Column): Column =
+      predTypes.indices.foldLeft(lit(null).cast("string")) { (acc, i) =>
+        when(col("gid") === maskOf(i), pick(i)).otherwise(acc)
+      }
+    val predBlocks = Seq(
+      predictionsLanding
+        .groupingSets(sets, gcols.map(col): _*)
+        .agg(grouping_id().as("gid"),
+          countDistinct("game_id").as("games_count"),
+          max(col("score_ts")).as("last_updated"))
+        .select(lit("prediction").as("model_category"),
+          decode(i => lit(predTypes(i))).as("model_type"),
+          decode(i => col(gcols(3 * i))).as("model_name"),
+          decode(i => col(gcols(3 * i + 1))).as("model_version"),
+          decode(i => col(gcols(3 * i + 2))).as("experiment"),
+          nullStr.as("algorithm"), nullInt.as("embedding_dim"),
+          nullStr.as("document_method"), col("games_count"), col("last_updated")))
     val gameEmb = gameEmbeddings
       .groupBy("embedding_model", "embedding_version", "algorithm", "embedding_dim")
       .agg(countDistinct("game_id").as("games_count"),

@@ -173,4 +173,16 @@ class PlanSpec extends SparkSpec {
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj == 2, s"expected exactly 2 broadcast crossJoins, saw $bnlj:\n" + p)
   }
+
+  test("u2: five prediction groupings are ONE grouping-sets pass over one scan") {
+    // the reference unions five grouped SELECTs over the same landing
+    // table; the engine must read it once (Expand), not five times
+    val p = plan("u2_model_registry")
+    val expands = p.linesIterator.count(_.contains("Expand ["))
+    assert(expands >= 1, "expected a grouping-sets Expand:\n" + p)
+    val orderScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("orders"))
+    assert(orderScans == 1,
+      s"landing table must be scanned once, saw $orderScans scans:\n" + p)
+  }
 }
