@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.MultimodalOps.all ++
       graft.queries.CorpusOps.all ++
       graft.queries.ParserOps.all ++
-      graft.queries.RegistryOps.all
+      graft.queries.RegistryOps.all ++
+      graft.queries.SketchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

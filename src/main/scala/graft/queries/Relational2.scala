@@ -524,19 +524,25 @@ object Relational2 {
 
     // ---------------------------------------------------------------
     // U3 — dynamic UNION ALL from config (response_refresher.py:151-209).
+    // The naive form scans the fact table once PER CONFIG ENTRY (the
+    // oracle below states it that way); the engine evaluates every
+    // entry's predicate in one pass — each row explodes into the tags
+    // it matches — so the scan and shuffle count is independent of the
+    // config size. A 50-entry config at 100 TB is one read, not fifty.
     Q("u3_config_union",
-      "config-driven union of filtered aggregates",
+      "config-driven union of filtered aggregates (single-scan tag explode)",
       UnionConfig.map { case (tag, typ, minV) =>
         s"""SELECT '$tag' AS bucket, user_id, count(*) AS n
            |FROM events WHERE event_type = '$typ' AND value >= $minV
            |GROUP BY user_id""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY bucket, user_id")) { (s, d) =>
-      val ev = t(s, d, "events")
-      UnionConfig.map { case (tag, typ, minV) =>
-        ev.filter(col("event_type") === typ && col("value") >= minV)
-          .groupBy("user_id").agg(count(lit(1)).as("n"))
-          .select(lit(tag).as("bucket"), col("user_id"), col("n"))
-      }.reduce(_ unionByName _)
+      val tags = array(UnionConfig.map { case (tag, typ, minV) =>
+        when(col("event_type") === typ && col("value") >= minV, lit(tag))
+      }: _*)
+      t(s, d, "events")
+        .select(col("user_id"), explode(array_compact(tags)).as("bucket"))
+        .groupBy("bucket", "user_id").agg(count(lit(1)).as("n"))
+        .select("bucket", "user_id", "n")
         .orderBy("bucket", "user_id")
     }
   )
