@@ -185,4 +185,14 @@ class PlanSpec extends SparkSpec {
     assert(orderScans == 1,
       s"landing table must be scanned once, saw $orderScans scans:\n" + p)
   }
+
+  test("u3: config union is one scan + one shuffle, independent of config size") {
+    // one fact scan exploding matched tags — NOT one scan per entry
+    val p = plan("u3_config_union")
+    val eventScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("events"))
+    assert(eventScans == 1,
+      s"config union must scan the fact table once, saw $eventScans:\n" + p)
+    assert(p.contains("Generate explode"), "expected tag explode:\n" + p)
+  }
 }
