@@ -40,7 +40,6 @@ object Bench {
         .minLabel(Seq((2L, 1L), (3L, 2L), (5L, 4L)).toDF("a", "b"))
         .write.format("noop").mode("overwrite").save()
     }
-    spark.catalog.clearCache()
     // noop sink: evaluates every output column (count() would let
     // Catalyst prune expensive projections and under-report)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -27,7 +27,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n =>
       try Tables.load(spark, sfDir, n) catch { case _: Throwable => () })
-    val qs = SparkEntry.queries // built once — rebuilding per (name, rep) re-runs the dup check
+    val qs = SparkEntry.queries // built once, not per name
     val unknown = names.filterNot(qs.contains)
     if (unknown.nonEmpty) {
       System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +

@@ -26,15 +26,31 @@ import org.apache.spark.sql.functions._
   * "Connected Components in MapReduce and Beyond", SoCC'14 — same
   * join+min primitives, O(log² n) rounds) instead of failing.
   *
-  * Every per-round table is `localCheckpoint`ed: the data is
-  * materialized to executor storage exactly as `cache()` would (the
-  * convergence probe forces a full materialization anyway) but the
-  * lineage is CUT, so round k+1 plans against a constant-size plan
-  * rather than k accumulated rounds of join/agg lineage — analysis +
-  * codegen cost per round stays flat, which is what keeps the cold
-  * first run of an iterative query near its steady state.
+  * Storage discipline per round: every round's table is an eager
+  * `localCheckpoint` — the same materialization the convergence probe
+  * forces anyway, but the lineage is CUT, so round k+1 plans against a
+  * constant-size plan (cached plans still nest the full history
+  * through InMemoryRelation and cold planning cost grows with rounds).
+  * `Dataset.unpersist` cannot free a checkpoint's blocks, so the
+  * superseded round is freed DETERMINISTICALLY by unpersisting the
+  * materialized RDD inside its `LogicalRDD` leaf ([[freeCheckpoint]])
+  * — peak storage stays at two single-row-per-node tables no matter
+  * how many rounds run.
   */
 object ConnectedComponents {
+
+  /** Deterministically release a `localCheckpoint`ed dataset's blocks:
+    * the checkpointed plan is a [[LogicalRDD]] leaf holding the
+    * materialized RDD — unpersist that RDD (Dataset.unpersist only
+    * reaches CacheManager entries; checkpoint blocks otherwise wait
+    * for the context cleaner to notice the RDD is unreachable).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 
   /** edges: two long columns `a`, `b` (undirected, any orientation).
     * Returns (node, component) for every endpoint, component = min
@@ -70,14 +86,13 @@ object ConnectedComponents {
       // neighbor labels flow one hop; min with own label
       val nbr = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("component"))
-      // eager localCheckpoint = materialize + CUT lineage (class doc)
       val next = labels.unionByName(nbr)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
       val curSum = BigDecimal(
         next.agg(sum(col("component").cast("decimal(38,0)")))
           .head().getDecimal(0))
-      labels.unpersist()
+      if (it == 0) labels.unpersist() else freeCheckpoint(labels)
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
@@ -152,6 +167,7 @@ object ConnectedComponents {
     }
     var prev = sig(e)
     while (!stable && round < maxRounds) {
+      // same storage discipline as the propagation loop (class doc)
       val next = smallStar(sym(largeStar(sym(e)))).localCheckpoint()
       val cur = sig(next)
       if (cur == prev) {
@@ -159,6 +175,7 @@ object ConnectedComponents {
         // (one anti-join on a star-shaped edge table, runs once)
         stable = next.exceptAll(e).isEmpty
       }
+      freeCheckpoint(e)
       e = next
       prev = cur
       round += 1

@@ -89,6 +89,11 @@ object TableStore {
     *     the move is redone — no duplicates;
     *   - after the live rewrite → the filter matches nothing and the
     *     call is a no-op — the archived batch is preserved.
+    * The one non-retryable window is a crash INSIDE the final
+    * [[rewrite]] swap itself: the live path can be briefly absent and
+    * the retry fails loudly at read() — but a complete copy always
+    * survives as `__old`/`__staged` (see [[rewrite]]), so recovery is
+    * a rename, never data loss.
     * The cutoff identifies the batch, so the caller's discipline is
     * monotonically increasing cutoffs (the reference archives
     * "older than now - N", loader.py:375-405); re-archiving NEW
@@ -100,7 +105,12 @@ object TableStore {
       tsCol: String, cutoff: java.sql.Timestamp): Unit = {
     val cur = read(spark, path)
     val old = cur.filter(col(tsCol) < lit(cutoff))
-    if (!old.isEmpty) {
+    if (old.isEmpty) {
+      // nothing to move — but a first call must still materialize an
+      // empty archive (readers depend on the table existing with the
+      // live schema)
+      if (!exists(spark, archivePath)) overwrite(old, archivePath)
+    } else {
       val epoch = cutoff.getTime
       val staged = archivePath + s"__batch$epoch"
       old.write.mode("overwrite").parquet(staged)
@@ -112,8 +122,15 @@ object TableStore {
         .foreach(s => f.delete(s.getPath, false))
       f.listStatus(new Path(staged))
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .foreach(s =>
-          f.rename(s.getPath, new Path(archDir, tag + s.getPath.getName)))
+        .foreach { s =>
+          val dest = new Path(archDir, tag + s.getPath.getName)
+          if (!f.rename(s.getPath, dest))
+            // a false return (quota, lease, racing writer) must abort
+            // BEFORE the staged delete + live rewrite below, or the
+            // unmoved rows would vanish from both tables
+            throw new java.io.IOException(
+              s"archive move failed: ${s.getPath} -> $dest")
+        }
       f.delete(new Path(staged), true)
       rewrite(spark, path,
         cur.filter(col(tsCol) >= lit(cutoff) || col(tsCol).isNull))
@@ -151,13 +168,26 @@ object TableStore {
   /** Write `df` next to `path`, then swap directories. Use this (not
     * `overwrite`) whenever `df` is derived from `path`'s current
     * contents — plain overwrite truncates the input mid-read.
+    *
+    * Swap order is keep-then-replace: the current table is moved aside
+    * (not deleted) before the staged result takes its name, and only
+    * then is the old copy removed. A crash inside the swap can leave
+    * `path` briefly absent, but SOME complete copy of the data always
+    * exists on disk (`__old` or `__staged`) — recovery is a rename,
+    * never a reload. Failed renames throw before anything is deleted.
     */
   def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val staged = path + "__staged"
     df.write.mode("overwrite").parquet(staged)
     val f = fs(spark, path)
-    f.delete(new Path(path), true)
-    f.rename(new Path(staged), new Path(path))
+    val p = new Path(path)
+    val oldP = new Path(path + "__old")
+    f.delete(oldP, true)
+    if (f.exists(p) && !f.rename(p, oldP))
+      throw new java.io.IOException(s"rewrite: could not move $p aside")
+    if (!f.rename(new Path(staged), p))
+      throw new java.io.IOException(s"rewrite: could not activate $staged")
+    f.delete(oldP, true)
   }
 
   private def fs(spark: SparkSession, path: String): FileSystem =

@@ -536,6 +536,11 @@ object Relational2 {
            |FROM events WHERE event_type = '$typ' AND value >= $minV
            |GROUP BY user_id""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY bucket, user_id")) { (s, d) =>
+      // precondition of the explode form: one row per (tag, user) —
+      // duplicate tags in the config would merge counts that the
+      // UNION ALL semantics keep as separate rows
+      require(UnionConfig.map(_._1).distinct.size == UnionConfig.size,
+        "u3 config tags must be distinct")
       val tags = array(UnionConfig.map { case (tag, typ, minV) =>
         when(col("event_type") === typ && col("value") >= minV, lit(tag))
       }: _*)

@@ -42,20 +42,32 @@ object SketchOps {
         .orderBy("event_type")
     },
 
-    // Quantile sketch: approx p50 must land between the exact p45 and
-    // p55 (a rank-error bound the sketch guarantees at accuracy 10k
-    // regardless of merge order). n is the oracle-checkable exact side.
+    // Quantile sketch gated on its ACTUAL guarantee — rank error: the
+    // returned p50 element's rank interval [frac(<v), frac(<=v)] must
+    // intersect [0.5 - eps, 0.5 + eps]. (An interpolated-value band
+    // like exact p45..p55 looks natural but EXCLUDES the returned
+    // element for small groups — interpolation can land between
+    // elements — so it misfires exactly where groups are skewed.)
+    // Two aggregates: the 5-row sketch result broadcasts back onto the
+    // fact scan for the rank count — no second shuffle of the values.
+    // All-NULL groups pass vacuously (the sketch has nothing to rank).
     Q("a18_approx_quantiles",
-      "percentile_approx p50 per type, gated inside the exact p45..p55 rank band",
+      "percentile_approx p50 per type, gated by its rank-error guarantee",
       """SELECT event_type, count(*) AS n, true AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-      t(s, d, "events").groupBy("event_type")
+      val ev = t(s, d, "events")
+      val sk = ev.groupBy("event_type")
+        .agg(expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"))
+      ev.join(broadcast(sk), Seq("event_type"))
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          expr("percentile_approx(value, 0.5, 10000)").as("p50_approx"),
-          expr("percentile(value, array(0.45, 0.55))").as("band"))
+          count(col("value")).as("nv"),
+          sum(when(col("value") < col("p50_approx"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L)).as("n_le"))
         .select(col("event_type"), col("n"),
-          (col("p50_approx") >= col("band").getItem(0) &&
-            col("p50_approx") <= col("band").getItem(1)).as("p50_ok"))
+          when(col("nv") === 0, lit(true)).otherwise(
+            col("n_lt") <= (col("nv") * 0.55) &&
+              col("n_le") >= (col("nv") * 0.45)).as("p50_ok"))
         .orderBy("event_type")
     })
 }

@@ -114,6 +114,16 @@ class TableStoreSpec extends SparkSpec {
     assert(count(arch) == 3 && count(live) == 0)
   }
 
+  test("archiveOlderThan with an empty batch still creates a readable empty archive") {
+    val live = scratch()
+    val arch = scratch()
+    TableStore.overwrite(tsTable(1L -> "2024-06-01 00:00:00"), live)
+    TableStore.archiveOlderThan(spark, live, arch, "ts",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(TableStore.read(spark, arch).count() == 0)
+    assert(TableStore.read(spark, live).count() == 1)
+  }
+
   test("archiveOlderThan keeps NULL-timestamp rows live") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, when}
