@@ -45,7 +45,7 @@ object ConnectedComponents {
     * reaches CacheManager entries; checkpoint blocks otherwise wait
     * for the context cleaner to notice the RDD is unreachable).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[operators] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

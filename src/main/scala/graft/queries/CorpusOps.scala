@@ -21,6 +21,57 @@ object CorpusOps {
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
+    // Eval-set decontamination — the release gate every trained-on
+    // corpus passes: any training doc sharing a word-3-gram shingle
+    // with a benchmark doc is flagged (n-gram overlap is the standard
+    // contamination test). The benchmark here is the deterministic
+    // doc_id % 97 slice of the same table.
+    // Scale shape: the benchmark's distinct shingle set is
+    // benchmark-sized, not corpus-sized — it BROADCASTS; the corpus
+    // streams through one narrow shingle explode + hash equi-join and
+    // one groupBy(lang). No shuffle ever carries the corpus text.
+    // Docs too short to form a shingle cannot be flagged (both
+    // dialects emit empty shingle sets — same convention as d2/d5).
+    Q("c5_decontamination",
+      "flag training docs sharing an n-gram shingle with the eval slice",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val sh = XSql.shinglesOfText("text")
+        s"""WITH ev AS (
+           |  SELECT DISTINCT unnest($sh) AS h
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |cont AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT doc_id, unnest($sh) AS h
+           |    FROM documents WHERE doc_id % 97 <> 0) trs
+           |  JOIN ev USING (h))
+           |SELECT lang, count(*) AS n_train,
+           |  count(CASE WHEN cont.doc_id IS NOT NULL THEN 1 END) AS n_contaminated,
+           |  count(*) - count(CASE WHEN cont.doc_id IS NOT NULL THEN 1 END) AS n_clean
+           |FROM documents d LEFT JOIN cont ON d.doc_id = cont.doc_id
+           |WHERE d.doc_id % 97 <> 0
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents")
+      val shingled = docs.withColumn("sh", expr(XSql.shinglesOfText("text")))
+      val evalSh = shingled.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("sh")).as("h")).distinct()
+      val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(evalSh), Seq("h"))
+        .select("doc_id").distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_train"),
+          count(col("flag")).as("n_contaminated"))
+        .select(col("lang"), col("n_train"), col("n_contaminated"),
+          (col("n_train") - col("n_contaminated")).as("n_clean"))
+        .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------
     // Cross-modal near-dup detection: a pair is a candidate if EITHER
     // the text signal (MinHash-LSH + verified Jaccard >= 0.5) OR the
     // embedding signal (label-blocked cosine distance <= 0.6) fires;

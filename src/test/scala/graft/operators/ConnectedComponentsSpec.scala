@@ -58,6 +58,21 @@ class ConnectedComponentsSpec extends SparkSpec {
       11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L))
   }
 
+  test("freeCheckpoint releases a localCheckpoint's blocks deterministically") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val df = Seq(1L, 2L, 3L).toDF("n").localCheckpoint()
+    val rdd = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"localCheckpoint did not plan a LogicalRDD leaf: $other")
+    }
+    // the checkpoint pins materialized blocks...
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    ConnectedComponents.freeCheckpoint(df)
+    // ...and freeCheckpoint releases them without waiting for GC
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+  }
+
   test("star and cycle shapes converge") {
     val star = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
     assert(components(star).values.toSet == Set(1L))
