@@ -303,6 +303,53 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // Sample packing — the batch-assembly step between a cleaned
+    // corpus and a training run: docs are packed greedily (in a fixed
+    // deterministic order) into 4096-token context windows per
+    // language; bin k = docs whose running token total lands in
+    // (k*4096, (k+1)*4096]. The output is the packing manifest: docs
+    // and token fill per (lang, bin).
+    // Scale shape: ONE running-sum window per lang partition — the
+    // same shuffle the per-lang groupBy needs anyway; no self-join,
+    // no iteration. (True offline bin-packing is NP-hard; streaming
+    // greedy-by-order is what training pipelines actually run, and a
+    // fixed order is what makes the manifest reproducible.)
+    Q("t12_sequence_packing",
+      "greedy 4096-token context packing per language: docs/tokens per bin",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH d AS (
+           |  SELECT lang, doc_id, ${dl.arrSize(XSql.words("text"))} AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |  FROM d)
+           |SELECT lang, cast(floor(cast(run - 1 as double) / 4096) as bigint) AS bin,
+           |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
+           |FROM c WHERE n_tokens > 0
+           |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      implicit val dl: Dialect = SqlSpark
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .selectExpr("lang", "doc_id",
+          s"${dl.arrSize(XSql.words("text"))} AS n_tokens")
+        .withColumn("run", sum(col("n_tokens")).over(w))
+        .filter(col("n_tokens") > 0)
+        // (run-1) div 4096: a doc ENDING exactly on a window boundary
+        // still belongs to the window it filled, not the next one
+        .withColumn("bin", floor((col("run") - 1).cast("double") / 4096).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang", "bin")
+    },
+
+    // ---------------------------------------------------------------
     Q("t4_fingerprint",
       "winnowing fingerprints: rolling 8-gram char hashes, window-4 minima (CSV-flattened for the gate)",
       {
