@@ -54,11 +54,17 @@ object CorpusOps {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       val docs = t(s, d, "documents")
-      val shingled = docs.withColumn("sh", expr(XSql.shinglesOfText("text")))
-      val evalSh = shingled.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("sh")).as("h")).distinct()
-      val contaminated = shingled.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("h"))
+      // explode_outer, then drop the null rows: plain explode makes
+      // Catalyst push `isnotnull(e) && size(e) > 0` filters whose `e`
+      // is the whole shingle expression — the full text hash would run
+      // 3x per row; outer + isNotNull evaluates it ONCE per row
+      def shingleRows(slice: org.apache.spark.sql.DataFrame) = slice
+        .select(col("doc_id"),
+          explode_outer(expr(XSql.shinglesOfText("text"))).as("h"))
+        .filter(col("h").isNotNull)
+      val evalSh = shingleRows(docs.filter(col("doc_id") % 97 === 0))
+        .select("h").distinct()
+      val contaminated = shingleRows(docs.filter(col("doc_id") % 97 =!= 0))
         .join(broadcast(evalSh), Seq("h"))
         .select("doc_id").distinct()
       docs.filter(col("doc_id") % 97 =!= 0)

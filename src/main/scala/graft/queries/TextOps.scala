@@ -325,21 +325,25 @@ object TextOps {
            |  SELECT lang, n_tokens,
            |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-           |  FROM d)
+           |  FROM d WHERE n_tokens > 0)
            |SELECT lang, cast(floor(cast(run - 1 as double) / 4096) as bigint) AS bin,
            |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
-           |FROM c WHERE n_tokens > 0
+           |FROM c
            |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
       }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       implicit val dl: Dialect = SqlSpark
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // packable docs are selected BEFORE the running sum in BOTH
+      // dialects — an unpackable row (0 tokens, or NULL text where
+      // size() is -1 with ANSI off but SQL sum() skips NULL) must not
+      // shift every later doc's bin
       t(s, d, "documents")
         .selectExpr("lang", "doc_id",
           s"${dl.arrSize(XSql.words("text"))} AS n_tokens")
-        .withColumn("run", sum(col("n_tokens")).over(w))
         .filter(col("n_tokens") > 0)
+        .withColumn("run", sum(col("n_tokens")).over(w))
         // (run-1) div 4096: a doc ENDING exactly on a window boundary
         // still belongs to the window it filled, not the next one
         .withColumn("bin", floor((col("run") - 1).cast("double") / 4096).cast("long"))

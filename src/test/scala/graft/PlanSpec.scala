@@ -186,6 +186,19 @@ class PlanSpec extends SparkSpec {
       s"landing table must be scanned once, saw $orderScans scans:\n" + p)
   }
 
+  test("c5: benchmark shingles broadcast; no shuffle carries text; shingles eval once") {
+    val p = plan("c5_decontamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus text column must never enter an exchange
+    val shuffledText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).exists(_.contains("text#"))
+    assert(!shuffledText, "a shuffle carries the text column:\n" + p)
+    // explode_outer keeps the shingle expression out of inferred
+    // Generate filters — one graft_shingles per row per branch
+    val evals = p.linesIterator.count(_.contains("graft_shingles"))
+    assert(evals <= 2, s"shingle expression evaluated $evals times (want <=2):\n" + p)
+  }
+
   test("u3: config union is one scan + one shuffle, independent of config size") {
     // one fact scan exploding matched tags — NOT one scan per entry
     val p = plan("u3_config_union")
