@@ -237,6 +237,42 @@ object Sinks {
       val refreshed = aggOf(ev.join(touched, Seq("user_id"), "left_semi"))
       TableStore.upsertByKey(s, path, refreshed, Seq("user_id"))
       TableStore.read(s, path).orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Bucketed co-located join — the layout that kills the big-big
+    // join's shuffle: both sides written bucketBy the join key (8
+    // buckets, external tables under a scratch path), so each scan
+    // already reports hashpartitioning(key) and the SortMergeJoin
+    // needs NO Exchange on either side. At 100 TB this is THE
+    // fact-to-fact join strategy: the shuffle happens once at write
+    // time and every subsequent join of the two tables is exchange-
+    // free. The oracle states the same join over the raw parquet —
+    // bucketing is a physical property, the result is identical.
+    // PlanSpec gates the exchange-free plan shape (with size-based
+    // broadcast disabled, as the fact sides would be at scale).
+    Q("s15_bucketed_join",
+      "bucketBy(8, key) both sides -> SortMergeJoin with no Exchange",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(30,2))) as double) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val base = scratch("s15")
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${base}_o").mode("overwrite")
+        .saveAsTable("s15_bucketed_orders")
+      t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${base}_l").mode("overwrite")
+        .saveAsTable("s15_bucketed_lineitem")
+      s.table("s15_bucketed_orders")
+        .join(s.table("s15_bucketed_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderpriority")
     }
   )
 }

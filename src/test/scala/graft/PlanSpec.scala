@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
       s"landing table must be scanned once, saw $orderScans scans:\n" + p)
   }
 
+  test("s15: bucketed join has NO Exchange on either side (shuffle paid at write time)") {
+    // disable size-based broadcast: at real scale both sides are facts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("s15_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      val exchangesBelowJoin = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          (l.contains("o_orderkey") || l.contains("l_orderkey")))
+      assert(exchangesBelowJoin == 0,
+        "bucketed sides must not re-shuffle on the join key:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c5: benchmark shingles broadcast; no shuffle carries text; shingles eval once") {
     val p = plan("c5_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
