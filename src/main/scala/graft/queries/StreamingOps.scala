@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
 import graft.streaming.EventStream
 
 /** Streaming operators run through Structured Streaming (AvailableNow
@@ -156,6 +158,87 @@ object StreamingOps {
         .as[EventStream.Ev]
       EventStream.sessionize(ev, 30).toDF()
         .orderBy("user_id", "session_start")
+    },
+
+    // ---------------------------------------------------------------
+    // Streaming near-dup dedup — the LSH pipeline as an INCREMENTAL
+    // materialized view: documents arrive over 4 micro-batches; each
+    // batch LSH-joins only (new × stored) ∪ (new × new-prior) — the
+    // d9 increment bound, so old × old is never recomputed — appends
+    // its verified pairs, and appends its bands to the store. The
+    // oracle is the BATCH pair set over the whole corpus (d3's query):
+    // stream/batch equivalence is exact because every pair is found
+    // exactly once, in whichever batch its second member arrives.
+    // Scale: per-batch cost is |batch × accumulated| band collisions —
+    // the honest streaming-dedup architecture at corpus scale.
+    Q("st7_stream_near_dup",
+      "streaming LSH near-dup via foreachBatch increments == batch pair set",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(w)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id)
+           |SELECT c.doc_a, c.doc_b, ${XSql.jaccard("sa.sh", "sb.sh")} AS jacc
+           |FROM cand c
+           |JOIN sh sa ON sa.doc_id = c.doc_a
+           |JOIN sh sb ON sb.doc_id = c.doc_b
+           |WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      import graft.operators.{Lsh, TableStore}
+      implicit val dl: Dialect = SqlSpark
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st7")
+      val bandStore = tmp.resolve("bands").toString
+      val pairStore = tmp.resolve("pairs").toString
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val stream = EventStream.stagedFileStream(s, docs,
+        tmp.resolve("stage").toString, nFiles = 4)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        val sh = batch.withColumn("sh", expr(XSql.shinglesOfText("text")))
+          .select("doc_id", "sh")
+        val nb = Lsh.bands(sh).cache()
+        val a = nb.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("na"), col("sh").as("sh_a"))
+        val bNew = nb.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("ob"), col("sh").as("sh_b"),
+          lit(false).as("b_old"))
+        val bAll =
+          if (!TableStore.exists(s, bandStore)) bNew
+          else TableStore.read(s, bandStore)
+            .select(col("band_idx"), col("band_key"),
+              col("doc_id").as("ob"), col("sh").as("sh_b"),
+              lit(true).as("b_old"))
+            .unionByName(bNew)
+        val pairs = a.join(bAll, Seq("band_idx", "band_key"))
+          // new×old in either id order; new×new only with prior ids
+          .filter(col("ob") =!= col("na") && (col("b_old") || col("ob") < col("na")))
+          .filter(expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
+          .select(least(col("na"), col("ob")).as("doc_a"),
+            greatest(col("na"), col("ob")).as("doc_b"),
+            expr(XSql.jaccard("sh_a", "sh_b")).as("jacc"))
+          .distinct()
+        TableStore.append(pairs, pairStore)
+        TableStore.append(nb.select("doc_id", "sh", "band_idx", "band_key"), bandStore)
+        nb.unpersist()
+      }
+      if (TableStore.exists(s, pairStore))
+        TableStore.read(s, pairStore).distinct().orderBy("doc_a", "doc_b")
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_a",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("doc_b",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jacc",
+              org.apache.spark.sql.types.DoubleType))))
     }
   )
 }
