@@ -49,4 +49,31 @@ object Lsh {
       .filter(col("jacc") >= threshold)
       .select("doc_a", "doc_b", "jacc").distinct()
   }
+
+  /** Incremental verified pairs: candidates bounded to
+    * (new × stored) ∪ (new × new-with-prior-id) — the increment bound
+    * that keeps old × old from ever being recompared (d9/st7). Inputs
+    * are band tables shaped like [[bands]]; `stored` rows must carry
+    * no id overlap with `fresh`. Output is canonical
+    * (doc_a < doc_b, jacc ≥ threshold), each pair exactly once.
+    */
+  def incrementalPairs(fresh: DataFrame, stored: DataFrame,
+      threshold: Double): DataFrame = {
+    implicit val dl: XSql.Dialect = SqlSpark
+    val a = fresh.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("na"), col("sh").as("sh_a"))
+    val bNew = fresh.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("ob"), col("sh").as("sh_b"), lit(false).as("b_old"))
+    val b = stored.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("ob"), col("sh").as("sh_b"), lit(true).as("b_old"))
+      .unionByName(bNew)
+    a.join(b, Seq("band_idx", "band_key"))
+      // new×stored in either id order; new×new only with prior ids
+      .filter(col("ob") =!= col("na") && (col("b_old") || col("ob") < col("na")))
+      .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
+      .filter(col("jacc") >= threshold)
+      .select(least(col("na"), col("ob")).as("doc_a"),
+        greatest(col("na"), col("ob")).as("doc_b"), col("jacc"))
+      .distinct()
+  }
 }

@@ -203,42 +203,20 @@ object StreamingOps {
       EventStream.runForeachBatch(s, stream) { (batch, _) =>
         val sh = batch.withColumn("sh", expr(XSql.shinglesOfText("text")))
           .select("doc_id", "sh")
-        val nb = Lsh.bands(sh).cache()
-        val a = nb.select(col("band_idx"), col("band_key"),
-          col("doc_id").as("na"), col("sh").as("sh_a"))
-        val bNew = nb.select(col("band_idx"), col("band_key"),
-          col("doc_id").as("ob"), col("sh").as("sh_b"),
-          lit(false).as("b_old"))
-        val bAll =
-          if (!TableStore.exists(s, bandStore)) bNew
-          else TableStore.read(s, bandStore)
-            .select(col("band_idx"), col("band_key"),
-              col("doc_id").as("ob"), col("sh").as("sh_b"),
-              lit(true).as("b_old"))
-            .unionByName(bNew)
-        val pairs = a.join(bAll, Seq("band_idx", "band_key"))
-          // new×old in either id order; new×new only with prior ids
-          .filter(col("ob") =!= col("na") && (col("b_old") || col("ob") < col("na")))
-          .filter(expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
-          .select(least(col("na"), col("ob")).as("doc_a"),
-            greatest(col("na"), col("ob")).as("doc_b"),
-            expr(XSql.jaccard("sh_a", "sh_b")).as("jacc"))
-          .distinct()
+        // degenerate docs (< 3 words) band to NULL keys that can never
+        // equi-join — keep them out of the accumulated store
+        val nb = Lsh.bands(sh).filter(col("band_key").isNotNull).cache()
+        val stored =
+          if (TableStore.exists(s, bandStore)) TableStore.read(s, bandStore)
+          else nb.limit(0)
+        val pairs = Lsh.incrementalPairs(nb, stored, 0.5)
         TableStore.append(pairs, pairStore)
         TableStore.append(nb.select("doc_id", "sh", "band_idx", "band_key"), bandStore)
         nb.unpersist()
       }
-      if (TableStore.exists(s, pairStore))
-        TableStore.read(s, pairStore).distinct().orderBy("doc_a", "doc_b")
-      else
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_a",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("doc_b",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("jacc",
-              org.apache.spark.sql.types.DoubleType))))
+      // the stream ran at least one batch, and appending even an empty
+      // batch's pairs creates the store — always readable here
+      TableStore.read(s, pairStore).distinct().orderBy("doc_a", "doc_b")
     }
   )
 }
