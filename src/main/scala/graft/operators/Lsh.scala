@@ -50,14 +50,18 @@ object Lsh {
       .select("doc_a", "doc_b", "jacc").distinct()
   }
 
-  /** Incremental verified pairs: candidates bounded to
-    * (new × stored) ∪ (new × new-with-prior-id) — the increment bound
-    * that keeps old × old from ever being recompared (d9/st7). Inputs
-    * are band tables shaped like [[bands]]; `stored` rows must carry
-    * no id overlap with `fresh`. Output is canonical
-    * (doc_a < doc_b, jacc ≥ threshold), each pair exactly once.
+  /** Increment-bounded verified candidates: every (new, other) band
+    * collision with exact Jaccard ≥ `threshold`, where `other` ranges
+    * over the stored corpus and the OTHER new docs — old × old is
+    * never compared, the bound that makes incremental dedup a job
+    * instead of a recompute (d9/st7). Inputs are band tables shaped
+    * like [[bands]]; `stored` must carry no id overlap with `fresh`.
+    * Output keeps the (na, ob, b_old) orientation — one row per
+    * collision, NOT yet distinct — so callers choose their policy:
+    * canonical pair sets ([[incrementalPairs]]) or per-doc drop
+    * verdicts (d9's old/new-prior counts).
     */
-  def incrementalPairs(fresh: DataFrame, stored: DataFrame,
+  def incrementalCandidates(fresh: DataFrame, stored: DataFrame,
       threshold: Double): DataFrame = {
     implicit val dl: XSql.Dialect = SqlSpark
     val a = fresh.select(col("band_idx"), col("band_key"),
@@ -68,12 +72,22 @@ object Lsh {
       col("doc_id").as("ob"), col("sh").as("sh_b"), lit(true).as("b_old"))
       .unionByName(bNew)
     a.join(b, Seq("band_idx", "band_key"))
-      // new×stored in either id order; new×new only with prior ids
-      .filter(col("ob") =!= col("na") && (col("b_old") || col("ob") < col("na")))
+      .filter(col("ob") =!= col("na"))
       .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
       .filter(col("jacc") >= threshold)
+      .select("na", "ob", "b_old", "jacc")
+  }
+
+  /** Incremental verified pairs (st7): [[incrementalCandidates]]
+    * restricted to (new × stored in either id order) ∪ (new ×
+    * new-with-prior-id), canonicalized to (doc_a < doc_b, jacc) —
+    * each pair exactly once.
+    */
+  def incrementalPairs(fresh: DataFrame, stored: DataFrame,
+      threshold: Double): DataFrame =
+    incrementalCandidates(fresh, stored, threshold)
+      .filter(col("b_old") || col("ob") < col("na"))
       .select(least(col("na"), col("ob")).as("doc_a"),
         greatest(col("na"), col("ob")).as("doc_b"), col("jacc"))
       .distinct()
-  }
 }

@@ -318,20 +318,14 @@ object Dedup {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       val bands = graft.operators.Lsh.bands(sh)
-      // ONLY the increment on the driving side — old x old never joins
-      val a = bands.filter(col("doc_id") % 5 === 4)
-        .select(col("band_idx"), col("band_key"),
-          col("doc_id").as("na"), col("sh").as("sh_a"))
-      val b = bands.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("ob"), col("sh").as("sh_b"))
-      val cand = a.join(b, Seq("band_idx", "band_key"))
-        .filter(col("ob") =!= col("na")
-          && expr(XSql.jaccard("sh_a", "sh_b")) >= 0.5)
-        .select(col("na"), col("ob"), (col("ob") % 5 === 4).as("b_new"))
-        .distinct()
+      // shared increment-bounded machinery (operators/Lsh) — only the
+      // new slice drives the join, old x old never compared
+      val cand = graft.operators.Lsh.incrementalCandidates(
+        bands.filter(col("doc_id") % 5 === 4),
+        bands.filter(col("doc_id") % 5 =!= 4), 0.5)
       val agg = cand.groupBy("na").agg(
-        countDistinct(when(!col("b_new"), col("ob"))).as("n_dup_old"),
-        countDistinct(when(col("b_new") && col("ob") < col("na"), col("ob")))
+        countDistinct(when(col("b_old"), col("ob"))).as("n_dup_old"),
+        countDistinct(when(!col("b_old") && col("ob") < col("na"), col("ob")))
           .as("n_dup_new_prior"))
       sh.filter(col("doc_id") % 5 === 4)
         .join(agg, col("doc_id") === col("na"), "left")
