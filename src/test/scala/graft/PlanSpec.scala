@@ -186,6 +186,17 @@ class PlanSpec extends SparkSpec {
       s"landing table must be scanned once, saw $orderScans scans:\n" + p)
   }
 
+  test("c4: rank window and stats groupBy share ONE (lang, source) shuffle") {
+    // the dataset card's median needs the group's values together once;
+    // the window partitioning must be REUSED by the aggregate, not
+    // re-shuffled (the doc's one-shuffle claim, now suite-gated)
+    val p = plan("c4_dataset_card")
+    val dataExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("lang"))
+    assert(dataExchanges == 1,
+      s"expected one (lang, source) shuffle, saw $dataExchanges:\n" + p)
+  }
+
   test("s15: bucketed join has NO Exchange on either side (shuffle paid at write time)") {
     // disable size-based broadcast: at real scale both sides are facts
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
