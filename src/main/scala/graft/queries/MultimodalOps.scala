@@ -77,6 +77,51 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
+    // Media near-dup by shared frame fingerprints — the video/image
+    // dedup tier of a multimodal pipeline: every aligned 64-byte frame
+    // is content-hashed, pairs sharing >= 2 frame hashes are flagged.
+    // Scale shape: the pair discovery is an EQUI-JOIN on the frame
+    // hash (identical copies and re-containered media collide on their
+    // frames) — never an all-pairs media comparison; the per-pair
+    // count is a groupBy on the matched hash rows only. Same stub
+    // decode as m2 (payload == sanitized ASCII bytes), so the oracle
+    // states the identical frames via substr arithmetic.
+    Q("m5_media_near_dup",
+      "media near-dup pairs: >= 2 shared 64-byte frame hashes (equi-join, never all-pairs)",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val frame = "substr(text, cast(i_ * 64 + 1 as bigint), 64)"
+        s"""WITH $SrcCte,
+           |f AS (
+           |  SELECT doc_id,
+           |    unnest(range(0, cast(floor(length(text) / 64) as bigint))) AS i_,
+           |    text
+           |  FROM src),
+           |h AS (SELECT doc_id, ${graft.functions.XSql.charHash(frame)} AS fh FROM f)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val h = Multimodal.sampleFrames(
+        Multimodal.mediaTable(s, d), frameBytes = 64, stride = 1)
+        .toDF()
+        .select(col("doc_id"),
+          expr("graft_char_hash(decode(frame, 'UTF-8'))").as("fh"))
+      val a = h.select(col("doc_id").as("doc_a"), col("fh"))
+      val b = h.select(col("doc_id").as("doc_b"), col("fh"))
+      a.join(b, Seq("fh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
     // Audio-style windowed energy: payload bytes as unsigned 8-bit PCM,
     // one row per full 50-sample window with exact integer energy and
     // derived RMS + a silence flag. The energy is Σ sample² as a LONG —
