@@ -97,7 +97,8 @@ object MultimodalOps {
            |    unnest(range(0, cast(floor(length(text) / 64) as bigint))) AS i_,
            |    text
            |  FROM src),
-           |h AS (SELECT doc_id, ${graft.functions.XSql.charHash(frame)} AS fh FROM f)
+           |h AS (SELECT DISTINCT doc_id, ${graft.functions.XSql.charHash(frame)} AS fh
+           |      FROM f)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
            |FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= 2
@@ -106,11 +107,16 @@ object MultimodalOps {
       import org.apache.spark.sql.functions._
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
+      // DISTINCT fingerprints per doc BEFORE the join: n_shared counts
+      // shared distinct frames (the stated semantics), and a frame
+      // repeated within a doc (padding, black frames) cannot inflate
+      // the pair's agg input nA x nB-fold
       val h = Multimodal.sampleFrames(
         Multimodal.mediaTable(s, d), frameBytes = 64, stride = 1)
         .toDF()
         .select(col("doc_id"),
           expr("graft_char_hash(decode(frame, 'UTF-8'))").as("fh"))
+        .distinct()
       val a = h.select(col("doc_id").as("doc_a"), col("fh"))
       val b = h.select(col("doc_id").as("doc_b"), col("fh"))
       a.join(b, Seq("fh"))

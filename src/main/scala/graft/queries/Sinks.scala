@@ -19,6 +19,11 @@ object Sinks {
     s"${dir.getAbsolutePath}/t"
   }
 
+  /** One bucketed-table base dir per JVM (s15): collision-free across
+    * concurrent JVMs, reused across invocations within one. */
+  private lazy val s15Base: String =
+    Files.createTempDirectory("graft_s15").toString
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -257,24 +262,28 @@ object Sinks {
         |  cast(sum(cast(l_quantity as decimal(30,2))) as double) AS total_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-      // write-once per session: the point of bucketing is paying the
-      // shuffle at WRITE time — rebuilding per invocation would both
-      // leak temp dirs and fold the write into every measurement.
-      // (Deterministic path keyed by the sf dir; bucket metadata lives
-      // in the session catalog, so a fresh session rebuilds.)
-      if (!s.catalog.tableExists("s15_bucketed_orders")) {
-        val base = s"/tmp/graft_s15_${math.abs(d.hashCode)}"
+      // write-once per (session, sf dir): the point of bucketing is
+      // paying the shuffle at WRITE time — rebuilding per invocation
+      // would leak dirs and fold the write into every measurement.
+      // Table names carry the sf-dir tag (a second sf dir in the same
+      // session must NOT reuse the first's data); the base dir is a
+      // per-JVM temp dir, so concurrent JVMs never race on one path;
+      // the guard requires BOTH tables, so a failure between the two
+      // writes rebuilds instead of wedging the session.
+      val tag = math.abs(d.hashCode).toString
+      val (to, tl) = (s"s15_bucketed_orders_$tag", s"s15_bucketed_lineitem_$tag")
+      if (!(s.catalog.tableExists(to) && s.catalog.tableExists(tl))) {
         t(s, d, "orders").select("o_orderkey", "o_orderpriority")
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"${base}_o").mode("overwrite")
-          .saveAsTable("s15_bucketed_orders")
+          .option("path", s"$s15Base/o_$tag").mode("overwrite")
+          .saveAsTable(to)
         t(s, d, "lineitem").select("l_orderkey", "l_quantity")
           .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"${base}_l").mode("overwrite")
-          .saveAsTable("s15_bucketed_lineitem")
+          .option("path", s"$s15Base/l_$tag").mode("overwrite")
+          .saveAsTable(tl)
       }
-      s.table("s15_bucketed_orders")
-        .join(s.table("s15_bucketed_lineitem"),
+      s.table(to)
+        .join(s.table(tl),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
