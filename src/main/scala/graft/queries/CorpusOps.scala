@@ -342,6 +342,52 @@ object CorpusOps {
       sh.join(drops, Seq("doc_id"), "left_anti")
         .select("doc_id", "n_tokens", "n_alpha")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Corpus mixing — the last step before training: down-sample each
+    // source to its target mixture weight (here: tier-1 sources keep
+    // 100%, tier-2 50%, the long tail 25%). The gate is a CONTENT
+    // hash, never random(): reproducible across runs, engines, AND
+    // task retries — a retried task with random() silently changes
+    // the corpus. The salt ('#mix') makes this draw independent of
+    // the t6 train/val split drawn from the same hash family.
+    // Scale shape: per-row hash + one map-side-combinable aggregate
+    // keyed by source — one shuffle of |sources| partial rows.
+    Q("c6_corpus_mixing",
+      "hash-gated per-source mixture sampling: keep counts + char budget",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val h = XSql.charHash("(text || '#mix')")
+        s"""WITH g AS (
+           |  SELECT source, n_chars,
+           |    ($h) % 100 <
+           |      CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 100
+           |           WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+           |           ELSE 25 END AS keep
+           |  FROM documents)
+           |SELECT source, count(*) AS n_total,
+           |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  cast(sum(CASE WHEN keep THEN n_chars ELSE 0 END) as bigint) AS chars_kept,
+           |  round(cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double)
+           |        / cast(count(*) as double), 6) AS keep_frac
+           |FROM g GROUP BY source ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val tier1 = Seq("src0", "src1", "src2", "src3", "src4")
+      val tier2 = Seq("src5", "src6", "src7", "src8", "src9")
+      val w = when(col("source").isin(tier1: _*), 100)
+        .when(col("source").isin(tier2: _*), 50).otherwise(25)
+      t(s, d, "documents")
+        .withColumn("keep",
+          expr(XSql.charHash("concat(text, '#mix')")) % 100 < w)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 6).as("keep_frac"))
+        .orderBy("source")
     }
   )
 }

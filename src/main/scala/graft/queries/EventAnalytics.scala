@@ -78,6 +78,40 @@ object EventAnalytics {
         .groupBy("cohort_day", "day_offset")
         .agg(countDistinct(col("user_id")).as("n_active"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // ---------------------------------------------------------------
+    // Event-transition matrix: per-user next-event via lead() (tie
+    // broken by the unique event_id, so the sequence — and therefore
+    // every count — is deterministic), then (from, to) counts with
+    // row-normalized probabilities. Scale shape: the lead() window
+    // shuffles once by user_id; the (from, to) aggregate is map-side
+    // combinable; the normalizing sum runs as a window over the
+    // ~|event_types|² aggregated rows — negligible at any scale.
+    Q("e4_transition_matrix",
+      "per-user event-type transition counts + row-normalized probabilities",
+      """WITH nx AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n,
+        |  round(cast(count(*) as double)
+        |    / cast(sum(count(*)) OVER (PARTITION BY event_type) as double), 6) AS p
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy("event_type")
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wu))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(wt).cast("double"), 6))
+        .orderBy("event_type", "next_type")
     }
   )
 }

@@ -22,6 +22,12 @@ object TextOps {
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct. */
   private val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+  /** PII patterns, valid verbatim in BOTH Java regex and RE2: only
+    * [.]/[0-9] character classes, no backslash escapes to diverge.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
   private val StopWords = Seq("the", "a", "and", "of", "to")
 
   /** Fixed marker-word lists for the language-ID heuristic (top
@@ -351,6 +357,102 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .orderBy("lang", "bin")
+    },
+
+    // ---------------------------------------------------------------
+    // PII scrubbing — the redaction pass every crawl corpus goes
+    // through before training. The synthetic corpus carries no PII,
+    // so emails/phones are SEEDED deterministically in-query (emails
+    // on doc_id%3=0, phones on doc_id%4=1 — same CASE first-match in
+    // both dialects) and then redacted. Patterns use only [.]/[0-9]
+    // character classes — no backslash escapes — so the SAME pattern
+    // string is valid Java regex (Spark) and RE2 (DuckDB); DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.
+    // Gated: match counts + md5 of the scrubbed text (both engines
+    // hash UTF-8 to lowercase hex). Scale shape: pure per-row map —
+    // one scan stage, no shuffle except the presentation sort.
+    Q("t13_pii_scrub",
+      "seeded email/phone redaction: match counts + md5 of scrubbed text",
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+         |           || cast(doc_id as varchar) || '@mail.example.com'
+         |         WHEN doc_id % 4 = 1 THEN text || ' call 555-'
+         |           || lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-'
+         |           || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+         |         ELSE text END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(raw, '$EmailRe')) as bigint) AS n_emails,
+         |  cast(len(regexp_extract_all(raw, '$PhoneRe')) as bigint) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>', 'g'),
+         |                     '$PhoneRe', '<PHONE>', 'g')) AS clean_md5
+         |FROM seeded ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Repetition signals (the Gopher quality rules): duplicate-word
+    // fraction and top-bigram fraction per document — the filters
+    // that catch boilerplate and template spam in crawl data. The
+    // per-row stats (word count, distinct words) never shuffle; the
+    // bigram head count explodes to (doc, bigram) and collapses
+    // through TWO map-side-combinable aggregates keyed by doc_id,
+    // then joins back on doc_id. At 100 TB the explode multiplies
+    // rows ~|doc| but partial aggregation collapses them before the
+    // exchange, and no state ever exceeds one doc's bigram set.
+    Q("t14_repetition",
+      "Gopher repetition signals: dup-word + top-bigram fractions per doc",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        val bigrams = dl.xform(dl.seq0(s"${dl.arrSize("w")} - 1"), "i_",
+          s"${dl.idx("w", "i_")} || ' ' || ${dl.idx("w", "i_ + 1")}")
+        s"""WITH w AS (SELECT doc_id, $w AS w FROM documents),
+           |bg AS (SELECT doc_id, unnest($bigrams) AS bigram FROM w),
+           |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+           |bs AS (SELECT doc_id, max(c) AS top_c,
+           |               cast(sum(c) as bigint) AS tot_c FROM bc GROUP BY 1)
+           |SELECT w.doc_id, len(w.w) AS n_words,
+           |  len(list_distinct(w.w)) AS n_distinct,
+           |  round(1 - cast(len(list_distinct(w.w)) as double)
+           |            / cast(len(w.w) as double), 6) AS dup_word_frac,
+           |  round(cast(bs.top_c as double) / cast(bs.tot_c as double), 6)
+           |    AS top_bigram_frac
+           |FROM w JOIN bs ON w.doc_id = bs.doc_id ORDER BY w.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val bigrams = dl.xform(dl.seq0(s"${dl.arrSize("w")} - 1"), "i_",
+        s"concat(${dl.idx("w", "i_")}, ' ', ${dl.idx("w", "i_ + 1")})")
+      val docs = t(s, d, "documents").withColumn("w", expr(XSql.words("text")))
+      val perRow = docs.select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+      val bs = docs.select(col("doc_id"), explode(expr(bigrams)).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("tot_c"))
+      perRow.join(bs, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1) - col("n_distinct").cast("double")
+            / col("n_words").cast("double"), 6).as("dup_word_frac"),
+          round(col("top_c").cast("double")
+            / col("tot_c").cast("double"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")
     },
 
     // ---------------------------------------------------------------
