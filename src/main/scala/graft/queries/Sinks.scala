@@ -289,6 +289,34 @@ object Sinks {
         .agg(count(lit(1)).as("n"),
           dsum(col("l_quantity")).as("total_qty"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---------------------------------------------------------------
+    // Runtime bloom-filter pruning — the scale feature that saves a
+    // shuffle-join's fact scan when the dim side is selective but too
+    // big (or too late) to broadcast: Catalyst's InjectRuntimeFilter
+    // builds a bloom filter from the filtered dim keys at runtime and
+    // pushes `bloom_filter_might_contain` into the fact side, so the
+    // ~95% of lineitem rows whose part has the wrong brand die at the
+    // scan, not at the join. The query itself is a plain selective
+    // dim join (result identical with or without injection — that is
+    // the point of a runtime filter); PlanSpec gates the injected
+    // plan shape under the thresholds a 100 TB fact table would meet
+    // naturally.
+    Q("s16_runtime_filter",
+      "selective dim join, fact side prunable by a runtime bloom filter",
+      s"""SELECT l_returnflag, count(*) AS n,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#4'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select("l_partkey", "l_returnflag", "l_extendedprice")
+        .join(t(s, d, "part").filter(col("p_brand") === "Brand#4")
+          .select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }

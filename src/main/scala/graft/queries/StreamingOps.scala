@@ -217,6 +217,62 @@ object StreamingOps {
       // the stream ran at least one batch, and appending even an empty
       // batch's pairs creates the store — always readable here
       TableStore.read(s, pairStore).distinct().orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
+    // Stream-stream LEFT OUTER interval join — the semantics st5
+    // cannot show: a purchase with NO click in its preceding 10
+    // minutes must still be emitted (with a NULL click id), and that
+    // emission happens only when the watermark proves no match can
+    // arrive. The replay is choreographed with sequencedFileStream:
+    // batch 1 carries the real data, batches 2-3 carry far-future
+    // sentinel punctuation rows (user_id = -1, never joinable) — the
+    // first advances both sides' watermarks past all real event time,
+    // the second gives the join a batch in which to evict state and
+    // emit the unmatched rows. Without the punctuation the tail of
+    // the stream would be withheld forever — the classic outer-join
+    // end-of-stream trap, solved here the way production streams
+    // solve it (heartbeat/punctuation events).
+    // Scale: state is the 10-minute interval per user on both sides,
+    // watermark-bounded regardless of stream length.
+    Q("st8_stream_left_outer",
+      "watermarked stream-stream LEFT OUTER interval join == batch left join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st8")
+      val ev = t(s, d, "events")
+      def sentinel(day: String) = s.sql(
+        s"""SELECT CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,
+           |       CAST('$day' AS TIMESTAMP) AS ts""".stripMargin)
+      def side(typ: String, stage: String) = {
+        val real = ev.filter(col("event_type") === typ)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        EventStream.sequencedFileStream(s,
+          Seq(real, sentinel("2100-01-01"), sentinel("2100-01-02")),
+          tmp.resolve(stage).toString)
+      }
+      val purchases = side("purchase", "p")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = side("click", "c")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+        .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+      EventStream.runToMemory(s, joined,
+        s"st8_mem_${System.nanoTime()}", OutputMode.Append())
+        .filter(col("purchase_id") >= 0) // drop sentinel punctuation rows
+        .orderBy("purchase_id", "click_id")
     }
   )
 }

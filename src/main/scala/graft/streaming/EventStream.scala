@@ -54,6 +54,39 @@ object EventStream {
       .parquet(stageDir)
   }
 
+  /** Stage `parts` as ONE parquet file each with strictly increasing
+    * modification times, so the file source (maxFilesPerTrigger=1,
+    * oldest-first ordering by (modTime, path)) replays them as
+    * micro-batches IN THE GIVEN ORDER. [[stagedFileStream]] leaves
+    * batch order to the file lister — fine for commutative merges,
+    * wrong for watermark choreography: flushing outer-join / timeout
+    * state needs the punctuation batches to arrive LAST. Times are
+    * spaced 60 s apart (well past ext4 mtime granularity) and within
+    * the source's maxFileAge window of each other.
+    */
+  def sequencedFileStream(spark: SparkSession, parts: Seq[DataFrame],
+      stageDir: String): DataFrame = {
+    val dir = new java.io.File(stageDir)
+    dir.mkdirs()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stageDir-tmp-$i"
+      df.coalesce(1).write.parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val src = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      val dest = new java.io.File(dir, f"part-$i%03d.parquet")
+      java.nio.file.Files.move(src.toPath, dest.toPath)
+      if (!dest.setLastModified((i + 1) * 60000L))
+        sys.error(s"cannot set mtime on $dest")
+      tmpDir.listFiles().foreach(_.delete())
+      tmpDir.delete()
+    }
+    spark.readStream
+      .schema(parts.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+  }
+
   /** Tumbling daily windowed aggregation with a 1-hour watermark.
     * Complete output mode so every window is emitted even at the tail
     * of a replay (append would hold back unclosed windows).

@@ -212,6 +212,34 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s16: runtime bloom filter prunes the fact side of the shuffled dim join") {
+    // At 100 TB the fact side exceeds the app-side threshold naturally
+    // and the dim side won't broadcast; here both thresholds are set to
+    // what that cluster would see, and the gate asserts Catalyst
+    // actually injects bloom_filter_might_contain on the fact scan —
+    // the feature that kills ~95% of fact rows before the shuffle.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val p = plan("s16_runtime_filter")
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected on the fact side:\n" + p)
+      assert(p.contains("bloom_filter_agg"),
+        "no bloom filter built from the filtered dim keys:\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("c5: benchmark shingles broadcast; no shuffle carries text; shingles eval once") {
     val p = plan("c5_decontamination")
     assert(p.contains("BroadcastHashJoin"), p)
