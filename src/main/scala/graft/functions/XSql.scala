@@ -233,6 +233,16 @@ object XSql {
     folded.replace("bigint_zero_", if (d == Spark) "bigint(0)" else "cast(0 as bigint)")
   }
 
+  /** Positionwise agreement count of two MinHash signatures — the
+    * collision statistic whose expectation IS the Jaccard similarity
+    * (the estimator LSH banding thresholds are built on). Integer
+    * fold, bit-identical everywhere.
+    */
+  def sigAgreement(a: String, b: String)(implicit d: Dialect): String =
+    d.foldL(d.seq0(MinhashK.toString), 0L, "acc_", "i_",
+      s"acc_ + (CASE WHEN ${d.idx(s"($a)", "i_")} = ${d.idx(s"($b)", "i_")} " +
+        "THEN 1 ELSE 0 END)")
+
   /** Exact Jaccard similarity of two distinct-element arrays (double).
     * |A∪B| is derived as |A|+|B|-|A∩B| (arrays are distinct), so each
     * pair costs one intersect; Spark runs the native sort-merge count.
@@ -279,6 +289,17 @@ object XSql {
 
   /** Squared L2 norm of a double-array expression. */
   def norm2(a: String)(implicit d: Dialect): String = dot(a, a)
+
+  /** Squared L2 distance of two double-array expressions — same
+    * left-fold accumulation order both engines, so bit-identical;
+    * comparisons on the result (argmin in k-means / IVF assignment)
+    * therefore agree across engines.
+    */
+  def dist2(a: String, b: String)(implicit d: Dialect): String = {
+    val diff = s"(${d.idx(s"($a)", "i_")} - ${d.idx(s"($b)", "i_")})"
+    d.foldD(d.seq0(d.arrSize(s"($a)")), "acc_", "i_",
+      s"acc_ + $diff * $diff")
+  }
 
   /** Cosine similarity given two vectors and their precomputed squared
     * norms. Formula pinned as dot / (sqrt(n2a) * sqrt(n2b)) — both

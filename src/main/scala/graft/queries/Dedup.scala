@@ -366,6 +366,59 @@ object Dedup {
         .filter(col("dist") <= 0.6)
         .select("vec_a", "vec_b", "dist")
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---------------------------------------------------------------
+    // The MinHash estimator itself, held against ground truth: for
+    // every band-collision candidate pair, the signature agreement
+    // count (an integer in 0..16 whose expectation over the hash
+    // family is the Jaccard similarity) next to the exact Jaccard.
+    // This is the table you read before trusting a banding config at
+    // 100 TB — it shows the estimator's spread at k=16 on real pairs.
+    // n_agree/16 is exact binary arithmetic (/2^4), so every gated
+    // column is either an integer or a bit-pinned double.
+    // Scale: candidates are band-bounded (never all-pairs); signatures
+    // and shingles ride the band join — same shape as d3.
+    Q("d10_minhash_estimate",
+      "MinHash agreement count vs exact Jaccard for every candidate pair",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, sig, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |                ${XSql.sigAgreement("a.sig", "b.sig")} AS n_agree,
+           |                ${XSql.jaccard("a.sh", "b.sh")} AS jacc
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, n_agree,
+           |  cast(n_agree as double) / 16.0 AS est_jacc, jacc
+           |FROM cand ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sg = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .withColumn("sig", expr(XSql.minhashSig("sh")))
+        .filter(col("sig").isNotNull)
+      val bs = sg.select(col("doc_id"), col("sh"), col("sig"),
+        posexplode(expr(XSql.bandKeys("sig"))))
+        .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
+      val a = bs.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
+      val b = bs.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr(XSql.sigAgreement("sig_a", "sig_b")).as("n_agree"),
+          expr(XSql.jaccard("sh_a", "sh_b")).as("jacc"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          (col("n_agree").cast("double") / 16.0).as("est_jacc"), col("jacc"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 

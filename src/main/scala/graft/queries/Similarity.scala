@@ -391,6 +391,94 @@ object Similarity {
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // Lloyd's k-means (k=4, 2 fixed rounds) — the training loop that
+    // PRODUCES the centroids k3/k7 probe. Deterministic end to end:
+    // init picks the 4 smallest vec_ids, assignment is argmin over
+    // bit-pinned fold distances (ties → smaller cid), and the update
+    // step computes each dimension mean as a sorted left-fold (the
+    // cross-engine parity recipe shared with k3; production swaps the
+    // fold for a plain map-side-combinable sum — k-means itself does
+    // not need bit-stable means, the GATE does because means feed the
+    // next round's argmin). Gated outputs are all integers: cluster
+    // sizes after each round, member-id sums, moved counts.
+    // Scale shape: per round, ONE broadcast of k centroid rows over
+    // the vector scan (assignment is map-side, no shuffle), then one
+    // (cid, dim)-keyed partial aggregate for the update. Rounds are a
+    // FIXED count — the driver loop never inspects data.
+    Q("k9_kmeans_lloyd",
+      "2 Lloyd rounds, k=4: deterministic assignment + per-dim mean update",
+      {
+        implicit val dl: Dialect = SqlDuck
+        def dist2(v: String, c: String) = XSql.dist2(v, c)
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+           |r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
+           |a1 AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM r1) WHERE rn = 1),
+           |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
+           |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
+           |              (SELECT unnest(range(0, $Dims)) AS i)),
+           |dimavg AS (SELECT cid, i,
+           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+           |      / cast(count(*) as double) AS m
+           |  FROM flat GROUP BY cid, i),
+           |c1 AS (SELECT cid,
+           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
+           |  FROM dimavg GROUP BY cid),
+           |r2 AS (SELECT e.vec_id, c1.cid, ${dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
+           |a2 AS (SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           |    FROM r2) WHERE rn = 1),
+           |s1 AS (SELECT cid, count(*) AS n1 FROM a1 GROUP BY cid),
+           |s2 AS (SELECT a2.cid, count(*) AS n2,
+           |         cast(sum(a2.vec_id) as bigint) AS sum_ids2,
+           |         cast(sum(CASE WHEN a1.cid != a2.cid THEN 1 ELSE 0 END) as bigint)
+           |           AS n_moved
+           |       FROM a2 JOIN a1 ON a2.vec_id = a1.vec_id GROUP BY a2.cid)
+           |SELECT coalesce(s1.cid, s2.cid) AS cid,
+           |  coalesce(s1.n1, 0) AS n1, coalesce(s2.n2, 0) AS n2,
+           |  coalesce(s2.sum_ids2, 0) AS sum_ids2, coalesce(s2.n_moved, 0) AS n_moved
+           |FROM s1 FULL JOIN s2 ON s1.cid = s2.cid ORDER BY cid""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      e.cache()
+      val c0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        e.crossJoin(broadcast(cents))
+          .withColumn("d2", expr(XSql.dist2("v", "cv")))
+          .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"))
+      val a1 = assign(c0)
+      val flat = e.join(a1, "vec_id").select(col("cid"), posexplode(col("v")))
+        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
+      val dimavg = flat.groupBy("cid", "i")
+        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"),
+          "a_", "x_", "a_ + x_")) / count(lit(1)).cast("double")).as("m"))
+      val c1 = dimavg.groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)")
+          .as("cv"))
+      val a2 = assign(c1)
+      val s1 = a1.groupBy("cid").agg(count(lit(1)).as("n1"))
+      val s2 = a2.join(a1.withColumnRenamed("cid", "cid1"), "vec_id")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n2"), sum(col("vec_id")).as("sum_ids2"),
+          sum(when(col("cid1") =!= col("cid"), 1L).otherwise(0L)).as("n_moved"))
+      s1.join(s2, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("n1"), lit(0L)).as("n1"),
+          coalesce(col("n2"), lit(0L)).as("n2"),
+          coalesce(col("sum_ids2"), lit(0L)).as("sum_ids2"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"))
+        .orderBy("cid")
     }
   )
 }
