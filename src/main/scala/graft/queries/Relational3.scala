@@ -409,6 +409,57 @@ object Relational3 {
           |         * sqrt(cast(cast(n as decimal(38,0)) * spp - cast(sp as decimal(38,0)) * cast(sp as decimal(38,0)) as double))),
           |      6) AS corr_qty_price""".stripMargin)
         .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------
+    // Interval-overlap join, grid-bucketed — the range-join shape j5's
+    // band rewrite cannot express (two sets of variable-length
+    // INTERVALS, overlap predicate `a.s <= w.we AND w.ws <= a.e`).
+    // Naively this is a theta join (nested loop). The scale form maps
+    // every interval to the 6-hour grid cells it covers, equi-joins on
+    // the cell, re-checks the exact predicate, and dedups pairs that
+    // share multiple cells — candidate count is bounded by cells-per-
+    // interval × cell occupancy, never |A|×|B|. PlanSpec gates the
+    // no-nested-loop shape. Here A = per-(user, day) activity spans,
+    // B = 4 staggered 2-hour windows per day; the same code path
+    // handles two fact-sized sides (the grid cell is the shuffle key).
+    Q("j15_interval_overlap",
+      "interval-overlap join via 6-hour grid cells: users active per window",
+      """WITH days AS (SELECT DISTINCT cast(ts as date) AS d FROM events),
+        |w AS (SELECT d, k,
+        |        cast(d as timestamp) + (k * 6) * INTERVAL 1 HOUR
+        |          + k * INTERVAL 1 MINUTE AS ws,
+        |        cast(d as timestamp) + (k * 6) * INTERVAL 1 HOUR
+        |          + k * INTERVAL 1 MINUTE + INTERVAL 2 HOUR AS we
+        |      FROM days, (SELECT unnest(range(0, 4)) AS k)),
+        |a AS (SELECT user_id, cast(ts as date) AS d, min(ts) AS s, max(ts) AS e
+        |      FROM events GROUP BY 1, 2)
+        |SELECT w.d, w.k, count(DISTINCT a.user_id) AS n_users
+        |FROM w JOIN a ON a.s <= w.we AND w.ws <= a.e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val a = ev.groupBy(col("user_id"), to_date(col("ts")).as("ad"))
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      val w = ev.select(to_date(col("ts")).as("d")).distinct()
+        .select(col("d"), explode(sequence(lit(0), lit(3))).as("k"))
+        .selectExpr("d", "k",
+          "timestampadd(MINUTE, k, timestampadd(HOUR, 6 * k, cast(d as timestamp))) AS ws")
+        .selectExpr("d", "k", "ws", "timestampadd(HOUR, 2, ws) AS we")
+      // grid cells: 6 h = 21600 s of epoch time; an interval covers
+      // cells floor(start/21600)..floor(end/21600)
+      def cells(s0: String, e0: String) =
+        expr(s"sequence(floor(unix_timestamp($s0) / 21600), " +
+          s"floor(unix_timestamp($e0) / 21600))")
+      val ac = a.select(col("user_id"), col("s"), col("e"),
+        explode(cells("s", "e")).as("cell"))
+      val wc = w.select(col("d"), col("k"), col("ws"), col("we"),
+        explode(cells("ws", "we")).as("cell"))
+      wc.join(ac, Seq("cell"))
+        .filter(col("s") <= col("we") && col("ws") <= col("e"))
+        .select("d", "k", "user_id").distinct()
+        .groupBy("d", "k")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("d", "k")
     }
   )
 }

@@ -317,6 +317,32 @@ object Sinks {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------
+    // Small-file compaction — the maintenance job every append-mode
+    // ingest needs: 8 appended slices × 2 files each accrete 16 small
+    // files; compact rewrites them into ceil(rows/50k) ts-sorted
+    // files through the staged-rename path (rewrite), so a crash
+    // mid-compaction never loses a row and min/max stats stay
+    // selective after the rewrite. At 100 TB, scan cost and listing
+    // pressure grow with FILE COUNT, not bytes — compaction is what
+    // keeps an ingest table scannable. The oracle states content
+    // preservation; TableStoreSpec asserts the file-count collapse.
+    Q("s17_compaction",
+      "16 accreted small files compacted to sorted few; content preserved",
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = scratch("s17")
+      val ev = t(s, d, "events")
+      (0 until 8).foreach { i =>
+        TableStore.append(ev.filter(col("event_id") % 8 === i).repartition(2), path)
+      }
+      TableStore.compact(s, path, targetFileRows = 50000L, sortCols = Seq("ts"))
+      TableStore.read(s, path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 }

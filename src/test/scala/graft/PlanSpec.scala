@@ -212,6 +212,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("j15: interval-overlap join is cell-equi-keyed, never a nested loop") {
+    // the overlap theta predicate must ride on the grid-cell equi-join
+    // as a post-filter; a CartesianProduct/BNLJ here is O(|A|×|B|)
+    val p = plan("j15_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val joinLine = p.linesIterator
+      .find(l => (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("cell"))
+      .getOrElse(fail("no cell-keyed join found in plan:\n" + p))
+    assert(joinLine.contains("cell"), joinLine)
+  }
+
   test("s16: runtime bloom filter prunes the fact side of the shuffled dim join") {
     // At 100 TB the fact side exceeds the app-side threshold naturally
     // and the dim side won't broadcast; here both thresholds are set to
