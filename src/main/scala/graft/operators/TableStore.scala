@@ -156,6 +156,53 @@ object TableStore {
     rewrite(spark, path, arranged)
   }
 
+  /** SCD2 (slowly-changing-dimension type-2) upsert: the table keeps
+    * FULL attribute history — one open row (valid_to NULL) per key
+    * plus closed rows for every prior version. A batch row whose
+    * attrs differ (null-safely) from the key's open row closes it at
+    * `effective` and opens a new version; an unchanged row is a
+    * no-op; a key with no open row (new, or retired earlier) opens
+    * fresh. Batch must be key-unique — two versions of one key in
+    * one batch have no defined order.
+    *
+    * Scale shape: two key-equi joins (open-side and batch-side
+    * perspectives) + the staged-rename rewrite; at warehouse scale
+    * the open slice is a small fraction of history, and both joins
+    * key on the dimension key — broadcastable when the batch is a
+    * daily delta. Closed history is UNTOUCHED by the rewrite's
+    * dataflow (it unions through), so the rewrite cost is bounded by
+    * table size, not history depth × versions.
+    */
+  def scd2Upsert(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], attrs: Seq[String],
+      effective: java.sql.Date): Unit = {
+    val incoming = batch.select((keys ++ attrs).map(col): _*)
+      .withColumn("valid_from", lit(effective))
+      .withColumn("valid_to", lit(null).cast("date"))
+    if (!exists(spark, path)) { overwrite(incoming, path); return }
+    val cur = read(spark, path)
+    val open = cur.filter(col("valid_to").isNull)
+    val closed = cur.filter(col("valid_to").isNotNull)
+    val b = batch.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
+      .withColumn("b_present", lit(1))
+    val joinCond = keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _)
+    val diff = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
+    val j = open.join(b, joinCond, "left_outer")
+    val keptOpen = j.filter(col("b_present").isNull || !diff)
+      .select(cur.columns.map(col): _*)
+    val closedNow = j.filter(col("b_present").isNotNull && diff)
+      .select(cur.columns.map(col): _*)
+      .withColumn("valid_to", lit(effective))
+    val o = open.select(keys.map(col) ++
+      attrs.map(a => col(a).as(s"cur_$a")) :+ lit(1).as("cur_present"): _*)
+    val insDiff = attrs.map(a => !(col(a) <=> col(s"cur_$a"))).reduce(_ || _)
+    val ins = incoming.join(o, keys, "left_outer")
+      .filter(col("cur_present").isNull || insDiff)
+      .select(incoming.columns.map(col): _*)
+    rewrite(spark, path,
+      closed.unionByName(keptOpen).unionByName(closedNow).unionByName(ins))
+  }
+
   /** I1: the stored high watermark, or None for an empty/absent table.
     * One tiny aggregate action — the only driver-side value in the
     * incremental path.

@@ -460,6 +460,66 @@ object Relational3 {
         .groupBy("d", "k")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("d", "k")
+    },
+
+    // ---------------------------------------------------------------
+    // Column profiling — the data-quality scan every landed table
+    // gets before it is trusted: per column, null count, exact
+    // distinct count, min/max. The engine computes ALL columns in ONE
+    // scan (multiple count-distincts plan as a single Expand pass —
+    // rows × |columns| before partial aggregation, the standard
+    // trade; at extreme scale swap exact distincts for a17's HLL).
+    // Min/max surface as strings; the double column goes through a
+    // decimal(18,2) cast so both engines format identically (the
+    // repo's no-gated-float-formatting rule).
+    Q("a19_data_profile",
+      "one-scan column profile of orders: nulls, distincts, min/max",
+      """SELECT 'o_custkey' AS c, count(*) AS n,
+        |  count(*) - count(o_custkey) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  cast(min(o_custkey) as varchar) AS min_s,
+        |  cast(max(o_custkey) as varchar) AS max_s
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |  count(DISTINCT o_orderkey),
+        |  cast(min(o_orderkey) as varchar), cast(max(o_orderkey) as varchar)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  cast(cast(min(o_totalprice) as decimal(18,2)) as varchar),
+        |  cast(cast(max(o_totalprice) as decimal(18,2)) as varchar)
+        |FROM orders
+        |ORDER BY c""".stripMargin) { (s, d) =>
+      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice")
+      def mm(f: String => org.apache.spark.sql.Column)(c: String) =
+        if (c == "o_totalprice") f(c).cast("decimal(18,2)").cast("string")
+        else f(c).cast("string")
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).as("n") +: cols.flatMap { c =>
+          Seq(count(col(c)).as(s"cnt_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            mm(x => min(col(x)))(c).as(s"min_$c"),
+            mm(x => max(col(x)))(c).as(s"max_$c"))
+        }
+      val a = t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+      val rows = array(cols.map(c => struct(lit(c).as("c"), col("n").as("n"),
+        (col("n") - col(s"cnt_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))): _*)
+      a.select(explode(rows).as("r")).select("r.*").orderBy("c")
     }
   )
 }

@@ -343,6 +343,53 @@ object Sinks {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // SCD2 dimension history — the warehouse discipline for attribute
+    // change tracking: three monthly batches upsert order priorities
+    // (Feb changes every key divisible by 3, Mar reverts every key
+    // divisible by 6), and the table must hold the full version
+    // history: closed rows with [valid_from, valid_to) and exactly
+    // one open row per key. The oracle states the final history
+    // algebraically; the round trip proves close-on-change,
+    // no-op-on-equal, and re-open-after-revert in one pass.
+    Q("s18_scd2_history",
+      "SCD2 upserts over 3 monthly batches: full version history",
+      """SELECT o_orderkey, o_orderpriority AS pri,
+        |       DATE '2024-01-01' AS valid_from,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN DATE '2024-02-01' END AS valid_to
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'X-' || o_orderpriority, DATE '2024-02-01',
+        |       CASE WHEN o_orderkey % 6 = 0 THEN DATE '2024-03-01' END
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, DATE '2024-03-01', NULL
+        |FROM orders WHERE o_orderkey % 6 = 0
+        |ORDER BY o_orderkey, valid_from""".stripMargin) { (s, d) =>
+      val path = scratch("s18")
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").as("pri"))
+      def day(x: String) = java.sql.Date.valueOf(x)
+      TableStore.scd2Upsert(s, path, base,
+        Seq("o_orderkey"), Seq("pri"), day("2024-01-01"))
+      // Feb: every 3rd key changes priority; others resent unchanged
+      // (must be a no-op — resending the full dim is the common case)
+      val feb = base.withColumn("pri",
+        when(col("o_orderkey") % 3 === 0, concat(lit("X-"), col("pri")))
+          .otherwise(col("pri")))
+      TableStore.scd2Upsert(s, path, feb,
+        Seq("o_orderkey"), Seq("pri"), day("2024-02-01"))
+      // Mar: every 6th key reverts to the original value
+      val mar = feb.withColumn("pri",
+        when(col("o_orderkey") % 6 === 0,
+          regexp_replace(col("pri"), "^X-", "")).otherwise(col("pri")))
+      TableStore.scd2Upsert(s, path, mar,
+        Seq("o_orderkey"), Seq("pri"), day("2024-03-01"))
+      TableStore.read(s, path)
+        .select("o_orderkey", "pri", "valid_from", "valid_to")
+        .orderBy("o_orderkey", "valid_from")
     }
   )
 }

@@ -212,6 +212,16 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a19: profile computes all columns' metrics in ONE scan (Expand pass)") {
+    // five exact count-distincts must not become five scans: the plan
+    // is one FileScan feeding one Expand before partial aggregation
+    val p = plan("a19_data_profile")
+    val scans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("orders"))
+    assert(scans == 1, s"profile must scan orders once, saw $scans:\n" + p)
+    assert(p.contains("Expand"), "expected the multi-distinct Expand pass:\n" + p)
+  }
+
   test("j15: interval-overlap join is cell-equi-keyed, never a nested loop") {
     // the overlap theta predicate must ride on the grid-cell equi-join
     // as a post-filter; a CartesianProduct/BNLJ here is O(|A|×|B|)
