@@ -51,7 +51,25 @@ object Plans {
     "c5_decontamination" ->
       "Decontamination: benchmark shingle set broadcasts; the corpus streams through one explode + hash equi-join — no shuffle carries text.",
     "s15_bucketed_join" ->
-      "Bucketed co-located join: both sides bucketBy the key at write time; the SortMergeJoin re-shuffles NEITHER side (bucketed scans report the partitioning).")
+      "Bucketed co-located join: both sides bucketBy the key at write time; the SortMergeJoin re-shuffles NEITHER side (bucketed scans report the partitioning).",
+    "s16_runtime_filter" ->
+      "Runtime bloom-filter pruning: InjectRuntimeFilter builds a bloom from the filtered dim keys and pushes might_contain into the fact scan (printed under fact-scale thresholds: broadcast off, app-side threshold 0).",
+    "j15_interval_overlap" ->
+      "Interval-overlap join: both interval sets explode to covered 6-h grid cells, equi-join on cell + exact predicate re-check + pair dedup — never a nested loop.",
+    "k9_kmeans_lloyd" ->
+      "Lloyd k-means round: k centroid rows broadcast over the vector scan (map-side argmin), then one (cid, dim)-keyed partial aggregate for the mean update.",
+    "a19_data_profile" ->
+      "Column profiling: five exact count-distincts in ONE scan — a single Expand pass feeds partial aggregation; no per-column re-scan.")
+
+  /** Session confs a flagship needs for its scale story to print at
+    * sf0.001 (restored after each plan).
+    */
+  private val PlanConfs: Map[String, Seq[(String, String)]] = Map(
+    "s15_bucketed_join" -> Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+    "s16_runtime_filter" -> Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -72,19 +90,21 @@ object Plans {
     sb.append("plan is asserted in PlanSpec/BandJoinRewriteSpec so regressions\n")
     sb.append("fail the suite, not a cluster.\n")
     Flagships.foreach { case (name, note) =>
-      // the bucketed-join story is "no exchange WITHOUT broadcast" —
-      // print it as the fact-to-fact join it models (PlanSpec gates
-      // the same shape); sf0.001 would otherwise auto-broadcast
-      val noBroadcast = name == "s15_bucketed_join"
-      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // some flagships' scale stories need confs that differ from the
+      // sf0.001 defaults (e.g. broadcast off so the fact-to-fact shape
+      // prints); set per-name, restore after the plan
+      val confs = PlanConfs.getOrElse(name, Nil)
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         sb.append(s"\n## $name\n\n$note\n\n```\n")
         sb.append(df.queryExecution.executedPlan.toString().take(4000))
         sb.append("\n```\n")
-      } finally if (noBroadcast)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${Flagships.size} plans)")
