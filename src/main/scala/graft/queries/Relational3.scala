@@ -520,6 +520,43 @@ object Relational3 {
         col(s"nd_$c").as("n_distinct"),
         col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))): _*)
       a.select(explode(rows).as("r")).select("r.*").orderBy("c")
+    },
+
+    // ---------------------------------------------------------------
+    // Native session windows — the BUILT-IN gap sessionization
+    // (st2 implements the same semantics via flatMapGroupsWithState;
+    // this is the operator you reach for first: one groupBy, codegen,
+    // streaming-ready unchanged). Session boundary follows Spark's
+    // [start, start+gap) convention — a gap of EXACTLY 30 minutes
+    // starts a new session, hence `>=` in the oracle's island rule
+    // (st2's custom sessionizer uses `>`, the other defensible
+    // convention; the catalog pins both so neither regresses).
+    // Scale shape: one shuffle by user_id; session merge is the
+    // aggregation itself, no self-join, no window-function pass.
+    Q("w8_session_window",
+      "native session_window(30 min) == SQL gaps-and-islands with >= rule",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end_gap"), col("n_events"))
+        .orderBy("user_id", "session_start")
     }
   )
 }

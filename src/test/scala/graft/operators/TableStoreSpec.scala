@@ -81,6 +81,38 @@ class TableStoreSpec extends SparkSpec {
     assert(readSorted(p) == Seq(7L -> "x"))
   }
 
+  test("scd2Upsert: null-safe change detection; identical resend is a no-op") {
+    val p = scratch()
+    def day(x: String) = java.sql.Date.valueOf(x)
+    def hist() = TableStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    // attrs include NULL: change detection must be null-safe both ways
+    def batch(rows: (Long, Option[String])*) = {
+      import TestSpark.spark.implicits._
+      rows.map { case (k, v) => (k, v.orNull) }.toDF("k", "v")
+    }
+    TableStore.scd2Upsert(spark, p,
+      batch(1L -> Some("a"), 2L -> None), Seq("k"), Seq("v"), day("2024-01-01"))
+    // 1 changes a->NULL, 2 changes NULL->"b": both must close + reopen
+    TableStore.scd2Upsert(spark, p,
+      batch(1L -> None, 2L -> Some("b")), Seq("k"), Seq("v"), day("2024-02-01"))
+    assert(hist() == Seq(
+      (1L, Some("a"), "2024-01-01", Some("2024-02-01")),
+      (1L, None, "2024-02-01", None),
+      (2L, None, "2024-01-01", Some("2024-02-01")),
+      (2L, Some("b"), "2024-02-01", None)))
+    // resend identical values: must be a complete no-op
+    TableStore.scd2Upsert(spark, p,
+      batch(1L -> None, 2L -> Some("b")), Seq("k"), Seq("v"), day("2024-03-01"))
+    assert(hist() == Seq(
+      (1L, Some("a"), "2024-01-01", Some("2024-02-01")),
+      (1L, None, "2024-02-01", None),
+      (2L, None, "2024-01-01", Some("2024-02-01")),
+      (2L, Some("b"), "2024-02-01", None)))
+  }
+
   private def tsTable(rows: (Long, String)*) = {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.col

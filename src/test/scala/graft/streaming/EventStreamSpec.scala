@@ -40,4 +40,23 @@ class EventStreamSpec extends SparkSpec {
       .select(to_date(col("ts"))).distinct().count()
     assert(out.select("win_start").distinct().count() == nDays)
   }
+
+  test("sequencedFileStream replays parts as micro-batches in the given order") {
+    // the contract st8's watermark choreography stands on: part i is
+    // batch i. Tag each part, record per-batch contents via
+    // foreachBatch, assert batch -> part is the identity.
+    import TestSpark.spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_seqspec")
+    val parts = Seq(0, 1, 2).map(i => Seq((i, s"part$i")).toDF("part", "tag"))
+    val stream = EventStream.sequencedFileStream(spark, parts,
+      tmp.resolve("stage").toString)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    EventStream.runForeachBatch(spark, stream) { (batch, id) =>
+      batch.collect().foreach(r => seen.synchronized {
+        seen += ((id, r.getInt(0)))
+      })
+    }
+    assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(0, 1, 2),
+      s"parts arrived out of order: $seen")
+  }
 }
