@@ -479,6 +479,64 @@ object Similarity {
           coalesce(col("sum_ids2"), lit(0L)).as("sum_ids2"),
           coalesce(col("n_moved"), lit(0L)).as("n_moved"))
         .orderBy("cid")
+    },
+
+    // ---------------------------------------------------------------
+    // ANN recall audit — the number that decides whether an index
+    // ships: recall@10 of the multi-probe LSH tier (k2's machinery)
+    // against brute-force ground truth (k1's), computed in ONE query.
+    // This is the eval loop a 100 TB vector store runs on every index
+    // build; all gated columns are integers except the single-division
+    // recall. Both tiers share the scan; the three 1-row counts
+    // combine via hinted broadcast crossJoins (the e1 convention).
+    Q("k10_recall_report",
+      "recall@10 of multi-probe LSH ANN vs brute-force ground truth",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val probeCond = (Seq("n.bucket = q.qb") ++
+          (0 until Planes).map(p => s"n.bucket = xor(q.qb, ${1L << p})"))
+          .mkString("(", " OR ", ")")
+        val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2, bucket AS qb FROM n WHERE vec_id = 0),
+           |truth AS (SELECT vec_id FROM n, q WHERE vec_id != 0
+           |          ORDER BY $dist, vec_id LIMIT 10),
+           |ann AS (SELECT vec_id FROM n, q WHERE $probeCond AND vec_id != 0
+           |        ORDER BY $dist, vec_id LIMIT 10)
+           |SELECT (SELECT count(*) FROM truth) AS n_truth,
+           |       (SELECT count(*) FROM ann) AS n_ann,
+           |       (SELECT count(*) FROM truth JOIN ann USING (vec_id)) AS n_overlap,
+           |       cast((SELECT count(*) FROM truth JOIN ann USING (vec_id)) as double)
+           |         / 10.0 AS recall_at_10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .withColumn("bucket", expr(lshBucket("v")))
+        .select("vec_id", "v", "n2", "bucket")
+      n.cache()
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"), col("bucket").as("qb"))
+      def dist = (lit(1.0) -
+        expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2"))).as("dist")
+      val truth = n.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist)
+        .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
+      val probes = q.select(col("qv"), col("qn2"),
+        explode(array(Seq(col("qb")) ++
+          (0 until Planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      val ann = n.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist)
+        .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
+        .crossJoin(broadcast(
+          truth.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap"))))
+        .select(col("n_truth"), col("n_ann"), col("n_overlap"),
+          (col("n_overlap").cast("double") / 10.0).as("recall_at_10"))
     }
   )
 }
