@@ -37,6 +37,17 @@ class XSqlSpec extends SparkSpec {
     assert(eval1(XSql.dot("array(1.0D, 2.0D)", "array(3.0D, 4.0D)")) == 11.0)
   }
 
+  test("dist2 left fold is exact") {
+    // (1-3)² + (2-5)² = 13
+    assert(eval1(XSql.dist2("array(1.0D, 2.0D)", "array(3.0D, 5.0D)")) == 13.0)
+  }
+
+  test("sigAgreement counts positionwise equal entries") {
+    assert(eval1(XSql.sigAgreement(
+      "array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L)",
+      "array(1L, 2L, 0L, 4L, 0L, 6L, 0L, 8L, 0L, 10L, 0L, 12L, 0L, 14L, 0L, 16L)")) == 9L)
+  }
+
   test("words drops empty strings") {
     assert(eval1(s"size(${XSql.words("'a  b '")})") == 2)
   }
