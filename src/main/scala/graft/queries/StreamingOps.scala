@@ -225,11 +225,12 @@ object StreamingOps {
     // minutes must still be emitted (with a NULL click id), and that
     // emission happens only when the watermark proves no match can
     // arrive. The replay is choreographed with sequencedFileStream:
-    // batch 1 carries the real data, batches 2-3 carry far-future
-    // sentinel punctuation rows (user_id = -1, never joinable) — the
-    // first advances both sides' watermarks past all real event time,
-    // the second gives the join a batch in which to evict state and
-    // emit the unmatched rows. Without the punctuation the tail of
+    // batch 1 carries the real data PLUS a far-future sentinel row
+    // (user_id = -1, never joinable) — a watermark computed in batch
+    // N only takes effect in batch N+1, so the sentinel can ride
+    // with the data it flushes; batch 2 is a second sentinel whose
+    // only job is to BE the batch in which the join evicts state and
+    // emits the unmatched rows. Without the punctuation the tail of
     // the stream would be withheld forever — the classic outer-join
     // end-of-stream trap, solved here the way production streams
     // solve it (heartbeat/punctuation events).
@@ -252,7 +253,7 @@ object StreamingOps {
         val real = ev.filter(col("event_type") === typ)
           .select(col("event_id"), col("user_id"), col("ts"))
         EventStream.sequencedFileStream(s,
-          Seq(real, sentinel("2100-01-01"), sentinel("2100-01-02")),
+          Seq(real.unionByName(sentinel("2100-01-01")), sentinel("2100-01-02")),
           tmp.resolve(stage).toString)
       }
       val purchases = side("purchase", "p")
