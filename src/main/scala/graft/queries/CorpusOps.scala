@@ -388,6 +388,41 @@ object CorpusOps {
           round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
             / count(lit(1)).cast("double"), 6).as("keep_frac"))
         .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------
+    // Document chunking — the retrieval-side prep step: overlapping
+    // 50-word windows at stride 25, addressed (doc_id, chunk_idx)
+    // so chunk identity is deterministic across runs, with a content
+    // hash per chunk (chunk-level dedup + change detection read it).
+    // ceil(n/25) windows cover every word; the last window may be
+    // short (both engines' slice truncates identically). Scale shape:
+    // a narrow per-row explode (~n/25 rows per doc) + per-row slice
+    // and hash — one scan stage, no shuffle but the output sort.
+    Q("c8_chunking",
+      "overlapping 50-word/stride-25 chunking: addressed chunks + content hash",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val nChunks = s"cast(floor((${dl.arrSize("w")} + 24) / 25.0) as bigint)"
+        val sliceE = dl.slice("w", "k * 25", 50)
+        s"""WITH w AS (SELECT doc_id, ${XSql.words("text")} AS w FROM documents),
+           |k AS (SELECT doc_id, w, unnest(${dl.seq0(nChunks)}) AS k FROM w)
+           |SELECT doc_id, k AS chunk_idx,
+           |  ${dl.arrSize(sliceE)} AS n_chunk_words,
+           |  ${XSql.charHash(s"array_to_string($sliceE, ' ')")} AS chunk_hash
+           |FROM k ORDER BY doc_id, chunk_idx""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val nChunks = s"cast(floor((${dl.arrSize("w")} + 24) / 25.0) as bigint)"
+      val sliceE = dl.slice("w", "k * 25", 50)
+      t(s, d, "documents")
+        .withColumn("w", expr(XSql.words("text")))
+        .select(col("doc_id"), col("w"),
+          explode(expr(dl.seq0(nChunks))).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          expr(dl.arrSize(sliceE)).cast("long").as("n_chunk_words"),
+          expr(XSql.charHash(s"array_join($sliceE, ' ')")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }
