@@ -212,6 +212,15 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("k9: k-means assignment broadcasts centroids; no unhinted cartesian") {
+    // each Lloyd round must broadcast the k centroid rows over the
+    // vector scan (map-side argmin) — a CartesianProduct here shuffles
+    // the full vector table per round at scale
+    val p = plan("k9_kmeans_lloyd")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a19: profile computes all columns' metrics in ONE scan (Expand pass)") {
     // five exact count-distincts must not become five scans: the plan
     // is one FileScan feeding one Expand before partial aggregation
