@@ -163,7 +163,15 @@ object TableStore {
     * `effective` and opens a new version; an unchanged row is a
     * no-op; a key with no open row (new, or retired earlier) opens
     * fresh. Batch must be key-unique — two versions of one key in
-    * one batch have no defined order.
+    * one batch have no defined order. `effective` must be >= every
+    * stored valid_from (enforced): an out-of-order batch would write
+    * inverted [valid_from, valid_to) ranges. Equality is allowed so a
+    * retried batch stays a no-op; a SAME-day correction with a
+    * different value writes a zero-length version for the old value
+    * (kept in history, invisible to half-open as-of reads) — use the
+    * next effective date for real corrections. Keys compare
+    * null-safely, like attrs: a NULL key is one key, not a new row
+    * per batch.
     *
     * Scale shape: two key-equi joins (open-side and batch-side
     * perspectives) + the staged-rename rewrite; at warehouse scale
@@ -176,16 +184,24 @@ object TableStore {
   def scd2Upsert(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], attrs: Seq[String],
       effective: java.sql.Date): Unit = {
+    require(keys.nonEmpty, "scd2Upsert: keys must be non-empty")
+    require(attrs.nonEmpty, "scd2Upsert: attrs must be non-empty " +
+      "(presence-only tracking has no change to detect)")
     val incoming = batch.select((keys ++ attrs).map(col): _*)
       .withColumn("valid_from", lit(effective))
       .withColumn("valid_to", lit(null).cast("date"))
     if (!exists(spark, path)) { overwrite(incoming, path); return }
     val cur = read(spark, path)
+    // monotonicity guard: one tiny aggregate action (the maxWatermark
+    // precedent) — cheaper than silently corrupting version ranges
+    val maxFrom = cur.agg(max(col("valid_from"))).head().getDate(0)
+    require(maxFrom == null || !effective.before(maxFrom),
+      s"scd2Upsert: effective $effective precedes stored valid_from $maxFrom")
     val open = cur.filter(col("valid_to").isNull)
     val closed = cur.filter(col("valid_to").isNotNull)
     val b = batch.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
       .withColumn("b_present", lit(1))
-    val joinCond = keys.map(k => col(k) === col(s"b_$k")).reduce(_ && _)
+    val joinCond = keys.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
     val diff = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
     val j = open.join(b, joinCond, "left_outer")
     val keptOpen = j.filter(col("b_present").isNull || !diff)
@@ -193,10 +209,11 @@ object TableStore {
     val closedNow = j.filter(col("b_present").isNotNull && diff)
       .select(cur.columns.map(col): _*)
       .withColumn("valid_to", lit(effective))
-    val o = open.select(keys.map(col) ++
+    val o = open.select(keys.map(k => col(k).as(s"cur_$k")) ++
       attrs.map(a => col(a).as(s"cur_$a")) :+ lit(1).as("cur_present"): _*)
+    val insCond = keys.map(k => col(k) <=> col(s"cur_$k")).reduce(_ && _)
     val insDiff = attrs.map(a => !(col(a) <=> col(s"cur_$a"))).reduce(_ || _)
-    val ins = incoming.join(o, keys, "left_outer")
+    val ins = incoming.join(o, insCond, "left_outer")
       .filter(col("cur_present").isNull || insDiff)
       .select(incoming.columns.map(col): _*)
     rewrite(spark, path,

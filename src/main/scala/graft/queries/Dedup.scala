@@ -395,7 +395,7 @@ object Dedup {
            |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            |          AND a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b, n_agree,
-           |  cast(n_agree as double) / 16.0 AS est_jacc, jacc
+           |  cast(n_agree as double) / ${XSql.MinhashK}.0 AS est_jacc, jacc
            |FROM cand ORDER BY doc_a, doc_b""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
@@ -417,7 +417,8 @@ object Dedup {
           expr(XSql.jaccard("sh_a", "sh_b")).as("jacc"))
         .distinct()
         .select(col("doc_a"), col("doc_b"), col("n_agree"),
-          (col("n_agree").cast("double") / 16.0).as("est_jacc"), col("jacc"))
+          (col("n_agree").cast("double") / lit(XSql.MinhashK.toDouble)).as("est_jacc"),
+          col("jacc"))
         .orderBy("doc_a", "doc_b")
     }
   )

@@ -456,7 +456,10 @@ object Relational3 {
         explode(cells("ws", "we")).as("cell"))
       wc.join(ac, Seq("cell"))
         .filter(col("s") <= col("we") && col("ws") <= col("e"))
-        .select("d", "k", "user_id").distinct()
+        .select("d", "k", "user_id")
+        // no pre-distinct: countDistinct dedups multi-cell pairs per
+        // group already; a distinct here would add a second full
+        // aggregation over the largest intermediate in the query
         .groupBy("d", "k")
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("d", "k")

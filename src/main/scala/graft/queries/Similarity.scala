@@ -414,7 +414,7 @@ object Similarity {
         implicit val dl: Dialect = SqlDuck
         def dist2(v: String, c: String) = XSql.dist2(v, c)
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
            |r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
            |a1 AS (SELECT vec_id, cid FROM (
            |    SELECT vec_id, cid,
@@ -450,7 +450,7 @@ object Similarity {
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
       e.cache()
-      val c0 = e.filter(col("vec_id") < 4)
+      val c0 = e.orderBy("vec_id").limit(4)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       def assign(cents: org.apache.spark.sql.DataFrame) =
         e.crossJoin(broadcast(cents))

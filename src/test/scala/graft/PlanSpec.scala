@@ -237,11 +237,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("j15_interval_overlap")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    val joinLine = p.linesIterator
-      .find(l => (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
-        l.contains("cell"))
-      .getOrElse(fail("no cell-keyed join found in plan:\n" + p))
-    assert(joinLine.contains("cell"), joinLine)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("[cell")),
+      "no join keyed on [cell...] found in plan:\n" + p)
   }
 
   test("s16: runtime bloom filter prunes the fact side of the shuffled dim join") {
