@@ -111,6 +111,14 @@ class TableStoreSpec extends SparkSpec {
       (1L, None, "2024-02-01", None),
       (2L, None, "2024-01-01", Some("2024-02-01")),
       (2L, Some("b"), "2024-02-01", None)))
+    // out-of-order batch: rejected before it can write inverted ranges
+    val e = intercept[IllegalArgumentException] {
+      TableStore.scd2Upsert(spark, p,
+        batch(1L -> Some("z")), Seq("k"), Seq("v"), day("2024-01-15"))
+    }
+    assert(e.getMessage.contains("precedes"), e.getMessage)
+    // and the failed call changed nothing
+    assert(hist().size == 4)
   }
 
   private def tsTable(rows: (Long, String)*) = {
