@@ -188,6 +188,53 @@ object MultimodalOps {
           expr("cast(length(payload) as bigint)").as("n_bytes"),
           expr("graft_char_hash(decode(payload, 'UTF-8'))").as("resized_hash"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Inference batch packing — the multimodal twin of t12's context
+    // packing: media items are packed greedily (deterministic doc_id
+    // order) into 4096-BYTE inference batches per modality, the step
+    // between a curated media corpus and a GPU featurization run. The
+    // engine side measures the REAL binary column (octet_length of
+    // the payload); the oracle states the same lengths over the
+    // sanitized text (m1's byte == char contract). One running-sum
+    // window per modality partition — the same shuffle the per-
+    // modality groupBy needs anyway.
+    Q("m6_inference_packing",
+      "greedy 4096-byte inference-batch packing per modality: items/bytes per bin",
+      {
+        s"""WITH $SrcCte,
+           |d AS (SELECT doc_id,
+           |        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |             ELSE 'video' END AS modality,
+           |        cast(length(text) as bigint) AS n_bytes
+           |      FROM src),
+           |c AS (SELECT modality, n_bytes,
+           |        sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |      FROM d WHERE n_bytes > 0)
+           |SELECT modality,
+           |  cast(floor(cast(run - 1 as double) / 4096) as bigint) AS bin,
+           |  count(*) AS n_items, cast(sum(n_bytes) as bigint) AS total_bytes
+           |FROM c GROUP BY 1, 2 ORDER BY modality, bin""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("modality").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Multimodal.mediaTable(s, d).toDF()
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("modality"),
+          expr("cast(octet_length(payload) as bigint)").as("n_bytes"))
+        .filter(col("n_bytes") > 0)
+        .withColumn("run", sum(col("n_bytes")).over(w))
+        .withColumn("bin", floor((col("run") - 1).cast("double") / 4096).cast("long"))
+        .groupBy("modality", "bin")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"))
+        .orderBy("modality", "bin")
     }
   )
 }
