@@ -51,23 +51,40 @@ object Bench {
     val measured =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // min-of-N: a single timed pass on a contended host can report a
+    // 5-10x "regression" on untouched queries (observed round 4); the
+    // min over N runs is robust to one noisy pass while still charging
+    // every real cost (each run re-executes the full plan — the
+    // clearCache() below guarantees no cross-run result reuse).
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(2).max(1)
+    // streaming queries (st*) replay multi-micro-batch machinery with
+    // per-batch store round-trips — honest but wall-heavy (~2-14 s
+    // each) and far less scheduler-sensitive than sub-second SQL, so
+    // they default to a single pass to bound bench wall-clock
+    val streamRepeats =
+      sys.env.get("SPARK_GRAFT_STREAM_REPEATS").map(_.toInt).getOrElse(1).max(1)
     val results = measured.map { case (name, fn) =>
-      // queries cache intermediates (shingle tables etc.) and cannot
-      // unpersist them before returning; dropping the cache between
-      // queries keeps each measurement self-contained instead of
-      // letting earlier queries' blocks squat on storage memory
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-            false
-        }
-      // a failed query must not contribute a bogus timing: -1 marks it
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val n = if (name.startsWith("st")) streamRepeats else repeats
+      val times = (1 to n).map { _ =>
+        // queries cache intermediates (shingle tables etc.) and cannot
+        // unpersist them before returning; dropping the cache between
+        // runs keeps each measurement self-contained instead of
+        // letting earlier runs' blocks squat on storage memory
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+              false
+          }
+        // a failed run must not contribute a bogus timing: -1 marks it
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // any failed run fails the query; otherwise report the min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -77,7 +94,7 @@ object Bench {
     val avg = if (n > 0) total / n else 0.0
     // n_queries/avg make totals comparable across rounds as the
     // catalog grows (a bigger catalog is not a slower engine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.CorpusOps.all ++
       graft.queries.ParserOps.all ++
       graft.queries.RegistryOps.all ++
+      graft.queries.ModelOps.all ++
       graft.queries.SketchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
