@@ -14,9 +14,10 @@ import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
   *         search touches only the query's bucket. The bucket id is an
   *         equi-join key, so candidate retrieval is partition-prunable
   *         at scale (bucket as partition column).
-  *   - k3: IVF-style — coarse quantize by centroid (here: per-label
-  *         means, computed with a deterministic sorted fold so the
-  *         oracle matches bit-for-bit), probe the nearest list only.
+  *   - k3: IVF — coarse quantize by Lloyd-TRAINED centroid (the k9
+  *         trainer via [[graft.operators.KMeans]], gate-parity means so
+  *         the oracle matches bit-for-bit), probe the nearest list only
+  *         (k7: the two nearest). Index-build → index-query, closed loop.
   *
   * Hyperplane weights are pseudo-random integers from a fixed affine
   * generator — deterministic, embedded identically in both engines.
@@ -52,6 +53,75 @@ object Similarity {
     if (d == SqlSpark) "bigint(0)" else "cast(0 as bigint)"
 
   private def vDouble(d: Dialect): String = d.toDoubleArr("embedding")
+
+  /** DuckDB CTE chain for the Lloyd trainer (init → assign → sorted-
+    * fold mean → re-assign), shared by k9 (the trainer gate) and the
+    * IVF consumers k3/k7/k10 — the oracle twin of
+    * [[graft.operators.KMeans]] with `gateParity = true`. Assumes a CTE
+    * `e(vec_id, v)` is in scope; emits c0, a1, c1 (trained centroids
+    * after one update) and a2 (the cluster lists under c1).
+    */
+  private def lloydCtes(k: Int): String = {
+    implicit val dl: Dialect = SqlDuck
+    def dist2(v: String, c: String) = XSql.dist2(v, c)
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k),
+       |r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM r1) WHERE rn = 1),
+       |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
+       |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
+       |              (SELECT unnest(range(0, $Dims)) AS i)),
+       |dimavg AS (SELECT cid, i,
+       |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+       |      / cast(count(*) as double) AS m
+       |  FROM flat GROUP BY cid, i),
+       |c1 AS (SELECT cid,
+       |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
+       |  FROM dimavg GROUP BY cid),
+       |r2 AS (SELECT e.vec_id, c1.cid, ${dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM r2) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Spark side of the trained-IVF query (k3 single-probe, k7 two-
+    * probe): train coarse centroids with [[graft.operators.KMeans]]
+    * (gate-parity means — the oracle recomputes them bit-identically),
+    * assign every vector to its centroid list, probe the `probes`
+    * nearest lists for the query, exact-cosine rerank. This closes the
+    * index-build → index-query loop the way a real vector store runs:
+    * at scale the list id (cid) is a partition column, so the probe is
+    * `probes` partition reads; the train+assign passes are the honest
+    * one-off build cost.
+    */
+  private def ivfTrained(s: org.apache.spark.sql.SparkSession, d: String,
+      probes: Int): org.apache.spark.sql.DataFrame = {
+    implicit val dl: Dialect = SqlSpark
+    val e = t(s, d, "embeddings")
+      .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+    val n = e.withColumn("n2", expr(XSql.norm2("v")))
+    val cents = graft.operators.KMeans.train(e, 4, 1, gateParity = true)
+    val lists = graft.operators.KMeans.assign(e, cents)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("n2").as("qn2"))
+    val pick = cents.crossJoin(broadcast(q))
+      .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+      .orderBy(col("d2"), col("cid"))
+      .limit(probes)
+      .select("cid")
+    n.join(lists, "vec_id")
+      .join(broadcast(pick), Seq("cid"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+          .as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -277,164 +347,63 @@ object Similarity {
     // of the data). At scale the list id is a partition column, so
     // this is 2 partition reads — same pruning story as k2's buckets.
     Q("k7_ann_ivf_multiprobe",
-      "IVF ANN probing the 2 nearest centroid lists, exact rerank",
+      "IVF ANN over trained centroids, probing the 2 nearest lists, exact rerank",
       {
         implicit val dl: Dialect = SqlDuck
-        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
-           |flat AS (SELECT label, i, v[i + 1] AS val
-           |         FROM e, (SELECT unnest(range(0, $Dims)) AS i)),
-           |dimavg AS (SELECT label, i,
-           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
-           |      / cast(count(*) as double) AS m
-           |  FROM flat GROUP BY label, i),
-           |cent AS (SELECT label,
-           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS c
-           |  FROM dimavg GROUP BY label),
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
            |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
-           |pick AS (SELECT cent.label FROM cent, q
-           |  ORDER BY ${SqlDuck.foldD(SqlDuck.seq0(Dims.toString), "a_", "i_",
-               s"a_ + (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})" +
-                 s" * (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})")},
-           |           cent.label LIMIT 2)
-           |SELECT vec_id,
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2)
+           |SELECT n.vec_id,
            |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
-           |FROM n, q WHERE n.label IN (SELECT label FROM pick) AND vec_id != 0
-           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+           |FROM n JOIN a2 ON n.vec_id = a2.vec_id, q
+           |WHERE a2.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
-      val e = t(s, d, "embeddings")
-        .withColumn("v", expr(vDouble(SqlSpark)))
-      val n = e.withColumn("n2", expr(XSql.norm2("v")))
-        .select("vec_id", "label", "v", "n2")
-      val flat = e.select(col("label"), posexplode(col("v")))
-        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
-      val dimavg = flat.groupBy("label", "i")
-        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"), "a_", "x_", "a_ + x_"))
-          / count(lit(1)).cast("double")).as("m"))
-      val cent = dimavg.groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)").as("c"))
-      val q = n.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("n2").as("qn2"))
-      val pick = cent.crossJoin(broadcast(q))
-        .withColumn("d2", expr(SqlSpark.foldD(SqlSpark.seq0(Dims.toString), "a_", "i_",
-          "a_ + (element_at(qv, i_ + 1) - element_at(c, i_ + 1))" +
-            " * (element_at(qv, i_ + 1) - element_at(c, i_ + 1))")))
-        .orderBy(col("d2"), col("label"))
-        .limit(2)
-        .select("label")
-      n.join(broadcast(pick), Seq("label"))
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
-            .as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
-        .limit(10)
+      ivfTrained(s, d, probes = 2)
     },
 
     // ---------------------------------------------------------------
     Q("k3_ann_ivf",
-      "IVF-style ANN: per-label centroids, probe nearest list, rerank",
+      "IVF ANN over Lloyd-TRAINED centroids: assign lists, probe nearest list, rerank",
       {
         implicit val dl: Dialect = SqlDuck
-        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
-           |flat AS (SELECT label, i, v[i + 1] AS val
-           |         FROM e, (SELECT unnest(range(0, $Dims)) AS i)),
-           |dimavg AS (SELECT label, i,
-           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
-           |      / cast(count(*) as double) AS m
-           |  FROM flat GROUP BY label, i),
-           |cent AS (SELECT label,
-           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS c
-           |  FROM dimavg GROUP BY label),
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
            |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
-           |pick AS (SELECT cent.label FROM cent, q
-           |  ORDER BY ${SqlDuck.foldD(SqlDuck.seq0(Dims.toString), "a_", "i_",
-                 s"a_ + (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})" +
-                   s" * (${SqlDuck.idx("q.qv", "i_")} - ${SqlDuck.idx("cent.c", "i_")})")},
-           |           cent.label LIMIT 1)
-           |SELECT vec_id,
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 1)
+           |SELECT n.vec_id,
            |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
-           |FROM n, q, pick WHERE n.label = pick.label AND vec_id != 0
-           |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+           |FROM n JOIN a2 ON n.vec_id = a2.vec_id, q
+           |WHERE a2.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
-      val e = t(s, d, "embeddings")
-        .withColumn("v", expr(vDouble(SqlSpark)))
-      val n = e.withColumn("n2", expr(XSql.norm2("v")))
-        .select("vec_id", "label", "v", "n2")
-      // deterministic per-label mean: sort the per-dimension values and
-      // left-fold — same order as the oracle, bit-identical result.
-      val flat = e.select(col("label"), posexplode(col("v")))
-        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
-      val dimavg = flat.groupBy("label", "i")
-        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"), "a_", "x_", "a_ + x_"))
-          / count(lit(1)).cast("double")).as("m"))
-      val cent = dimavg.groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)").as("c"))
-      val q = n.filter(col("vec_id") === 0)
-        .select(col("v").as("qv"), col("n2").as("qn2"))
-      val pick = cent.crossJoin(broadcast(q))
-        .withColumn("d2", expr(SqlSpark.foldD(SqlSpark.seq0(Dims.toString), "a_", "i_",
-          "a_ + (element_at(qv, i_ + 1) - element_at(c, i_ + 1))" +
-            " * (element_at(qv, i_ + 1) - element_at(c, i_ + 1))")))
-        .orderBy(col("d2"), col("label"))
-        .limit(1)
-        .select("label")
-      n.join(broadcast(pick), Seq("label"))
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
-            .as("dist"))
-        .orderBy(col("dist"), col("vec_id"))
-        .limit(10)
+      ivfTrained(s, d, probes = 1)
     },
 
     // ---------------------------------------------------------------
     // Lloyd's k-means (k=4, 2 fixed rounds) — the training loop that
-    // PRODUCES the centroids k3/k7 probe. Deterministic end to end:
-    // init picks the 4 smallest vec_ids, assignment is argmin over
-    // bit-pinned fold distances (ties → smaller cid), and the update
-    // step computes each dimension mean as a sorted left-fold (the
-    // cross-engine parity recipe shared with k3; production swaps the
-    // fold for a plain map-side-combinable sum — k-means itself does
-    // not need bit-stable means, the GATE does because means feed the
-    // next round's argmin). Gated outputs are all integers: cluster
+    // PRODUCES the centroids k3/k7 probe, via [[graft.operators.KMeans]]
+    // in gate-parity mode (sorted-fold means, bit-identical to the
+    // oracle; KMeansSpec proves the production sum/count mean converges
+    // to the same assignment). Gated outputs are all integers: cluster
     // sizes after each round, member-id sums, moved counts.
     // Scale shape: per round, ONE broadcast of k centroid rows over
     // the vector scan (assignment is map-side, no shuffle), then one
     // (cid, dim)-keyed partial aggregate for the update. Rounds are a
-    // FIXED count — the driver loop never inspects data.
+    // FIXED count — the driver loop never inspects data. No caching:
+    // each pass re-scans parquet (the only shape that survives 100 TB;
+    // the a1 recompute is one broadcast-argmin over the scan).
     Q("k9_kmeans_lloyd",
       "2 Lloyd rounds, k=4: deterministic assignment + per-dim mean update",
       {
         implicit val dl: Dialect = SqlDuck
-        def dist2(v: String, c: String) = XSql.dist2(v, c)
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 4),
-           |r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
-           |a1 AS (SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM r1) WHERE rn = 1),
-           |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
-           |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
-           |              (SELECT unnest(range(0, $Dims)) AS i)),
-           |dimavg AS (SELECT cid, i,
-           |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
-           |      / cast(count(*) as double) AS m
-           |  FROM flat GROUP BY cid, i),
-           |c1 AS (SELECT cid,
-           |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
-           |  FROM dimavg GROUP BY cid),
-           |r2 AS (SELECT e.vec_id, c1.cid, ${dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
-           |a2 AS (SELECT vec_id, cid FROM (
-           |    SELECT vec_id, cid,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-           |    FROM r2) WHERE rn = 1),
+           |${lloydCtes(4)},
            |s1 AS (SELECT cid, count(*) AS n1 FROM a1 GROUP BY cid),
            |s2 AS (SELECT a2.cid, count(*) AS n2,
            |         cast(sum(a2.vec_id) as bigint) AS sum_ids2,
@@ -446,27 +415,12 @@ object Similarity {
            |  coalesce(s2.sum_ids2, 0) AS sum_ids2, coalesce(s2.n_moved, 0) AS n_moved
            |FROM s1 FULL JOIN s2 ON s1.cid = s2.cid ORDER BY cid""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
-      e.cache()
-      val c0 = e.orderBy("vec_id").limit(4)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        e.crossJoin(broadcast(cents))
-          .withColumn("d2", expr(XSql.dist2("v", "cv")))
-          .groupBy("vec_id").agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"))
-      val a1 = assign(c0)
-      val flat = e.join(a1, "vec_id").select(col("cid"), posexplode(col("v")))
-        .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
-      val dimavg = flat.groupBy("cid", "i")
-        .agg((expr(SqlSpark.foldD(SqlSpark.arrSort("collect_list(val)"),
-          "a_", "x_", "a_ + x_")) / count(lit(1)).cast("double")).as("m"))
-      val c1 = dimavg.groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s_ -> s_.m)")
-          .as("cv"))
-      val a2 = assign(c1)
+      val c0 = graft.operators.KMeans.init(e, 4)
+      val a1 = graft.operators.KMeans.assign(e, c0)
+      val c1 = graft.operators.KMeans.meanUpdateSorted(e, a1)
+      val a2 = graft.operators.KMeans.assign(e, c1)
       val s1 = a1.groupBy("cid").agg(count(lit(1)).as("n1"))
       val s2 = a2.join(a1.withColumnRenamed("cid", "cid1"), "vec_id")
         .groupBy("cid")
@@ -483,14 +437,17 @@ object Similarity {
 
     // ---------------------------------------------------------------
     // ANN recall audit — the number that decides whether an index
-    // ships: recall@10 of the multi-probe LSH tier (k2's machinery)
-    // against brute-force ground truth (k1's), computed in ONE query.
-    // This is the eval loop a 100 TB vector store runs on every index
-    // build; all gated columns are integers except the single-division
-    // recall. Both tiers share the scan; the three 1-row counts
-    // combine via hinted broadcast crossJoins (the e1 convention).
+    // ships: recall@10 of BOTH approximate tiers (multi-probe LSH =
+    // k2's machinery; trained two-probe IVF = k7's machinery, on the
+    // k9-trained centroids) against brute-force ground truth (k1's),
+    // one row per method, in ONE query. This is the eval loop a 100 TB
+    // vector store runs on every index build; all gated columns are
+    // integers except the single-division recall. The tiers share the
+    // scan (no cache: re-scanning parquet is the shape that survives
+    // 100 TB); the 1-row counts combine via hinted broadcast
+    // crossJoins (the e1 convention).
     Q("k10_recall_report",
-      "recall@10 of multi-probe LSH ANN vs brute-force ground truth",
+      "recall@10 of multi-probe LSH and trained-IVF ANN vs brute-force ground truth",
       {
         implicit val dl: Dialect = SqlDuck
         val probeCond = (Seq("n.bucket = q.qb") ++
@@ -498,25 +455,40 @@ object Similarity {
           .mkString("(", " OR ", ")")
         val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
            |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
            |q AS (SELECT v AS qv, n2 AS qn2, bucket AS qb FROM n WHERE vec_id = 0),
            |truth AS (SELECT vec_id FROM n, q WHERE vec_id != 0
            |          ORDER BY $dist, vec_id LIMIT 10),
-           |ann AS (SELECT vec_id FROM n, q WHERE $probeCond AND vec_id != 0
-           |        ORDER BY $dist, vec_id LIMIT 10)
-           |SELECT (SELECT count(*) FROM truth) AS n_truth,
-           |       (SELECT count(*) FROM ann) AS n_ann,
-           |       (SELECT count(*) FROM truth JOIN ann USING (vec_id)) AS n_overlap,
-           |       cast((SELECT count(*) FROM truth JOIN ann USING (vec_id)) as double)
-           |         / 10.0 AS recall_at_10""".stripMargin
+           |annlsh AS (SELECT vec_id FROM n, q WHERE $probeCond AND vec_id != 0
+           |        ORDER BY $dist, vec_id LIMIT 10),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2),
+           |annivf AS (SELECT n.vec_id FROM n JOIN a2 ON n.vec_id = a2.vec_id, q
+           |  WHERE a2.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |  ORDER BY $dist, n.vec_id LIMIT 10)
+           |SELECT 'lsh_multiprobe' AS method,
+           |       (SELECT count(*) FROM truth) AS n_truth,
+           |       (SELECT count(*) FROM annlsh) AS n_ann,
+           |       (SELECT count(*) FROM truth JOIN annlsh USING (vec_id)) AS n_overlap,
+           |       cast((SELECT count(*) FROM truth JOIN annlsh USING (vec_id)) as double)
+           |         / 10.0 AS recall_at_10
+           |UNION ALL
+           |SELECT 'ivf2_trained' AS method,
+           |       (SELECT count(*) FROM truth) AS n_truth,
+           |       (SELECT count(*) FROM annivf) AS n_ann,
+           |       (SELECT count(*) FROM truth JOIN annivf USING (vec_id)) AS n_overlap,
+           |       cast((SELECT count(*) FROM truth JOIN annivf USING (vec_id)) as double)
+           |         / 10.0 AS recall_at_10
+           |ORDER BY method""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
-      val n = t(s, d, "embeddings")
-        .withColumn("v", expr(vDouble(SqlSpark)))
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e
         .withColumn("n2", expr(XSql.norm2("v")))
         .withColumn("bucket", expr(lshBucket("v")))
         .select("vec_id", "v", "n2", "bucket")
-      n.cache()
       val q = n.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("n2").as("qn2"), col("bucket").as("qb"))
       def dist = (lit(1.0) -
@@ -527,16 +499,32 @@ object Similarity {
       val probes = q.select(col("qv"), col("qn2"),
         explode(array(Seq(col("qb")) ++
           (0 until Planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
-      val ann = n.join(broadcast(probes), Seq("bucket"))
+      val annLsh = n.join(broadcast(probes), Seq("bucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
-        .crossJoin(broadcast(
-          truth.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap"))))
-        .select(col("n_truth"), col("n_ann"), col("n_overlap"),
-          (col("n_overlap").cast("double") / 10.0).as("recall_at_10"))
+      val cents = graft.operators.KMeans.train(e, 4, 1, gateParity = true)
+      val lists = graft.operators.KMeans.assign(e, cents)
+      val pick = cents.crossJoin(broadcast(q.select("qv")))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2).select("cid")
+      val annIvf = n.join(lists, "vec_id")
+        .join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist)
+        .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
+      def report(method: String, ann: org.apache.spark.sql.DataFrame) =
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
+          .crossJoin(broadcast(
+            truth.join(ann, "vec_id").agg(count(lit(1)).as("n_overlap"))))
+          .select(lit(method).as("method"), col("n_truth"), col("n_ann"),
+            col("n_overlap"),
+            (col("n_overlap").cast("double") / 10.0).as("recall_at_10"))
+      report("lsh_multiprobe", annLsh)
+        .unionByName(report("ivf2_trained", annIvf))
+        .orderBy("method")
     }
   )
 }

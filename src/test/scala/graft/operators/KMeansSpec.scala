@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The production (plain sum/count) and gate-parity (sorted-fold) mean
+  * updates must drive Lloyd's loop to the SAME assignment — assignment
+  * equality, not bit-equal means: the low-order float bits the sorted
+  * fold pins are exactly what k-means does not need.
+  */
+class KMeansSpec extends SparkSpec {
+
+  /** 120 deterministic 8-d vectors in 4 well-separated blobs: blob b
+    * centers at 10·b per dim, ±≈1 pseudo-random jitter from an affine
+    * integer generator (no RNG — repeatable across runs/engines).
+    */
+  private def vectors: DataFrame = {
+    import spark.implicits._
+    (0L until 120L).map { id =>
+      val blob = id % 4
+      val v = (0 until 8).map { d =>
+        val j = ((1103515245L * (id * 8 + d) + 12345L) % 2001L) - 1000L
+        10.0 * blob + j.toDouble / 1000.0
+      }
+      (id, v)
+    }.toDF("vec_id", "v")
+  }
+
+  private def assignments(gateParity: Boolean, rounds: Int): Map[Long, Long] = {
+    val e = vectors
+    val cents = KMeans.train(e, 4, rounds, gateParity)
+    KMeans.assign(e, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("production and gate-parity means converge to the same assignment") {
+    // 3 rounds: enough for the means to move well off the init points
+    val prod = assignments(gateParity = false, rounds = 3)
+    val gate = assignments(gateParity = true, rounds = 3)
+    assert(prod == gate)
+    // and the clustering is the true blob structure (ids mod 4)
+    val byBlob = prod.groupBy { case (id, _) => id % 4 }.values
+    assert(byBlob.forall(m => m.values.toSet.size == 1),
+      "each blob maps to exactly one cluster")
+    assert(prod.values.toSet.size == 4, "all four clusters survive")
+  }
+
+  test("assign ties break to the smaller cid") {
+    import spark.implicits._
+    val e = Seq((7L, Seq(0.0, 0.0))).toDF("vec_id", "v")
+    // two centroids equidistant from the point
+    val cents = Seq((5L, Seq(1.0, 0.0)), (2L, Seq(-1.0, 0.0)))
+      .toDF("cid", "cv")
+    val got = KMeans.assign(e, cents).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+  }
+
+  test("empty clusters drop out identically on both paths") {
+    import spark.implicits._
+    // k=3 over two tight far-apart pairs: the third init point (id 2)
+    // sits inside the first pair's blob and loses all members after
+    // one update on either path
+    val e = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.2, 0.0)),
+      (3L, Seq(100.0, 0.0)), (4L, Seq(100.1, 0.0))).toDF("vec_id", "v")
+    val prod = KMeans.train(e, 3, 2, gateParity = false)
+    val gate = KMeans.train(e, 3, 2, gateParity = true)
+    val prodA = KMeans.assign(e, prod).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gateA = KMeans.assign(e, gate).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prodA == gateA)
+    assert(prod.count() == gate.count())
+  }
+
+  test("gate-parity means equal production means up to float tolerance") {
+    val e = vectors
+    val a = KMeans.assign(e, KMeans.init(e, 4))
+    val prod = KMeans.meanUpdate(e, a).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val gate = KMeans.meanUpdateSorted(e, a).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(prod.keySet == gate.keySet)
+    prod.foreach { case (cid, pv) =>
+      val gv = gate(cid)
+      assert(pv.size == gv.size)
+      pv.zip(gv).foreach { case (p, g) =>
+        assert(math.abs(p - g) <= 1e-9 * math.max(1.0, math.abs(g)),
+          s"cid=$cid mean diverged: $p vs $g")
+      }
+    }
+  }
+}
