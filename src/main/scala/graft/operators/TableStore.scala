@@ -187,6 +187,17 @@ object TableStore {
     require(keys.nonEmpty, "scd2Upsert: keys must be non-empty")
     require(attrs.nonEmpty, "scd2Upsert: attrs must be non-empty " +
       "(presence-only tracking has no change to detect)")
+    // key-uniqueness guard: two versions of one key in one batch have
+    // no defined order, and a duplicate slipping through writes TWO
+    // open rows for the key — permanently corrupting the one-open-row
+    // invariant every later upsert and as-of read depends on. One tiny
+    // aggregate action (groupBy is null-safe, so a NULL key is one
+    // key), same fail-fast discipline as the monotonicity guard below.
+    val maxPerKey = batch.groupBy(keys.map(col): _*)
+      .count().agg(max(col("count"))).head().get(0)
+    require(maxPerKey == null || maxPerKey.asInstanceOf[Long] <= 1L,
+      s"scd2Upsert: batch is not key-unique on (${keys.mkString(", ")}) — " +
+        s"a key appears $maxPerKey times; dedup the batch first")
     val incoming = batch.select((keys ++ attrs).map(col): _*)
       .withColumn("valid_from", lit(effective))
       .withColumn("valid_to", lit(null).cast("date"))

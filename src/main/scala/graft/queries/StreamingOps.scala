@@ -100,9 +100,9 @@ object StreamingOps {
     // The streaming incremental materialized view: each micro-batch's
     // per-user delta is ADDITIVELY merged into a stored table via
     // foreachBatch (read-modify-swap through TableStore). The replay is
-    // forced into 4 micro-batches (staged files + maxFilesPerTrigger=1
-    // — a lone file never splits), so the cross-batch merge path
-    // actually runs; counts and exact decimal
+    // forced into 3 micro-batches (staged files + maxFilesPerTrigger=1
+    // — a lone file never splits), so the cross-batch merge path runs
+    // twice against non-empty stored state; counts and exact decimal
     // sums are associative, so the final table equals the batch
     // aggregate — which is the oracle. This is the streaming form of
     // I1's watermark upsert, and the standard production pattern for
@@ -115,7 +115,7 @@ object StreamingOps {
       val tmp = java.nio.file.Files.createTempDirectory("graft_st6")
       val path = tmp.resolve("t").toString
       val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
-        tmp.resolve("stage").toString, nFiles = 4)
+        tmp.resolve("stage").toString, nFiles = 3)
       EventStream.runForeachBatch(s, stream) { (batch, _) =>
         val delta = batch.groupBy("user_id").agg(
           count(lit(1)).as("n"),
@@ -170,7 +170,12 @@ object StreamingOps {
     // stream/batch equivalence is exact because every pair is found
     // exactly once, in whichever batch its second member arrives.
     // Scale: per-batch cost is |batch × accumulated| band collisions —
-    // the honest streaming-dedup architecture at corpus scale.
+    // the honest streaming-dedup architecture at corpus scale. The
+    // band store is COMPACTED mid-stream (every 2nd batch): the
+    // per-batch appends accrete files forever on a daily crawl, and
+    // compaction must be provably invisible to the pair results
+    // (StreamingCompactionSpec pins that; the oracle equality here
+    // re-proves it end-to-end every round).
     Q("st7_stream_near_dup",
       "streaming LSH near-dup via foreachBatch increments == batch pair set",
       {
@@ -199,8 +204,8 @@ object StreamingOps {
       val pairStore = tmp.resolve("pairs").toString
       val docs = t(s, d, "documents").select("doc_id", "text")
       val stream = EventStream.stagedFileStream(s, docs,
-        tmp.resolve("stage").toString, nFiles = 4)
-      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, batchId) =>
         val sh = batch.withColumn("sh", expr(XSql.shinglesOfText("text")))
           .select("doc_id", "sh")
         // degenerate docs (< 3 words) band to NULL keys that can never
@@ -213,6 +218,14 @@ object StreamingOps {
         TableStore.append(pairs, pairStore)
         TableStore.append(nb.select("doc_id", "sh", "band_idx", "band_key"), bandStore)
         nb.unpersist()
+        // every 2nd batch: fold the accreted per-batch appends back
+        // into band_key-clustered files — on an unbounded crawl the
+        // store would otherwise become a small-files problem; sorting
+        // by band_key keeps file min/max stats selective for the
+        // band equi-join's scan
+        if (batchId % 2 == 1)
+          TableStore.compact(s, bandStore, targetFileRows = 500000L,
+            sortCols = Seq("band_key"))
       }
       // the stream ran at least one batch, and appending even an empty
       // batch's pairs creates the store — always readable here

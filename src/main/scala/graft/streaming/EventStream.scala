@@ -68,6 +68,13 @@ object EventStream {
       stageDir: String): DataFrame = {
     val dir = new java.io.File(stageDir)
     dir.mkdirs()
+    // a reused stage dir would interleave stale epoch-mtime parts into
+    // the replay and silently break the batch-order contract — fail as
+    // loudly as the mtime error below
+    val stale = Option(dir.listFiles()).getOrElse(Array.empty)
+    require(stale.isEmpty,
+      s"sequencedFileStream: stage dir $stageDir is not empty " +
+        s"(${stale.take(3).map(_.getName).mkString(", ")}…) — pass a fresh dir")
     parts.zipWithIndex.foreach { case (df, i) =>
       val tmp = s"$stageDir-tmp-$i"
       df.coalesce(1).write.parquet(tmp)

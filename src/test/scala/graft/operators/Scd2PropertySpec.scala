@@ -47,8 +47,11 @@ class Scd2PropertySpec extends SparkSpec {
       Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, batchGen))
     val dates = Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01")
 
+    val created = scala.collection.mutable.ListBuffer.empty[java.io.File]
     val prop = Prop.forAll(seqGen) { batches =>
-      val p = Files.createTempDirectory("graft_scd2prop").toString + "/t"
+      val dir = Files.createTempDirectory("graft_scd2prop")
+      created.synchronized { created += dir.toFile }
+      val p = dir.toString + "/t"
       val dated = batches.zip(dates)
       dated.foreach { case (rows, date) =>
         if (rows.nonEmpty) {
@@ -73,7 +76,11 @@ class Scd2PropertySpec extends SparkSpec {
         .mapValues(_.sortBy(v => (v._2, v._3.getOrElse("9999")))).toMap
       Prop(got == want) :| s"got=$got want=$want"
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    // delete every per-iteration dir (parquet history + __staged/__old
+    // remnants) — repeated local runs must not accumulate /tmp garbage
+    val res =
+      try SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      finally created.foreach(deleteRecursively)
     assert(res.passed, res.status.toString)
   }
 }

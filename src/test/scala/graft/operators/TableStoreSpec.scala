@@ -119,6 +119,15 @@ class TableStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("precedes"), e.getMessage)
     // and the failed call changed nothing
     assert(hist().size == 4)
+    // non-key-unique batch: rejected before it can write two open rows
+    // for one key (a NULL key is one key too — groupBy is null-safe)
+    val dup = intercept[IllegalArgumentException] {
+      TableStore.scd2Upsert(spark, p,
+        batch(3L -> Some("x"), 3L -> Some("y")), Seq("k"), Seq("v"),
+        day("2024-04-01"))
+    }
+    assert(dup.getMessage.contains("key-unique"), dup.getMessage)
+    assert(hist().size == 4)
   }
 
   private def tsTable(rows: (Long, String)*) = {
