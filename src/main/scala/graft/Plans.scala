@@ -59,7 +59,13 @@ object Plans {
     "k9_kmeans_lloyd" ->
       "Lloyd k-means round: k centroid rows broadcast over the vector scan (map-side argmin), then one (cid, dim)-keyed partial aggregate for the mean update.",
     "a19_data_profile" ->
-      "Column profiling: five exact count-distincts in ONE scan — a single Expand pass feeds partial aggregation; no per-column re-scan.")
+      "Column profiling: five exact count-distincts in ONE scan — a single Expand pass feeds partial aggregation; no per-column re-scan.",
+    "k3_ann_ivf" ->
+      "Trained IVF: Lloyd centroids (KMeans.train) broadcast for list assignment; the probe is a broadcast equi-join on the picked list id — at scale cid is a partition column, so the probe reads 1 list.",
+    "t15_best_player_counts" ->
+      "best_player_counts: dual rank windows over one game_id partitioning; STRING_AGG ORDER BY + conditional min/max + flag counts fused into ONE partial+final aggregate (map-side combinable collect_list of (rank, value) structs).",
+    "t18_features_incremental" ->
+      "Incremental games_features: the watermark set LeftSemi-joins into EVERY per-entity aggregate BEFORE grouping (join-input reduction — the reference's 4h->8s lever, docs/dataform_operations.md:15).")
 
   /** Session confs a flagship needs for its scale story to print at
     * sf0.001 (restored after each plan).

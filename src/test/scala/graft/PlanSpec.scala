@@ -212,6 +212,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("k3: trained IVF probes via broadcast equi-join on the picked list; no cartesian") {
+    // the probe side must be a broadcast equi-join on cid (the list
+    // id — a partition column at scale), with the only nested-loop
+    // joins being the hinted 1-row broadcasts (centroids, query row)
+    val p = plan("k3_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("t15: best_player_counts aggregates STRING_AGG + min/max/flags in ONE partial+final pass") {
+    // all eight aggregate functions (two ordered string-aggs as
+    // collect_list-of-structs, four conditional min/max, two flag
+    // counts) must share a single map-side-combinable aggregate — not
+    // one shuffle per aggregate family
+    val p = plan("t15_best_player_counts")
+    assert(p.contains("partial_collect_list"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t18: incremental features semi-join the watermark set into every entity aggregate") {
+    // the join-input reduction (games_features.sqlx:8-12, the 4h->8s
+    // lever): each per-entity aggregate's bridge input is restricted by
+    // a LeftSemi join BEFORE grouping. 5 of the 6 entities survive
+    // constant folding on the fixture (designers has no bridge rows).
+    val p = plan("t18_features_incremental")
+    val semiCount = "LeftSemi".r.findAllIn(p).length
+    assert(semiCount >= 5, s"expected >=5 LeftSemi reductions, got $semiCount\n$p")
+  }
+
   test("k9: k-means assignment broadcasts centroids; no unhinted cartesian") {
     // each Lloyd round must broadcast the k centroid rows over the
     // vector scan (map-side argmin) — a CartesianProduct here shuffles
