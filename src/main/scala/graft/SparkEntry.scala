@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.ParserOps.all ++
       graft.queries.RegistryOps.all ++
       graft.queries.ModelOps.all ++
+      graft.queries.ModelOps2.all ++
       graft.queries.SketchOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -51,7 +51,7 @@ import graft.transform.Models
   */
 object ModelOps {
 
-  private val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  private[queries] val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
   private val wmT1 = "2025-01-01 00:00:00" // incremental watermark = T1
 
   /** `games` time-series fixture. T1 < T2 < T3; game 1 has two stale
@@ -68,10 +68,10 @@ object ModelOps {
       max_playtime: Long, min_age: Long, description: String,
       thumbnail: String, image: String, load_timestamp: java.sql.Timestamp)
 
-  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
-  private val T1 = ts("2025-01-01 00:00:00")
-  private val T2 = ts("2025-02-01 00:00:00")
-  private val T3 = ts("2025-03-01 00:00:00")
+  private[queries] def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private[queries] val T1 = ts("2025-01-01 00:00:00")
+  private[queries] val T2 = ts("2025-02-01 00:00:00")
+  private[queries] val T3 = ts("2025-03-01 00:00:00")
 
   val games: Seq[GameRow] = Seq(
     GameRow(1L, "Alpha", Some(1995L), 7.02, 2.40, Some(6.80), 900L, 140L,
@@ -135,18 +135,18 @@ object ModelOps {
 
   // ---- Spark-side fixture DataFrames -------------------------------
 
-  private def gamesDf(s: SparkSession): DataFrame = {
+  private[queries] def gamesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     s.createDataset(games).toDF()
   }
 
-  private def pcDf(s: SparkSession): DataFrame = {
+  private[queries] def pcDf(s: SparkSession): DataFrame = {
     import s.implicits._
     playerCounts.toDF("game_id", "player_count", "best_votes",
       "recommended_votes", "not_recommended_votes")
   }
 
-  private def entitiesMap(s: SparkSession)
+  private[queries] def entitiesMap(s: SparkSession)
       : Map[String, (DataFrame, DataFrame, String)] = {
     import s.implicits._
     dims.map { case (colName, (idCol, dimRows)) =>
@@ -158,17 +158,20 @@ object ModelOps {
 
   // ---- Shared oracle CTE fragments ---------------------------------
 
-  private def sqlD(d: Double) = s"CAST($d AS DOUBLE)"
-  private def sqlOptD(d: Option[Double]) =
+  private[queries] def sqlD(d: Double) = s"CAST($d AS DOUBLE)"
+  private[queries] def sqlOptD(d: Option[Double]) =
     d.map(sqlD).getOrElse("CAST(NULL AS DOUBLE)")
-  private def sqlOptL(l: Option[Long]) =
+  private[queries] def sqlOptL(l: Option[Long]) =
     l.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
-  private def sqlS(s: String) = s"'${s.replace("'", "''")}'"
-  private def sqlTs(t: java.sql.Timestamp) = s"TIMESTAMP '$t'"
+  private[queries] def sqlS(s: String) = s"'${s.replace("'", "''")}'"
+  private[queries] def sqlTs(t: java.sql.Timestamp) = s"TIMESTAMP '$t'"
 
-  /** games + latest + ga CTEs — the games_active.sqlx shape. */
-  private def gaCtes: String = {
-    val rows = games.map(g => "(" + Seq(
+  /** games + latest + ga CTEs — the games_active.sqlx shape.
+    * `gs` is the games fixture generation, `p` a CTE-name prefix so two
+    * generations can coexist in one oracle (t21's change detection).
+    */
+  private[queries] def gaCtesFor(gs: Seq[GameRow], p: String): String = {
+    val rows = gs.map(g => "(" + Seq(
       g.game_id.toString, sqlS(g.primary_name), sqlOptL(g.year_published),
       sqlD(g.average_rating), sqlD(g.average_weight),
       sqlOptD(g.bayes_average), g.users_rated.toString,
@@ -176,24 +179,26 @@ object ModelOps {
       g.min_playtime.toString, g.max_playtime.toString, g.min_age.toString,
       sqlS(g.description), sqlS(g.thumbnail), sqlS(g.image),
       sqlTs(g.load_timestamp)).mkString(", ") + ")").mkString(",\n    ")
-    s"""games(game_id, primary_name, year_published, average_rating,
+    s"""${p}games(game_id, primary_name, year_published, average_rating,
        |      average_weight, bayes_average, users_rated, num_weights,
        |      min_players, max_players, min_playtime, max_playtime, min_age,
        |      description, thumbnail, image, load_timestamp) AS (VALUES
        |    $rows),
-       |latest AS (
+       |${p}latest AS (
        |  SELECT game_id, MAX(load_timestamp) AS latest_ts
-       |  FROM games GROUP BY game_id),
-       |ga AS (
+       |  FROM ${p}games GROUP BY game_id),
+       |${p}ga AS (
        |  SELECT DISTINCT g.game_id, g.primary_name AS name, g.year_published,
        |    g.average_rating, g.average_weight, g.bayes_average,
        |    g.users_rated, g.num_weights, g.min_players, g.max_players,
        |    g.min_playtime, g.max_playtime, g.min_age, g.description,
        |    g.thumbnail, g.image, g.load_timestamp
-       |  FROM games g
-       |  JOIN latest l ON g.game_id = l.game_id
+       |  FROM ${p}games g
+       |  JOIN ${p}latest l ON g.game_id = l.game_id
        |               AND g.load_timestamp = l.latest_ts)""".stripMargin
   }
+
+  private[queries] def gaCtes: String = gaCtesFor(games, "")
 
   private def pcValues: String =
     playerCounts.map { case (gid, pc, b, r, n) =>
