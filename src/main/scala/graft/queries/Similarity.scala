@@ -61,30 +61,33 @@ object Similarity {
     * `e(vec_id, v)` is in scope; emits c0, a1, c1 (trained centroids
     * after one update) and a2 (the cluster lists under c1).
     */
-  private def lloydCtes(k: Int): String = {
+  private def lloydCtes(k: Int, p: String = "", dims: Int = Dims,
+      src: String = "e"): String = {
     implicit val dl: Dialect = SqlDuck
     def dist2(v: String, c: String) = XSql.dist2(v, c)
-    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $k),
-       |r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
-       |a1 AS (SELECT vec_id, cid FROM (
+    s"""${p}c0 AS (SELECT vec_id AS cid, v AS cv FROM $src ORDER BY vec_id LIMIT $k),
+       |${p}r1 AS (SELECT e.vec_id, c0.cid, ${dist2("e.v", "c0.cv")} AS d2
+       |           FROM $src e, ${p}c0 c0),
+       |${p}a1 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM r1) WHERE rn = 1),
-       |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
-       |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
-       |              (SELECT unnest(range(0, $Dims)) AS i)),
-       |dimavg AS (SELECT cid, i,
+       |    FROM ${p}r1) WHERE rn = 1),
+       |${p}flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
+       |         FROM $src e JOIN ${p}a1 a1 ON e.vec_id = a1.vec_id,
+       |              (SELECT unnest(range(0, $dims)) AS i)),
+       |${p}dimavg AS (SELECT cid, i,
        |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
        |      / cast(count(*) as double) AS m
-       |  FROM flat GROUP BY cid, i),
-       |c1 AS (SELECT cid,
+       |  FROM ${p}flat GROUP BY cid, i),
+       |${p}c1 AS (SELECT cid,
        |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
-       |  FROM dimavg GROUP BY cid),
-       |r2 AS (SELECT e.vec_id, c1.cid, ${dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
-       |a2 AS (SELECT vec_id, cid FROM (
+       |  FROM ${p}dimavg GROUP BY cid),
+       |${p}r2 AS (SELECT e.vec_id, c1.cid, ${dist2("e.v", "c1.cv")} AS d2
+       |           FROM $src e, ${p}c1 c1),
+       |${p}a2 AS (SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM r2) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}r2) WHERE rn = 1)""".stripMargin
   }
 
   /** Spark side of the trained-IVF query (k3 single-probe, k7 two-
@@ -525,6 +528,85 @@ object Similarity {
       report("lsh_multiprobe", annLsh)
         .unionByName(report("ivf2_trained", annIvf))
         .orderBy("method")
+    },
+
+    // ---------------------------------------------------------------
+    // Product quantization — the third trained index tier and the one
+    // production vector stores pair with IVF at 100 TB: each vector is
+    // stored as 4 sub-codes (here 4 subspaces x 16 dims, k=4 codebooks
+    // trained with the same Lloyd machinery as k9), and query-time
+    // candidate ranking is ADC — a per-query distance TABLE of k
+    // entries per subspace (4 x 4 = 16 doubles, broadcast), so ranking
+    // a vector costs 4 lookups + 3 adds, NOT a 64-dim loop; the true
+    // vectors are only read to rerank the top-20. At scale the codes
+    // table is 32x smaller than the vectors (4 bytes vs 512), which is
+    // the entire point: the scan that ranks 100 TB touches 3 TB.
+    // Candidates rank by ADC-L2; rerank is exact L2 (bit-pinned fold,
+    // shared with the oracle).
+    Q("k11_pq_ann",
+      "product-quantization ANN: 4x16-dim trained codebooks, ADC distance-table candidates, exact rerank",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val sub = 16
+        val subCtes = (0 until 4).map { i =>
+          s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
+             |${lloydCtes(4, s"p$i", sub, s"e$i")},
+             |dt$i AS (SELECT c.cid, ${XSql.dist2(
+                SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")} AS dterm
+             |         FROM p${i}c1 c, q)""".stripMargin
+        }.mkString(",\n")
+        val codeJoins = (0 until 4).map { i =>
+          s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
+            s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
+        }.mkString("\n|  ")
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |$subCtes,
+           |adc AS (
+           |  SELECT e.vec_id,
+           |    t0.dterm + t1.dterm + t2.dterm + t3.dterm AS ad2
+           |  FROM e
+           |  $codeJoins
+           |  WHERE e.vec_id != 0
+           |  ORDER BY ad2, e.vec_id LIMIT 20)
+           |SELECT adc.vec_id, ${XSql.dist2("f.v", "q.qv")} AS d2
+           |FROM adc JOIN e f ON adc.vec_id = f.vec_id, q
+           |ORDER BY d2, adc.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val sub = 16
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // per subspace: codebook, per-vector code, and the 4-entry ADC
+      // distance table for the query
+      val parts = (0 until 4).map { i =>
+        val es = e.select(col("vec_id"),
+          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
+        val cb = KMeans.train(es, 4, 1, gateParity = true)
+        val codes = KMeans.assign(es, cb)
+          .withColumnRenamed("cid", s"cid_$i")
+        val dt = cb.crossJoin(broadcast(q))
+          .select(col("cid").as(s"cid_$i"),
+            expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
+              .as(s"dterm_$i"))
+        (codes, dt)
+      }
+      val coded = parts.foldLeft(e.select("vec_id")) {
+        case (acc, (codes, dt)) =>
+          val i = dt.columns.head.stripPrefix("cid_")
+          acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
+      }
+      val cand = coded
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
+            .as("ad2"))
+        .orderBy(col("ad2"), col("vec_id")).limit(20)
+      cand.join(e, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(XSql.dist2("v", "qv")).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(10)
     }
   )
 }
