@@ -312,6 +312,54 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+    // aggregate lineitem per order, keep rare heavy orders, semi-join
+    // that small key set back into the fact joins. Scale story: the
+    // qualifying-keys aggregate is map-side combinable and its output
+    // is tiny (46 keys at sf0.01), so Catalyst broadcasts it into BOTH
+    // fact probes — the orders and lineitem scans are each reduced
+    // before the customer join; no full fact-fact shuffle survives.
+    // l_quantity is integer-valued, so the HAVING sum is exact in
+    // double regardless of partial-agg order (gated as BIGINT anyway).
+    Q("q18_large_orders",
+      "TPC-H Q18 shape: HAVING-filtered order keys semi-joined into the fact joins",
+      """WITH heavy AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM heavy)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      val heavy = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 300)
+        .select(col("l_orderkey").as("heavy_key"))
+      val ord = t(s, d, "orders")
+        .join(broadcast(heavy), col("o_orderkey") === col("heavy_key"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+      ord
+        .join(t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"),
+          col("total_qty"))
+    },
+
+    // ---------------------------------------------------------------
     // Outlier detection from exact moments: per-type z-scores computed
     // from integer-cent sums (a16's discipline), top-20 by |z|. The
     // stats are a tiny broadcast back over the stream — the scan is

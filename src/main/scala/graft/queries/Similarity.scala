@@ -440,27 +440,42 @@ object Similarity {
 
     // ---------------------------------------------------------------
     // ANN recall audit — the number that decides whether an index
-    // ships: recall@10 of BOTH approximate tiers (multi-probe LSH =
-    // k2's machinery; trained two-probe IVF = k7's machinery, on the
-    // k9-trained centroids) against brute-force ground truth (k1's),
-    // one row per method, in ONE query. This is the eval loop a 100 TB
-    // vector store runs on every index build; all gated columns are
-    // integers except the single-division recall. The tiers share the
-    // scan (no cache: re-scanning parquet is the shape that survives
-    // 100 TB); the 1-row counts combine via hinted broadcast
-    // crossJoins (the e1 convention).
+    // ships: recall@10 of ALL THREE approximate tiers (multi-probe
+    // LSH = k2's machinery; trained two-probe IVF = k7's, on the
+    // k9-trained centroids; PQ-ADC = k11's codebooks, candidates
+    // cosine-reranked so every tier is judged on the SAME metric as
+    // the truth set) against brute-force ground truth (k1's), one row
+    // per method, in ONE query. This is the eval loop a 100 TB vector
+    // store runs on every index build; all gated columns are integers
+    // except the single-division recall. The tiers share the scan (no
+    // cache: re-scanning parquet is the shape that survives 100 TB);
+    // the 1-row counts combine via hinted broadcast crossJoins (the
+    // e1 convention).
     Q("k10_recall_report",
-      "recall@10 of multi-probe LSH and trained-IVF ANN vs brute-force ground truth",
+      "recall@10 of multi-probe LSH, trained-IVF, and PQ-ADC ANN vs brute-force ground truth",
       {
         implicit val dl: Dialect = SqlDuck
+        val sub = 16
         val probeCond = (Seq("n.bucket = q.qb") ++
           (0 until Planes).map(p => s"n.bucket = xor(q.qb, ${1L << p})"))
           .mkString("(", " OR ", ")")
         val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
+        val subCtes = (0 until 4).map { i =>
+          s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
+             |${lloydCtes(4, s"p$i", sub, s"e$i")},
+             |dt$i AS (SELECT c.cid, ${XSql.dist2(
+                SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")} AS dterm
+             |         FROM p${i}c1 c, q)""".stripMargin
+        }.mkString(",\n")
+        val codeJoins = (0 until 4).map { i =>
+          s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
+            s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
+        }.mkString("\n|  ")
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |${lloydCtes(4)},
            |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
            |q AS (SELECT v AS qv, n2 AS qn2, bucket AS qb FROM n WHERE vec_id = 0),
+           |$subCtes,
            |truth AS (SELECT vec_id FROM n, q WHERE vec_id != 0
            |          ORDER BY $dist, vec_id LIMIT 10),
            |annlsh AS (SELECT vec_id FROM n, q WHERE $probeCond AND vec_id != 0
@@ -469,6 +484,15 @@ object Similarity {
            |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2),
            |annivf AS (SELECT n.vec_id FROM n JOIN a2 ON n.vec_id = a2.vec_id, q
            |  WHERE a2.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |  ORDER BY $dist, n.vec_id LIMIT 10),
+           |adc AS (
+           |  SELECT e.vec_id,
+           |    t0.dterm + t1.dterm + t2.dterm + t3.dterm AS ad2
+           |  FROM e
+           |  $codeJoins
+           |  WHERE e.vec_id != 0
+           |  ORDER BY ad2, e.vec_id LIMIT 20),
+           |annpq AS (SELECT n.vec_id FROM n JOIN adc ON n.vec_id = adc.vec_id, q
            |  ORDER BY $dist, n.vec_id LIMIT 10)
            |SELECT 'lsh_multiprobe' AS method,
            |       (SELECT count(*) FROM truth) AS n_truth,
@@ -483,9 +507,18 @@ object Similarity {
            |       (SELECT count(*) FROM truth JOIN annivf USING (vec_id)) AS n_overlap,
            |       cast((SELECT count(*) FROM truth JOIN annivf USING (vec_id)) as double)
            |         / 10.0 AS recall_at_10
+           |UNION ALL
+           |SELECT 'pq_adc' AS method,
+           |       (SELECT count(*) FROM truth) AS n_truth,
+           |       (SELECT count(*) FROM annpq) AS n_ann,
+           |       (SELECT count(*) FROM truth JOIN annpq USING (vec_id)) AS n_overlap,
+           |       cast((SELECT count(*) FROM truth JOIN annpq USING (vec_id)) as double)
+           |         / 10.0 AS recall_at_10
            |ORDER BY method""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val sub = 16
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
       val n = e
@@ -506,8 +539,8 @@ object Similarity {
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
-      val cents = graft.operators.KMeans.train(e, 4, 1, gateParity = true)
-      val lists = graft.operators.KMeans.assign(e, cents)
+      val cents = KMeans.train(e, 4, 1, gateParity = true)
+      val lists = KMeans.assign(e, cents)
       val pick = cents.crossJoin(broadcast(q.select("qv")))
         .withColumn("d2", expr(XSql.dist2("qv", "cv")))
         .orderBy(col("d2"), col("cid")).limit(2).select("cid")
@@ -515,6 +548,31 @@ object Similarity {
         .join(broadcast(pick), Seq("cid"))
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist)
+        .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
+      // PQ tier: k11's codebooks + ADC candidates, cosine rerank
+      val parts = (0 until 4).map { i =>
+        val es = e.select(col("vec_id"),
+          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
+        val cb = KMeans.train(es, 4, 1, gateParity = true)
+        val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
+        val dt = cb.crossJoin(broadcast(q.select("qv")))
+          .select(col("cid").as(s"cid_$i"),
+            expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
+              .as(s"dterm_$i"))
+        (codes, dt)
+      }
+      val coded = parts.foldLeft(e.select("vec_id")) {
+        case (acc, (codes, dt)) =>
+          val i = dt.columns.head.stripPrefix("cid_")
+          acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
+      }
+      val cand = coded.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
+            .as("ad2"))
+        .orderBy(col("ad2"), col("vec_id")).limit(20)
+      val annPq = cand.join(n, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
       def report(method: String, ann: org.apache.spark.sql.DataFrame) =
@@ -527,6 +585,7 @@ object Similarity {
             (col("n_overlap").cast("double") / 10.0).as("recall_at_10"))
       report("lsh_multiprobe", annLsh)
         .unionByName(report("ivf2_trained", annIvf))
+        .unionByName(report("pq_adc", annPq))
         .orderBy("method")
     },
 
