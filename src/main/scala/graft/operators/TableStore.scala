@@ -265,6 +265,89 @@ object TableStore {
     f.delete(oldP, true)
   }
 
+  // ------------------------------------------------------ snapshots
+
+  /** Versioned snapshots ("time travel") — the dataset-reproducibility
+    * primitive a training pipeline needs: a run pins the corpus
+    * version it trained on, and that version stays byte-identical
+    * forever while later publishes land beside it.
+    *
+    * Layout: `path/v=N/` holds version N's files (immutable once
+    * published); `path/_current` is a one-line manifest naming the
+    * live version, flipped by write-tmp + atomic rename. Readers of
+    * any version never race a publish: data files are never mutated,
+    * and the manifest flip is atomic. A crash mid-publish leaves a
+    * stale `v=N` stage dir that the next publish of N sweeps; the
+    * manifest still names the last complete version, so readers are
+    * unaffected.
+    *
+    * Single-writer like the rest of TableStore (concurrent publishers
+    * would race the version counter); a lakehouse table format's
+    * commit log is the multi-writer production swap — call sites
+    * identical.
+    *
+    * Scale: a publish writes only the new version's files and one
+    * manifest rename — cost is the data written, independent of
+    * history depth. Old versions are reclaimed explicitly with
+    * [[dropVersionsBelow]] (retention policy is the caller's).
+    */
+  def publishVersion(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val next = currentVersion(spark, path).getOrElse(0L) + 1L
+    val f = fs(spark, path)
+    val vDir = new Path(s"$path/v=$next")
+    f.delete(vDir, true) // sweep a crashed earlier attempt of this version
+    df.write.parquet(vDir.toString)
+    val tmp = new Path(s"$path/_current_tmp")
+    val out = f.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8"))
+    out.close()
+    val cur = new Path(s"$path/_current")
+    f.delete(cur, false)
+    if (!f.rename(tmp, cur))
+      throw new java.io.IOException(s"publishVersion: could not flip $cur")
+    next
+  }
+
+  /** The live version number, or None before the first publish. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val cur = new Path(s"$path/_current")
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      in.close()
+      Some(s.toLong)
+    }
+  }
+
+  /** Read a pinned version (reproducible training runs) or the live
+    * one. Fails loudly on a version that was never published or was
+    * dropped by retention.
+    */
+  def readVersion(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      sys.error(s"readVersion: no published version at $path"))
+    val vDir = s"$path/v=$v"
+    require(fs(spark, path).exists(new Path(vDir)),
+      s"readVersion: version $v does not exist at $path")
+    spark.read.parquet(vDir)
+  }
+
+  /** Retention: drop all versions strictly below `keepFrom` (never the
+    * current one).
+    */
+  def dropVersionsBelow(spark: SparkSession, path: String, keepFrom: Long): Unit = {
+    val f = fs(spark, path)
+    val cur = currentVersion(spark, path).getOrElse(return)
+    val statuses = f.listStatus(new Path(path))
+    statuses.filter(_.getPath.getName.startsWith("v=")).foreach { st =>
+      val v = st.getPath.getName.stripPrefix("v=").toLong
+      if (v < keepFrom && v != cur) f.delete(st.getPath, true): Unit
+    }
+  }
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

@@ -390,6 +390,38 @@ object Sinks {
       TableStore.read(s, path)
         .select("o_orderkey", "pri", "valid_from", "valid_to")
         .orderBy("o_orderkey", "valid_from")
+    },
+
+    // ---------------------------------------------------------------
+    // Versioned snapshots (time travel) — the training-reproducibility
+    // discipline: publish v1, publish a transformed v2, then read BOTH
+    // pinned versions back AFTER the second publish. v1 must be
+    // byte-stable (its files were never touched), and the oracle
+    // states each version's content algebraically — so the gate checks
+    // that pinning a version really returns that version's data, not
+    // the live table. At scale a publish costs only the new version's
+    // files + one atomic manifest flip; readers never race it.
+    Q("s19_snapshot_read",
+      "versioned snapshots: pinned-version reads survive later publishes",
+      """SELECT CAST(1 AS BIGINT) AS version, r_regionkey, r_name AS name
+        |FROM region
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), r_regionkey, lower(r_name) FROM region
+        |WHERE r_regionkey != 2
+        |ORDER BY version, r_regionkey""".stripMargin) { (s, d) =>
+      val path = scratch("s19")
+      val r = t(s, d, "region").select("r_regionkey", "r_name")
+      val v1 = TableStore.publishVersion(s, path, r)
+      val v2 = TableStore.publishVersion(s, path,
+        r.filter(col("r_regionkey") =!= 2)
+          .withColumn("r_name", lower(col("r_name"))))
+      TableStore.readVersion(s, path, Some(v1))
+        .select(lit(1L).as("version"), col("r_regionkey"),
+          col("r_name").as("name"))
+        .unionByName(TableStore.readVersion(s, path, Some(v2))
+          .select(lit(2L).as("version"), col("r_regionkey"),
+            col("r_name").as("name")))
+        .orderBy("version", "r_regionkey")
     }
   )
 }

@@ -130,6 +130,37 @@ class TableStoreSpec extends SparkSpec {
     assert(hist().size == 4)
   }
 
+  test("versioned snapshots: pinned reads, current pointer, retention") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    assert(TableStore.currentVersion(spark, p).isEmpty)
+    intercept[RuntimeException] { TableStore.readVersion(spark, p) }
+    val v1 = TableStore.publishVersion(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    val v2 = TableStore.publishVersion(spark, p, Seq((1L, "b")).toDF("k", "v"))
+    val v3 = TableStore.publishVersion(spark, p, Seq((2L, "c")).toDF("k", "v"))
+    assert((v1, v2, v3) == (1L, 2L, 3L))
+    assert(TableStore.currentVersion(spark, p).contains(3L))
+    // live read = current version; pinned reads return their snapshot
+    assert(TableStore.readVersion(spark, p).collect().map(_.getString(1)).toSeq
+      == Seq("c"))
+    assert(TableStore.readVersion(spark, p, Some(v1)).collect()
+      .map(_.getString(1)).toSeq == Seq("a"))
+    assert(TableStore.readVersion(spark, p, Some(v2)).collect()
+      .map(_.getString(1)).toSeq == Seq("b"))
+    // retention drops old versions but never the current one
+    TableStore.dropVersionsBelow(spark, p, keepFrom = 3L)
+    val gone = intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(v1))
+    }
+    assert(gone.getMessage.contains("does not exist"), gone.getMessage)
+    assert(TableStore.readVersion(spark, p).count() == 1L)
+    // a version number never published fails loudly
+    val missing = intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(99L))
+    }
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+  }
+
   private def tsTable(rows: (Long, String)*) = {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.col
