@@ -233,6 +233,68 @@ object StreamingOps {
     },
 
     // ---------------------------------------------------------------
+    // Exactly-once foreachBatch — the delivery-semantics gap st6
+    // leaves open: foreachBatch is AT-LEAST-ONCE (a crash between the
+    // sink write and the checkpoint commit redelivers the batch), and
+    // an additive merge re-applied double-counts. The standard
+    // production fix is a batch-id ledger: a batch already in the
+    // ledger is a no-op. Proof here is the strongest redelivery there
+    // is — after the stream completes, the ENTIRE stream is replayed
+    // from a fresh checkpoint (every batch redelivered); the final
+    // table still equals the batch aggregate (the oracle). Honest
+    // caveat, documented like archiveOlderThan's: data write and
+    // ledger append are two renames, so a crash exactly between them
+    // still re-applies one batch on retry — closing that window needs
+    // a format that commits data + ledger atomically (the lakehouse
+    // swap named in TableStore's contract).
+    // Scale: the ledger is one row per batch; the guard is a limit-1
+    // probe of a tiny table per micro-batch.
+    Q("st9_stream_exactly_once",
+      "at-least-once foreachBatch redelivery made exactly-once by a batch-id ledger == batch aggregate",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st9")
+      val path = tmp.resolve("t").toString
+      val ledger = tmp.resolve("ledger").toString
+      val stage = tmp.resolve("stage").toString
+      def applyBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long): Unit = {
+        val applied = TableStore.exists(s, ledger) &&
+          TableStore.read(s, ledger)
+            .filter(col("batch_id") === id).limit(1).count() > 0
+        if (!applied) {
+          val delta = batch.groupBy("user_id").agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,2)")).as("total"))
+          val merged =
+            if (!TableStore.exists(s, path)) delta
+            else TableStore.read(s, path)
+              .join(delta.select("user_id"), Seq("user_id"), "left_semi")
+              .unionByName(delta)
+              .groupBy("user_id")
+              .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+          TableStore.upsertByKey(s, path, merged, Seq("user_id"))
+          TableStore.append(Seq(id).toDF("batch_id"), ledger)
+        }
+      }
+      val events = t(s, d, "events")
+      EventStream.runForeachBatch(s,
+        EventStream.stagedFileStream(s, events, stage, nFiles = 2))(applyBatch)
+      // crash-redelivery simulation: a fresh checkpoint replays EVERY
+      // batch (same staged files, same order -> same batch ids); the
+      // ledger must make each one a no-op
+      val replay = s.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      EventStream.runForeachBatch(s, replay)(applyBatch)
+      TableStore.read(s, path)
+        .select(col("user_id"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
     // Stream-stream LEFT OUTER interval join — the semantics st5
     // cannot show: a purchase with NO click in its preceding 10
     // minutes must still be emitted (with a NULL click id), and that
