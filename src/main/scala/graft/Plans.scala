@@ -65,7 +65,11 @@ object Plans {
     "t15_best_player_counts" ->
       "best_player_counts: dual rank windows over one game_id partitioning; STRING_AGG ORDER BY + conditional min/max + flag counts fused into ONE partial+final aggregate (map-side combinable collect_list of (rank, value) structs).",
     "t18_features_incremental" ->
-      "Incremental games_features: the watermark set LeftSemi-joins into EVERY per-entity aggregate BEFORE grouping (join-input reduction — the reference's 4h->8s lever, docs/dataform_operations.md:15).")
+      "Incremental games_features: the watermark set LeftSemi-joins into EVERY per-entity aggregate BEFORE grouping (join-input reduction — the reference's 4h->8s lever, docs/dataform_operations.md:15).",
+    "k11_pq_ann" ->
+      "Product quantization: 4 trained sub-codebooks; ADC ranks via a broadcast 4x4 distance table (4 lookups + 3 adds per vector — the codes scan is 32x smaller than the vectors); exact rerank of top-20 only.",
+    "q18_large_orders" ->
+      "TPC-H Q18: the HAVING-filtered heavy-order key set is tiny and broadcasts into the fact probes — no full fact-fact shuffle survives the reduction.")
 
   /** Session confs a flagship needs for its scale story to print at
     * sf0.001 (restored after each plan).
