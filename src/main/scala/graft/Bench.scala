@@ -118,7 +118,10 @@ object Bench {
     val avg = if (n > 0) total / n else 0.0
     // n_queries/avg make totals comparable across rounds as the
     // catalog grows (a bigger catalog is not a slower engine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // stream_repeats is reported separately: st* timings are min-of-
+    // streamRepeats, NOT min-of-repeats — a reader comparing rounds
+    // must know which protocol produced each number
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

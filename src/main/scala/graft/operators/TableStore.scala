@@ -190,15 +190,26 @@ object TableStore {
     // key-uniqueness guard: two versions of one key in one batch have
     // no defined order, and a duplicate slipping through writes TWO
     // open rows for the key — permanently corrupting the one-open-row
-    // invariant every later upsert and as-of read depends on. One tiny
-    // aggregate action (groupBy is null-safe, so a NULL key is one
-    // key), same fail-fast discipline as the monotonicity guard below.
-    val maxPerKey = batch.groupBy(keys.map(col): _*)
-      .count().agg(max(col("count"))).head().get(0)
-    require(maxPerKey == null || maxPerKey.asInstanceOf[Long] <= 1L,
-      s"scd2Upsert: batch is not key-unique on (${keys.mkString(", ")}) — " +
-        s"a key appears $maxPerKey times; dedup the batch first")
+    // invariant every later upsert and as-of read depends on. The
+    // guard rides INSIDE the written plan (a per-key window count +
+    // raise_error on the incoming branch) rather than as a separate
+    // pre-action: the rows that are checked are exactly the rows that
+    // get written (a re-evaluated non-deterministic batch can't dodge
+    // it), there is no extra pass over the batch, and a violation
+    // aborts the staged write before any rename — table untouched.
+    // The window's key shuffle is null-safe (a NULL key is one key).
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
     val incoming = batch.select((keys ++ attrs).map(col): _*)
+      .withColumn("_key_n", count(lit(1)).over(dupW))
+      .withColumn("_key_guard",
+        when(col("_key_n") > 1, raise_error(concat(
+          lit(s"scd2Upsert: batch is not key-unique on " +
+            s"(${keys.mkString(", ")}) — key appearing "),
+          col("_key_n"),
+          lit(" times; dedup the batch first")))).otherwise(lit(1)))
+      .filter(col("_key_guard") === 1)
+      .drop("_key_n", "_key_guard")
       .withColumn("valid_from", lit(effective))
       .withColumn("valid_to", lit(null).cast("date"))
     if (!exists(spark, path)) { overwrite(incoming, path); return }
@@ -292,20 +303,42 @@ object TableStore {
     * [[dropVersionsBelow]] (retention policy is the caller's).
     */
   def publishVersion(spark: SparkSession, path: String, df: DataFrame): Long = {
-    val next = currentVersion(spark, path).getOrElse(0L) + 1L
     val f = fs(spark, path)
+    // the version counter is max(manifest, existing v=N dirs) + 1 —
+    // NEVER the manifest alone: a crash inside the manifest flip below
+    // leaves no _current, and a manifest-only counter would then
+    // restart at 1 and destroy committed immutable versions. Orphan
+    // dirs from a crashed publish (written, never flipped) just burn a
+    // number; committed data is never a sweep candidate.
+    val next = (currentVersion(spark, path).toSeq ++ maxVersionDir(f, path))
+      .foldLeft(0L)(math.max) + 1L
     val vDir = new Path(s"$path/v=$next")
-    f.delete(vDir, true) // sweep a crashed earlier attempt of this version
+    f.delete(vDir, true) // sweep a crashed earlier attempt of this number
     df.write.parquet(vDir.toString)
     val tmp = new Path(s"$path/_current_tmp")
     val out = f.create(tmp, true)
     out.write(next.toString.getBytes("UTF-8"))
     out.close()
     val cur = new Path(s"$path/_current")
+    // delete+rename is not atomic: a reader (or crash) in this window
+    // sees NO manifest and readVersion(None) fails loudly — never
+    // stale or partial data — and the next publish reconstructs the
+    // counter from the dirs. Pinned readers are untouched either way.
     f.delete(cur, false)
     if (!f.rename(tmp, cur))
       throw new java.io.IOException(s"publishVersion: could not flip $cur")
     next
+  }
+
+  /** Highest `v=N` directory number, committed or orphaned. */
+  private def maxVersionDir(f: FileSystem, path: String): Option[Long] = {
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .maxOption
   }
 
   /** The live version number, or None before the first publish. */

@@ -90,6 +90,58 @@ object Similarity {
        |    FROM ${p}r2) WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB CTE chain for the PQ tier (k11/k10): per-subspace trained
+    * codebooks + the query's ADC distance tables, and the join clause
+    * that sums the four table lookups per vector. Assumes CTEs
+    * `e(vec_id, v)` and `q(... qv ...)` are in scope.
+    */
+  private def pqCtes(sub: Int): (String, String) = {
+    val subCtes = (0 until 4).map { i =>
+      s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
+         |${lloydCtes(4, s"p$i", sub, s"e$i")},
+         |dt$i AS (SELECT c.cid, ${XSql.dist2(
+            SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")(SqlDuck)} AS dterm
+         |         FROM p${i}c1 c, q)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until 4).map { i =>
+      s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
+        s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
+    }.mkString("\n|  ")
+    (subCtes, codeJoins)
+  }
+
+  /** Spark side of the PQ candidate stage (k11/k10): train 4 sub-
+    * codebooks, encode every vector, rank by the broadcast ADC
+    * distance table, return the top-`n` (vec_id, ad2).
+    */
+  private def pqCandidates(e: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame, sub: Int,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    implicit val dl: Dialect = SqlSpark
+    import graft.operators.KMeans
+    val parts = (0 until 4).map { i =>
+      val es = e.select(col("vec_id"),
+        expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
+      val cb = KMeans.train(es, 4, 1, gateParity = true)
+      val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
+      val dt = cb.crossJoin(broadcast(q.select("qv")))
+        .select(col("cid").as(s"cid_$i"),
+          expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
+            .as(s"dterm_$i"))
+      (codes, dt)
+    }
+    val coded = parts.foldLeft(e.select("vec_id")) {
+      case (acc, (codes, dt)) =>
+        val i = dt.columns.head.stripPrefix("cid_")
+        acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
+    }
+    coded.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
+          .as("ad2"))
+      .orderBy(col("ad2"), col("vec_id")).limit(n)
+  }
+
   /** Spark side of the trained-IVF query (k3 single-probe, k7 two-
     * probe): train coarse centroids with [[graft.operators.KMeans]]
     * (gate-parity means — the oracle recomputes them bit-identically),
@@ -460,17 +512,7 @@ object Similarity {
           (0 until Planes).map(p => s"n.bucket = xor(q.qb, ${1L << p})"))
           .mkString("(", " OR ", ")")
         val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
-        val subCtes = (0 until 4).map { i =>
-          s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
-             |${lloydCtes(4, s"p$i", sub, s"e$i")},
-             |dt$i AS (SELECT c.cid, ${XSql.dist2(
-                SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")} AS dterm
-             |         FROM p${i}c1 c, q)""".stripMargin
-        }.mkString(",\n")
-        val codeJoins = (0 until 4).map { i =>
-          s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
-            s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
-        }.mkString("\n|  ")
+        val (subCtes, codeJoins) = pqCtes(sub)
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |${lloydCtes(4)},
            |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
@@ -539,39 +581,10 @@ object Similarity {
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
-      val cents = KMeans.train(e, 4, 1, gateParity = true)
-      val lists = KMeans.assign(e, cents)
-      val pick = cents.crossJoin(broadcast(q.select("qv")))
-        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
-        .orderBy(col("d2"), col("cid")).limit(2).select("cid")
-      val annIvf = n.join(lists, "vec_id")
-        .join(broadcast(pick), Seq("cid"))
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), dist)
-        .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
-      // PQ tier: k11's codebooks + ADC candidates, cosine rerank
-      val parts = (0 until 4).map { i =>
-        val es = e.select(col("vec_id"),
-          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-        val cb = KMeans.train(es, 4, 1, gateParity = true)
-        val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
-        val dt = cb.crossJoin(broadcast(q.select("qv")))
-          .select(col("cid").as(s"cid_$i"),
-            expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
-              .as(s"dterm_$i"))
-        (codes, dt)
-      }
-      val coded = parts.foldLeft(e.select("vec_id")) {
-        case (acc, (codes, dt)) =>
-          val i = dt.columns.head.stripPrefix("cid_")
-          acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
-      }
-      val cand = coded.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
-            .as("ad2"))
-        .orderBy(col("ad2"), col("vec_id")).limit(20)
+      // IVF tier: EXACTLY the k7 production path (top-10 ids)
+      val annIvf = ivfTrained(s, d, probes = 2).select("vec_id")
+      // PQ tier: k11's candidate stage, cosine rerank on the truth metric
+      val cand = pqCandidates(e, q, sub, n = 20)
       val annPq = cand.join(n, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
@@ -607,17 +620,7 @@ object Similarity {
       {
         implicit val dl: Dialect = SqlDuck
         val sub = 16
-        val subCtes = (0 until 4).map { i =>
-          s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
-             |${lloydCtes(4, s"p$i", sub, s"e$i")},
-             |dt$i AS (SELECT c.cid, ${XSql.dist2(
-                SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")} AS dterm
-             |         FROM p${i}c1 c, q)""".stripMargin
-        }.mkString(",\n")
-        val codeJoins = (0 until 4).map { i =>
-          s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
-            s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
-        }.mkString("\n|  ")
+        val (subCtes, codeJoins) = pqCtes(sub)
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
            |$subCtes,
@@ -633,36 +636,11 @@ object Similarity {
            |ORDER BY d2, adc.vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
-      import graft.operators.KMeans
       val sub = 16
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      // per subspace: codebook, per-vector code, and the 4-entry ADC
-      // distance table for the query
-      val parts = (0 until 4).map { i =>
-        val es = e.select(col("vec_id"),
-          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-        val cb = KMeans.train(es, 4, 1, gateParity = true)
-        val codes = KMeans.assign(es, cb)
-          .withColumnRenamed("cid", s"cid_$i")
-        val dt = cb.crossJoin(broadcast(q))
-          .select(col("cid").as(s"cid_$i"),
-            expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
-              .as(s"dterm_$i"))
-        (codes, dt)
-      }
-      val coded = parts.foldLeft(e.select("vec_id")) {
-        case (acc, (codes, dt)) =>
-          val i = dt.columns.head.stripPrefix("cid_")
-          acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
-      }
-      val cand = coded
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
-            .as("ad2"))
-        .orderBy(col("ad2"), col("vec_id")).limit(20)
+      val cand = pqCandidates(e, q, sub, n = 20)
       cand.join(e, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), expr(XSql.dist2("v", "qv")).as("d2"))
         .orderBy(col("d2"), col("vec_id")).limit(10)

@@ -119,14 +119,18 @@ class TableStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("precedes"), e.getMessage)
     // and the failed call changed nothing
     assert(hist().size == 4)
-    // non-key-unique batch: rejected before it can write two open rows
-    // for one key (a NULL key is one key too — groupBy is null-safe)
-    val dup = intercept[IllegalArgumentException] {
+    // non-key-unique batch: the in-plan raise_error guard aborts the
+    // staged write before any rename (a NULL key is one key too — the
+    // window partitioning is null-safe)
+    val dup = intercept[Exception] {
       TableStore.scd2Upsert(spark, p,
         batch(3L -> Some("x"), 3L -> Some("y")), Seq("k"), Seq("v"),
         day("2024-04-01"))
     }
-    assert(dup.getMessage.contains("key-unique"), dup.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(dup).exists(_.contains("key-unique")), dup.toString)
     assert(hist().size == 4)
   }
 
