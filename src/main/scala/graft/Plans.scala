@@ -69,7 +69,9 @@ object Plans {
     "k11_pq_ann" ->
       "Product quantization: 4 trained sub-codebooks; ADC ranks via a broadcast 4x4 distance table (4 lookups + 3 adds per vector — the codes scan is 32x smaller than the vectors); exact rerank of top-20 only.",
     "q18_large_orders" ->
-      "TPC-H Q18: the HAVING-filtered heavy-order key set is tiny and broadcasts into the fact probes — no full fact-fact shuffle survives the reduction.")
+      "TPC-H Q18: the HAVING-filtered heavy-order key set is tiny and broadcasts into the fact probes — no full fact-fact shuffle survives the reduction.",
+    "k12_ivf_pq" ->
+      "IVF+PQ composed index: coarse lists bound WHICH vectors rank (broadcast pick join), residual PQ codes bound HOW MUCH is read (broadcast per-list ADC tables); exact rerank touches 20 vectors.")
 
   /** Session confs a flagship needs for its scale story to print at
     * sf0.001 (restored after each plan).

@@ -119,7 +119,13 @@ object Similarity {
       n: Int): org.apache.spark.sql.DataFrame = {
     implicit val dl: Dialect = SqlSpark
     import graft.operators.KMeans
-    val parts = (0 until 4).map { i =>
+    // the four sub-codebook trainings are independent — submit them
+    // from four threads so their (tiny) training jobs overlap in the
+    // scheduler instead of paying ~8 sequential job barriers; values
+    // are untouched (each lineage is self-contained and deterministic)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
       val es = e.select(col("vec_id"),
         expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
       val cb = KMeans.train(es, 4, 1, gateParity = true)
@@ -129,7 +135,7 @@ object Similarity {
           expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
             .as(s"dterm_$i"))
       (codes, dt)
-    }
+    }}), scala.concurrent.duration.Duration.Inf)
     val coded = parts.foldLeft(e.select("vec_id")) {
       case (acc, (codes, dt)) =>
         val i = dt.columns.head.stripPrefix("cid_")
@@ -644,6 +650,128 @@ object Similarity {
       cand.join(e, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), expr(XSql.dist2("v", "qv")).as("d2"))
         .orderBy(col("d2"), col("vec_id")).limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // IVF + PQ — the composed index every production vector store
+    // actually ships (FAISS/ScaNN architecture): coarse Lloyd lists
+    // bound WHICH vectors are ranked (2/nlist of the data), PQ
+    // codebooks trained on RESIDUALS (v - coarse centroid — residuals
+    // are what PQ quantizes well, since the coarse term is already
+    // factored out) bound HOW MUCH is read per vector (4 sub-codes).
+    // Query time: pick 2 lists, build a PER-LIST ADC table from the
+    // query's residual against each picked centroid (2 lists x 4
+    // subspaces x 4 codes = 32 doubles, broadcast), rank each probed
+    // vector by 4 lookups + 3 adds, exact-cosine rerank the top-20.
+    // Scale: candidate volume is list-bounded AND the ranking scan
+    // reads codes, not vectors — the two bounds compose.
+    Q("k12_ivf_pq",
+      "IVF+PQ: 2-probe coarse lists, residual-trained PQ codebooks, per-list ADC tables, exact rerank",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val sub = 16
+        def resElem(v: String, c: String) =
+          SqlDuck.xform(SqlDuck.seq0(Dims.toString), "i_",
+            s"${SqlDuck.idx(v, "i_")} - ${SqlDuck.idx(c, "i_")}")
+        val subCtes = (0 until 4).map { i =>
+          s"""er$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM eres),
+             |${lloydCtes(4, s"q$i", sub, s"er$i")},
+             |dt$i AS (SELECT qres.list, cb.cid, ${XSql.dist2(
+                SqlDuck.slice("qres.r", s"${i * sub}", sub), "cb.cv")} AS dterm
+             |         FROM q${i}c1 cb, qres)""".stripMargin
+        }.mkString(",\n")
+        val codeJoins = (0 until 4).map { i =>
+          s"JOIN q${i}a2 c$i ON e.vec_id = c$i.vec_id " +
+            s"JOIN dt$i t$i ON t$i.list = a2.cid AND t$i.cid = c$i.cid"
+        }.mkString("\n|  ")
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |eres AS (SELECT e.vec_id, ${resElem("e.v", "c.cv")} AS v
+           |         FROM e JOIN a2 ON e.vec_id = a2.vec_id
+           |                JOIN c1 c ON a2.cid = c.cid),
+           |pick AS (SELECT c1.cid AS list, c1.cv FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2),
+           |qres AS (SELECT pick.list, ${resElem("q.qv", "pick.cv")} AS r
+           |         FROM pick, q),
+           |$subCtes,
+           |adc AS (
+           |  SELECT e.vec_id,
+           |    t0.dterm + t1.dterm + t2.dterm + t3.dterm AS ad2
+           |  FROM e
+           |  JOIN a2 ON e.vec_id = a2.vec_id
+           |  JOIN pick ON a2.cid = pick.list
+           |  $codeJoins
+           |  WHERE e.vec_id != 0
+           |  ORDER BY ad2, e.vec_id LIMIT 20)
+           |SELECT n.vec_id,
+           |  1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM adc JOIN n ON adc.vec_id = n.vec_id, q
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val sub = 16
+      def resElem(v: String, c: String) =
+        SqlSpark.xform(SqlSpark.seq0(Dims.toString), "i_",
+          s"${SqlSpark.idx(v, "i_")} - ${SqlSpark.idx(c, "i_")}")
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val coarse = KMeans.train(e, 4, 1, gateParity = true)
+      // materialize the assignment and residual set ONCE: the four
+      // subspace trainings below each run several actions, and without
+      // this every action would replay scan -> assign -> residual join
+      // from scratch. This is the same move a real index build makes —
+      // write the codes/residuals table once, then train against it —
+      // expressed here as an eager localCheckpoint (rows x 64 doubles).
+      val lists = KMeans.assign(e, coarse).localCheckpoint(true)
+      val eres = e.join(lists, "vec_id")
+        .join(broadcast(coarse), "cid")
+        .select(col("vec_id"), expr(resElem("v", "cv")).as("v"))
+        .localCheckpoint(true)
+      val pick = coarse.crossJoin(broadcast(q.select("qv")))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select(col("cid").as("list"), col("cv"))
+      val qres = pick.crossJoin(broadcast(q.select("qv")))
+        .select(col("list"), expr(resElem("qv", "cv")).as("r"))
+      // independent sub-codebook trainings submitted concurrently —
+      // same move as pqCandidates; values untouched
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
+        val es = eres.select(col("vec_id"),
+          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
+        val cb = KMeans.train(es, 4, 1, gateParity = true)
+        val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
+        val dt = qres.crossJoin(broadcast(cb))
+          .select(col("list"),
+            col("cid").as(s"cid_$i"),
+            expr(XSql.dist2(s"slice(r, ${i * sub + 1}, $sub)", "cv"))
+              .as(s"dterm_$i"))
+        (codes, dt)
+      }}), scala.concurrent.duration.Duration.Inf)
+      val inLists = e.select("vec_id")
+        .join(lists.withColumnRenamed("cid", "list"), "vec_id")
+        .join(broadcast(pick.select("list")), "list")
+      val adc = parts.foldLeft(inLists) { case (acc, (codes, dt)) =>
+        val i = dt.columns(1).stripPrefix("cid_")
+        acc.join(codes, "vec_id").join(broadcast(dt), Seq("list", s"cid_$i"))
+      }
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
+            .as("ad2"))
+        .orderBy(col("ad2"), col("vec_id")).limit(20)
+      adc.join(n, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
     }
   )
 }
