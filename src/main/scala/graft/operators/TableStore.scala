@@ -192,15 +192,17 @@ object TableStore {
     // open rows for the key — permanently corrupting the one-open-row
     // invariant every later upsert and as-of read depends on. The
     // guard rides INSIDE the written plan (a per-key window count +
-    // raise_error on the incoming branch) rather than as a separate
-    // pre-action: the rows that are checked are exactly the rows that
-    // get written (a re-evaluated non-deterministic batch can't dodge
-    // it), there is no extra pass over the batch, and a violation
-    // aborts the staged write before any rename — table untouched.
+    // raise_error): EVERY consumer of the batch below (incoming AND
+    // the b-side of the close/keep join) derives from this guarded
+    // subtree, so whichever evaluation runs first trips the error —
+    // a re-evaluated non-deterministic batch can't corrupt one branch
+    // while passing the other — there is no extra pass over the batch,
+    // and a violation aborts the write while it is still staged
+    // (first write included — see below), so the table is untouched.
     // The window's key shuffle is null-safe (a NULL key is one key).
     val dupW = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-    val incoming = batch.select((keys ++ attrs).map(col): _*)
+    val checked = batch.select((keys ++ attrs).map(col): _*)
       .withColumn("_key_n", count(lit(1)).over(dupW))
       .withColumn("_key_guard",
         when(col("_key_n") > 1, raise_error(concat(
@@ -210,9 +212,13 @@ object TableStore {
           lit(" times; dedup the batch first")))).otherwise(lit(1)))
       .filter(col("_key_guard") === 1)
       .drop("_key_n", "_key_guard")
+    val incoming = checked
       .withColumn("valid_from", lit(effective))
       .withColumn("valid_to", lit(null).cast("date"))
-    if (!exists(spark, path)) { overwrite(incoming, path); return }
+    // first write goes through the staged-rename path too: a guard
+    // violation (or any failure) must not leave a partial directory at
+    // the live path for the next call to mistake for history
+    if (!exists(spark, path)) { rewrite(spark, path, incoming); return }
     val cur = read(spark, path)
     // monotonicity guard: one tiny aggregate action (the maxWatermark
     // precedent) — cheaper than silently corrupting version ranges
@@ -221,7 +227,7 @@ object TableStore {
       s"scd2Upsert: effective $effective precedes stored valid_from $maxFrom")
     val open = cur.filter(col("valid_to").isNull)
     val closed = cur.filter(col("valid_to").isNotNull)
-    val b = batch.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
+    val b = checked.select((keys ++ attrs).map(c => col(c).as(s"b_$c")): _*)
       .withColumn("b_present", lit(1))
     val joinCond = keys.map(k => col(k) <=> col(s"b_$k")).reduce(_ && _)
     val diff = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
@@ -285,12 +291,15 @@ object TableStore {
     *
     * Layout: `path/v=N/` holds version N's files (immutable once
     * published); `path/_current` is a one-line manifest naming the
-    * live version, flipped by write-tmp + atomic rename. Readers of
-    * any version never race a publish: data files are never mutated,
-    * and the manifest flip is atomic. A crash mid-publish leaves a
-    * stale `v=N` stage dir that the next publish of N sweeps; the
-    * manifest still names the last complete version, so readers are
-    * unaffected.
+    * live version. Published data files are never mutated, so PINNED
+    * readers never race a publish. The manifest flip itself is
+    * delete-then-rename — NOT atomic: a live (unpinned) reader in
+    * that window, or after a crash inside it, fails loudly with "no
+    * published version" until the next publish rewrites the manifest —
+    * an availability gap, never wrong or partial data. A crash before
+    * the flip leaves an orphaned `v=N` dir that no manifest ever
+    * names: the counter skips past it (it burns a number) and
+    * [[readVersion]] refuses it (committed = `N <= current`).
     *
     * Single-writer like the rest of TableStore (concurrent publishers
     * would race the version counter); a lakehouse table format's
@@ -313,7 +322,11 @@ object TableStore {
     val next = (currentVersion(spark, path).toSeq ++ maxVersionDir(f, path))
       .foldLeft(0L)(math.max) + 1L
     val vDir = new Path(s"$path/v=$next")
-    f.delete(vDir, true) // sweep a crashed earlier attempt of this number
+    // defensive sweep: with the max-dir counter this number is never a
+    // committed version, but a same-number partial could exist if a
+    // previous attempt crashed mid-listStatus race; deleting it is
+    // always safe because committed versions are <= the counter base
+    f.delete(vDir, true)
     df.write.parquet(vDir.toString)
     val tmp = new Path(s"$path/_current_tmp")
     val out = f.create(tmp, true)
@@ -355,13 +368,19 @@ object TableStore {
   }
 
   /** Read a pinned version (reproducible training runs) or the live
-    * one. Fails loudly on a version that was never published or was
-    * dropped by retention.
+    * one. Fails loudly on a version that was never published, was
+    * dropped by retention, or is an orphan from a crashed publish
+    * (orphans have a directory but were never committed — only
+    * `v <= current` is committed, since publishes commit in order).
     */
   def readVersion(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+    val committed = currentVersion(spark, path).getOrElse(
       sys.error(s"readVersion: no published version at $path"))
+    val v = version.getOrElse(committed)
+    require(v <= committed,
+      s"readVersion: version $v at $path is not committed " +
+        s"(current is $committed; a crashed publish's orphan dir is not a version)")
     val vDir = s"$path/v=$v"
     require(fs(spark, path).exists(new Path(vDir)),
       s"readVersion: version $v does not exist at $path")

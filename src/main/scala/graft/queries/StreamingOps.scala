@@ -12,6 +12,29 @@ import graft.streaming.EventStream
   */
 object StreamingOps {
 
+  /** The additive per-user merge st6 (streaming incremental view) and
+    * st9 (exactly-once ledger) share: aggregate the micro-batch's
+    * per-user delta and fold it into the stored table — counts and
+    * exact decimal sums are associative, so any batch decomposition
+    * converges to the batch aggregate.
+    */
+  private def mergeUserDelta(s: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    import graft.operators.TableStore
+    val delta = batch.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,2)")).as("total"))
+    val merged =
+      if (!TableStore.exists(s, path)) delta
+      else TableStore.read(s, path)
+        .join(delta.select("user_id"), Seq("user_id"), "left_semi")
+        .unionByName(delta)
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+    TableStore.upsertByKey(s, path, merged, Seq("user_id"))
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("st1_stream_window",
@@ -116,19 +139,8 @@ object StreamingOps {
       val path = tmp.resolve("t").toString
       val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
         tmp.resolve("stage").toString, nFiles = 3)
-      EventStream.runForeachBatch(s, stream) { (batch, _) =>
-        val delta = batch.groupBy("user_id").agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(30,2)")).as("total"))
-        val merged =
-          if (!TableStore.exists(s, path)) delta
-          else TableStore.read(s, path)
-            .join(delta.select("user_id"), Seq("user_id"), "left_semi")
-            .unionByName(delta)
-            .groupBy("user_id")
-            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-        TableStore.upsertByKey(s, path, merged, Seq("user_id"))
-      }
+      EventStream.runForeachBatch(s, stream)((batch, _) =>
+        mergeUserDelta(s, path, batch))
       TableStore.read(s, path)
         .select(col("user_id"), col("n"),
           col("total").cast("double").as("total"))
@@ -265,17 +277,7 @@ object StreamingOps {
           TableStore.read(s, ledger)
             .filter(col("batch_id") === id).limit(1).count() > 0
         if (!applied) {
-          val delta = batch.groupBy("user_id").agg(
-            count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(30,2)")).as("total"))
-          val merged =
-            if (!TableStore.exists(s, path)) delta
-            else TableStore.read(s, path)
-              .join(delta.select("user_id"), Seq("user_id"), "left_semi")
-              .unionByName(delta)
-              .groupBy("user_id")
-              .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
-          TableStore.upsertByKey(s, path, merged, Seq("user_id"))
+          mergeUserDelta(s, path, batch)
           TableStore.append(Seq(id).toDF("batch_id"), ledger)
         }
       }
@@ -285,9 +287,8 @@ object StreamingOps {
       // crash-redelivery simulation: a fresh checkpoint replays EVERY
       // batch (same staged files, same order -> same batch ids); the
       // ledger must make each one a no-op
-      val replay = s.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage)
-      EventStream.runForeachBatch(s, replay)(applyBatch)
+      EventStream.runForeachBatch(s,
+        EventStream.restageFileStream(s, events.schema, stage))(applyBatch)
       TableStore.read(s, path)
         .select(col("user_id"), col("n"),
           col("total").cast("double").as("total"))

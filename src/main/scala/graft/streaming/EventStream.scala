@@ -48,11 +48,19 @@ object EventStream {
   def stagedFileStream(spark: SparkSession, events: DataFrame,
       stageDir: String, nFiles: Int): DataFrame = {
     events.repartition(nFiles).write.parquet(stageDir)
+    restageFileStream(spark, events.schema, stageDir)
+  }
+
+  /** Re-attach a one-file-per-micro-batch reader to an ALREADY-staged
+    * dir — the crash-recovery replay shape (fresh checkpoint, same
+    * files, same batch order) st9 uses to prove its ledger.
+    */
+  def restageFileStream(spark: SparkSession, schema: StructType,
+      stageDir: String): DataFrame =
     spark.readStream
-      .schema(events.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stageDir)
-  }
 
   /** Stage `parts` as ONE parquet file each with strictly increasing
     * modification times, so the file source (maxFilesPerTrigger=1,

@@ -132,6 +132,22 @@ class TableStoreSpec extends SparkSpec {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(dup).exists(_.contains("key-unique")), dup.toString)
     assert(hist().size == 4)
+    // FIRST write with a duplicate-key batch: the abort must happen in
+    // the staged dir — the live path must not come into existence, or
+    // the next call would mistake the partial write for history
+    val fresh = scratch()
+    val dupFirst = intercept[Exception] {
+      TableStore.scd2Upsert(spark, fresh,
+        batch(1L -> Some("a"), 1L -> Some("b")), Seq("k"), Seq("v"),
+        day("2024-01-01"))
+    }
+    assert(messages(dupFirst).exists(_.contains("key-unique")), dupFirst.toString)
+    assert(!TableStore.exists(spark, fresh),
+      "failed first write must not create the live path")
+    // and the path is still usable afterwards
+    TableStore.scd2Upsert(spark, fresh,
+      batch(1L -> Some("a")), Seq("k"), Seq("v"), day("2024-01-01"))
+    assert(TableStore.read(spark, fresh).count() == 1L)
   }
 
   test("versioned snapshots: pinned reads, current pointer, retention") {
@@ -162,7 +178,17 @@ class TableStoreSpec extends SparkSpec {
     val missing = intercept[IllegalArgumentException] {
       TableStore.readVersion(spark, p, Some(99L))
     }
-    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+    assert(missing.getMessage.contains("not committed"), missing.getMessage)
+    // an orphan dir from a crashed publish (written, never flipped) is
+    // NOT readable even though the directory exists
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$p/v=9")
+    val orphan = intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(9L))
+    }
+    assert(orphan.getMessage.contains("not committed"), orphan.getMessage)
+    // ... and the counter skips past it instead of reusing its number
+    assert(TableStore.publishVersion(spark, p,
+      Seq((3L, "d")).toDF("k", "v")) == 10L)
   }
 
   private def tsTable(rows: (Long, String)*) = {
