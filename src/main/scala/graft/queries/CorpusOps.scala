@@ -423,6 +423,74 @@ object CorpusOps {
           expr(dl.arrSize(sliceE)).cast("long").as("n_chunk_words"),
           expr(XSql.charHash(s"array_join($sliceE, ' ')")).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---------------------------------------------------------------
+    // Leakage-safe train/val split — the t6 split has a real training
+    // bug at corpus scale: two near-duplicate documents can land in
+    // DIFFERENT splits, and the val set then scores memorization, not
+    // generalization. Fix: split by the near-dup CLUSTER, not the
+    // document — LSH pairs → connected components (d7's machinery),
+    // every doc splits by the hash of its cluster REPRESENTATIVE's
+    // text (component min id; singletons are their own representative)
+    // — so an entire near-dup cluster always shares a split, and docs
+    // outside any cluster split exactly as t6 would.
+    // Scale: components are the c3 path (localCheckpoint'ed min-label
+    // propagation, band-bounded pairs); the representative-text join
+    // keys on doc_id; everything else is one narrow map.
+    Q("c9_leakage_safe_split",
+      "near-dup-cluster-aware 95/5 split: a whole cluster shares one split",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, ${XSql.wordHashes(w)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |           AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
+           |comp AS (SELECT src AS doc_id, min(node) AS component
+           |         FROM reach GROUP BY src)
+           |SELECT d.doc_id,
+           |  coalesce(c.component, d.doc_id) AS rep_id,
+           |  CASE WHEN ${XSql.charHash("rep.text")} % 100 < 95 THEN 'train'
+           |       ELSE 'val' END AS split
+           |FROM documents d
+           |LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |JOIN documents rep ON rep.doc_id = coalesce(c.component, d.doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val sh = docs
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.3)
+        .select("doc_a", "doc_b")
+      val comp = graft.operators.ConnectedComponents
+        .minLabel(pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+      val withRep = docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      withRep
+        .join(docs.select(col("doc_id").as("rep_id"),
+          col("text").as("rep_text")), Seq("rep_id"))
+        .select(col("doc_id"), col("rep_id"),
+          when(expr(XSql.charHash("rep_text")) % 100 < 95, "train")
+            .otherwise("val").as("split"))
+        .orderBy("doc_id")
     }
   )
 }
