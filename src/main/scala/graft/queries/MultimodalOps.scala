@@ -235,6 +235,87 @@ object MultimodalOps {
         .agg(count(lit(1)).as("n_items"),
           sum(col("n_bytes")).cast("long").as("total_bytes"))
         .orderBy("modality", "bin")
+    },
+
+    // ---------------------------------------------------------------
+    // Interleaved multimodal document assembly — the MMC4/OBELICS-
+    // style step that turns (text, attachments) into ONE ordered
+    // training sequence per document: the text splits into
+    // non-overlapping 50-word chunks, the media payload splits into
+    // 64-byte frames (m2's rule), and frame f is slotted after text
+    // chunk (f mod n_chunks) — text at even positions, media at odd,
+    // so the interleave is a pure integer rule both engines state
+    // identically. Gated per doc: segment counts, the token total
+    // (text words + a fixed 16 "patch tokens" per frame), and a
+    // charHash fingerprint of the ordered T/M pattern string — the
+    // fingerprint pins the ORDER of the assembled sequence, not just
+    // its composition.
+    // Scale: chunking and framing are narrow explodes; the pattern
+    // fold is one per-doc sort of (pos, idx) structs — the same
+    // shuffle the per-doc groupBy needs anyway.
+    Q("m7_interleaved_docs",
+      "ordered text-chunk x media-frame interleave per doc: counts, tokens, pattern hash",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val w = graft.functions.XSql.words("text")
+        s"""WITH $SrcCte,
+           |ws AS (SELECT doc_id, $w AS w,
+           |              cast(length(text) as bigint) AS n_bytes
+           |       FROM src),
+           |base AS (SELECT doc_id, w,
+           |    cast(floor((${dl.arrSize("w")} + 49) / 50.0) as bigint) AS nc,
+           |    cast(floor((n_bytes + 63) / 64.0) as bigint) AS nf
+           |  FROM ws),
+           |tseg AS (SELECT doc_id, 2 * k AS pos, k AS idx, 'T' AS tag,
+           |    cast(${dl.arrSize(dl.slice("w", "k * 50", 50))} as bigint) AS toks
+           |  FROM base, (SELECT unnest(${dl.seq0("nc")}) AS k)),
+           |mseg AS (SELECT doc_id,
+           |    2 * (f % greatest(nc, 1)) + 1 AS pos, f AS idx, 'M' AS tag,
+           |    cast(16 as bigint) AS toks
+           |  FROM base, (SELECT unnest(${dl.seq0("nf")}) AS f)),
+           |segs AS (SELECT * FROM tseg UNION ALL SELECT * FROM mseg)
+           |SELECT doc_id,
+           |  count(*) FILTER (tag = 'T') AS n_text_seg,
+           |  count(*) FILTER (tag = 'M') AS n_media_seg,
+           |  cast(sum(toks) as bigint) AS n_tokens,
+           |  ${graft.functions.XSql.charHash(
+              "string_agg(tag, '' ORDER BY pos, idx)")} AS pattern_hash
+           |FROM segs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import graft.functions.XSql
+      import graft.functions.XSql.{Spark => dl}
+      implicit val dlv: dl.type = dl
+      graft.functions.GraftFunctions.register(s)
+      val base = Multimodal.mediaTable(s, d).toDF()
+        .select(col("doc_id"),
+          expr(XSql.words("decode(payload, 'UTF-8')")).as("w"),
+          expr("cast(octet_length(payload) as bigint)").as("n_bytes"))
+        .withColumn("nc",
+          floor((expr(dl.arrSize("w")) + lit(49)) / 50.0).cast("long"))
+        .withColumn("nf",
+          floor((col("n_bytes") + lit(63)) / 64.0).cast("long"))
+      val tseg = base
+        .select(col("doc_id"), col("w"), explode(expr(dl.seq0("nc"))).as("k"))
+        .select(col("doc_id"), (col("k") * 2).as("pos"), col("k").as("idx"),
+          lit("T").as("tag"),
+          expr(dl.arrSize(dl.slice("w", "k * 50", 50))).cast("long").as("toks"))
+      val mseg = base
+        .select(col("doc_id"), col("nc"), explode(expr(dl.seq0("nf"))).as("f"))
+        .select(col("doc_id"),
+          (col("f") % greatest(col("nc"), lit(1L)) * 2 + 1).as("pos"),
+          col("f").as("idx"), lit("M").as("tag"), lit(16L).as("toks"))
+      tseg.unionByName(mseg)
+        .groupBy("doc_id")
+        .agg(
+          count(when(col("tag") === "T", 1)).as("n_text_seg"),
+          count(when(col("tag") === "M", 1)).as("n_media_seg"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          expr(XSql.charHash(
+            "array_join(transform(array_sort(collect_list(" +
+              "struct(pos, idx, tag))), s_ -> s_.tag), '')"))
+            .as("pattern_hash"))
+        .orderBy("doc_id")
     }
   )
 }
