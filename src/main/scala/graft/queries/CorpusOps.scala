@@ -18,6 +18,35 @@ import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
   */
 object CorpusOps {
 
+  /** Near-dup-cluster-aware 95/5 split (c9; see the query doc): every
+    * doc splits by the content hash of its cluster REPRESENTATIVE
+    * (component min id; singletons are their own representative), so a
+    * whole near-dup cluster always shares a split. Shared with
+    * [[graft.LeakageSafeSplitSpec]], which property-checks the
+    * invariant on random corpora.
+    */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    implicit val dl: Dialect = SqlSpark
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .withColumn("sh", expr(XSql.shinglesOfText("text")))
+      .select("doc_id", "sh")
+    val pairs = graft.operators.Lsh.verifiedPairs(sh, threshold)
+      .select("doc_a", "doc_b")
+    val comp = graft.operators.ConnectedComponents
+      .minLabel(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component"))
+    docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
+      .join(docs.select(col("doc_id").as("rep_id"),
+        col("text").as("rep_text")), Seq("rep_id"))
+      .select(col("doc_id"), col("rep_id"),
+        when(expr(XSql.charHash("rep_text")) % 100 < 95, "train")
+          .otherwise("val").as("split"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -471,25 +500,7 @@ object CorpusOps {
            |JOIN documents rep ON rep.doc_id = coalesce(c.component, d.doc_id)
            |ORDER BY d.doc_id""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val sh = docs
-        .withColumn("sh", expr(XSql.shinglesOfText("text")))
-        .select("doc_id", "sh")
-      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.3)
-        .select("doc_a", "doc_b")
-      val comp = graft.operators.ConnectedComponents
-        .minLabel(pairs, "doc_a", "doc_b")
-        .select(col("node").as("doc_id"), col("component"))
-      val withRep = docs.select("doc_id")
-        .join(comp, Seq("doc_id"), "left")
-        .withColumn("rep_id", coalesce(col("component"), col("doc_id")))
-      withRep
-        .join(docs.select(col("doc_id").as("rep_id"),
-          col("text").as("rep_text")), Seq("rep_id"))
-        .select(col("doc_id"), col("rep_id"),
-          when(expr(XSql.charHash("rep_text")) % 100 < 95, "train")
-            .otherwise("val").as("split"))
+      leakageSafeSplit(t(s, d, "documents").select("doc_id", "text"), 0.3)
         .orderBy("doc_id")
     }
   )
