@@ -296,6 +296,44 @@ object StreamingOps {
     },
 
     // ---------------------------------------------------------------
+    // Streaming snapshot publisher — st6's incremental view composed
+    // with s19's versioned snapshots: every micro-batch merges its
+    // delta AND publishes the merged table as an immutable snapshot
+    // version. Downstream consumers (a training run, a serving
+    // deploy) pin a version and keep byte-identical reads while the
+    // stream keeps publishing — time travel over a LIVE view, which
+    // is exactly how a production feature store versions a
+    // continuously-updated table. The gate reads the CURRENT version
+    // (== batch aggregate, the st6 oracle); the spec-level properties
+    // (one version per batch, earlier versions are prefixes of the
+    // merge) ride TableStoreSpec's snapshot contract.
+    // Scale: each publish writes one version of the (small) aggregate
+    // table + a manifest flip; the stream's big-data work is
+    // unchanged from st6.
+    Q("st10_stream_snapshots",
+      "per-batch snapshot publishing over a streaming incremental view == batch aggregate at the current version",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st10")
+      val path = tmp.resolve("t").toString
+      val snaps = tmp.resolve("snaps").toString
+      val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        mergeUserDelta(s, path, batch)
+        TableStore.publishVersion(s, snaps, TableStore.read(s, path)): Unit
+      }
+      val current = TableStore.currentVersion(s, snaps)
+        .getOrElse(sys.error("st10: stream published no snapshot"))
+      require(current >= 1L, s"st10: expected >=1 snapshot, got $current")
+      TableStore.readVersion(s, snaps, Some(current))
+        .select(col("user_id"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
     // Stream-stream LEFT OUTER interval join — the semantics st5
     // cannot show: a purchase with NO click in its preceding 10
     // minutes must still be emitted (with a NULL click id), and that
