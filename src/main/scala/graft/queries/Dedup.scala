@@ -420,8 +420,92 @@ object Dedup {
           (col("n_agree").cast("double") / lit(XSql.MinhashK.toDouble)).as("est_jacc"),
           col("jacc"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
+    // Semantic dedup over TRAINED embedding clusters — the SemDeDup
+    // idea (cluster the embedding space, dedup only within a cluster)
+    // with the candidate bound taken one step further: instead of the
+    // paper's within-cluster pairwise pass (quadratic per cluster —
+    // the role d5/d6/d8 already play as documented verify tiers), each
+    // vector is keyed by (cluster, floor(dist²-to-centroid × 1000))
+    // and deduped by min-id within the key — O(n), one shuffle, no
+    // pair materialization. Two vectors colliding on the key sit on
+    // the same thin spherical shell of the same Voronoi cell — the
+    // embedding-space analogue of an exact-hash bucket. The distances
+    // are bit-pinned folds, so floor-quantization is deterministic
+    // cross-engine. Gated per cluster: members, survivors, sum of
+    // surviving ids.
+    // Scale: train (k=8 broadcast Lloyd) + one broadcast join + one
+    // (cid, shell)-keyed aggregate — linear end to end; at 100 TB this
+    // is the only semantic-dedup shape that is a job, not a recompute.
+    Q("d11_semantic_dedup",
+      "trained-cluster embedding dedup: min-id per (cluster, quantized centroid-distance shell)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${dlDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydK8Ctes},
+           |dc AS (SELECT a2.vec_id, a2.cid,
+           |         cast(floor(${XSql.dist2("e.v", "c1.cv")} * 1000) as bigint) AS shell
+           |       FROM e JOIN a2 ON e.vec_id = a2.vec_id
+           |              JOIN c1 ON a2.cid = c1.cid),
+           |kept AS (SELECT cid, shell, min(vec_id) AS keep_id
+           |         FROM dc GROUP BY cid, shell)
+           |SELECT dc.cid, count(*) AS n_members,
+           |  count(DISTINCT k.keep_id) AS n_kept,
+           |  cast(sum(DISTINCT k.keep_id) as bigint) AS kept_id_sum
+           |FROM dc JOIN kept k ON dc.cid = k.cid AND dc.shell = k.shell
+           |GROUP BY dc.cid ORDER BY dc.cid""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(dlDouble(SqlSpark))).select("vec_id", "v")
+      val cents = KMeans.train(e, 8, 1, gateParity = true)
+      val dc = KMeans.assign(e, cents)
+        .join(e, "vec_id")
+        .join(broadcast(cents), "cid")
+        .select(col("vec_id"), col("cid"),
+          floor(expr(XSql.dist2("v", "cv")) * 1000).cast("long").as("shell"))
+      val kept = dc.groupBy("cid", "shell").agg(min(col("vec_id")).as("keep_id"))
+      dc.join(kept, Seq("cid", "shell"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("keep_id")).as("n_kept"),
+          sum_distinct(col("keep_id")).cast("long").as("kept_id_sum"))
+        .orderBy("cid")
     }
   )
+
+  /** Oracle CTE chain for the k=8 Lloyd trainer over `e(vec_id, v)` —
+    * the d11 twin of Similarity's lloydCtes (duplicated at this small
+    * size rather than exporting a private helper across query files).
+    */
+  private def lloydK8Ctes: String = {
+    implicit val dl: Dialect = SqlDuck
+    val dims = 64
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+       |r1 AS (SELECT e.vec_id, c0.cid, ${XSql.dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM r1) WHERE rn = 1),
+       |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
+       |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
+       |              (SELECT unnest(range(0, $dims)) AS i)),
+       |dimavg AS (SELECT cid, i,
+       |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+       |      / cast(count(*) as double) AS m
+       |  FROM flat GROUP BY cid, i),
+       |c1 AS (SELECT cid,
+       |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
+       |  FROM dimavg GROUP BY cid),
+       |r2 AS (SELECT e.vec_id, c1.cid, ${XSql.dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM r2) WHERE rn = 1)""".stripMargin
+  }
 
   private def dlDouble(d: Dialect): String = d.toDoubleArr("embedding")
 }
