@@ -40,6 +40,16 @@ object Bench {
         .minLabel(Seq((2L, 1L), (3L, 2L), (5L, 4L)).toDF("a", "b"))
         .write.format("noop").mode("overwrite").save()
     }
+    // the KMeans training path (eager localCheckpoint + broadcast
+    // argmin) compiles its plan shapes once; without this the cost
+    // lands inside whichever k-family query runs first
+    warm("kmeans") {
+      import spark.implicits._
+      graft.operators.KMeans.train(
+        Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(5.0, 5.0)))
+          .toDF("vec_id", "v"), 2, 1, gateParity = true)
+        .write.format("noop").mode("overwrite").save()
+    }
     // the Structured Streaming machinery (micro-batch planner, state
     // store, file source/sink classes) costs several seconds of
     // one-time class loading + codegen; without this, that cost lands

@@ -242,6 +242,15 @@ class PlanSpec extends SparkSpec {
     assert(semiCount >= 5, s"expected >=5 LeftSemi reductions, got $semiCount\n$p")
   }
 
+  test("d11: semantic dedup is broadcast-join + keyed agg — no pair join anywhere") {
+    // the O(n) contract: centroids broadcast, one (cid, shell)-keyed
+    // aggregate; a SortMergeJoin of the embedding table against itself
+    // would mean the quadratic pair path snuck back in
+    val p = plan("d11_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("k9: k-means assignment broadcasts centroids; no unhinted cartesian") {
     // each Lloyd round must broadcast the k centroid rows over the
     // vector scan (map-side argmin) — a CartesianProduct here shuffles
