@@ -471,6 +471,58 @@ object TextOps {
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           expr("array_join(transform(fp, x_ -> cast(x_ as string)), ',')").as("fp_csv"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Statistical LM quality scoring — the CCNet-style "perplexity
+    // filter" shape that t2's heuristics don't cover: train a
+    // character-bigram model ON the corpus itself (one aggregate),
+    // broadcast it back, and score each document by its average
+    // ln(count+1) bigram familiarity — documents full of bigrams the
+    // corpus has rarely seen (mojibake, binary spill, wrong-language
+    // fragments) score low and get filtered. Per-doc sums go through
+    // the decimal-exact dsum discipline: each ln value is bit-identical
+    // cross-engine, and the decimal sum is order-free, so the ×1e6
+    // rounding cannot be flipped by partial-aggregation order.
+    // Scale: ONE scan trains the model (bigram vocabulary is tiny —
+    // printable-pairs — so the count table broadcasts), one scan
+    // scores; both narrow explodes, both map-side combinable.
+    Q("t28_lm_quality_score",
+      "self-trained char-bigram familiarity score per doc (CCNet-style statistical quality filter)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH pos AS (
+           |  SELECT doc_id, substr(text, cast(i + 1 as int), 2) AS bg
+           |  FROM documents, (SELECT unnest(${SqlDuck.seq0("length(text) - 1")}) AS i)
+           |  WHERE length(text) >= 2),
+           |model AS (SELECT bg, count(*) AS c FROM pos GROUP BY bg),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    count(*) AS n_bigrams,
+           |    ${dsumSql("ln(cast(m.c + 1 as double))", 12)} AS s
+           |  FROM pos p JOIN model m ON p.bg = m.bg
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, n_bigrams,
+           |  cast(round(s / cast(n_bigrams as double) * 1000000) as bigint) AS score_e6
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val pos = t(s, d, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(SqlSpark.seq0("length(text) - 1"))).as("i"),
+          col("text"))
+        .select(col("doc_id"),
+          expr("substr(text, cast(i + 1 as int), 2)").as("bg"))
+      val model = pos.groupBy("bg").agg(count(lit(1)).as("c"))
+      pos.join(broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          dsum(log(col("c").cast("double") + 1.0), 12).as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s") / col("n_bigrams").cast("double") * 1000000)
+            .cast("long").as("score_e6"))
+        .orderBy("doc_id")
     }
   )
 }
