@@ -653,6 +653,70 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // BATCH ANN — the retrieval shape RAG inference actually runs:
+    // top-k neighbors for a whole SET of query vectors in ONE bucket
+    // equi-join, not a per-query loop. Every other k-query serves one
+    // query vector (the o4-vs-s4 distinction, applied to vectors):
+    // here ~1/97 of the vectors are the query batch, candidates come
+    // from LSH-bucket collisions (query side explodes to its multi-
+    // probe buckets; the corpus side is the same scan every single-
+    // query tier uses), scoring is the codegen'd fold, and the top-3
+    // per query is a rank window that WindowGroupLimit bounds below
+    // the shuffle (the w2 machinery). Scale: ONE join keyed on bucket
+    // — per-query cost amortizes into a single shuffle, which is why
+    // batch retrieval is the only shape that survives 10k QPS.
+    Q("k13_batch_ann",
+      "top-3 LSH-bucket ANN for a whole query batch in one join (multi-probe, rank window)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2,
+           |             ${lshBucket("v")} AS bucket FROM e),
+           |q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2,
+           |             unnest(${SqlDuck.arrConcat(
+                s"[bucket]",
+                SqlDuck.xform(SqlDuck.seq0(Planes.toString), "p_",
+                  "xor(bucket, " + SqlDuck.shiftLeft1("p_") + ")"))}) AS bucket
+           |      FROM n WHERE vec_id % 97 = 0),
+           |pairs AS (
+           |  SELECT DISTINCT q.q_id, n.vec_id AS n_id, $dist AS dist
+           |  FROM q JOIN n ON q.bucket = n.bucket AND q.q_id != n.vec_id),
+           |ranked AS (
+           |  SELECT q_id, n_id, dist,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk
+           |  FROM pairs QUALIFY rnk <= 3)
+           |SELECT q_id, rnk, n_id, dist
+           |FROM ranked ORDER BY q_id, rnk""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .withColumn("bucket", expr(lshBucket("v")))
+        .select("vec_id", "v", "n2", "bucket")
+      val q = n.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("n2").as("qn2"),
+          explode(array(Seq(col("bucket")) ++
+            (0 until Planes).map(p =>
+              col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      val w = Window.partitionBy("q_id").orderBy(col("dist"), col("n_id"))
+      q.join(n, Seq("bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(
+            XSql.dot("v", "qv"), "n2", "qn2"))).as("dist"))
+        .distinct()
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("dist"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------
     // IVF + PQ — the composed index every production vector store
     // actually ships (FAISS/ScaNN architecture): coarse Lloyd lists
     // bound WHICH vectors are ranked (2/nlist of the data), PQ
