@@ -71,7 +71,11 @@ object Plans {
     "q18_large_orders" ->
       "TPC-H Q18: the HAVING-filtered heavy-order key set is tiny and broadcasts into the fact probes — no full fact-fact shuffle survives the reduction.",
     "k12_ivf_pq" ->
-      "IVF+PQ composed index: coarse lists bound WHICH vectors rank (broadcast pick join), residual PQ codes bound HOW MUCH is read (broadcast per-list ADC tables); exact rerank touches 20 vectors.")
+      "IVF+PQ composed index: coarse lists bound WHICH vectors rank (broadcast pick join), residual PQ codes bound HOW MUCH is read (broadcast per-list ADC tables); exact rerank touches 20 vectors.",
+    "d11_semantic_dedup" ->
+      "Semantic dedup, O(n): trained clusters broadcast, dedup by (cluster, quantized centroid-distance shell) keyed aggregate — no pair join anywhere in the plan.",
+    "k13_batch_ann" ->
+      "Batch ANN: a whole query set retrieves in ONE bucket equi-join (query side explodes to multi-probe buckets); top-3 per query via a rank window with WindowGroupLimit below the shuffle.")
 
   /** Session confs a flagship needs for its scale story to print at
     * sf0.001 (restored after each plan).
