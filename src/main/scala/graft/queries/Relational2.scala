@@ -433,6 +433,55 @@ object Relational2 {
     },
 
     // ---------------------------------------------------------------
+    // As-of join with a match TOLERANCE (pandas merge_asof(tolerance=))
+    // — j13's carry-forward answers "the latest purchase ever before
+    // this event", but attribution semantics usually want "within the
+    // last 30 minutes, else NO match": the carried value must be
+    // nulled when it is too old, not silently used. Same one-shuffle
+    // union-merge as j13 (the purchase timestamp rides along as a
+    // third carried column), plus one comparison — no second shuffle,
+    // no theta join. The oracle applies the identical post-condition
+    // to DuckDB's native ASOF result.
+    Q("j16_asof_tolerance",
+      "as-of join with 30-minute tolerance: stale matches null out (merge_asof semantics)",
+      """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_id, value AS p_value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id,
+        |  CASE WHEN p.p_ts >= e.ts - INTERVAL 30 MINUTE THEN p.p_id END
+        |    AS prev_purchase_id,
+        |  CASE WHEN p.p_ts >= e.ts - INTERVAL 30 MINUTE THEN p.p_value END
+        |    AS prev_purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.p_ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("p_id"), col("value").as("p_value"),
+        col("ts").as("p_ts_m"))
+      val e = ev.select(
+        col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        lit(null).cast("long").as("p_id"), lit(null).cast("double").as("p_value"),
+        lit(null).cast("timestamp").as("p_ts_m"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("kind"), col("p_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      p.unionByName(e)
+        .withColumn("m_id", last(col("p_id"), ignoreNulls = true).over(w))
+        .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+        .withColumn("m_ts", last(col("p_ts_m"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .withColumn("fresh",
+          col("m_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("event_id"),
+          when(col("fresh"), col("m_id")).as("prev_purchase_id"),
+          when(col("fresh"), col("m_value")).as("prev_purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // Beyond-reference window FRAMES: rolling 7-row money sum per user.
     // The frame sum goes through decimal (exact partials) and casts
     // back, so both engines agree bitwise on every row of the running
