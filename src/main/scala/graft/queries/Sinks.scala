@@ -422,6 +422,43 @@ object Sinks {
           .select(lit(2L).as("version"), col("r_regionkey"),
             col("r_name").as("name")))
         .orderBy("version", "r_regionkey")
+    },
+
+    // ---------------------------------------------------------------
+    // DYNAMIC partition pruning — s13 proves static pruning (literal
+    // day range reaches the listing); here the day set is only known
+    // at RUNTIME (the top-10 signup days, computed from data), and
+    // Catalyst must inject it into the partitioned fact scan as a
+    // dynamicpruning PartitionFilter via broadcast reuse — at 100 TB
+    // this is the difference between listing 10 day-partitions and
+    // scanning the whole table, for a predicate no human wrote as a
+    // literal. PlanSpec asserts the dynamicpruningexpression is
+    // actually in the scan.
+    Q("s20_dynamic_pruning",
+      "runtime-derived day set prunes the partitioned fact scan (DPP via broadcast dim)",
+      s"""WITH dim AS (
+         |  SELECT cast(ts as date) AS d FROM events
+         |  WHERE event_type = 'signup'
+         |  GROUP BY 1 ORDER BY count(*) DESC, d LIMIT 10)
+         |SELECT cast(ts as date) AS load_date, count(*) AS n,
+         |  ${dsumSql("value")} AS total
+         |FROM events JOIN dim ON cast(ts as date) = dim.d
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = scratch("s20")
+      graft.operators.TableLayout.writeTimeSeries(
+        t(s, d, "events"), path, "ts", "user_id")
+      val dim = t(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("d"))
+        .limit(10)
+        .select("d")
+      s.read.parquet(path)
+        .join(broadcast(dim), col("load_date") === col("d"))
+        .groupBy("load_date")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("load_date")
     }
   )
 }

@@ -242,6 +242,14 @@ class PlanSpec extends SparkSpec {
     assert(semiCount >= 5, s"expected >=5 LeftSemi reductions, got $semiCount\n$p")
   }
 
+  test("s20: runtime-derived day set reaches the partitioned scan as a dynamic PartitionFilter") {
+    // the day dim exists only at runtime; without DPP the fact scan
+    // reads every partition and the join filters afterwards — at
+    // 100 TB that is a full-table scan for a 10-partition question
+    val p = plan("s20_dynamic_pruning")
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("d11: semantic dedup is broadcast-join + keyed agg — no pair join anywhere") {
     // the O(n) contract: centroids broadcast, one (cid, shell)-keyed
     // aggregate; a SortMergeJoin of the embedding table against itself
