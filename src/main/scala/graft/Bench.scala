@@ -131,7 +131,22 @@ object Bench {
     // stream_repeats is reported separately: st* timings are min-of-
     // streamRepeats, NOT min-of-repeats — a reader comparing rounds
     // must know which protocol produced each number
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line has repeatedly survived only as a truncated tail
+    // in the round captures (BENCH_r04/r05: "parsed": null, most
+    // per-query numbers lost) — ALSO write it whole to a file the
+    // driver/judge can lift verbatim. Relative to cwd = the repo root
+    // under the driver's sbt invocation; env-overridable for dev runs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+      println(s"bench json also written to: " +
+        java.nio.file.Paths.get(outFile).toAbsolutePath)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -30,8 +30,18 @@ def load(path):
     if d is not None and "queries" in d:
         return d
     blob = d.get("tail", "") if isinstance(d, dict) else text
+    # recover pairs ONLY from inside the "queries":{...} object when its
+    # opening brace survived the truncation — scanning the whole blob
+    # would also capture metadata fields ("value", "avg_per_query") as
+    # phantom query timings. If the opener itself was truncated away,
+    # fall back to the whole blob minus the known metadata keys.
+    m = re.search(r'"queries"\s*:\s*\{', blob)
+    scan = blob[m.end():] if m else blob
+    if m and (close := scan.find("}")) != -1:
+        scan = scan[:close]
     qs = {m.group(1): float(m.group(2)) for m in
-          re.finditer(r'"([a-z0-9_]+)":(-?\d+\.\d+)', blob)}
+          re.finditer(r'"([a-z0-9_]+)":(-?\d+\.\d+)', scan)
+          if m.group(1) not in ("value", "avg_per_query")}
     meta = {k: int(m.group(1)) for k in ("repeats", "stream_repeats")
             if (m := re.search(rf'"{k}":(\d+)', blob))}
     if not qs:
