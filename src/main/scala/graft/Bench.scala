@@ -47,7 +47,7 @@ object Bench {
       import spark.implicits._
       graft.operators.KMeans.train(
         Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(5.0, 5.0)))
-          .toDF("vec_id", "v"), 2, 1, gateParity = true)
+          .toDF("vec_id", "v"), 2, 1, dims = 2)
         .write.format("noop").mode("overwrite").save()
     }
     // the Structured Streaming machinery (micro-batch planner, state

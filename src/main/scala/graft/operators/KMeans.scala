@@ -16,11 +16,13 @@ import graft.functions.XSql.{Spark => SqlSpark}
   *     min(struct(d2, cid)) before the vec_id shuffle. No driver loop
   *     inspects data; ties break to the smaller cid (bit-pinned fold
   *     distance, same order as the DuckDB oracle's row_number).
-  *   - `meanUpdate` (PRODUCTION): per-(cid, dim) sum/count — plain
-  *     combinable partials, so the shuffle after map-side combine is at
-  *     most k·dims rows per task regardless of input size. Float sums
-  *     are order-dependent in the low bits, which k-means itself never
-  *     needs (the means only feed the next argmin).
+  *   - `meanUpdate` (PRODUCTION): one sum column per dimension + a
+  *     count in a single groupBy(cid) — plain combinable partials, so
+  *     the shuffle after map-side combine is k rows of dims+1 doubles
+  *     per task regardless of input size, and the input rows are never
+  *     exploded by the dimensionality. Float sums are order-dependent
+  *     in the low bits, which k-means itself never needs (the means
+  *     only feed the next argmin).
   *   - `meanUpdateSorted` (GATE PARITY): per-(cid, dim) sorted left-fold
   *     — bit-identical to the oracle's list_sort+list_reduce, at the
   *     cost of holding one cluster-dimension's values in a collect_list.
@@ -64,12 +66,22 @@ object KMeans {
     e.join(a, "vec_id").select(col("cid"), posexplode(col("v")))
       .withColumnsRenamed(Map("pos" -> "i", "col" -> "val"))
 
-  /** Production mean update: plain sum/count per (cid, dim) — map-side
-    * combinable, never holds a cluster in memory.
+  /** Production mean update: one `sum(v[i])` column per dimension +
+    * one count, all in a single groupBy(cid) — map-side combinable
+    * partials, so the shuffle carries k rows of dims+1 doubles, and
+    * the input is never exploded to rows × dims (the flat/posexplode
+    * shape multiplies shuffle volume by the dimensionality; at 100 TB
+    * that factor is the difference between a partial-agg and a second
+    * dataset). `dims` is the fixed vector width — a schema-level
+    * constant at every call site, never inferred with a data action.
     */
-  def meanUpdate(e: DataFrame, a: DataFrame): DataFrame =
-    regroup(flat(e, a).groupBy("cid", "i")
-      .agg((sum(col("val")) / count(lit(1)).cast("double")).as("m")))
+  def meanUpdate(e: DataFrame, a: DataFrame, dims: Int): DataFrame = {
+    val sums = (0 until dims).map(i => sum(col("v")(i)).as(s"s_$i"))
+    e.join(a, "vec_id").groupBy("cid")
+      .agg(count(lit(1)).cast("double").as("n_"), sums: _*)
+      .select(col("cid"),
+        array((0 until dims).map(i => col(s"s_$i") / col("n_")): _*).as("cv"))
+  }
 
   /** Gate-parity mean update: sorted left-fold per (cid, dim), bit-
     * identical to the DuckDB oracle's list_sort + list_reduce.
@@ -81,14 +93,15 @@ object KMeans {
 
   /** Centroids after `rounds` Lloyd updates from the deterministic
     * init. `gateParity = true` uses the sorted-fold mean (oracle
-    * bit-parity); false uses the production sum/count mean.
+    * bit-parity; k9 only); false uses the production sum/count mean,
+    * which needs the vector width `dims`.
     */
-  def train(e: DataFrame, k: Int, rounds: Int,
+  def train(e: DataFrame, k: Int, rounds: Int, dims: Int,
       gateParity: Boolean = false): DataFrame = {
     var cents = init(e, k).localCheckpoint(true)
     (1 to rounds).foreach { _ =>
       val a = assign(e, cents)
-      val next = if (gateParity) meanUpdateSorted(e, a) else meanUpdate(e, a)
+      val next = if (gateParity) meanUpdateSorted(e, a) else meanUpdate(e, a, dims)
       // k rows: eager checkpoint keeps the next round's plan flat and
       // costs one tiny job per round
       cents = next.localCheckpoint(true)

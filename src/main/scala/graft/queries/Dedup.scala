@@ -461,7 +461,11 @@ object Dedup {
       import graft.operators.KMeans
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(dlDouble(SqlSpark))).select("vec_id", "v")
-      val cents = KMeans.train(e, 8, 1, gateParity = true)
+      // production sum/count mean: the oracle's sorted-fold trainer
+      // yields the same assignments (KMeansSpec); the shell key is a
+      // coarse (×1000) floor of a distance recomputed from the true
+      // vectors, far from any low-bit mean difference
+      val cents = KMeans.train(e, 8, 1, dims = 64)
       val dc = KMeans.assign(e, cents)
         .join(e, "vec_id")
         .join(broadcast(cents), "cid")

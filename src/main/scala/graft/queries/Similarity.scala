@@ -15,8 +15,10 @@ import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
   *         equi-join key, so candidate retrieval is partition-prunable
   *         at scale (bucket as partition column).
   *   - k3: IVF — coarse quantize by Lloyd-TRAINED centroid (the k9
-  *         trainer via [[graft.operators.KMeans]], gate-parity means so
-  *         the oracle matches bit-for-bit), probe the nearest list only
+  *         trainer via [[graft.operators.KMeans]], PRODUCTION sum/count
+  *         means; the oracle retrains with its sorted-fold mean and the
+  *         two agree on every ASSIGNMENT — KMeansSpec — which is all
+  *         the gated projections consume), probe the nearest list only
   *         (k7: the two nearest). Index-build → index-query, closed loop.
   *
   * Hyperplane weights are pseudo-random integers from a fixed affine
@@ -57,7 +59,9 @@ object Similarity {
   /** DuckDB CTE chain for the Lloyd trainer (init → assign → sorted-
     * fold mean → re-assign), shared by k9 (the trainer gate) and the
     * IVF consumers k3/k7/k10 — the oracle twin of
-    * [[graft.operators.KMeans]] with `gateParity = true`. Assumes a CTE
+    * [[graft.operators.KMeans]]. The oracle always folds sorted (its
+    * own bit-pinned discipline); the Spark consumers run the
+    * PRODUCTION sum/count mean and agree on assignments. Assumes a CTE
     * `e(vec_id, v)` is in scope; emits c0, a1, c1 (trained centroids
     * after one update) and a2 (the cluster lists under c1).
     */
@@ -128,7 +132,12 @@ object Similarity {
     val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
       val es = e.select(col("vec_id"),
         expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-      val cb = KMeans.train(es, 4, 1, gateParity = true)
+      // PRODUCTION mean (sum/count): the oracle recomputes the
+      // codebooks with its sorted-fold mean, but every gated value
+      // derives from the ASSIGNMENTS (code ids) + exact distances
+      // recomputed from true vectors — invariant across the two means
+      // (KMeansSpec), so the catalog runs the scale path.
+      val cb = KMeans.train(es, 4, 1, dims = sub)
       val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
       val dt = cb.crossJoin(broadcast(q.select("qv")))
         .select(col("cid").as(s"cid_$i"),
@@ -164,7 +173,11 @@ object Similarity {
     val e = t(s, d, "embeddings")
       .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
     val n = e.withColumn("n2", expr(XSql.norm2("v")))
-    val cents = graft.operators.KMeans.train(e, 4, 1, gateParity = true)
+    // production sum/count mean — the oracle's sorted-fold trainer
+    // yields the same assignments (KMeansSpec), and the gated rows are
+    // exact-cosine reranks over the probed lists, so the catalog runs
+    // the scale path
+    val cents = graft.operators.KMeans.train(e, 4, 1, dims = Dims)
     val lists = graft.operators.KMeans.assign(e, cents)
     val q = n.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
@@ -785,7 +798,9 @@ object Similarity {
       val n = e.withColumn("n2", expr(XSql.norm2("v")))
       val q = n.filter(col("vec_id") === 0)
         .select(col("v").as("qv"), col("n2").as("qn2"))
-      val coarse = KMeans.train(e, 4, 1, gateParity = true)
+      // production mean (see ivfTrained) — assignments match the
+      // oracle's sorted-fold trainer per KMeansSpec
+      val coarse = KMeans.train(e, 4, 1, dims = Dims)
       // materialize the assignment and residual set ONCE: the four
       // subspace trainings below each run several actions, and without
       // this every action would replay scan -> assign -> residual join
@@ -810,7 +825,7 @@ object Similarity {
       val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
         val es = eres.select(col("vec_id"),
           expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-        val cb = KMeans.train(es, 4, 1, gateParity = true)
+        val cb = KMeans.train(es, 4, 1, dims = sub)
         val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
         val dt = qres.crossJoin(broadcast(cb))
           .select(col("list"),

@@ -30,7 +30,7 @@ class KMeansSpec extends SparkSpec {
 
   private def assignments(gateParity: Boolean, rounds: Int): Map[Long, Long] = {
     val e = vectors
-    val cents = KMeans.train(e, 4, rounds, gateParity)
+    val cents = KMeans.train(e, 4, rounds, dims = 8, gateParity)
     KMeans.assign(e, cents)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
@@ -65,8 +65,8 @@ class KMeansSpec extends SparkSpec {
     val e = Seq(
       (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.2, 0.0)),
       (3L, Seq(100.0, 0.0)), (4L, Seq(100.1, 0.0))).toDF("vec_id", "v")
-    val prod = KMeans.train(e, 3, 2, gateParity = false)
-    val gate = KMeans.train(e, 3, 2, gateParity = true)
+    val prod = KMeans.train(e, 3, 2, dims = 2, gateParity = false)
+    val gate = KMeans.train(e, 3, 2, dims = 2, gateParity = true)
     val prodA = KMeans.assign(e, prod).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val gateA = KMeans.assign(e, gate).collect()
@@ -78,7 +78,7 @@ class KMeansSpec extends SparkSpec {
   test("gate-parity means equal production means up to float tolerance") {
     val e = vectors
     val a = KMeans.assign(e, KMeans.init(e, 4))
-    val prod = KMeans.meanUpdate(e, a).collect()
+    val prod = KMeans.meanUpdate(e, a, dims = 8).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val gate = KMeans.meanUpdateSorted(e, a).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
