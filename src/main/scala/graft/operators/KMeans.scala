@@ -48,6 +48,43 @@ object KMeans {
     e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  /** Deterministic k-means||-style seeding as k-1 FIXED assign-like
+    * passes (farthest-point traversal): start from the smallest
+    * vec_id, then repeatedly add the point with the LARGEST min-
+    * distance² to the chosen set (ties to the smaller vec_id — and a
+    * duplicate of a chosen point can be re-chosen only when every
+    * remaining min-distance is 0, in which case the twin empties out
+    * in the first mean update). This is the derandomized form of
+    * k-means++/|| — argmax instead of d²-weighted sampling — so it
+    * keeps cross-engine determinism while seeding from the data's
+    * extremes instead of its id order (min-id init collapses all
+    * seeds into whatever region the low ids happen to occupy, and
+    * Lloyd from such a seed wastes its rounds migrating centroids
+    * out).
+    *
+    * Scale shape: each pass is ONE broadcast of the ≤k chosen rows
+    * over the vector scan + a map-side-combinable min per vec_id +
+    * a TakeOrdered(1) — the same cost class as one assign pass, run
+    * a fixed k-1 times; no driver loop inspects data values.
+    */
+  def initFarthest(e: DataFrame, k: Int): DataFrame = {
+    import graft.functions.XSql
+    var chosen = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .localCheckpoint(true)
+    (2 to k).foreach { _ =>
+      val mind = e.crossJoin(broadcast(chosen))
+        .withColumn("d2", expr(XSql.dist2("v", "cv")(SqlSpark)))
+        .groupBy("vec_id").agg(min(col("d2")).as("mind2"))
+      val farId = mind.orderBy(col("mind2").desc, col("vec_id")).limit(1)
+      val far = e.join(broadcast(farId.select("vec_id")), "vec_id")
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // ≤k rows: eager checkpoint keeps each pass's plan flat
+      chosen = chosen.unionByName(far).localCheckpoint(true)
+    }
+    chosen
+  }
+
   /** (vec_id, cid): nearest centroid per vector, broadcast + map-side
     * partial argmin.
     */
@@ -92,13 +129,13 @@ object KMeans {
         "a_", "x_", "a_ + x_")) / count(lit(1)).cast("double")).as("m")))
 
   /** Centroids after `rounds` Lloyd updates from the deterministic
-    * init. `gateParity = true` uses the sorted-fold mean (oracle
-    * bit-parity; k9 only); false uses the production sum/count mean,
-    * which needs the vector width `dims`.
+    * [[initFarthest]] seeding. `gateParity = true` uses the sorted-
+    * fold mean (oracle bit-parity; k9 only); false uses the production
+    * sum/count mean, which needs the vector width `dims`.
     */
   def train(e: DataFrame, k: Int, rounds: Int, dims: Int,
       gateParity: Boolean = false): DataFrame = {
-    var cents = init(e, k).localCheckpoint(true)
+    var cents = initFarthest(e, k)
     (1 to rounds).foreach { _ =>
       val a = assign(e, cents)
       val next = if (gateParity) meanUpdateSorted(e, a) else meanUpdate(e, a, dims)

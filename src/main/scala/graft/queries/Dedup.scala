@@ -444,7 +444,7 @@ object Dedup {
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH e AS (SELECT vec_id, ${dlDouble(SqlDuck)} AS v FROM embeddings),
-           |${lloydK8Ctes},
+           |${Similarity.lloydCtes(8, dims = 64)},
            |dc AS (SELECT a2.vec_id, a2.cid,
            |         cast(floor(${XSql.dist2("e.v", "c1.cv")} * 1000) as bigint) AS shell
            |       FROM e JOIN a2 ON e.vec_id = a2.vec_id
@@ -465,7 +465,7 @@ object Dedup {
       // yields the same assignments (KMeansSpec); the shell key is a
       // coarse (×1000) floor of a distance recomputed from the true
       // vectors, far from any low-bit mean difference
-      val cents = KMeans.train(e, 8, 1, dims = 64)
+      val cents = KMeans.train(e, 8, Similarity.LloydRounds, dims = 64)
       val dc = KMeans.assign(e, cents)
         .join(e, "vec_id")
         .join(broadcast(cents), "cid")
@@ -480,36 +480,6 @@ object Dedup {
         .orderBy("cid")
     }
   )
-
-  /** Oracle CTE chain for the k=8 Lloyd trainer over `e(vec_id, v)` —
-    * the d11 twin of Similarity's lloydCtes (duplicated at this small
-    * size rather than exporting a private helper across query files).
-    */
-  private def lloydK8Ctes: String = {
-    implicit val dl: Dialect = SqlDuck
-    val dims = 64
-    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-       |r1 AS (SELECT e.vec_id, c0.cid, ${XSql.dist2("e.v", "c0.cv")} AS d2 FROM e, c0),
-       |a1 AS (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM r1) WHERE rn = 1),
-       |flat AS (SELECT a1.cid, i, e.v[i + 1] AS val
-       |         FROM e JOIN a1 ON e.vec_id = a1.vec_id,
-       |              (SELECT unnest(range(0, $dims)) AS i)),
-       |dimavg AS (SELECT cid, i,
-       |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
-       |      / cast(count(*) as double) AS m
-       |  FROM flat GROUP BY cid, i),
-       |c1 AS (SELECT cid,
-       |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
-       |  FROM dimavg GROUP BY cid),
-       |r2 AS (SELECT e.vec_id, c1.cid, ${XSql.dist2("e.v", "c1.cv")} AS d2 FROM e, c1),
-       |a2 AS (SELECT vec_id, cid FROM (
-       |    SELECT vec_id, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |    FROM r2) WHERE rn = 1)""".stripMargin
-  }
 
   private def dlDouble(d: Dialect): String = d.toDoubleArr("embedding")
 }

@@ -29,6 +29,26 @@ object Similarity {
   private val Planes = XSql.LshPlanes
   private val Dims = 64
 
+  /** Lloyd rounds for every production trained tier (and its oracle
+    * twin) — fixed, so the driver loop never inspects data.
+    */
+  private[queries] val LloydRounds = 3
+
+  /** PQ tier geometry (k10/k11): `PqSub` subspaces of `PqSubDims`
+    * dims, `PqCodes` codebook entries each, and a `PqRerank`-candidate
+    * exact-rerank window. These are the recall levers every production
+    * PQ index exposes (FAISS m/nbits/k_factor): more subspaces and
+    * codes = finer quantization = better ADC ranking, paid at train
+    * time; a wider rerank window = recall bought with a bounded extra
+    * exact-distance pass, paid per query. k12 keeps its own coarser
+    * residual-PQ geometry (4 × 16) — its candidates are already
+    * list-bounded by the IVF stage.
+    */
+  private val PqCodes = 8
+  private val PqSub = 8
+  private val PqSubDims = Dims / PqSub
+  private val PqRerank = 50
+
   /** w(p, d) in [-1, 1]: ((A2[p]*(d+1) + B2[p]) mod 2001 - 1000) / 1000. */
   private def planeW(p: String, i: String)(implicit d: Dialect): String = {
     val a = d.idx(d.bigintArr(XSql.A2), p)
@@ -56,16 +76,13 @@ object Similarity {
 
   private def vDouble(d: Dialect): String = d.toDoubleArr("embedding")
 
-  /** DuckDB CTE chain for the Lloyd trainer (init → assign → sorted-
-    * fold mean → re-assign), shared by k9 (the trainer gate) and the
-    * IVF consumers k3/k7/k10 — the oracle twin of
-    * [[graft.operators.KMeans]]. The oracle always folds sorted (its
-    * own bit-pinned discipline); the Spark consumers run the
-    * PRODUCTION sum/count mean and agree on assignments. Assumes a CTE
-    * `e(vec_id, v)` is in scope; emits c0, a1, c1 (trained centroids
-    * after one update) and a2 (the cluster lists under c1).
+  /** DuckDB CTE chain for the k9 trainer GATE only: min-id init + ONE
+    * sorted-fold mean update — the oracle twin of the exact chain k9's
+    * Spark side runs (`init`/`assign`/`meanUpdateSorted`), whose point
+    * is bit-parity of the means themselves. Assumes a CTE
+    * `e(vec_id, v)` is in scope; emits c0, a1, c1, a2.
     */
-  private def lloydCtes(k: Int, p: String = "", dims: Int = Dims,
+  private def lloydMinId1Ctes(k: Int, p: String = "", dims: Int = Dims,
       src: String = "e"): String = {
     implicit val dl: Dialect = SqlDuck
     def dist2(v: String, c: String) = XSql.dist2(v, c)
@@ -94,66 +111,146 @@ object Similarity {
        |    FROM ${p}r2) WHERE rn = 1)""".stripMargin
   }
 
-  /** DuckDB CTE chain for the PQ tier (k11/k10): per-subspace trained
-    * codebooks + the query's ADC distance tables, and the join clause
-    * that sums the four table lookups per vector. Assumes CTEs
-    * `e(vec_id, v)` and `q(... qv ...)` are in scope.
+  /** DuckDB CTE chain for the PRODUCTION trainer the IVF/PQ consumers
+    * (k3/k7/k10/k11/k12, d11) mirror: deterministic farthest-point
+    * seeding (k-1 fixed argmax-min-dist passes — KMeans.initFarthest's
+    * twin) followed by `rounds` Lloyd updates. The oracle folds its
+    * means sorted (its own bit-pinned discipline); the Spark side runs
+    * the production sum/count mean — the two agree on every
+    * ASSIGNMENT, which is all the consumers gate on. Assumes a CTE
+    * `src(vec_id, v)` is in scope; emits `${p}c1` (the final
+    * centroids) and `${p}a2` (the assignment under them) — the same
+    * consumer-facing names the 1-round chain exposed.
     */
-  private def pqCtes(sub: Int): (String, String) = {
-    val subCtes = (0 until 4).map { i =>
-      s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM e),
-         |${lloydCtes(4, s"p$i", sub, s"e$i")},
+  private[queries] def lloydCtes(k: Int, p: String = "", dims: Int = Dims,
+      src: String = "e", rounds: Int = LloydRounds): String = {
+    implicit val dl: Dialect = SqlDuck
+    def dist2(v: String, c: String) = XSql.dist2(v, c)
+    // every chained CTE is MATERIALIZED (DuckDB-only syntax, and this
+    // SQL only ever runs in DuckDB): ch_j references ch_{j-1} twice,
+    // so inlined CTEs would re-evaluate the init chain 2^k times
+    val init = (2 to k).map { j =>
+      s""",
+         |${p}fp$j AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT s.vec_id, min(${dist2("s.v", "c.v")}) AS mind2
+         |    FROM $src s, ${p}ch${j - 1} c GROUP BY s.vec_id)
+         |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+         |${p}ch$j AS MATERIALIZED (SELECT vec_id, v FROM ${p}ch${j - 1} UNION ALL
+         |  SELECT s.vec_id, s.v FROM $src s JOIN ${p}fp$j USING (vec_id))""".stripMargin
+    }.mkString
+    val loop = (1 to rounds).map { r =>
+      val prevC = if (r == 1) s"${p}c0" else s"${p}cc${r - 1}"
+      s""",
+         |${p}ra$r AS (SELECT e.vec_id, c.cid, ${dist2("e.v", "c.cv")} AS d2
+         |           FROM $src e, $prevC c),
+         |${p}aa$r AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM ${p}ra$r) WHERE rn = 1),
+         |${p}fl$r AS (SELECT a.cid, i, e.v[i + 1] AS val
+         |         FROM $src e JOIN ${p}aa$r a ON e.vec_id = a.vec_id,
+         |              (SELECT unnest(range(0, $dims)) AS i)),
+         |${p}da$r AS (SELECT cid, i,
+         |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
+         |      / cast(count(*) as double) AS m
+         |  FROM ${p}fl$r GROUP BY cid, i),
+         |${p}cc$r AS MATERIALIZED (SELECT cid,
+         |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
+         |  FROM ${p}da$r GROUP BY cid)""".stripMargin
+    }.mkString
+    s"""${p}ch1 AS MATERIALIZED (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT 1)$init,
+       |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ${p}ch$k)$loop,
+       |${p}c1 AS MATERIALIZED (SELECT cid, cv FROM ${p}cc$rounds),
+       |${p}rf AS (SELECT e.vec_id, c.cid, ${dist2("e.v", "c.cv")} AS d2
+       |           FROM $src e, ${p}c1 c),
+       |${p}a2 AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM ${p}rf) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB CTE chain for the PQ tier (k11/k10): COSINE-compatible
+    * product quantization — vectors are L2-normalized first (unit
+    * vectors make L2 ordering identical to cosine ordering, which is
+    * how production vector stores run cosine ANN through an L2
+    * quantizer; zero-norm vectors have no direction and are excluded
+    * from the index), then per-subspace codebooks are trained on the
+    * normalized slices and the query's ADC distance tables built from
+    * its normalized slices. Assumes a CTE `e(vec_id, v)` is in scope;
+    * emits the normalized set `pqe`, per-subspace chains, and `dt$i`;
+    * `codeJoins` sums the four table lookups per vector.
+    */
+  private def pqCtes(): (String, String, String) = {
+    implicit val dl: Dialect = SqlDuck
+    val sub = PqSubDims
+    val norm = s"""pqn0 AS MATERIALIZED (SELECT vec_id, v, sqrt(n2) AS nrm
+       |  FROM (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e) WHERE n2 > 0),
+       |pqe AS MATERIALIZED (SELECT vec_id, ${SqlDuck.xform("v", "x_", "x_ / nrm")} AS v
+       |  FROM pqn0),
+       |pqq AS (SELECT v AS qv FROM pqe WHERE vec_id = 0)""".stripMargin
+    val subCtes = (0 until PqSub).map { i =>
+      s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM pqe),
+         |${lloydCtes(PqCodes, s"p$i", sub, s"e$i")},
          |dt$i AS (SELECT c.cid, ${XSql.dist2(
             SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")(SqlDuck)} AS dterm
-         |         FROM p${i}c1 c, q)""".stripMargin
+         |         FROM p${i}c1 c, pqq q)""".stripMargin
     }.mkString(",\n")
-    val codeJoins = (0 until 4).map { i =>
+    val codeJoins = (0 until PqSub).map { i =>
       s"JOIN p${i}a2 a$i ON e.vec_id = a$i.vec_id " +
         s"JOIN dt$i t$i ON a$i.cid = t$i.cid"
     }.mkString("\n|  ")
-    (subCtes, codeJoins)
+    val adcSum = (0 until PqSub).map(i => s"t$i.dterm").mkString(" + ")
+    (norm + ",\n" + subCtes, codeJoins, adcSum)
   }
 
-  /** Spark side of the PQ candidate stage (k11/k10): train 4 sub-
-    * codebooks, encode every vector, rank by the broadcast ADC
-    * distance table, return the top-`n` (vec_id, ad2).
+  /** Spark side of the PQ candidate stage (k11/k10): L2-normalize
+    * (cosine-compatible quantization — see [[pqCtes]]; zero-norm
+    * vectors are excluded), train 4 sub-codebooks on the normalized
+    * slices, encode every vector, rank by the broadcast ADC distance
+    * table built from the normalized query, return the top-`n`
+    * (vec_id, ad2).
     */
   private def pqCandidates(e: org.apache.spark.sql.DataFrame,
-      q: org.apache.spark.sql.DataFrame, sub: Int,
       n: Int): org.apache.spark.sql.DataFrame = {
     implicit val dl: Dialect = SqlSpark
     import graft.operators.KMeans
-    // the four sub-codebook trainings are independent — submit them
-    // from four threads so their (tiny) training jobs overlap in the
-    // scheduler instead of paying ~8 sequential job barriers; values
+    val sub = PqSubDims
+    val en = e.withColumn("n2", expr(XSql.norm2("v")))
+      .filter(col("n2") > 0)
+      .withColumn("nrm", sqrt(col("n2")))
+      .select(col("vec_id"),
+        expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("v"))
+    val qn = en.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    // the sub-codebook trainings are independent — submit them from
+    // one thread each so their (tiny) training jobs overlap in the
+    // scheduler instead of paying sequential job barriers; values
     // are untouched (each lineage is self-contained and deterministic)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
-      val es = e.select(col("vec_id"),
+    val parts = Await.result(Future.sequence((0 until PqSub).map { i => Future {
+      val es = en.select(col("vec_id"),
         expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
       // PRODUCTION mean (sum/count): the oracle recomputes the
       // codebooks with its sorted-fold mean, but every gated value
       // derives from the ASSIGNMENTS (code ids) + exact distances
       // recomputed from true vectors — invariant across the two means
       // (KMeansSpec), so the catalog runs the scale path.
-      val cb = KMeans.train(es, 4, 1, dims = sub)
+      val cb = KMeans.train(es, PqCodes, LloydRounds, dims = sub)
       val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
-      val dt = cb.crossJoin(broadcast(q.select("qv")))
+      val dt = cb.crossJoin(broadcast(qn))
         .select(col("cid").as(s"cid_$i"),
           expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
             .as(s"dterm_$i"))
       (codes, dt)
     }}), scala.concurrent.duration.Duration.Inf)
-    val coded = parts.foldLeft(e.select("vec_id")) {
+    val coded = parts.foldLeft(en.select("vec_id")) {
       case (acc, (codes, dt)) =>
         val i = dt.columns.head.stripPrefix("cid_")
         acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
     }
     coded.filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
-          .as("ad2"))
+        (0 until PqSub).map(i => col(s"dterm_$i")).reduce(_ + _).as("ad2"))
       .orderBy(col("ad2"), col("vec_id")).limit(n)
   }
 
@@ -177,7 +274,7 @@ object Similarity {
     // yields the same assignments (KMeansSpec), and the gated rows are
     // exact-cosine reranks over the probed lists, so the catalog runs
     // the scale path
-    val cents = graft.operators.KMeans.train(e, 4, 1, dims = Dims)
+    val cents = graft.operators.KMeans.train(e, 4, LloydRounds, dims = Dims)
     val lists = graft.operators.KMeans.assign(e, cents)
     val q = n.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
@@ -477,7 +574,7 @@ object Similarity {
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |${lloydCtes(4)},
+           |${lloydMinId1Ctes(4)},
            |s1 AS (SELECT cid, count(*) AS n1 FROM a1 GROUP BY cid),
            |s2 AS (SELECT a2.cid, count(*) AS n2,
            |         cast(sum(a2.vec_id) as bigint) AS sum_ids2,
@@ -526,12 +623,11 @@ object Similarity {
       "recall@10 of multi-probe LSH, trained-IVF, and PQ-ADC ANN vs brute-force ground truth",
       {
         implicit val dl: Dialect = SqlDuck
-        val sub = 16
         val probeCond = (Seq("n.bucket = q.qb") ++
           (0 until Planes).map(p => s"n.bucket = xor(q.qb, ${1L << p})"))
           .mkString("(", " OR ", ")")
         val dist = s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
-        val (subCtes, codeJoins) = pqCtes(sub)
+        val (subCtes, codeJoins, adcSum) = pqCtes()
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |${lloydCtes(4)},
            |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2, ${lshBucket("v")} AS bucket FROM e),
@@ -548,11 +644,11 @@ object Similarity {
            |  ORDER BY $dist, n.vec_id LIMIT 10),
            |adc AS (
            |  SELECT e.vec_id,
-           |    t0.dterm + t1.dterm + t2.dterm + t3.dterm AS ad2
+           |    $adcSum AS ad2
            |  FROM e
            |  $codeJoins
            |  WHERE e.vec_id != 0
-           |  ORDER BY ad2, e.vec_id LIMIT 20),
+           |  ORDER BY ad2, e.vec_id LIMIT $PqRerank),
            |annpq AS (SELECT n.vec_id FROM n JOIN adc ON n.vec_id = adc.vec_id, q
            |  ORDER BY $dist, n.vec_id LIMIT 10)
            |SELECT 'lsh_multiprobe' AS method,
@@ -578,8 +674,6 @@ object Similarity {
            |ORDER BY method""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
-      import graft.operators.KMeans
-      val sub = 16
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
       val n = e
@@ -602,8 +696,9 @@ object Similarity {
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
       // IVF tier: EXACTLY the k7 production path (top-10 ids)
       val annIvf = ivfTrained(s, d, probes = 2).select("vec_id")
-      // PQ tier: k11's candidate stage, cosine rerank on the truth metric
-      val cand = pqCandidates(e, q, sub, n = 20)
+      // PQ tier: k11's candidate stage (normalized ADC), cosine rerank
+      // on the truth metric
+      val cand = pqCandidates(e, n = PqRerank)
       val annPq = cand.join(n, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"), dist)
         .orderBy(col("dist"), col("vec_id")).limit(10).select("vec_id")
@@ -624,45 +719,53 @@ object Similarity {
     // ---------------------------------------------------------------
     // Product quantization — the third trained index tier and the one
     // production vector stores pair with IVF at 100 TB: each vector is
-    // stored as 4 sub-codes (here 4 subspaces x 16 dims, k=4 codebooks
+    // stored as 8 sub-codes (8 subspaces x 8 dims, 8-entry codebooks
     // trained with the same Lloyd machinery as k9), and query-time
     // candidate ranking is ADC — a per-query distance TABLE of k
-    // entries per subspace (4 x 4 = 16 doubles, broadcast), so ranking
-    // a vector costs 4 lookups + 3 adds, NOT a 64-dim loop; the true
-    // vectors are only read to rerank the top-20. At scale the codes
-    // table is 32x smaller than the vectors (4 bytes vs 512), which is
-    // the entire point: the scan that ranks 100 TB touches 3 TB.
-    // Candidates rank by ADC-L2; rerank is exact L2 (bit-pinned fold,
-    // shared with the oracle).
+    // entries per subspace (8 x 8 = 64 doubles, broadcast), so ranking
+    // a vector costs 8 lookups + 7 adds, NOT a 64-dim loop; the true
+    // vectors are only read to rerank the PqRerank window. At scale
+    // the codes table is ~64x smaller than the vectors (8 bytes vs
+    // 512), which is the entire point: the scan that ranks 100 TB
+    // touches under 2 TB. The tier serves COSINE: vectors are
+    // L2-normalized before quantization (unit vectors make ADC-L2
+    // order == cosine order — the standard cosine-through-PQ
+    // discipline), candidates rank by ADC over the normalized slices,
+    // and the rerank is exact cosine from the raw vectors (bit-pinned
+    // fold, shared with the oracle).
     Q("k11_pq_ann",
-      "product-quantization ANN: 4x16-dim trained codebooks, ADC distance-table candidates, exact rerank",
+      "cosine PQ ANN: L2-normalized 8x8-dim trained codebooks, ADC distance-table candidates, exact cosine rerank",
       {
         implicit val dl: Dialect = SqlDuck
-        val sub = 16
-        val (subCtes, codeJoins) = pqCtes(sub)
+        val (subCtes, codeJoins, adcSum) = pqCtes()
         s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
-           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
            |$subCtes,
            |adc AS (
            |  SELECT e.vec_id,
-           |    t0.dterm + t1.dterm + t2.dterm + t3.dterm AS ad2
+           |    $adcSum AS ad2
            |  FROM e
            |  $codeJoins
            |  WHERE e.vec_id != 0
-           |  ORDER BY ad2, e.vec_id LIMIT 20)
-           |SELECT adc.vec_id, ${XSql.dist2("f.v", "q.qv")} AS d2
-           |FROM adc JOIN e f ON adc.vec_id = f.vec_id, q
-           |ORDER BY d2, adc.vec_id LIMIT 10""".stripMargin
+           |  ORDER BY ad2, e.vec_id LIMIT $PqRerank)
+           |SELECT adc.vec_id,
+           |  1.0 - ${XSql.cosineFromNorms(XSql.dot("f.v", "q.qv"), "f.n2", "q.qn2")} AS dist
+           |FROM adc JOIN n f ON adc.vec_id = f.vec_id, q
+           |ORDER BY dist, adc.vec_id LIMIT 10""".stripMargin
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
-      val sub = 16
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val cand = pqCandidates(e, q, sub, n = 20)
-      cand.join(e, "vec_id").crossJoin(broadcast(q))
-        .select(col("vec_id"), expr(XSql.dist2("v", "qv")).as("d2"))
-        .orderBy(col("d2"), col("vec_id")).limit(10)
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val cand = pqCandidates(e, n = PqRerank)
+      cand.join(n, "vec_id").crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
     },
 
     // ---------------------------------------------------------------
@@ -738,7 +841,7 @@ object Similarity {
     // factored out) bound HOW MUCH is read per vector (4 sub-codes).
     // Query time: pick 2 lists, build a PER-LIST ADC table from the
     // query's residual against each picked centroid (2 lists x 4
-    // subspaces x 4 codes = 32 doubles, broadcast), rank each probed
+    // subspaces x 8 codes = 64 doubles, broadcast), rank each probed
     // vector by 4 lookups + 3 adds, exact-cosine rerank the top-20.
     // Scale: candidate volume is list-bounded AND the ranking scan
     // reads codes, not vectors — the two bounds compose.
@@ -752,7 +855,7 @@ object Similarity {
             s"${SqlDuck.idx(v, "i_")} - ${SqlDuck.idx(c, "i_")}")
         val subCtes = (0 until 4).map { i =>
           s"""er$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM eres),
-             |${lloydCtes(4, s"q$i", sub, s"er$i")},
+             |${lloydCtes(PqCodes, s"q$i", sub, s"er$i")},
              |dt$i AS (SELECT qres.list, cb.cid, ${XSql.dist2(
                 SqlDuck.slice("qres.r", s"${i * sub}", sub), "cb.cv")} AS dterm
              |         FROM q${i}c1 cb, qres)""".stripMargin
@@ -800,7 +903,7 @@ object Similarity {
         .select(col("v").as("qv"), col("n2").as("qn2"))
       // production mean (see ivfTrained) — assignments match the
       // oracle's sorted-fold trainer per KMeansSpec
-      val coarse = KMeans.train(e, 4, 1, dims = Dims)
+      val coarse = KMeans.train(e, 4, LloydRounds, dims = Dims)
       // materialize the assignment and residual set ONCE: the four
       // subspace trainings below each run several actions, and without
       // this every action would replay scan -> assign -> residual join
@@ -825,7 +928,7 @@ object Similarity {
       val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
         val es = eres.select(col("vec_id"),
           expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-        val cb = KMeans.train(es, 4, 1, dims = sub)
+        val cb = KMeans.train(es, PqCodes, LloydRounds, dims = sub)
         val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
         val dt = qres.crossJoin(broadcast(cb))
           .select(col("list"),

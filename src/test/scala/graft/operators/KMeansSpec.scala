@@ -59,12 +59,15 @@ class KMeansSpec extends SparkSpec {
 
   test("empty clusters drop out identically on both paths") {
     import spark.implicits._
-    // k=3 over two tight far-apart pairs: the third init point (id 2)
-    // sits inside the first pair's blob and loses all members after
-    // one update on either path
+    // k=3 over 2 distinct points + a duplicate: farthest-point init
+    // exhausts the distinct points after 2 picks, so the 3rd seed is
+    // the duplicate (every remaining min-distance is 0, min-id tie-
+    // break) — its twin with the smaller cid wins every assignment
+    // tie and the duplicate centroid empties out in the first mean
+    // update, on either path
     val e = Seq(
-      (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.2, 0.0)),
-      (3L, Seq(100.0, 0.0)), (4L, Seq(100.1, 0.0))).toDF("vec_id", "v")
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 0.0)))
+      .toDF("vec_id", "v")
     val prod = KMeans.train(e, 3, 2, dims = 2, gateParity = false)
     val gate = KMeans.train(e, 3, 2, dims = 2, gateParity = true)
     val prodA = KMeans.assign(e, prod).collect()
