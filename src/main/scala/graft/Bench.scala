@@ -49,6 +49,12 @@ object Bench {
         Seq((1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(5.0, 5.0)))
           .toDF("vec_id", "v"), 2, 1, dims = 2)
         .write.format("noop").mode("overwrite").save()
+      // ... and the grouped (multi-subquantizer) trainer's plan shapes
+      graft.operators.KMeans.trainMulti(
+        Seq((0, 1L, Seq(0.0, 1.0)), (0, 2L, Seq(1.0, 0.0)),
+          (1, 1L, Seq(3.0, 0.0)), (1, 2L, Seq(0.0, 3.0)))
+          .toDF("grp", "vec_id", "v"), 2, 1, dims = 2)
+        .write.format("noop").mode("overwrite").save()
     }
     // the Structured Streaming machinery (micro-batch planner, state
     // store, file source/sink classes) costs several seconds of
@@ -120,7 +126,11 @@ object Bench {
       // any failed run fails the query; otherwise report the min
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding (0.1 ms) halves the line length — the long
+    // line is exactly what keeps getting truncated in round captures
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -131,7 +141,7 @@ object Bench {
     // stream_repeats is reported separately: st* timings are min-of-
     // streamRepeats, NOT min-of-repeats — a reader comparing rounds
     // must know which protocol produced each number
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"avg_per_query":$avg,"repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$n,"avg_per_query":${fmt(avg)},"repeats":$repeats,"stream_repeats":$streamRepeats,"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout line has repeatedly survived only as a truncated tail
     // in the round captures (BENCH_r04/r05: "parsed": null, most

@@ -290,105 +290,148 @@ object TableStore {
     * forever while later publishes land beside it.
     *
     * Layout: `path/v=N/` holds version N's files (immutable once
-    * published); `path/_current` is a one-line manifest naming the
-    * live version. Published data files are never mutated, so PINNED
-    * readers never race a publish. The manifest flip itself is
-    * delete-then-rename — NOT atomic: a live (unpinned) reader in
-    * that window, or after a crash inside it, fails loudly with "no
-    * published version" until the next publish rewrites the manifest —
-    * an availability gap, never wrong or partial data. A crash before
-    * the flip leaves an orphaned `v=N` dir that no manifest ever
-    * names: the counter skips past it (it burns a number) and
-    * [[readVersion]] refuses it (committed = `N <= current`).
+    * published). A publish COMMITS by creating the marker file
+    * `path/_committed_vN` (create-exclusive), whose content is the
+    * publisher's `note` — a free-form commit record (the streaming
+    * sinks store the micro-batch id there, which is what makes a
+    * snapshot-published stream exactly-once: the data files and the
+    * batch-id record become visible in ONE atomic file creation, so
+    * there is no window where data landed but its ledger entry did
+    * not). The live version is simply the HIGHEST committed marker —
+    * there is no pointer flip and therefore no availability gap: a
+    * reader either sees a marker or it doesn't.
     *
-    * Single-writer like the rest of TableStore (concurrent publishers
-    * would race the version counter); a lakehouse table format's
-    * commit log is the multi-writer production swap — call sites
-    * identical.
+    * Concurrency: a publisher first claims its number by create-
+    * exclusive `_claim_vN`; racing publishers that collide on a number
+    * retry upward, so each lands as a DISTINCT committed version and
+    * `currentVersion` is their max. Within one JVM the claim step is
+    * additionally serialized by a lock (create-exclusive is atomic on
+    * HDFS-like stores but check-then-create on the raw local FS); the
+    * cross-process multi-writer story on a plain local directory is
+    * where a lakehouse format's commit log remains the production
+    * swap. A crash between claim and marker leaves an uncommitted
+    * claim/orphan dir: never readable, number burned forever (claims
+    * are only removed by their own successful commit).
     *
-    * Scale: a publish writes only the new version's files and one
-    * manifest rename — cost is the data written, independent of
+    * Scale: a publish writes only the new version's files plus two
+    * ~empty marker files — cost is the data written, independent of
     * history depth. Old versions are reclaimed explicitly with
-    * [[dropVersionsBelow]] (retention policy is the caller's).
+    * [[dropVersionsBelow]] (retention policy is the caller's);
+    * retention keeps the markers, so dropped versions stay burned and
+    * their commit notes remain queryable.
     */
-  def publishVersion(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def publishVersion(spark: SparkSession, path: String, df: DataFrame,
+      note: String = ""): Long = {
     val f = fs(spark, path)
-    // the version counter is max(manifest, existing v=N dirs) + 1 —
-    // NEVER the manifest alone: a crash inside the manifest flip below
-    // leaves no _current, and a manifest-only counter would then
-    // restart at 1 and destroy committed immutable versions. Orphan
-    // dirs from a crashed publish (written, never flipped) just burn a
-    // number; committed data is never a sweep candidate.
-    val next = (currentVersion(spark, path).toSeq ++ maxVersionDir(f, path))
-      .foldLeft(0L)(math.max) + 1L
-    val vDir = new Path(s"$path/v=$next")
-    // defensive sweep: with the max-dir counter this number is never a
-    // committed version, but a same-number partial could exist if a
-    // previous attempt crashed mid-listStatus race; deleting it is
-    // always safe because committed versions are <= the counter base
+    val base = new Path(path)
+    if (!f.exists(base)) f.mkdirs(base)
+    val v = claimNumber(f, path)
+    val vDir = new Path(s"$path/v=$v")
+    // a claimed number is never a committed version, but a same-number
+    // partial dir could exist if a previous claim crashed mid-write
+    // after ITS claim file was lost to manual cleanup; deleting here
+    // is safe because committed versions always have markers
     f.delete(vDir, true)
     df.write.parquet(vDir.toString)
-    val tmp = new Path(s"$path/_current_tmp")
-    val out = f.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8"))
+    val marker = new Path(s"$path/_committed_v$v")
+    val out =
+      try f.create(marker, false)
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"publishVersion: marker $marker already exists — " +
+            "claim uniqueness was violated", e)
+      }
+    out.write(note.getBytes("UTF-8"))
     out.close()
-    val cur = new Path(s"$path/_current")
-    // delete+rename is not atomic: a reader (or crash) in this window
-    // sees NO manifest and readVersion(None) fails loudly — never
-    // stale or partial data — and the next publish reconstructs the
-    // counter from the dirs. Pinned readers are untouched either way.
-    f.delete(cur, false)
-    if (!f.rename(tmp, cur))
-      throw new java.io.IOException(s"publishVersion: could not flip $cur")
-    next
+    f.delete(new Path(s"$path/_claim_v$v"), false)
+    v
   }
 
-  /** Highest `v=N` directory number, committed or orphaned. */
-  private def maxVersionDir(f: FileSystem, path: String): Option[Long] = {
+  /** In-JVM serialization of the claim step (see class doc). */
+  private val claimLock = new Object
+
+  /** Claim the next version number: 1 + max over committed markers,
+    * v=N dirs (orphans burn their number) and outstanding claims;
+    * collide-and-retry upward on the create-exclusive claim file.
+    */
+  private def claimNumber(f: FileSystem, path: String): Long =
+    claimLock.synchronized {
+      var next = (numbered(f, path, "_committed_v") ++
+        numbered(f, path, "v=") ++ numbered(f, path, "_claim_v"))
+        .foldLeft(0L)(math.max) + 1L
+      var claimed = false
+      while (!claimed) {
+        try {
+          f.create(new Path(s"$path/_claim_v$next"), false).close()
+          claimed = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+          case _: java.nio.file.FileAlreadyExistsException => next += 1
+        }
+      }
+      next
+    }
+
+  /** Numbers of entries under `path` named `<prefix><number>`. */
+  private def numbered(f: FileSystem, path: String, prefix: String): Seq[Long] = {
     val p = new Path(path)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) Nil
     else f.listStatus(p).toSeq
       .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong)
-      .maxOption
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
   }
 
-  /** The live version number, or None before the first publish. */
-  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+  /** All committed version numbers, ascending (markers survive
+    * retention, so this is the full publish history).
+    */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] =
+    numbered(fs(spark, path), path, "_committed_v").sorted
+
+  /** The live version number (highest committed marker), or None
+    * before the first publish.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    committedVersions(spark, path).lastOption
+
+  /** The commit note version `v` was published with ("" if none), or
+    * None for a version never committed.
+    */
+  def versionNote(spark: SparkSession, path: String, v: Long): Option[String] = {
     val f = fs(spark, path)
-    val cur = new Path(s"$path/_current")
-    if (!f.exists(cur)) None
+    val marker = new Path(s"$path/_committed_v$v")
+    if (!f.exists(marker)) None
     else {
-      val in = f.open(cur)
-      val s = scala.io.Source.fromInputStream(in).mkString.trim
+      val in = f.open(marker)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       in.close()
-      Some(s.toLong)
+      Some(s)
     }
   }
 
   /** Read a pinned version (reproducible training runs) or the live
-    * one. Fails loudly on a version that was never published, was
-    * dropped by retention, or is an orphan from a crashed publish
-    * (orphans have a directory but were never committed — only
-    * `v <= current` is committed, since publishes commit in order).
+    * one. Fails loudly on a version that was never committed (orphan
+    * dirs from crashed publishes have no marker) or whose data was
+    * dropped by retention.
     */
   def readVersion(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
-    val committed = currentVersion(spark, path).getOrElse(
-      sys.error(s"readVersion: no published version at $path"))
-    val v = version.getOrElse(committed)
-    require(v <= committed,
+    val committed = committedVersions(spark, path)
+    if (committed.isEmpty) sys.error(s"readVersion: no published version at $path")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
       s"readVersion: version $v at $path is not committed " +
-        s"(current is $committed; a crashed publish's orphan dir is not a version)")
+        "(a crashed publish's orphan dir is not a version)")
     val vDir = s"$path/v=$v"
     require(fs(spark, path).exists(new Path(vDir)),
-      s"readVersion: version $v does not exist at $path")
+      s"readVersion: version $v does not exist at $path (dropped by retention)")
     spark.read.parquet(vDir)
   }
 
-  /** Retention: drop all versions strictly below `keepFrom` (never the
-    * current one).
+  /** Retention: drop the DATA of all versions strictly below
+    * `keepFrom` (never the current one). Markers are kept: dropped
+    * numbers stay burned and their commit notes remain readable —
+    * only the storage is reclaimed.
     */
   def dropVersionsBelow(spark: SparkSession, path: String, keepFrom: Long): Unit = {
     val f = fs(spark, path)

@@ -128,13 +128,17 @@ object Similarity {
     def dist2(v: String, c: String) = XSql.dist2(v, c)
     // every chained CTE is MATERIALIZED (DuckDB-only syntax, and this
     // SQL only ever runs in DuckDB): ch_j references ch_{j-1} twice,
-    // so inlined CTEs would re-evaluate the init chain 2^k times
-    val init = (2 to k).map { j =>
+    // so inlined CTEs would re-evaluate the init chain 2^passes times.
+    // The init batches its picks on KMeans.initSchedule (the chosen
+    // set doubles per pass) — the oracle twin of initFarthestMulti.
+    val schedule = graft.operators.KMeans.initSchedule(k)
+    val init = schedule.zipWithIndex.map { case (m, idx) =>
+      val j = idx + 2
       s""",
          |${p}fp$j AS MATERIALIZED (SELECT vec_id FROM (
          |    SELECT s.vec_id, min(${dist2("s.v", "c.v")}) AS mind2
          |    FROM $src s, ${p}ch${j - 1} c GROUP BY s.vec_id)
-         |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+         |  ORDER BY mind2 DESC, vec_id LIMIT $m),
          |${p}ch$j AS MATERIALIZED (SELECT vec_id, v FROM ${p}ch${j - 1} UNION ALL
          |  SELECT s.vec_id, s.v FROM $src s JOIN ${p}fp$j USING (vec_id))""".stripMargin
     }.mkString
@@ -159,7 +163,7 @@ object Similarity {
          |  FROM ${p}da$r GROUP BY cid)""".stripMargin
     }.mkString
     s"""${p}ch1 AS MATERIALIZED (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT 1)$init,
-       |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ${p}ch$k)$loop,
+       |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ${p}ch${schedule.length + 1})$loop,
        |${p}c1 AS MATERIALIZED (SELECT cid, cv FROM ${p}cc$rounds),
        |${p}rf AS (SELECT e.vec_id, c.cid, ${dist2("e.v", "c.cv")} AS d2
        |           FROM $src e, ${p}c1 c),
@@ -220,37 +224,36 @@ object Similarity {
       .withColumn("nrm", sqrt(col("n2")))
       .select(col("vec_id"),
         expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("v"))
-    val qn = en.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    // the sub-codebook trainings are independent — submit them from
-    // one thread each so their (tiny) training jobs overlap in the
-    // scheduler instead of paying sequential job barriers; values
-    // are untouched (each lineage is self-contained and deterministic)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val parts = Await.result(Future.sequence((0 until PqSub).map { i => Future {
-      val es = en.select(col("vec_id"),
-        expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-      // PRODUCTION mean (sum/count): the oracle recomputes the
-      // codebooks with its sorted-fold mean, but every gated value
-      // derives from the ASSIGNMENTS (code ids) + exact distances
-      // recomputed from true vectors — invariant across the two means
-      // (KMeansSpec), so the catalog runs the scale path.
-      val cb = KMeans.train(es, PqCodes, LloydRounds, dims = sub)
-      val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
-      val dt = cb.crossJoin(broadcast(qn))
-        .select(col("cid").as(s"cid_$i"),
-          expr(XSql.dist2(s"slice(qv, ${i * sub + 1}, $sub)", "cv"))
-            .as(s"dterm_$i"))
-      (codes, dt)
-    }}), scala.concurrent.duration.Duration.Inf)
-    val coded = parts.foldLeft(en.select("vec_id")) {
-      case (acc, (codes, dt)) =>
-        val i = dt.columns.head.stripPrefix("cid_")
-        acc.join(codes, "vec_id").join(broadcast(dt), s"cid_$i")
-    }
-    coded.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (0 until PqSub).map(i => col(s"dterm_$i")).reduce(_ + _).as("ad2"))
+    // all PqSub subquantizers train in ONE grouped trainer: the rows
+    // explode to (grp, vec_id, slice) once and every init pass /
+    // Lloyd round advances all groups in a single job — G scans
+    // become one scan (the trainMulti contract), which at 100 TB is
+    // the difference between one pass over the corpus and eight.
+    // PRODUCTION mean (sum/count): the oracle recomputes the
+    // codebooks with its sorted-fold mean, but every gated value
+    // derives from the ASSIGNMENTS (code ids) + exact distances
+    // recomputed from true vectors — invariant across the two means
+    // (KMeansSpec), so the catalog runs the scale path.
+    def slices(vcol: String) = posexplode(
+      array((0 until PqSub).map(i =>
+        expr(s"slice($vcol, ${i * sub + 1}, $sub)")): _*))
+    val eAll = en.select(col("vec_id"), slices("v"))
+      .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
+    val cents = KMeans.trainMulti(eAll, PqCodes, LloydRounds, dims = sub)
+    val codes = KMeans.assignMulti(eAll, cents)
+    val qAll = en.filter(col("vec_id") === 0)
+      .select(slices("v"))
+      .withColumnsRenamed(Map("pos" -> "grp", "col" -> "qv"))
+    val dt = cents.join(broadcast(qAll), "grp")
+      .select(col("grp"), col("cid"),
+        expr(XSql.dist2("qv", "cv")).as("dterm"))
+    // ad2 folds the per-subspace terms in grp order (sorted fold) —
+    // bit-identical to the oracle's left-associated t0 + t1 + ... sum
+    codes.join(broadcast(dt), Seq("grp", "cid"))
+      .filter(col("vec_id") =!= 0)
+      .groupBy("vec_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(grp, dterm))), " +
+        "cast(0 as double), (a_, s_) -> a_ + s_.dterm)").as("ad2"))
       .orderBy(col("ad2"), col("vec_id")).limit(n)
   }
 
@@ -921,33 +924,35 @@ object Similarity {
         .select(col("cid").as("list"), col("cv"))
       val qres = pick.crossJoin(broadcast(q.select("qv")))
         .select(col("list"), expr(resElem("qv", "cv")).as("r"))
-      // independent sub-codebook trainings submitted concurrently —
-      // same move as pqCandidates; values untouched
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val parts = Await.result(Future.sequence((0 until 4).map { i => Future {
-        val es = eres.select(col("vec_id"),
-          expr(s"slice(v, ${i * sub + 1}, $sub)").as("v"))
-        val cb = KMeans.train(es, PqCodes, LloydRounds, dims = sub)
-        val codes = KMeans.assign(es, cb).withColumnRenamed("cid", s"cid_$i")
-        val dt = qres.crossJoin(broadcast(cb))
-          .select(col("list"),
-            col("cid").as(s"cid_$i"),
-            expr(XSql.dist2(s"slice(r, ${i * sub + 1}, $sub)", "cv"))
-              .as(s"dterm_$i"))
-        (codes, dt)
-      }}), scala.concurrent.duration.Duration.Inf)
+      // the 4 residual subquantizers train in ONE grouped trainer
+      // (the pqCandidates move): explode each residual to its (grp,
+      // slice) rows once; every init pass / Lloyd round advances all
+      // groups in a single job
+      def slices(vcol: String) = posexplode(
+        array((0 until 4).map(i =>
+          expr(s"slice($vcol, ${i * sub + 1}, $sub)")): _*))
+      val erAll = eres.select(col("vec_id"), slices("v"))
+        .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
+      val cb = KMeans.trainMulti(erAll, PqCodes, LloydRounds, dims = sub)
+      val codes = KMeans.assignMulti(erAll, cb)
+      // per-list ADC tables: the query residual against each picked
+      // list, sliced to (list, grp, qr)
+      val qresAll = qres.select(col("list"), slices("r"))
+        .withColumnsRenamed(Map("pos" -> "grp", "col" -> "qr"))
+      val dt = cb.join(broadcast(qresAll), "grp")
+        .select(col("list"), col("grp"), col("cid"),
+          expr(XSql.dist2("qr", "cv")).as("dterm"))
       val inLists = e.select("vec_id")
         .join(lists.withColumnRenamed("cid", "list"), "vec_id")
         .join(broadcast(pick.select("list")), "list")
-      val adc = parts.foldLeft(inLists) { case (acc, (codes, dt)) =>
-        val i = dt.columns(1).stripPrefix("cid_")
-        acc.join(codes, "vec_id").join(broadcast(dt), Seq("list", s"cid_$i"))
-      }
+      // ad2 folds per-subspace terms in grp order (sorted fold) —
+      // bit-identical to the oracle's left-associated t0 + t1 + ... sum
+      val adc = inLists.join(codes, "vec_id")
+        .join(broadcast(dt), Seq("list", "grp", "cid"))
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"),
-          (col("dterm_0") + col("dterm_1") + col("dterm_2") + col("dterm_3"))
-            .as("ad2"))
+        .groupBy("vec_id")
+        .agg(expr("aggregate(array_sort(collect_list(struct(grp, dterm))), " +
+          "cast(0 as double), (a_, s_) -> a_ + s_.dterm)").as("ad2"))
         .orderBy(col("ad2"), col("vec_id")).limit(20)
       adc.join(n, "vec_id").crossJoin(broadcast(q))
         .select(col("vec_id"),

@@ -400,11 +400,11 @@ object Sinks {
     // states each version's content algebraically — so the gate checks
     // that pinning a version really returns that version's data, not
     // the live table. At scale a publish costs only the new version's
-    // files + one manifest flip. PINNED readers never race a publish
-    // (version files are immutable); the live-pointer flip itself has
-    // a documented availability gap (TableStore.publishVersion:
-    // delete-then-rename — a live reader in the window fails loudly,
-    // never sees partial data).
+    // files + two ~empty marker files. PINNED readers never race a
+    // publish (version files are immutable), and the commit itself is
+    // ONE atomic marker creation — the live version is the highest
+    // committed marker, so there is no pointer flip and no
+    // availability gap (TableStore.publishVersion).
     Q("s19_snapshot_read",
       "versioned snapshots: pinned-version reads survive later publishes",
       """SELECT CAST(1 AS BIGINT) AS version, r_regionkey, r_name AS name

@@ -78,6 +78,41 @@ class KMeansSpec extends SparkSpec {
     assert(prod.count() == gate.count())
   }
 
+  test("initSchedule doubles the chosen set each pass up to k") {
+    (1 to 20).foreach { k =>
+      val sched = KMeans.initSchedule(k)
+      assert(sched.sum == k - 1, s"k=$k: schedule must add k-1 points")
+      assert(sched.forall(_ >= 1))
+      // chosen-set size doubles (capped at k): pass j adds min(s, k-s)
+      var s = 1
+      sched.foreach { m => assert(m == math.min(s, k - s)); s += m }
+      assert(s == k)
+      assert(sched.length <= 1 + (math.log(k.max(1)) / math.log(2)).ceil.toInt)
+    }
+  }
+
+  test("trainMulti groups are independent: grouped == per-group training") {
+    import spark.implicits._
+    // two groups with DIFFERENT geometry; training them together must
+    // not leak points, seeds, or means across the group boundary
+    val g0 = vectors.withColumn("grp", lit(0))
+    val g1 = vectors
+      .select(col("vec_id"), expr("transform(v, x_ -> -3.0 * x_ + 7.0)").as("v"))
+      .withColumn("grp", lit(1))
+    val both = KMeans.trainMulti(g0.unionByName(g1), 4, 2, dims = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val solo0 = KMeans.train(vectors, 4, 2, dims = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val solo1 = KMeans.train(g1.drop("grp"), 4, 2, dims = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(both.keySet == (solo0.keySet.map((0, _)) ++ solo1.keySet.map((1, _))))
+    def close(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.size == b.size && a.zip(b).forall { case (x, y) =>
+        math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)) }
+    solo0.foreach { case (cid, cv) => assert(close(both((0, cid)), cv)) }
+    solo1.foreach { case (cid, cv) => assert(close(both((1, cid)), cv)) }
+  }
+
   test("gate-parity means equal production means up to float tolerance") {
     val e = vectors
     val a = KMeans.assign(e, KMeans.init(e, 4))

@@ -191,6 +191,62 @@ class TableStoreSpec extends SparkSpec {
       Seq((3L, "d")).toDF("k", "v")) == 10L)
   }
 
+  test("concurrent publishers land as distinct committed versions") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    // race 6 publishers; the claim step must hand each a distinct
+    // number and every commit must be readable afterwards
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val vs = Await.result(Future.sequence((0 until 6).map { i => Future {
+      TableStore.publishVersion(spark, p,
+        Seq((i.toLong, s"w$i")).toDF("k", "v"), note = s"writer-$i")
+    }}), Duration.Inf)
+    assert(vs.toSet.size == 6, s"collided versions: $vs")
+    assert(TableStore.committedVersions(spark, p) == vs.sorted)
+    assert(TableStore.currentVersion(spark, p).contains(vs.max))
+    // each version holds exactly its writer's row, note intact — no
+    // torn or cross-written snapshots
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val rows = TableStore.readVersion(spark, p, Some(v)).collect()
+      assert(rows.length == 1 && rows(0).getString(1) == s"w$i")
+      assert(TableStore.versionNote(spark, p, v).contains(s"writer-$i"))
+    }
+  }
+
+  test("a crash between claim and marker burns the number; commit note survives retention") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark, p,
+      Seq((1L, "a")).toDF("k", "v"), note = "batch:7")
+    assert(TableStore.versionNote(spark, p, v1).contains("batch:7"))
+    // simulate a publisher that claimed v2 and wrote data but died
+    // before creating its marker: claim file + dir, no marker
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$p/_claim_v2"), false).close()
+    Seq((2L, "ghost")).toDF("k", "v").write.parquet(s"$p/v=2")
+    // never readable ...
+    val orphan = intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(2L))
+    }
+    assert(orphan.getMessage.contains("not committed"), orphan.getMessage)
+    assert(TableStore.versionNote(spark, p, 2L).isEmpty)
+    // ... and the number stays burned: the next publish claims past it
+    val v3 = TableStore.publishVersion(spark, p,
+      Seq((3L, "c")).toDF("k", "v"), note = "batch:8")
+    assert(v3 == 3L)
+    assert(TableStore.currentVersion(spark, p).contains(3L))
+    // retention reclaims v1's data but keeps its marker + note
+    TableStore.dropVersionsBelow(spark, p, keepFrom = 3L)
+    intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(v1))
+    }
+    assert(TableStore.versionNote(spark, p, v1).contains("batch:7"))
+    assert(TableStore.committedVersions(spark, p) == Seq(v1, v3))
+  }
+
   private def tsTable(rows: (Long, String)*) = {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.col
