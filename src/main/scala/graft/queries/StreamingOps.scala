@@ -12,19 +12,25 @@ import graft.streaming.EventStream
   */
 object StreamingOps {
 
+  /** The micro-batch's additive per-user delta (counts + exact decimal
+    * sums — associative, so any batch decomposition converges to the
+    * batch aggregate). Shared by the incremental-view merges below.
+    */
+  private def userDelta(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) =
+    batch.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(30,2)")).as("total"))
+
   /** The additive per-user merge st6 (streaming incremental view) and
-    * st9 (exactly-once ledger) share: aggregate the micro-batch's
-    * per-user delta and fold it into the stored table — counts and
-    * exact decimal sums are associative, so any batch decomposition
-    * converges to the batch aggregate.
+    * st10 (snapshot publisher) share: fold the micro-batch's delta
+    * into the stored table in place.
     */
   private def mergeUserDelta(s: org.apache.spark.sql.SparkSession,
       path: String,
       batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
     import graft.operators.TableStore
-    val delta = batch.groupBy("user_id").agg(
-      count(lit(1)).as("n"),
-      sum(col("value").cast("decimal(30,2)")).as("total"))
+    val delta = userDelta(batch)
     val merged =
       if (!TableStore.exists(s, path)) delta
       else TableStore.read(s, path)
@@ -33,6 +39,49 @@ object StreamingOps {
         .groupBy("user_id")
         .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
     TableStore.upsertByKey(s, path, merged, Seq("user_id"))
+  }
+
+  /** Exactly-once application of one micro-batch to a VERSIONED table
+    * (st9, and `StreamingExactlyOnceSpec`'s crash replays): read the
+    * last committed snapshot, fold in the batch delta, publish the
+    * result as the next version whose COMMIT NOTE is the batch id.
+    * Data files and the batch-id record become visible in ONE atomic
+    * marker creation (TableStore.publishVersion), so the classic
+    * two-rename window — data landed, ledger entry didn't — cannot
+    * exist: a crash anywhere before the marker leaves the previous
+    * committed version as the visible state (the half-written attempt
+    * is an unreadable orphan) and the redelivered batch re-applies
+    * cleanly from it.
+    *
+    * The already-applied probe reads the commit notes of the committed
+    * markers — a directory listing plus ~empty-file reads, no table
+    * scan; a lakehouse commit log folds the same record into its
+    * single manifest read. Each version here is a full snapshot of the
+    * (small) serving aggregate, the same trade st10 makes — and the
+    * loop runs keep-last-2 retention inline, which is SAFE for
+    * exactly-once because the probe needs only the markers (kept
+    * forever) and the merge reads only the current version.
+    */
+  private[graft] def applyBatchExactlyOnce(s: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      id: Long): Unit = {
+    import graft.operators.TableStore
+    val note = s"batch:$id"
+    val applied = TableStore.committedVersions(s, path)
+      .exists(v => TableStore.versionNote(s, path, v).contains(note))
+    if (!applied) {
+      val delta = userDelta(batch)
+      val merged = TableStore.currentVersion(s, path) match {
+        case None => delta
+        case Some(cur) => TableStore.readVersion(s, path, Some(cur))
+          .unionByName(delta)
+          .groupBy("user_id")
+          .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      }
+      val v = TableStore.publishVersion(s, path, merged, note)
+      TableStore.dropVersionsBelow(s, path, keepFrom = v - 1)
+    }
   }
 
   val all: Seq[Q] = Seq(
@@ -248,48 +297,38 @@ object StreamingOps {
     // Exactly-once foreachBatch — the delivery-semantics gap st6
     // leaves open: foreachBatch is AT-LEAST-ONCE (a crash between the
     // sink write and the checkpoint commit redelivers the batch), and
-    // an additive merge re-applied double-counts. The standard
-    // production fix is a batch-id ledger: a batch already in the
-    // ledger is a no-op. Proof here is the strongest redelivery there
-    // is — after the stream completes, the ENTIRE stream is replayed
-    // from a fresh checkpoint (every batch redelivered); the final
-    // table still equals the batch aggregate (the oracle). Honest
-    // caveat, documented like archiveOlderThan's: data write and
-    // ledger append are two renames, so a crash exactly between them
-    // still re-applies one batch on retry — closing that window needs
-    // a format that commits data + ledger atomically (the lakehouse
-    // swap named in TableStore's contract).
-    // Scale: the ledger is one row per batch; the guard is a limit-1
-    // probe of a tiny table per micro-batch.
+    // an additive merge re-applied double-counts. The fix is a
+    // batch-id commit record, and here it is ATOMIC with the data:
+    // each batch publishes the merged table as a snapshot version
+    // whose commit note is the batch id (applyBatchExactlyOnce), so
+    // data and ledger entry appear in one marker creation — the old
+    // two-rename caveat is closed, not just documented. Proof is the
+    // strongest redelivery there is: after the stream completes, the
+    // ENTIRE stream is replayed from a fresh checkpoint (every batch
+    // redelivered); the current version still equals the batch
+    // aggregate (the oracle). StreamingExactlyOnceSpec additionally
+    // kills a writer BETWEEN data write and commit and replays.
+    // Scale: the applied-probe is a marker-file listing, no table
+    // scan; retention below keeps the version history bounded.
     Q("st9_stream_exactly_once",
-      "at-least-once foreachBatch redelivery made exactly-once by a batch-id ledger == batch aggregate",
+      "at-least-once foreachBatch redelivery made exactly-once by atomic versioned commits == batch aggregate",
       s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import graft.operators.TableStore
-      import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_st9")
       val path = tmp.resolve("t").toString
-      val ledger = tmp.resolve("ledger").toString
       val stage = tmp.resolve("stage").toString
-      def applyBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long): Unit = {
-        val applied = TableStore.exists(s, ledger) &&
-          TableStore.read(s, ledger)
-            .filter(col("batch_id") === id).limit(1).count() > 0
-        if (!applied) {
-          mergeUserDelta(s, path, batch)
-          TableStore.append(Seq(id).toDF("batch_id"), ledger)
-        }
-      }
       val events = t(s, d, "events")
       EventStream.runForeachBatch(s,
-        EventStream.stagedFileStream(s, events, stage, nFiles = 2))(applyBatch)
+        EventStream.stagedFileStream(s, events, stage, nFiles = 2))(
+        applyBatchExactlyOnce(s, path, _, _))
       // crash-redelivery simulation: a fresh checkpoint replays EVERY
       // batch (same staged files, same order -> same batch ids); the
-      // ledger must make each one a no-op
+      // committed batch notes must make each one a no-op
       EventStream.runForeachBatch(s,
-        EventStream.restageFileStream(s, events.schema, stage))(applyBatch)
-      TableStore.read(s, path)
+        EventStream.restageFileStream(s, events.schema, stage))(
+        applyBatchExactlyOnce(s, path, _, _))
+      TableStore.readVersion(s, path)
         .select(col("user_id"), col("n"),
           col("total").cast("double").as("total"))
         .orderBy("user_id")
@@ -308,10 +347,16 @@ object StreamingOps {
     // (one version per batch, earlier versions are prefixes of the
     // merge) ride TableStoreSpec's snapshot contract.
     // Scale: each publish writes one version of the (small) aggregate
-    // table + a manifest flip; the stream's big-data work is
-    // unchanged from st6.
+    // table + one atomic commit marker; the stream's big-data work is
+    // unchanged from st6. An unbounded stream publishes an unbounded
+    // version history, so the loop runs keep-last-2 RETENTION inline:
+    // every publish reclaims versions below current-1. Markers
+    // survive reclamation (history stays auditable), pinned readers
+    // of RETAINED versions are untouched (TableStoreSpec pins that
+    // contract), and a consumer pinning older versions simply sets a
+    // deeper keep — retention policy is the caller's.
     Q("st10_stream_snapshots",
-      "per-batch snapshot publishing over a streaming incremental view == batch aggregate at the current version",
+      "per-batch snapshot publishing + keep-last-2 retention over a streaming incremental view == batch aggregate at the current version",
       s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       import graft.operators.TableStore
@@ -320,13 +365,18 @@ object StreamingOps {
       val snaps = tmp.resolve("snaps").toString
       val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
         tmp.resolve("stage").toString, nFiles = 3)
-      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+      EventStream.runForeachBatch(s, stream) { (batch, id) =>
         mergeUserDelta(s, path, batch)
-        TableStore.publishVersion(s, snaps, TableStore.read(s, path)): Unit
+        val v = TableStore.publishVersion(s, snaps, TableStore.read(s, path),
+          note = s"batch:$id")
+        TableStore.dropVersionsBelow(s, snaps, keepFrom = v - 1)
       }
       val current = TableStore.currentVersion(s, snaps)
         .getOrElse(sys.error("st10: stream published no snapshot"))
       require(current >= 1L, s"st10: expected >=1 snapshot, got $current")
+      // the previous version must have survived retention (keep-last-2)
+      if (current >= 2L)
+        require(TableStore.readVersion(s, snaps, Some(current - 1)).count() >= 0L)
       TableStore.readVersion(s, snaps, Some(current))
         .select(col("user_id"), col("n"),
           col("total").cast("double").as("total"))

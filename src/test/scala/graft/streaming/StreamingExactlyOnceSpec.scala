@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TableStore
+
+/** st9's atomic versioned commit (StreamingOps.applyBatchExactlyOnce)
+  * under the failure it exists for: a writer killed BETWEEN the data
+  * write and the commit marker. The half-written attempt must be an
+  * unreadable orphan, the redelivered batch must re-apply from the
+  * last committed version, and double delivery of any batch must be a
+  * no-op — the final state always equals the batch aggregate.
+  */
+class StreamingExactlyOnceSpec extends SparkSpec {
+
+  private def events(rows: (Long, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.zipWithIndex
+      .map { case ((u, v), i) => (i.toLong, u, v) }
+      .toDF("event_id", "user_id", "value")
+  }
+
+  // private[graft] product code — the spec drives the real path, it
+  // does not re-implement it
+  private def apply1(path: String, batch: DataFrame, id: Long): Unit =
+    graft.queries.StreamingOps.applyBatchExactlyOnce(spark, path, batch, id)
+
+  private def state(path: String): Map[Long, (Long, Double)] =
+    TableStore.readVersion(spark, path).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDecimal(2).doubleValue())).toMap
+
+  test("writer killed between data write and commit: replay converges, no double-count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eo_spec")
+    val path = tmp.resolve("t").toString
+    val b0 = events(1L -> 10.0, 2L -> 5.0)
+    val b1 = events(1L -> 2.0, 3L -> 1.0)
+
+    apply1(path, b0, 0L)
+    assert(state(path) == Map(1L -> (1L, 10.0), 2L -> (1L, 5.0)))
+    val v1 = TableStore.currentVersion(spark, path).get
+
+    // simulate batch 1's writer dying between its data write and its
+    // marker creation: the claim and the v=N dir exist, the marker
+    // does not (exactly the state publishVersion leaves on that crash)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val crashed = v1 + 1
+    f.create(new org.apache.hadoop.fs.Path(s"$path/_claim_v$crashed"), false).close()
+    import spark.implicits._
+    Seq((1L, 99L, BigDecimal(999.0))).toDF("user_id", "n", "total")
+      .write.parquet(s"$path/v=$crashed")
+
+    // the torn attempt is invisible: current version is still batch
+    // 0's, and the orphan is not readable
+    assert(TableStore.currentVersion(spark, path).contains(v1))
+    intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, path, Some(crashed))
+    }
+
+    // redelivery of batch 1 re-applies from v1 — the torn data
+    // contributes NOTHING; the crashed number stays burned
+    apply1(path, b1, 1L)
+    val after = Map(1L -> (2L, 12.0), 2L -> (1L, 5.0), 3L -> (1L, 1.0))
+    assert(state(path) == after)
+    val v2 = TableStore.currentVersion(spark, path).get
+    assert(v2 > crashed, "the crashed claim's number must not be reused")
+
+    // double delivery of both batches (full-stream replay) is a no-op
+    apply1(path, b0, 0L)
+    apply1(path, b1, 1L)
+    assert(state(path) == after)
+    assert(TableStore.currentVersion(spark, path).contains(v2))
+
+    // retention ran inline (keep-last-2) but markers survive: both
+    // batch notes are still present exactly once
+    val notes = TableStore.committedVersions(spark, path)
+      .flatMap(v => TableStore.versionNote(spark, path, v))
+    assert(notes.count(_ == "batch:0") == 1)
+    assert(notes.count(_ == "batch:1") == 1)
+  }
+}
