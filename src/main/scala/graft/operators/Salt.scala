@@ -58,4 +58,50 @@ object Salt {
       explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedBig.join(rep, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Session confs under which AQE's runtime skew-join splitter can
+    * SEE skew at test scale: the detection threshold scales from the
+    * 256 MB production default down to `thresholdBytes`, the advisory
+    * split target to half of it. Broadcast is disabled because the
+    * demo's two sides are both facts — at production scale neither
+    * fits a broadcast, so SMJ is the honest plan to protect. Factor 2
+    * (default 5) because local test partitions are few and uniform.
+    */
+  def aqeSkewConfs(thresholdBytes: Long): Map[String, String] = Map(
+    // enough reduce partitions to isolate the hot key (a 4-partition
+    // test session folds ~8 keys per partition and the hot one never
+    // clears 2x the median — the bench session already runs 32)
+    "spark.sql.shuffle.partitions" -> "32",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+      thresholdBytes.toString,
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+      (thresholdBytes / 2).toString,
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Build and EXECUTE a frame under temporary session confs, restoring
+    * the previous values afterwards; returns the materialized result
+    * and the FINAL adaptive physical plan. AQE re-plans per stage at
+    * runtime — a skew split exists only in the executed plan, never in
+    * an explain-before-run — so the plan string is captured after the
+    * eager localCheckpoint. The confs must wrap CONSTRUCTION too
+    * (planning-time confs like the broadcast threshold are read when
+    * the plan is built), hence the by-name `build`.
+    */
+  def runWithConfs(s: org.apache.spark.sql.SparkSession,
+      confs: Map[String, String])(build: => DataFrame): (DataFrame, String) = {
+    val old = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = build
+      val mat = df.localCheckpoint(true)
+      (mat, df.queryExecution.executedPlan.toString())
+    } finally old.foreach { case (k, prev) =>
+      prev.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
 }

@@ -18,6 +18,27 @@ object Relational2 {
     ("mid_value", "purchase", 20.0),
     ("clicks", "click", 0.0))
 
+  /** x3's hot-key fact-fact join shape, shared with PlanSpec's
+    * skew-split gate: shard key k where k=0 carries ~1/3 of all rows
+    * on BOTH sides, joined un-salted and aggregated on a non-join key.
+    */
+  private[graft] def x3SkewShape(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def k = when(col("user_id") % 3 === 0, lit(0L))
+      .otherwise(col("user_id") % 32)
+    // the repartition models the many-mapper reality of any real scan:
+    // AQE splits a skewed reduce partition by MAP-OUTPUT ranges, so a
+    // single-file local fixture (one map task) would leave it nothing
+    // to split — at 100 TB the scan has thousands of mappers and this
+    // exchange does not exist
+    val l = ev.select(k.as("k"), col("event_type"), col("value"))
+      .repartition(8)
+    val r = ev.filter(col("event_id") % 100 === 0).select(k.as("k"))
+    l.join(r, "k")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("value")).as("total"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -569,6 +590,39 @@ object Relational2 {
         "c_custkey", col("event_id"), buckets = 8)
         .select("event_id", "c_mktsegment")
         .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
+    // AQE runtime skew-join — x2's problem WITHOUT the manual salt:
+    // a fact-fact join whose key is dominated by one hot shard (k=0
+    // carries ~1/3 of all rows on both sides). At 100 TB this is the
+    // difference between a babysat job (someone hand-salts every hot
+    // key) and a self-healing one: AQE measures the actual shuffle
+    // partition sizes at runtime and splits the hot partition into
+    // advisory-sized pieces, each joined against a duplicate of the
+    // matching right partition — the same row multiset, so the gate
+    // is a plain join+agg oracle. The post-join aggregation groups on
+    // event_type, NOT the join key, so the split never violates a
+    // downstream distribution requirement (grouping on the join key
+    // would let Catalyst reuse the join's partitioning, which a skew
+    // split must not break — that shape needs forceOptimizeSkewedJoin
+    // and an extra exchange). Detection thresholds scale with the
+    // fixture (production keeps the 256 MB default); PlanSpec pins
+    // the skew=true split shape at sf0.001.
+    Q("x3_aqe_skew_join",
+      "AQE runtime skew-split of a hot-key fact-fact join == plain join+agg (no manual salt)",
+      """WITH l AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 32 END AS k,
+        |                  event_type, value FROM events),
+        |r AS (SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id % 32 END AS k
+        |      FROM events WHERE event_id % 100 = 0)
+        |SELECT l.event_type, count(*) AS n_pairs,
+        |       cast(sum(cast(l.value as decimal(30,2))) as double) AS total
+        |FROM l JOIN r ON l.k = r.k
+        |GROUP BY l.event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val (res, _) = graft.operators.Salt.runWithConfs(s,
+        graft.operators.Salt.aqeSkewConfs(thresholdBytes = 16384))(
+        x3SkewShape(t(s, d, "events")))
+      res.orderBy("event_type")
     },
 
     // ---------------------------------------------------------------

@@ -959,6 +959,48 @@ object Similarity {
           (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
             .as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // The serving live-similarity path end to end — the reference's
+    // tuned k-NN reader (readers/games.py:188-225) behind its metric
+    // allow-list (games.py:131-135), driven as a catalog query: top-10
+    // under EVERY allowed metric (COSINE / DOT_PRODUCT / EUCLIDEAN) in
+    // one gated result. The Spark side goes through serve.Readers —
+    // the same object ReadersSpec drives — so the serving layer itself
+    // crosses the oracle, not a re-implementation. Each metric is the
+    // codegen'd vector_distance expression over one broadcast-query
+    // scan + TakeOrderedAndProject; the oracle recomputes all three
+    // with the same left-fold arithmetic (bit parity, the k1/k4
+    // discipline).
+    Q("k14_live_similarity",
+      "serving live-similarity reader: top-10 under every allowed metric (COSINE/DOT_PRODUCT/EUCLIDEAN)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        def top(metric: String, dist: String) =
+          s"""(SELECT '$metric' AS metric, vec_id, $dist AS dist
+             |   FROM n, q WHERE vec_id != 0 ORDER BY dist, vec_id LIMIT 10)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0)
+           |SELECT metric, vec_id, dist FROM (
+           |${top("COSINE",
+          s"1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}")}
+           |UNION ALL
+           |${top("DOT_PRODUCT", s"-(${XSql.dot("n.v", "q.qv")})")}
+           |UNION ALL
+           |${top("EUCLIDEAN", s"sqrt(${XSql.dist2("n.v", "q.qv")})")})
+           |ORDER BY metric, dist, vec_id""".stripMargin
+      }) { (s, d) =>
+      val r = graft.serve.Readers.build(s, d)
+      val out = Seq("COSINE", "DOT_PRODUCT", "EUCLIDEAN").map { m =>
+        r.similarLive(0L, m, 10)
+          .select(lit(m).as("metric"), col("vec_id"), col("dist"))
+      }.reduce(_.unionByName(_)).orderBy("metric", "dist", "vec_id")
+      // transient reader: drop its (lazy, likely never-materialized)
+      // serving caches so nothing squats on storage after the gate
+      r.close()
+      out
     }
   )
 }

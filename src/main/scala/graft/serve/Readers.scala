@@ -67,6 +67,19 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Drop the serving caches. A long-lived server keeps them hot; a
+    * transient reader (the k14 catalog query, a bench pass) must not
+    * leave cached blocks squatting on executor storage after it is
+    * done. Unpersisting never-materialized caches is a no-op, and
+    * plans already derived from the frames stay valid (they just read
+    * the source again).
+    */
+  def close(): Unit = {
+    prof.unpersist()
+    neigh.unpersist()
+    emb.unpersist(): Unit
+  }
 }
 
 object Readers {

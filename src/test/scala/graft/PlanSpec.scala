@@ -340,4 +340,20 @@ class PlanSpec extends SparkSpec {
       s"config union must scan the fact table once, saw $eventScans:\n" + p)
     assert(p.contains("Generate explode"), "expected tag explode:\n" + p)
   }
+
+  test("x3: AQE splits the hot-key fact-fact join at runtime (skew=true)") {
+    // the skew split exists only in the EXECUTED adaptive plan, so
+    // this gate runs the shape eagerly (runWithConfs) instead of
+    // reading plan(name); thresholds scale to the sf0.001 fixture the
+    // same way the catalog query scales them to sf0.01+
+    import graft.operators.Salt
+    val ev = Tables.load(spark, sf, "events")
+    val (res, p) = Salt.runWithConfs(spark, Salt.aqeSkewConfs(4096))(
+      graft.queries.Relational2.x3SkewShape(ev))
+    assert(p.contains("skew=true"), "no skew split in executed plan:\n" + p)
+    // and the split is invisible to results: same rows as the plain plan
+    val plain = graft.queries.Relational2.x3SkewShape(ev)
+    assert(res.orderBy("event_type").collect().toSeq ==
+      plain.orderBy("event_type").collect().toSeq)
+  }
 }
