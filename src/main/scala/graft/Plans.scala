@@ -75,7 +75,23 @@ object Plans {
     "d11_semantic_dedup" ->
       "Semantic dedup, O(n): trained clusters broadcast, dedup by (cluster, quantized centroid-distance shell) keyed aggregate — no pair join anywhere in the plan.",
     "k13_batch_ann" ->
-      "Batch ANN: a whole query set retrieves in ONE bucket equi-join (query side explodes to multi-probe buckets); top-3 per query via a rank window with WindowGroupLimit below the shuffle.")
+      "Batch ANN: a whole query set retrieves in ONE bucket equi-join (query side explodes to multi-probe buckets); top-3 per query via a rank window with WindowGroupLimit below the shuffle.",
+    "k14_live_similarity" ->
+      "Serving live similarity across the metric allow-list: each metric is a broadcast 1-row query + codegen'd vector_distance + TakeOrdered top-10; the union is of three 10-row results, never of scans.",
+    "x3_aqe_skew_join" ->
+      "AQE runtime skew-join: the hot-shard fact-fact SortMergeJoin split at runtime — skew=true appears only in the FINAL adaptive plan, so this entry prints the EXECUTED plan (explain-before-run cannot show it; PlanSpec asserts it).")
+
+  /** Flagships whose scale story exists only in the executed adaptive
+    * plan — printed via their own runner instead of the catalog entry
+    * (whose returned frame is already materialized).
+    */
+  private val ExecutedPlans: Map[String, (SparkSession, String) => String] = Map(
+    "x3_aqe_skew_join" -> ((s, sfDir) => {
+      val (_, p) = graft.operators.Salt.runWithConfs(s,
+        graft.operators.Salt.aqeSkewConfs(4096))(
+        graft.queries.Relational2.x3SkewShape(Tables.load(s, sfDir, "events")))
+      p
+    }))
 
   /** Session confs a flagship needs for its scale story to print at
     * sf0.001 (restored after each plan).
@@ -113,9 +129,14 @@ object Plans {
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val planStr = ExecutedPlans.get(name) match {
+          case Some(run) => run(spark, sfDir)
+          case None =>
+            SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.executedPlan.toString()
+        }
         sb.append(s"\n## $name\n\n$note\n\n```\n")
-        sb.append(df.queryExecution.executedPlan.toString().take(4000))
+        sb.append(planStr.take(4000))
         sb.append("\n```\n")
       } finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
