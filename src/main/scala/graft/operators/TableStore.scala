@@ -304,14 +304,18 @@ object TableStore {
     * Concurrency: a publisher first claims its number by create-
     * exclusive `_claim_vN`; racing publishers that collide on a number
     * retry upward, so each lands as a DISTINCT committed version and
-    * `currentVersion` is their max. Within one JVM the claim step is
-    * additionally serialized by a lock (create-exclusive is atomic on
-    * HDFS-like stores but check-then-create on the raw local FS); the
-    * cross-process multi-writer story on a plain local directory is
-    * where a lakehouse format's commit log remains the production
-    * swap. A crash between claim and marker leaves an uncommitted
-    * claim/orphan dir: never readable, number burned forever (claims
-    * are only removed by their own successful commit).
+    * `currentVersion` is their max. Claim and marker creation go
+    * through [[createExclusive]]: on a local FS that is a POSIX
+    * link(2) of a pre-written temp file — atomic, exclusive, and
+    * content-complete even across PROCESSES; on HDFS-like stores it
+    * is the store's own atomic create-exclusive (where a reader can
+    * transiently observe a marker before its note bytes — a lakehouse
+    * commit log is the production swap that closes that, call sites
+    * identical). An in-JVM lock additionally serializes claims to cut
+    * collision retries. A crash between claim and marker leaves an
+    * uncommitted claim/orphan dir: never readable, number burned
+    * forever (claims are only removed by their own successful
+    * commit).
     *
     * Scale: a publish writes only the new version's files plus two
     * ~empty marker files — cost is the data written, independent of
@@ -334,21 +338,53 @@ object TableStore {
     f.delete(vDir, true)
     df.write.parquet(vDir.toString)
     val marker = new Path(s"$path/_committed_v$v")
-    val out =
-      try f.create(marker, false)
-      catch { case e: java.io.IOException =>
-        throw new java.io.IOException(
-          s"publishVersion: marker $marker already exists — " +
-            "claim uniqueness was violated", e)
-      }
-    out.write(note.getBytes("UTF-8"))
-    out.close()
+    if (!createExclusive(f, marker, note.getBytes("UTF-8")))
+      throw new java.io.IOException(
+        s"publishVersion: marker $marker already exists — " +
+          "claim uniqueness was violated")
     f.delete(new Path(s"$path/_claim_v$v"), false)
     v
   }
 
   /** In-JVM serialization of the claim step (see class doc). */
   private val claimLock = new Object
+
+  /** Atomic create-exclusive of `p` with `content` fully visible, or
+    * false if `p` already exists. Local FS: write a temp file in the
+    * same directory, then hard-LINK it into place — link(2) fails if
+    * the target exists and publishes the complete bytes in one atomic
+    * step, so this is exclusive across processes, not just threads
+    * (Hadoop's RawLocalFileSystem `create(overwrite = false)` is
+    * check-then-create — racy — and a plain create exposes a
+    * zero-length window either way). Non-local stores: the store's
+    * create-exclusive (atomic on HDFS-like namenodes).
+    */
+  private def createExclusive(f: FileSystem, p: Path,
+      content: Array[Byte]): Boolean =
+    if (f.getScheme == "file") {
+      val dir = java.nio.file.Paths.get(p.getParent.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(dir, s".${p.getName}.", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, content)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    } else {
+      try {
+        val out = f.create(p, false)
+        out.write(content)
+        out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    }
 
   /** Claim the next version number: 1 + max over committed markers,
     * v=N dirs (orphans burn their number) and outstanding claims;
@@ -359,16 +395,8 @@ object TableStore {
       var next = (numbered(f, path, "_committed_v") ++
         numbered(f, path, "v=") ++ numbered(f, path, "_claim_v"))
         .foldLeft(0L)(math.max) + 1L
-      var claimed = false
-      while (!claimed) {
-        try {
-          f.create(new Path(s"$path/_claim_v$next"), false).close()
-          claimed = true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
-          case _: java.nio.file.FileAlreadyExistsException => next += 1
-        }
-      }
+      while (!createExclusive(f, new Path(s"$path/_claim_v$next"), Array.empty))
+        next += 1
       next
     }
 
