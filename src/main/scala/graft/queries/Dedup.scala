@@ -461,13 +461,15 @@ object Dedup {
       import graft.operators.KMeans
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(dlDouble(SqlSpark))).select("vec_id", "v")
-      // production sum/count mean: the oracle's sorted-fold trainer
-      // yields the same assignments (KMeansSpec); the shell key is a
-      // coarse (×1000) floor of a distance recomputed from the true
-      // vectors, far from any low-bit mean difference
-      val cents = KMeans.train(e, 8, Similarity.LloydRounds, dims = 64)
-      val dc = KMeans.assign(e, cents)
-        .join(e, "vec_id")
+      // centroids fit at the driver on the bounded training set
+      // (trainLocal — bit-identical to the gate-parity distributed
+      // trainer per KMeansSpec); the corpus-scale shell assignment
+      // below stays distributed
+      val cents = KMeans.trainLocal(e, 8, Similarity.LloydRounds)
+      // cluster id computed in place on the scan (withAssign's per-row
+      // argmin) — no (e ⋈ assignment) vec_id join; one broadcast of
+      // the k centroid rows attaches cv for the shell distance
+      val dc = KMeans.withAssign(e, cents)
         .join(broadcast(cents), "cid")
         .select(col("vec_id"), col("cid"),
           floor(expr(XSql.dist2("v", "cv")) * 1000).cast("long").as("shell"))

@@ -111,16 +111,16 @@ object Similarity {
        |    FROM ${p}r2) WHERE rn = 1)""".stripMargin
   }
 
-  /** DuckDB CTE chain for the PRODUCTION trainer the IVF/PQ consumers
+  /** DuckDB CTE chain for the index-build trainer the IVF/PQ consumers
     * (k3/k7/k10/k11/k12, d11) mirror: deterministic farthest-point
-    * seeding (k-1 fixed argmax-min-dist passes — KMeans.initFarthest's
-    * twin) followed by `rounds` Lloyd updates. The oracle folds its
-    * means sorted (its own bit-pinned discipline); the Spark side runs
-    * the production sum/count mean — the two agree on every
-    * ASSIGNMENT, which is all the consumers gate on. Assumes a CTE
-    * `src(vec_id, v)` is in scope; emits `${p}c1` (the final
-    * centroids) and `${p}a2` (the assignment under them) — the same
-    * consumer-facing names the 1-round chain exposed.
+    * seeding (batched argmax-min-dist passes — KMeans.initFarthest's
+    * twin) followed by `rounds` Lloyd updates with sorted-fold means —
+    * bit-identical to `KMeans.trainLocal`, the engine's bounded-sample
+    * driver-side trainer (KMeansSpec pins local == distributed gate
+    * trainer == this chain). Assumes a CTE `src(vec_id, v)` is in
+    * scope; emits `${p}c1` (the final centroids) and `${p}a2` (the
+    * assignment under them) — the same consumer-facing names the
+    * 1-round chain exposed.
     */
   private[queries] def lloydCtes(k: Int, p: String = "", dims: Int = Dims,
       src: String = "e", rounds: Int = LloydRounds): String = {
@@ -224,22 +224,18 @@ object Similarity {
       .withColumn("nrm", sqrt(col("n2")))
       .select(col("vec_id"),
         expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("v"))
-    // all PqSub subquantizers train in ONE grouped trainer: the rows
-    // explode to (grp, vec_id, slice) once and every init pass /
-    // Lloyd round advances all groups in a single job — G scans
-    // become one scan (the trainMulti contract), which at 100 TB is
-    // the difference between one pass over the corpus and eight.
-    // PRODUCTION mean (sum/count): the oracle recomputes the
-    // codebooks with its sorted-fold mean, but every gated value
-    // derives from the ASSIGNMENTS (code ids) + exact distances
-    // recomputed from true vectors — invariant across the two means
-    // (KMeansSpec), so the catalog runs the scale path.
+    // all PqSub codebooks fit at the driver in ONE bounded collect
+    // (trainLocalMulti — the FAISS index-build discipline: training
+    // is an in-memory problem on a bounded sample; KMeansSpec proves
+    // bit-equality with the distributed gate-parity trainer). The
+    // corpus-scale work — ENCODING every vector — stays distributed:
+    // assignMulti's per-row broadcast argmin over the scan.
     def slices(vcol: String) = posexplode(
       array((0 until PqSub).map(i =>
         expr(s"slice($vcol, ${i * sub + 1}, $sub)")): _*))
     val eAll = en.select(col("vec_id"), slices("v"))
       .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
-    val cents = KMeans.trainMulti(eAll, PqCodes, LloydRounds, dims = sub)
+    val cents = KMeans.trainLocalMulti(eAll, PqCodes, LloydRounds)
     val codes = KMeans.assignMulti(eAll, cents)
     val qAll = en.filter(col("vec_id") === 0)
       .select(slices("v"))
@@ -258,14 +254,14 @@ object Similarity {
   }
 
   /** Spark side of the trained-IVF query (k3 single-probe, k7 two-
-    * probe): train coarse centroids with [[graft.operators.KMeans]]
-    * (gate-parity means — the oracle recomputes them bit-identically),
-    * assign every vector to its centroid list, probe the `probes`
-    * nearest lists for the query, exact-cosine rerank. This closes the
-    * index-build → index-query loop the way a real vector store runs:
-    * at scale the list id (cid) is a partition column, so the probe is
-    * `probes` partition reads; the train+assign passes are the honest
-    * one-off build cost.
+    * probe): fit coarse centroids on the bounded training set
+    * ([[graft.operators.KMeans.trainLocal]] — bit-identical to the
+    * oracle's CTE trainer), assign every vector to its centroid list
+    * distributed, probe the `probes` nearest lists for the query,
+    * exact-cosine rerank. This closes the index-build → index-query
+    * loop the way a real vector store runs: at scale the list id
+    * (cid) is a partition column, so the probe is `probes` partition
+    * reads; the one assignment pass is the honest one-off build cost.
     */
   private def ivfTrained(s: org.apache.spark.sql.SparkSession, d: String,
       probes: Int): org.apache.spark.sql.DataFrame = {
@@ -273,12 +269,11 @@ object Similarity {
     val e = t(s, d, "embeddings")
       .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
     val n = e.withColumn("n2", expr(XSql.norm2("v")))
-    // production sum/count mean — the oracle's sorted-fold trainer
-    // yields the same assignments (KMeansSpec), and the gated rows are
-    // exact-cosine reranks over the probed lists, so the catalog runs
-    // the scale path
-    val cents = graft.operators.KMeans.train(e, 4, LloydRounds, dims = Dims)
-    val lists = graft.operators.KMeans.assign(e, cents)
+    // coarse centroids fit at the driver on the bounded training set
+    // (trainLocal — bit-identical to the gate-parity distributed
+    // trainer per KMeansSpec, so the oracle's CTE chain reproduces
+    // them exactly); list ASSIGNMENT below stays distributed
+    val cents = graft.operators.KMeans.trainLocal(e, 4, LloydRounds)
     val q = n.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
     val pick = cents.crossJoin(broadcast(q))
@@ -286,7 +281,10 @@ object Similarity {
       .orderBy(col("d2"), col("cid"))
       .limit(probes)
       .select("cid")
-    n.join(lists, "vec_id")
+    // list id computed IN PLACE on the scan (withAssign's per-row
+    // argmin) — no (e ⋈ assignment) vec_id join; the probe is then
+    // one broadcast equi-join on the picked list ids
+    graft.operators.KMeans.withAssign(n, cents)
       .join(broadcast(pick), Seq("cid"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0)
@@ -906,16 +904,19 @@ object Similarity {
         .select(col("v").as("qv"), col("n2").as("qn2"))
       // production mean (see ivfTrained) — assignments match the
       // oracle's sorted-fold trainer per KMeansSpec
-      val coarse = KMeans.train(e, 4, LloydRounds, dims = Dims)
-      // materialize the assignment and residual set ONCE: the four
-      // subspace trainings below each run several actions, and without
-      // this every action would replay scan -> assign -> residual join
-      // from scratch. This is the same move a real index build makes —
-      // write the codes/residuals table once, then train against it —
-      // expressed here as an eager localCheckpoint (rows x 64 doubles).
-      val lists = KMeans.assign(e, coarse).localCheckpoint(true)
-      val eres = e.join(lists, "vec_id")
-        .join(broadcast(coarse), "cid")
+      val coarse = KMeans.trainLocal(e, 4, LloydRounds)
+      // materialize the assigned vectors and residual set ONCE: the
+      // four subspace trainings below each run several actions, and
+      // without this every action would replay scan -> assign ->
+      // residual from scratch. This is the same move a real index
+      // build makes — write the list/codes table once, then train
+      // against it — expressed here as an eager localCheckpoint
+      // (rows x 64 doubles). The list id itself is withAssign's
+      // per-row argmin on the scan: no (e ⋈ assignment) join.
+      val eList = KMeans.withAssign(e, coarse)
+        .withColumnRenamed("cid", "list").localCheckpoint(true)
+      val eres = eList
+        .join(broadcast(coarse.withColumnRenamed("cid", "list")), "list")
         .select(col("vec_id"), expr(resElem("v", "cv")).as("v"))
         .localCheckpoint(true)
       val pick = coarse.crossJoin(broadcast(q.select("qv")))
@@ -933,7 +934,7 @@ object Similarity {
           expr(s"slice($vcol, ${i * sub + 1}, $sub)")): _*))
       val erAll = eres.select(col("vec_id"), slices("v"))
         .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
-      val cb = KMeans.trainMulti(erAll, PqCodes, LloydRounds, dims = sub)
+      val cb = KMeans.trainLocalMulti(erAll, PqCodes, LloydRounds)
       val codes = KMeans.assignMulti(erAll, cb)
       // per-list ADC tables: the query residual against each picked
       // list, sliced to (list, grp, qr)
@@ -942,8 +943,7 @@ object Similarity {
       val dt = cb.join(broadcast(qresAll), "grp")
         .select(col("list"), col("grp"), col("cid"),
           expr(XSql.dist2("qr", "cv")).as("dterm"))
-      val inLists = e.select("vec_id")
-        .join(lists.withColumnRenamed("cid", "list"), "vec_id")
+      val inLists = eList.select("vec_id", "list")
         .join(broadcast(pick.select("list")), "list")
       // ad2 folds per-subspace terms in grp order (sorted fold) —
       // bit-identical to the oracle's left-associated t0 + t1 + ... sum

@@ -113,6 +113,36 @@ class KMeansSpec extends SparkSpec {
     solo1.foreach { case (cid, cv) => assert(close(both((1, cid)), cv)) }
   }
 
+  test("trainLocal is bit-identical to the gate-parity distributed trainer") {
+    // the local (index-build) trainer must reproduce the distributed
+    // sorted-fold trainer EXACTLY — same seeds, same assignments, same
+    // mean bits — because the DuckDB oracle recomputes that chain and
+    // the ANN-tier catalog queries gate on centroids trained locally
+    val e = vectors
+    val local = KMeans.trainLocal(e, 4, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dist = KMeans.train(e, 4, 3, dims = 8, gateParity = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(local == dist)
+    // ... including the degenerate duplicate-point / empty-cluster case
+    import spark.implicits._
+    val dup = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 0.0)))
+      .toDF("vec_id", "v")
+    val localDup = KMeans.trainLocal(dup, 3, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val distDup = KMeans.train(dup, 3, 2, dims = 2, gateParity = true).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(localDup == distDup)
+    // grouped local == per-group local (independence, local form)
+    val g01 = vectors.withColumn("grp", lit(0))
+      .unionByName(vectors.withColumn("grp", lit(1)))
+    val multi = KMeans.trainLocalMulti(g01, 4, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(multi == local.map { case (c, v) => (0, c) -> v } ++
+      local.map { case (c, v) => (1, c) -> v })
+  }
+
   test("gate-parity means equal production means up to float tolerance") {
     val e = vectors
     val a = KMeans.assign(e, KMeans.init(e, 4))
