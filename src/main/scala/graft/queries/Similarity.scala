@@ -1001,6 +1001,65 @@ object Similarity {
       // serving caches so nothing squats on storage after the gate
       r.close()
       out
+    },
+
+    // ---------------------------------------------------------------
+    // The bounded-sample training contract driven end to end — the
+    // piece that makes trainLocal's 100 TB story concrete: centroids
+    // are fitted on a DETERMINISTIC 1/3 sample (vec_id % 3 = 0 — the
+    // exact pre-sampling discipline MaxTrainRows requires of a corpus
+    // that no longer fits any trainer), then EVERY vector — sampled
+    // or not — is list-assigned distributed and the probe runs as in
+    // k3. At 100 TB the sample is the only part training ever reads;
+    // the full corpus is touched exactly once, by the assignment scan.
+    // The oracle recomputes the sampled training bit-identically
+    // (lloydCtes over the sampled CTE) and the full-corpus assignment
+    // with the same (d2, cid) ordering.
+    Q("k15_sampled_train",
+      "IVF trained on a deterministic 1/3 sample, full-corpus assignment, single-probe top-10",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |es AS (SELECT vec_id, v FROM e WHERE vec_id % 3 = 0),
+           |${lloydCtes(4, src = "es")},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |af AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM e, c1 c) WHERE rn = 1),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 1)
+           |SELECT n.vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n JOIN af ON n.vec_id = af.vec_id, q
+           |WHERE af.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      // training reads ONLY the sample; the full corpus is touched
+      // once, by the distributed assignment below
+      val cents = graft.operators.KMeans
+        .trainLocal(e.filter(col("vec_id") % 3 === 0), 4, LloydRounds)
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cents.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(1)
+        .select("cid")
+      graft.operators.KMeans.withAssign(n, cents)
+        .join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     }
   )
 }
