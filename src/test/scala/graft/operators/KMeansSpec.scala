@@ -143,6 +143,27 @@ class KMeansSpec extends SparkSpec {
       local.map { case (c, v) => (1, c) -> v })
   }
 
+  test("trainLocal == distributed gate trainer on randomized low-dim fixtures") {
+    // integer-grid coordinates (affine generator, no RNG) force exact
+    // distance TIES and duplicate points — the cases where an ordering
+    // slip between the two trainers would first show
+    import spark.implicits._
+    (1 to 3).foreach { seed =>
+      val e = (0L until 40L).map { id =>
+        val v = (0 until 3).map { d =>
+          ((1103515245L * (seed * 1000 + id * 3 + d) + 12345L) % 5L).toDouble
+        }
+        (id, v)
+      }.toDF("vec_id", "v")
+      val k = 2 + seed // 3, 4, 5
+      val local = KMeans.trainLocal(e, k, 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val dist = KMeans.train(e, k, 2, dims = 3, gateParity = true).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(local == dist, s"seed=$seed k=$k")
+    }
+  }
+
   test("gate-parity means equal production means up to float tolerance") {
     val e = vectors
     val a = KMeans.assign(e, KMeans.init(e, 4))
