@@ -282,6 +282,64 @@ object TableStore {
     f.delete(oldP, true)
   }
 
+  // ----------------------------------------------- deletion vectors
+
+  /** Row-level deletes without rewriting data files — the lakehouse
+    * "deletion vector" discipline, at the key granularity the engine's
+    * tables actually carry. A delete appends the matching KEYS to a
+    * tombstone table beside the data (`<path>__deletes`); live readers
+    * anti-join the tombstones; a maintenance pass ([[applyDeletes]])
+    * folds the tombstones into the data files and truncates them.
+    *
+    * Why this shape at 100 TB: a GDPR/right-to-be-forgotten delete of
+    * a handful of keys must not rewrite a 100 TB table — the write
+    * cost of [[deleteWhere]] is O(matching keys), not O(table). The
+    * read-side cost is one anti-join against a tombstone set that is
+    * tiny until the next [[applyDeletes]] (Spark's size-based
+    * planning broadcasts it), and the amortized rewrite happens on
+    * the operator's schedule (e.g. folded into [[compact]]-style
+    * maintenance windows), not the deleter's.
+    *
+    * Contract: `keys` identify rows (same discipline as
+    * [[upsertByKey]]); deleting by a non-key column would tombstone
+    * all rows sharing the value, so callers pass true keys. Deletes
+    * are idempotent (tombstones are deduplicated on read and on
+    * apply). Single-writer, like every discipline in this store.
+    */
+  def deleteWhere(spark: SparkSession, path: String, keys: Seq[String],
+      pred: org.apache.spark.sql.Column): Unit = {
+    val hit = readLive(spark, path, keys).filter(pred)
+      .select(keys.map(col): _*).distinct()
+    append(hit, deletesPath(path))
+  }
+
+  /** The live view: data minus tombstoned keys. Without tombstones
+    * this is a plain [[read]] — no join is ever planned for a table
+    * with no pending deletes.
+    */
+  def readLive(spark: SparkSession, path: String, keys: Seq[String]): DataFrame = {
+    val d = deletesPath(path)
+    if (!exists(spark, d)) read(spark, path)
+    else read(spark, path).join(read(spark, d).distinct(), keys, "left_anti")
+  }
+
+  /** Fold pending tombstones into the data files (one [[rewrite]] of
+    * the live view) and clear them. Crash-safe in the caller-visible
+    * sense: the tombstone dir is removed only AFTER the rewrite
+    * lands, so a crash between the two re-applies an anti-join whose
+    * right side matches nothing — the live view is unchanged at every
+    * step.
+    */
+  def applyDeletes(spark: SparkSession, path: String, keys: Seq[String]): Unit = {
+    val d = deletesPath(path)
+    if (exists(spark, d)) {
+      rewrite(spark, path, readLive(spark, path, keys))
+      fs(spark, d).delete(new Path(d), true)
+    }
+  }
+
+  private def deletesPath(path: String): String = path + "__deletes"
+
   // ------------------------------------------------------ snapshots
 
   /** Versioned snapshots ("time travel") — the dataset-reproducibility

@@ -463,6 +463,50 @@ object Sinks {
         .groupBy("load_date")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("load_date")
+    },
+
+    // ---------------------------------------------------------------
+    // Deletion vectors — row-level deletes WITHOUT rewriting data
+    // files: tombstone keys land beside the table, live readers
+    // anti-join them, and a maintenance pass folds them in. The query
+    // reads the same aggregate through BOTH reader paths — tombstones
+    // pending (anti-join) and tombstones applied (plain scan) — and
+    // the oracle states each as the identical NOT-deleted filter, so
+    // the gate proves the two paths agree. At 100 TB this is the
+    // GDPR-delete shape: O(matched keys) write cost per delete, one
+    // broadcast-sized anti-join per read, table rewrite only on the
+    // maintenance schedule (TableStore.deleteWhere/readLive/
+    // applyDeletes).
+    Q("s21_delete_vectors",
+      "tombstone deletes: anti-join reads == post-apply reads, O(keys) delete cost",
+      """SELECT stage, o_orderstatus, count(*) AS n,
+        |  cast(sum(cast(o_totalprice as decimal(30,2))) as double) AS total
+        |FROM (
+        |  SELECT 'applied' AS stage, o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_custkey % 7 = 0) AND NOT (o_totalprice > 300000)
+        |  UNION ALL
+        |  SELECT 'pending', o_orderstatus, o_totalprice FROM orders
+        |  WHERE NOT (o_custkey % 7 = 0) AND NOT (o_totalprice > 300000))
+        |GROUP BY stage, o_orderstatus ORDER BY stage, o_orderstatus""".stripMargin) { (s, d) =>
+      val path = scratch("s21")
+      val keys = Seq("o_orderkey")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      TableStore.append(o, path)
+      // two independent deletes accumulate tombstones; each costs
+      // O(matching keys), the 100 TB data files are never touched
+      TableStore.deleteWhere(s, path, keys, col("o_custkey") % 7 === 0)
+      TableStore.deleteWhere(s, path, keys, col("o_totalprice") > 300000)
+      def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy(lit(stage).as("stage"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      val pending = agg(TableStore.readLive(s, path, keys), "pending")
+      // pending must materialize BEFORE the apply rewrites the files
+      // under it (readLive is lazy; the checkpoint pins its result)
+      val pinned = pending.localCheckpoint(true)
+      TableStore.applyDeletes(s, path, keys)
+      agg(TableStore.read(s, path), "applied").unionByName(pinned)
+        .orderBy("stage", "o_orderstatus")
     }
   )
 }

@@ -306,4 +306,40 @@ class TableStoreSpec extends SparkSpec {
     assert(liveKeys == Set(2L))
     assert(TableStore.read(spark, arch).count() == 1)
   }
+
+  test("deletion vectors: tombstone reads == post-apply reads; idempotent; files untouched until apply") {
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"), p)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      f.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s"${s.getPath.getName}@${s.getModificationTime}").toSet
+    val before = dataFiles()
+    import org.apache.spark.sql.functions.col
+    TableStore.deleteWhere(spark, p, Seq("k"), col("k") % 2 === 0)
+    // delete is O(keys): the data files are byte-identical
+    assert(dataFiles() == before)
+    def live(): Seq[(Long, String)] =
+      TableStore.readLive(spark, p, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(live() == Seq(1L -> "a", 3L -> "c"))
+    // idempotent: re-deleting the same predicate changes nothing
+    TableStore.deleteWhere(spark, p, Seq("k"), col("k") % 2 === 0)
+    assert(live() == Seq(1L -> "a", 3L -> "c"))
+    // a second delete accumulates
+    TableStore.deleteWhere(spark, p, Seq("k"), col("v") === "c")
+    assert(live() == Seq(1L -> "a"))
+    TableStore.applyDeletes(spark, p, Seq("k"))
+    // applied: plain reads now see the live view, tombstones cleared
+    assert(readSorted(p) == Seq(1L -> "a"))
+    assert(!TableStore.exists(spark, p + "__deletes"))
+    // readLive with no pending tombstones is a plain scan
+    assert(live() == Seq(1L -> "a"))
+    // apply with nothing pending is a no-op (no rewrite churn)
+    val after = dataFiles()
+    TableStore.applyDeletes(spark, p, Seq("k"))
+    assert(dataFiles() == after)
+  }
 }
