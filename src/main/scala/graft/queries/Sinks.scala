@@ -507,6 +507,37 @@ object Sinks {
       TableStore.applyDeletes(s, path, keys)
       agg(TableStore.read(s, path), "applied").unionByName(pinned)
         .orderBy("stage", "o_orderstatus")
+    },
+
+    // ---------------------------------------------------------------
+    // Z-order clustering — the layout for tables queried by more than
+    // one selective dimension: files cover quadtree tiles, so parquet
+    // min/max footers are narrow in BOTH columns and a range predicate
+    // on either (or both) row-group-skips most files; a linear sort
+    // only ever skips on its leading column. The oracle states the
+    // same two-sided range aggregate straight over the source table —
+    // clustering must be result-invariant — and TableLayoutSpec
+    // measures the per-file bounding boxes that make the skipping
+    // claim real (a y-only predicate touches EVERY linear-layout file
+    // and a bounded handful of z-order tiles).
+    Q("s22_zorder_layout",
+      "Z-order clustered rewrite: result-invariant, 2-D-skippable file boxes",
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(30,2))) as double) AS total
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 199
+        |  AND event_id BETWEEN 10000 AND 49999
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val path = scratch("s22")
+      graft.operators.TableLayout.writeZOrdered(
+        t(s, d, "events").select("event_id", "user_id", "event_type", "value"),
+        path, "user_id", "event_id", bits = 12, nFiles = 16)
+      TableStore.read(s, path)
+        .filter(col("user_id").between(100, 199) &&
+          col("event_id").between(10000, 49999))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 }

@@ -43,4 +43,60 @@ class TableLayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters:"), plan)
     assert(scan.count() == 48)
   }
+
+  test("interleaveBits is the Morton curve") {
+    import TestSpark.spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
+      (3L, 5L), (63L, 63L)).toDF("x", "y")
+    val got = df.select(TableLayout.interleaveBits(col("x"), col("y"), 6))
+      .collect().map(_.getLong(0)).toSeq
+    def morton(x: Long, y: Long): Long =
+      (0 until 6).foldLeft(0L)((a, i) =>
+        a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    assert(got == Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
+      (3L, 5L), (63L, 63L)).map { case (x, y) => morton(x, y) })
+    assert(morton(63L, 63L) == 4095L)
+  }
+
+  test("z-order files have 2-D-bounded boxes: a y-only predicate skips most files; a linear sort skips none") {
+    import TestSpark.spark.implicits._
+    val base = Files.createTempDirectory("graft_layout_z").toString
+    // a full 64x64 grid: every (x, y) cell once, in hash order
+    val grid = TestSpark.spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    TableLayout.writeZOrdered(grid, s"$base/z", "x", "y", bits = 6, nFiles = 16)
+    // the linear strawman: same data, same file count, sorted by x only
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x", "y")
+      .write.parquet(s"$base/lin")
+
+    // per-file bounding boxes, read the way parquet footer stats see them
+    def boxes(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = TestSpark.spark.read.parquet(f.getAbsolutePath)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val zb = boxes(s"$base/z")
+    val lb = boxes(s"$base/lin")
+    assert(zb.size == 16 && lb.size == 16)
+    def touching(bs: Seq[(Long, Long, Long, Long)],
+        xr: (Long, Long), yr: (Long, Long)): Int =
+      bs.count { case (xlo, xhi, ylo, yhi) =>
+        xhi >= xr._1 && xlo <= xr._2 && yhi >= yr._1 && ylo <= yr._2 }
+    // y-only predicate (y in [16, 23], an eighth of the range): every
+    // x-sorted file spans all of y, so none skip; z-order tiles are
+    // y-bounded, so most do
+    val yOnlyLin = touching(lb, (0L, 63L), (16L, 23L))
+    val yOnlyZ = touching(zb, (0L, 63L), (16L, 23L))
+    assert(yOnlyLin == 16, s"linear layout should touch all files, got $yOnlyLin")
+    assert(yOnlyZ <= 6, s"z-order should skip most files, touched $yOnlyZ")
+    // a 2-D box (an eighth in each dim) stays bounded under z-order
+    val boxZ = touching(zb, (16L, 23L), (16L, 23L))
+    assert(boxZ <= 4, s"z-order 2-D box touched $boxZ files")
+    // and the rewrite is lossless
+    assert(TestSpark.spark.read.parquet(s"$base/z").count() == 64L * 64L)
+    assert(TestSpark.spark.read.parquet(s"$base/z")
+      .select("x", "y").distinct().count() == 64L * 64L)
+  }
 }
