@@ -335,6 +335,54 @@ object StreamingOps {
     },
 
     // ---------------------------------------------------------------
+    // Pinned-snapshot enrichment — the read side of the feature-store
+    // contract st10 publishes: a streaming job pins the dimension
+    // version it started with and every micro-batch enriches against
+    // THAT version's immutable files, so a publish landing mid-stream
+    // can never split the run across dimension states (half the
+    // output enriched by v1, half by v2 — the classic online/offline
+    // skew bug). Here batch 0 deliberately publishes a poisoned v2
+    // ('STALE' segments) before later batches run; the oracle is the
+    // batch join against the ORIGINAL dimension, so one leaked v2 row
+    // fails the gate. The final require proves the mid-stream publish
+    // really happened. Scale: pinned files are immutable (never raced
+    // by the publisher), and the per-batch join is an ordinary
+    // broadcast-able dimension join.
+    Q("st11_stream_pinned_join",
+      "micro-batch enrichment pinned to a dimension snapshot survives a mid-stream publish",
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS n, ${dsumSql("e.value")} AS total
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |WHERE e.event_type = 'purchase'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st11")
+      val snaps = tmp.resolve("dim").toString
+      val out = tmp.resolve("out").toString
+      val dim = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val v1 = TableStore.publishVersion(s, snaps, dim, note = "dim:v1")
+      val pinned = TableStore.readVersion(s, snaps, Some(v1))
+      val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, id) =>
+        TableStore.append(
+          batch.filter(col("event_type") === "purchase")
+            .join(pinned, col("user_id") === col("c_custkey"))
+            .select(col("c_mktsegment"), col("value")), out)
+        // the poison pill: a NEW dimension version lands after batch 0;
+        // batches 1..n must keep enriching from the pinned v1 files
+        if (id == 0)
+          TableStore.publishVersion(s, snaps,
+            dim.withColumn("c_mktsegment", lit("STALE")), note = "dim:v2")
+      }
+      val cur = TableStore.currentVersion(s, snaps).getOrElse(0L)
+      require(cur > v1, s"st11: expected a mid-stream publish past v$v1, got v$cur")
+      TableStore.read(s, out)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("segment")
+    },
+
+    // ---------------------------------------------------------------
     // Streaming snapshot publisher — st6's incremental view composed
     // with s19's versioned snapshots: every micro-batch merges its
     // delta AND publishes the merged table as an immutable snapshot
