@@ -356,4 +356,42 @@ class PlanSpec extends SparkSpec {
     assert(res.orderBy("event_type").collect().toSeq ==
       plain.orderBy("event_type").collect().toSeq)
   }
+
+  test("s21: tombstone anti-join broadcasts the (tiny) delete set; data side never shuffles") {
+    import graft.operators.TableStore
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_dv")
+    val path = tmp.resolve("t").toString
+    TableStore.overwrite(
+      Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice"), path)
+    TableStore.deleteWhere(spark, path, Seq("o_orderkey"), col("o_orderkey") % 97 === 0)
+    val p = TableStore.readLive(spark, path, Seq("o_orderkey"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "tombstone anti-join should be a broadcast hash join:\n" + p)
+    // the DATA side feeds the join as a bare scan — the only exchange
+    // in the plan is the tombstone side's tiny distinct + broadcast
+    assert(p.linesIterator.exists(_.trim.startsWith(":- FileScan parquet [o_orderkey")),
+      "the data side must reach the anti-join unshuffled:\n" + p)
+  }
+
+  test("s22: the z-value is pure codegen'd column arithmetic — no UDF, no extra shuffle beyond the clustering repartition") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, sf, "events").select("event_id", "user_id")
+    val stats = ev.agg(
+      org.apache.spark.sql.functions.min(col("user_id")).cast("double").as("alo_"),
+      org.apache.spark.sql.functions.max(col("user_id")).cast("double").as("ahi_"))
+    val z = ev.crossJoin(org.apache.spark.sql.functions.broadcast(stats))
+      .withColumn("z_", graft.operators.TableLayout.interleaveBits(
+        col("user_id"), col("event_id"), 8))
+      .repartitionByRange(4, col("z_"))
+    val p = z.queryExecution.executedPlan.toString()
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      "z-value must not be a UDF:\n" + p)
+    assert(p.contains("shiftleft") || p.contains("SHIFTLEFT") || p.contains("<<"),
+      "expected unrolled bit arithmetic in the plan:\n" + p)
+    // exactly one range exchange (the clustering itself) and the
+    // 1-row stats broadcast — no hash shuffle sneaks in
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
