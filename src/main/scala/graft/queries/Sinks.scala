@@ -538,6 +538,52 @@ object Sinks {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // File-skipping secondary index — the stats-manifest discipline:
+    // per-file min/max stored as ONE tiny index table, consulted
+    // BEFORE any data-file IO, so a selective interval predicate
+    // plans a scan over only the intersecting files (parquet footers
+    // alone still cost an open per file — a million small reads on a
+    // million files). Composed with the z-order layout, whose narrow
+    // per-file boxes are what make the index selective in BOTH
+    // columns. The oracle is the same two-sided range aggregate over
+    // the source table — index pruning must be IO-invisible — and a
+    // require proves the plan really skipped files (the measured
+    // pruning also rides SkippingIndexSpec). Stale-index reads fail
+    // loudly (SkippingIndex.prunedScan's file-count guard).
+    Q("s23_skipping_index",
+      "per-file min/max manifest prunes a 2-D range scan; pruned == full-scan result",
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(30,2))) as double) AS total
+        |FROM events
+        |WHERE user_id <= (SELECT max(user_id)//4 FROM events)
+        |  AND event_id <= (SELECT max(event_id)//4 FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.SkippingIndex
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+      val path = scratch("s23")
+      graft.operators.TableLayout.writeZOrdered(
+        ev, path, "user_id", "event_id", bits = 12, nFiles = 16)
+      SkippingIndex.build(s, path, Seq("user_id", "event_id"))
+      // quarter-box in both dims (sf-invariant selectivity ≈ 1/16 of
+      // the z-space); the bounds are planning metadata, same 1-row
+      // stats read any cost-based planner does
+      val mx = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+      val (uHi, eHi) =
+        (mx.getAs[Number](0).longValue / 4, mx.getAs[Number](1).longValue / 4)
+      val ranges = Map[String, (Any, Any)](
+        "user_id" -> (0L, uHi), "event_id" -> (0L, eHi))
+      val kept = SkippingIndex.plannedFiles(s, path, ranges)
+      require(kept < 16,
+        s"skipping index pruned nothing: $kept of 16 files kept")
+      SkippingIndex.prunedScan(s, path, ranges)
+        .filter(col("user_id").between(0L, uHi) &&
+          col("event_id").between(0L, eHi))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 }

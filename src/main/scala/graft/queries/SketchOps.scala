@@ -69,5 +69,38 @@ object SketchOps {
             col("n_lt") <= (col("nv") * 0.55) &&
               col("n_le") >= (col("nv") * 0.45)).as("p50_ok"))
         .orderBy("event_type")
+    },
+
+    // MERGEABLE sketches — the property a17's one-shot aggregate never
+    // shows: per-(status, month) Datasketches HLL sketches built
+    // INDEPENDENTLY (as a nightly partition job would persist them),
+    // then unioned per status WITHOUT touching the rows again. At
+    // 100 TB this is the re-aggregation discipline: daily sketch
+    // partials make any rollup window (week, month, all-time) a
+    // sketch-merge job over KB-sized states instead of a re-scan of
+    // the raw ids. Gate: exact distinct (oracle-checkable) + the
+    // merged estimate inside 5% (datasketches HLL union keeps the
+    // target-mode register max — commutative, partitioning-invariant).
+    Q("a20_sketch_union",
+      "per-month HLL sketch partials unioned per status == within 5% of exact distinct",
+      """SELECT o_orderstatus AS status, count(DISTINCT o_custkey) AS exact_n,
+        |       true AS merged_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+        .select(col("o_orderstatus").as("status"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+      // stage 1: independent partials — one sketch per (status, month)
+      val partials = o.groupBy("status", "m")
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      // stage 2: rollup by MERGE only — no row rescan
+      val merged = partials.groupBy("status")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = o.groupBy("status")
+        .agg(countDistinct(col("o_custkey")).as("exact_n"))
+      exact.join(broadcast(merged), Seq("status"))
+        .select(col("status"), col("exact_n"),
+          (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05)
+            .as("merged_ok"))
+        .orderBy("status")
     })
 }
