@@ -480,6 +480,60 @@ object Dedup {
           countDistinct(col("keep_id")).as("n_kept"),
           sum_distinct(col("keep_id")).cast("long").as("kept_id_sum"))
         .orderBy("cid")
+    },
+
+    // ---------------------------------------------------------------
+    // Passage-level EXACT dedup — the C4/RefinedWeb shape: duplicated
+    // boilerplate (navigation, license headers, quote chains) repeats
+    // ACROSS documents that are not themselves duplicates, so
+    // doc-level dedup (d1) misses it entirely. Unit here: disjoint
+    // 5-word chunks (the fixed-window stand-in for paragraphs — this
+    // corpus has no newlines). Keep each chunk's globally-first
+    // occurrence (min (doc_id, position)), drop every other copy, and
+    // reconstruct the cleaned document from its kept chunks in order.
+    // Scale shape: explode is narrow (chunks ≈ words/5), the dedup
+    // decision is ONE map-side-combinable min-aggregate keyed by chunk
+    // text (at 100 TB: by xxhash64(chunk) — same plan), and the
+    // rebuild is one groupBy doc_id. Linear end to end — the
+    // suffix-array exact-substring dedup of the literature costs a
+    // global sort; this is the bounded-window version that runs as a
+    // plain shuffle job. The (doc_id, i) keep-key packs into one long
+    // only because positions are bounded; the production form is
+    // min(struct(doc_id, i)) — same aggregate, wider key.
+    Q("d12_chunk_dedup",
+      "corpus-wide exact passage dedup: duplicate 5-word chunks dropped (keep first occurrence), docs rebuilt",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, i, array_to_string(l[i*5+1 : i*5+5], ' ') AS chunk
+        |      FROM w, UNNEST(range(GREATEST(CAST(ceil(len(l) / 5.0) AS BIGINT), 1))) AS t(i)),
+        |k AS (SELECT chunk, min(doc_id * 1000000 + i) AS keep_key FROM c GROUP BY chunk)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE c.doc_id * 1000000 + c.i = k.keep_key) AS n_kept,
+        |  coalesce(string_agg(c.chunk, ' ' ORDER BY c.i)
+        |    FILTER (WHERE c.doc_id * 1000000 + c.i = k.keep_key), '') AS clean_text
+        |FROM c JOIN k ON c.chunk = k.chunk
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val chunks = t(s, d, "documents").select("doc_id", "text")
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, greatest(cast(ceil(size(l) / 5.0) as int), 1) - 1),
+            |  i -> array_join(slice(l, i * 5 + 1, 5), ' '))""".stripMargin))
+          .as(Seq("i", "chunk")))
+        .withColumn("key", col("doc_id") * 1000000L + col("i"))
+      val keep = chunks.groupBy("chunk").agg(min(col("key")).as("keep_key"))
+      chunks.join(keep, "chunk")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("key") === col("keep_key"), 1)).as("n_kept"),
+          coalesce(
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("key") === col("keep_key"),
+                  struct(col("i"), col("chunk"))))),
+              x => x.getField("chunk")), " "),
+            lit("")).as("clean_text"))
+        .orderBy("doc_id")
     }
   )
 

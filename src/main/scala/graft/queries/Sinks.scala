@@ -584,6 +584,61 @@ object Sinks {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // Snapshot changelog (CDC read) — `table_changes(v1, v2)`: publish
+    // two versions of a dimension, then read the row-level diff as
+    // insert / delete / update_preimage / update_postimage rows. The
+    // downstream consumer applies THESE instead of re-reading the
+    // table — the O(changes)-not-O(table) refresh discipline that
+    // makes a 100 TB warehouse's derived tables maintainable. The
+    // oracle recomputes the same diff relationally from the base
+    // table; TableStore.changesBetween must agree exactly (one
+    // full-outer join + in-place explode — see its doc for the shape).
+    Q("s24_snapshot_changes",
+      "CDC between snapshots: insert/delete/update_pre/update_post rows from two published versions",
+      """WITH old AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        |new AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN lower(n_name) ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, 'new_' || n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 5),
+        |chg AS (
+        |  SELECT 'delete' AS _change_type, o.n_nationkey, o.n_name, o.n_regionkey
+        |  FROM old o WHERE o.n_nationkey NOT IN (SELECT n_nationkey FROM new)
+        |  UNION ALL
+        |  SELECT 'insert', n.n_nationkey, n.n_name, n.n_regionkey
+        |  FROM new n WHERE n.n_nationkey NOT IN (SELECT n_nationkey FROM old)
+        |  UNION ALL
+        |  SELECT 'update_preimage', o.n_nationkey, o.n_name, o.n_regionkey
+        |  FROM old o JOIN new n ON o.n_nationkey = n.n_nationkey
+        |  WHERE o.n_name <> n.n_name OR o.n_regionkey <> n.n_regionkey
+        |  UNION ALL
+        |  SELECT 'update_postimage', n.n_nationkey, n.n_name, n.n_regionkey
+        |  FROM old o JOIN new n ON o.n_nationkey = n.n_nationkey
+        |  WHERE o.n_name <> n.n_name OR o.n_regionkey <> n.n_regionkey)
+        |SELECT * FROM chg ORDER BY n_nationkey, _change_type""".stripMargin) { (s, d) =>
+      val path = scratch("s24")
+      val nation = t(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val v1 = TableStore.publishVersion(s, path, nation, note = "base")
+      val v2 = TableStore.publishVersion(s, path,
+        nation.filter(col("n_nationkey") % 5 =!= 0)
+          .withColumn("n_name", when(col("n_nationkey") % 3 === 0,
+            lower(col("n_name"))).otherwise(col("n_name")))
+          .unionByName(nation.filter(col("n_nationkey") < 5)
+            .select((col("n_nationkey") + 100).as("n_nationkey"),
+              concat(lit("new_"), col("n_name")).as("n_name"),
+              col("n_regionkey"))),
+        note = "edit")
+      TableStore.changesBetween(s, path, v1, v2, Seq("n_nationkey"))
+        .select("_change_type", "n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey", "_change_type")
     }
   )
 }

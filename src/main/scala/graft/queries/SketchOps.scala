@@ -102,5 +102,54 @@ object SketchOps {
           (abs(col("est") - col("exact_n")) <= col("exact_n") * 0.05)
             .as("merged_ok"))
         .orderBy("status")
+    },
+
+    // Count-min sketch heavy hitters — the third mergeable-sketch
+    // family member (frequencies, next to HLL's cardinalities and the
+    // quantile sketch's ranks): per-month CMS partials with a fixed
+    // (eps, confidence, seed) are plain counter tables, so a rollup is
+    // elementwise addition — KB-sized states merged WITHOUT rescanning
+    // rows, the same nightly-partials discipline as a20. Merging the
+    // disjoint month partials reproduces the one-shot sketch's table
+    // EXACTLY (each row counted once under the same hash functions),
+    // so the gate asserts bit-equal estimates merged-vs-single AND the
+    // CMS point-query guarantee (estimate never under exact, over by
+    // at most eps·N here — deterministic given the fixed seed) on the
+    // top-10 exact heavy hitters. The handful of KB-sized sketch
+    // states and 10 probe keys pass through the driver as planning
+    // metadata; the row scans stay distributed.
+    Q("a21_cms_heavy_hitters",
+      "top-10 heavy hitters: month-partial count-min sketches merge == one-shot, within eps*N of exact",
+      """WITH x AS (
+        |  SELECT user_id, count(*) AS exact_n FROM events
+        |  GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10)
+        |SELECT user_id, exact_n, true AS cms_ok, true AS merge_exact
+        |FROM x ORDER BY exact_n DESC, user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.util.sketch.CountMinSketch
+      def cms(bytes: Array[Byte]): CountMinSketch =
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("month", col("ts")).as("m"))
+      val agg = "count_min_sketch(user_id, 0.001d, 0.99d, 42)"
+      // stage 1: independent per-month partials; stage 2: merge only
+      val merged = ev.groupBy("m").agg(expr(agg).as("sk"))
+        .collect().map(r => cms(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val single = cms(ev.agg(expr(agg).as("sk")).head().getAs[Array[Byte]]("sk"))
+      val top = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("user_id")).limit(10)
+      val slack = math.ceil(0.001 * merged.totalCount()).toLong
+      val probes = top.collect().map { r =>
+        val (u, n) = (r.getAs[Number]("user_id").longValue, r.getLong(1))
+        val (em, es) = (merged.estimateCount(u), single.estimateCount(u))
+        (u, n, em >= n && em <= n + slack, em == es)
+      }.toSeq
+      val checks = s.createDataFrame(probes)
+        .toDF("user_id", "exact_n_", "cms_ok", "merge_exact")
+      top.join(broadcast(checks), top("user_id") === checks("user_id"))
+        .select(top("user_id"), col("exact_n"), col("cms_ok"),
+          col("merge_exact"))
+        .orderBy(desc("exact_n"), top("user_id"))
     })
 }

@@ -394,4 +394,29 @@ class PlanSpec extends SparkSpec {
     // 1-row stats broadcast — no hash shuffle sneaks in
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("s24: the snapshot diff is ONE full-outer join + in-place explode — no union of four scans") {
+    import graft.operators.TableStore
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft_plan_cdc")
+    val path = tmp.resolve("t").toString
+    val n = Tables.load(spark, sf, "nation").select("n_nationkey", "n_name")
+    val v1 = TableStore.publishVersion(spark, path, n)
+    val v2 = TableStore.publishVersion(spark, path,
+      n.filter(col("n_nationkey") % 5 =!= 0))
+    val p = TableStore.changesBetween(spark, path, v1, v2, Seq("n_nationkey"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("FullOuter"), "expected a full-outer join:\n" + p)
+    assert(!p.contains("Union"), "diff must not union per-type scans:\n" + p)
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      "exactly one join — each version scanned once:\n" + p)
+    assert(p.contains("Generate explode"), "changes explode in place:\n" + p)
+  }
+
+  test("d12: chunk-dedup decision is a partial (map-side) min-aggregate keyed by chunk") {
+    val p = plan("d12_chunk_dedup")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "keep-key min must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -342,4 +342,34 @@ class TableStoreSpec extends SparkSpec {
     TableStore.applyDeletes(spark, p, Seq("k"))
     assert(dataFiles() == after)
   }
+
+  test("changesBetween: CDC rows; null transitions are changes; identical versions diff empty") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark,  p,
+      Seq((1L, Option("a")), (2L, Option("b")), (3L, Option.empty[String]))
+        .toDF("k", "v"))
+    val v2 = TableStore.publishVersion(spark, p,
+      Seq((2L, Option("B")), (3L, Option("c")), (4L, Option.empty[String]))
+        .toDF("k", "v"))
+    def diff(a: Long, b: Long): Seq[(String, Long, Option[String])] =
+      TableStore.changesBetween(spark, p, a, b, Seq("k")).collect()
+        .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+        .toSeq.sorted
+    // 1 deleted; 2 updated; 3 updated NULL→'c' (null transition must
+    // register as a change, not hash-collide with the string "null");
+    // 4 inserted with a NULL payload
+    assert(diff(v1, v2) == Seq(
+      ("delete", 1L, Option("a")),
+      ("insert", 4L, Option.empty[String]),
+      ("update_postimage", 2L, Option("B")),
+      ("update_postimage", 3L, Option("c")),
+      ("update_preimage", 2L, Option("b")),
+      ("update_preimage", 3L, Option.empty[String])))
+    // self-diff is empty — unchanged rows never leave the join
+    assert(diff(v2, v2).isEmpty)
+    // reversed direction mirrors insert/delete and swaps the images
+    assert(diff(v2, v1).count(_._1 == "delete") == 1 &&
+      diff(v2, v1).count(_._1 == "insert") == 1)
+  }
 }
