@@ -86,4 +86,78 @@ object SkippingIndex {
       d.filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
     }.count()
   }
+
+  // ------------------------------------------------ bloom file index
+
+  private def bloomPath(path: String, c: String): String =
+    s"${path}__bloom_$c"
+
+  /** Per-file Bloom index for POINT lookups on a column the layout is
+    * NOT clustered by — the case min/max skipping is blind to: when
+    * every file spans the full value range, interval intersection
+    * keeps everything, but a Bloom filter still rules a key out of
+    * most files. This is Delta's Bloom file index / Parquet's
+    * bloom_filter_enabled, kept in the manifest table so the probe is
+    * one tiny read, not a footer open per file.
+    *
+    * Representation: the SET of hit bit positions (k=`hashes` probes
+    * per value, `bits`-wide table), stored as a sorted int array per
+    * file — the same pruning decision as a packed bitset, chosen here
+    * because it stays queryable with plain array predicates (the
+    * production form is the packed bitset as one binary cell; the
+    * membership test and false-positive math are identical). Build is
+    * one narrow explode + one map-side-combinable collect_set keyed by
+    * file. (bits, hashes) ride in the index rows so probes can never
+    * run with mismatched parameters.
+    *
+    * Guarantee: false positives only — a kept file may lack the key
+    * (read and filtered anyway), but a skipped file provably cannot
+    * contain it, so pruned results are exact. Same staleness contract
+    * as [[prunedScan]]: rebuilt after rewrites, fails loudly if the
+    * file set drifted.
+    */
+  def buildBloom(spark: SparkSession, path: String, c: String,
+      bits: Int = 1 << 16, hashes: Int = 4): Unit = {
+    val probes = (0 until hashes).map(j =>
+      pmod(xxhash64(col(c), lit(j)), lit(bits)).cast("int"))
+    val idx = spark.read.parquet(path)
+      .select(input_file_name().as("file"), explode(array(probes: _*)).as("p"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("p"))).as("bits_set"))
+      .withColumn("bits", lit(bits)).withColumn("hashes", lit(hashes))
+    TableStore.overwrite(idx, bloomPath(path, c))
+  }
+
+  /** Scan only the files whose Bloom filter may contain `value` in
+    * column `c`. Callers still apply the real equality predicate —
+    * the index only bounds IO (false positives read-and-filter away).
+    */
+  def bloomScan(spark: SparkSession, path: String, c: String,
+      value: Any): DataFrame = {
+    val idx = TableStore.read(spark, bloomPath(path, c))
+    val total = spark.read.parquet(path).inputFiles.length
+    require(idx.count() == total,
+      s"bloom index on $c is stale: indexes ${idx.count()} files, table " +
+        s"has $total — rebuild with SkippingIndex.buildBloom")
+    val params = idx.select("bits", "hashes").head()
+    val (bits, hashes) = (params.getInt(0), params.getInt(1))
+    val keep = (0 until hashes).foldLeft(idx) { (d, j) =>
+      d.filter(array_contains(col("bits_set"),
+        pmod(xxhash64(lit(value), lit(j)), lit(bits)).cast("int")))
+    }
+    val files = keep.select("file").collect().map(_.getString(0))
+    if (files.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Kept-file count for a bloom probe (spec surface). */
+  def bloomPlannedFiles(spark: SparkSession, path: String, c: String,
+      value: Any): Long = {
+    val idx = TableStore.read(spark, bloomPath(path, c))
+    val params = idx.select("bits", "hashes").head()
+    (0 until params.getInt(1)).foldLeft(idx) { (d, j) =>
+      d.filter(array_contains(col("bits_set"),
+        pmod(xxhash64(lit(value), lit(j)), lit(params.getInt(0))).cast("int")))
+    }.count()
+  }
 }

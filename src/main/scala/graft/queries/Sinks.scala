@@ -245,6 +245,64 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // I-family #3: incremental view maintenance from the CDC
+    // changelog — the consumer side of s24. A materialized per-
+    // customer aggregate view is carried from snapshot v1 to v2 by
+    // folding in ONLY the change rows (signed deltas: preimages
+    // decrement, postimages increment — Ivm.applyDelta), never
+    // re-reading v1. The edit script is adversarial on purpose:
+    // deletes, in-place updates, GROUP-MOVING updates (custkey
+    // changes — the pre/post pair splits across two groups), and
+    // inserts into brand-new groups; emptied groups must vanish. The
+    // oracle recomputes the view from the v2 expression directly, so
+    // a green row proves maintained == recomputed bit-exactly
+    // (decimal sums). Here the changelog itself comes from the
+    // snapshot diff (O(table) once); a production table format
+    // persists per-commit change files, and the apply stage — the
+    // part this query gates — is O(changes ∪ touched groups) either
+    // way. i1 is watermark-append incremental; this is the general
+    // form that also survives deletes and updates.
+    Q("i3_cdc_apply",
+      "CDC-maintained aggregate view == recompute under deletes, group-moving updates, inserts",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      val path = scratch("i3")
+      val viewPath = scratch("i3_view")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val v1 = TableStore.publishVersion(s, path, o, note = "base")
+      val v2 = TableStore.publishVersion(s, path, edited, note = "edit")
+      // materialize the view at v1, then maintain it WITHOUT v1
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(s, path, Some(v1)),
+        Seq("o_custkey"), Seq("o_totalprice")), viewPath)
+      val changes = TableStore.changesBetween(s, path, v1, v2, Seq("o_orderkey"))
+      Ivm.applyDelta(TableStore.read(s, viewPath), changes,
+        Seq("o_custkey"), Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
     // Bucketed co-located join — the layout that kills the big-big
     // join's shuffle: both sides written bucketBy the join key (8
     // buckets, external tables under a scratch path), so each scan
@@ -639,6 +697,35 @@ object Sinks {
       TableStore.changesBetween(s, path, v1, v2, Seq("n_nationkey"))
         .select("_change_type", "n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey", "_change_type")
+    },
+
+    // ---------------------------------------------------------------
+    // Bloom file index — the pruning case s23's min/max manifest is
+    // BLIND to: the layout below clusters by user_id, so every file
+    // spans the full event_id range and interval stats keep all 16
+    // files for an event_id point lookup. The per-file Bloom index
+    // still rules the key out of the files that can't contain it
+    // (false positives read-and-filter away; skipped files provably
+    // lack the key, so results stay exact — Delta's Bloom file index
+    // discipline). The require proves the probe really pruned;
+    // SkippingIndexSpec measures it and covers the absent-key and
+    // staleness paths.
+    Q("s25_bloom_index",
+      "per-file bloom index prunes a point lookup on a non-clustered column",
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id = 421""".stripMargin) { (s, d) =>
+      import graft.operators.SkippingIndex
+      val path = scratch("s25")
+      t(s, d, "events").select("event_id", "user_id", "event_type", "value")
+        .repartition(16, col("user_id"))
+        .write.mode("overwrite").parquet(path)
+      SkippingIndex.buildBloom(s, path, "event_id")
+      val kept = SkippingIndex.bloomPlannedFiles(s, path, "event_id", 421L)
+      require(kept < 16,
+        s"bloom index pruned nothing: $kept of 16 files kept")
+      SkippingIndex.bloomScan(s, path, "event_id", 421L)
+        .filter(col("event_id") === 421L)
+        .select("event_id", "user_id", "event_type", "value")
     }
   )
 }

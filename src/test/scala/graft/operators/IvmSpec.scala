@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.nio.file.Files
+import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVM apply semantics: maintained view == recomputed view under every
+  * change class, including the cases that break naive merge logic —
+  * group-moving updates, groups emptied to zero, groups born in the
+  * delta, and an empty changelog.
+  */
+class IvmSpec extends SparkSpec {
+
+  private def rows(rs: (Long, String, Double)*): DataFrame = {
+    import TestSpark.spark.implicits._
+    rs.toDF("id", "grp", "amt")
+  }
+
+  private def snap(view: DataFrame): Set[(String, Long, BigDecimal)] =
+    view.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)))).toSet
+
+  test("applyDelta == recompute across delete / group-move / empty-group / new-group; empty delta is identity") {
+    val p = Files.createTempDirectory("graft_ivm").toString + "/t"
+    val v1Data = rows(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+    // v2: delete 1 (shrinks a), move 3 from b to a (empties b),
+    // update 4's amount in place, insert 5 into brand-new group d
+    val v2Data = rows(
+      (2L, "a", 20.0), (3L, "a", 30.0), (4L, "c", 45.0), (5L, "d", 50.0))
+    val v1 = TableStore.publishVersion(spark, p, v1Data)
+    val v2 = TableStore.publishVersion(spark, p, v2Data)
+    val view1 = Ivm.aggregate(v1Data, Seq("grp"), Seq("amt"))
+    val changes = TableStore.changesBetween(spark, p, v1, v2, Seq("id"))
+    val maintained =
+      Ivm.applyDelta(view1, changes, Seq("grp"), Seq("amt"))
+    assert(snap(maintained) ==
+      snap(Ivm.aggregate(v2Data, Seq("grp"), Seq("amt"))))
+    // group b must be GONE (count 0), not present with a zero row
+    assert(!maintained.collect().map(_.getString(0)).contains("b"))
+    // empty changelog: the view passes through unchanged
+    val none = TableStore.changesBetween(spark, p, v2, v2, Seq("id"))
+    assert(snap(Ivm.applyDelta(view1, none, Seq("grp"), Seq("amt"))) ==
+      snap(view1))
+  }
+}

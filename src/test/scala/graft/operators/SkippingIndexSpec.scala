@@ -63,4 +63,41 @@ class SkippingIndexSpec extends SparkSpec {
     assert(SkippingIndex.prunedScan(spark, path,
       Map[String, (Any, Any)]("x" -> (0L, 63L))).count() == 64L * 64L)
   }
+
+  test("bloom index prunes point lookups min/max cannot; absent keys plan ~zero files; stale fails") {
+    val base = Files.createTempDirectory("graft_skip_bloom").toString
+    val path = s"$base/t"
+    // cluster by y → x is scattered: every file spans the x range
+    val g = TestSpark.spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    g.repartition(16, col("y")).write.parquet(path)
+    SkippingIndex.build(spark, path, Seq("x"))
+    // min/max is blind here: a point predicate keeps every file
+    assert(SkippingIndex.plannedFiles(spark, path,
+      Map[String, (Any, Any)]("x" -> (7L, 7L))) == 16)
+    SkippingIndex.buildBloom(spark, path, "x", bits = 1 << 12)
+    // x=7 occurs in all 64 y-rows spread over the 16 hash files —
+    // bloom keeps them all (true positives), proving no false negative
+    val hits = SkippingIndex.bloomScan(spark, path, "x", 7L)
+      .filter(col("x") === 7L).count()
+    assert(hits == 64)
+    // a key concentrated in FEW files: re-layout by x ranges
+    val path2 = s"$base/t2"
+    g.repartitionByRange(16, col("x")).write.parquet(path2)
+    SkippingIndex.buildBloom(spark, path2, "x", bits = 1 << 12)
+    val kept = SkippingIndex.bloomPlannedFiles(spark, path2, "x", 7L)
+    assert(kept <= 3, s"x=7 lives in 1 range file; bloom kept $kept")
+    assert(SkippingIndex.bloomScan(spark, path2, "x", 7L)
+      .filter(col("x") === 7L).count() == 64)
+    // absent key: no file can claim it beyond false positives
+    val keptAbsent = SkippingIndex.bloomPlannedFiles(spark, path2, "x", 999L)
+    assert(keptAbsent <= 2, s"absent key kept $keptAbsent files")
+    // stale guard: rewrite shrinks the file set, probe must fail loudly
+    TableStore.rewrite(spark, path2,
+      TestSpark.spark.read.parquet(path2).repartition(4))
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.bloomScan(spark, path2, "x", 7L)
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
 }
