@@ -502,6 +502,78 @@ object CorpusOps {
       }) { (s, d) =>
       leakageSafeSplit(t(s, d, "documents").select("doc_id", "text"), 0.3)
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // DSIR-style data selection — importance resampling toward a
+    // TARGET distribution (here: the 'en' slice stands in for the
+    // curated target corpus), scored on hashed word features. The
+    // production recipe (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling") weights each doc by a
+    // log-likelihood ratio of hashed-n-gram models; at any scale that
+    // is exactly this dataflow — two KB-sized bucket histograms
+    // (target + raw, 64 buckets here) and one broadcast rejoin to
+    // score every doc in a single pass. The gated surrogate keeps the
+    // per-bucket DECISION (is the bucket target-heavy, by exact
+    // integer cross-multiplication of the two add-one-smoothed
+    // bucket rates — no float logs, so the score is engine-exact) and
+    // the per-doc aggregation; swapping the sign for the float
+    // log-ratio changes one projection, not the plan. Top-100 by
+    // affinity = the selected training slice; 'en' docs dominating
+    // the selection is the method working, visible in the output.
+    Q("c10_dsir_selection",
+      "DSIR-shaped target-affinity selection: hashed-bucket histograms score docs toward the 'en' target",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH wh AS (SELECT doc_id, lang,
+           |    unnest(${XSql.wordHashesOfText("text")}) AS h FROM documents),
+           |bk AS (SELECT doc_id, lang, h % 64 AS b FROM wh),
+           |raws AS (SELECT b, count(*) AS cr FROM bk GROUP BY b),
+           |tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY b),
+           |tots AS (SELECT (SELECT count(*) FROM bk) AS tr,
+           |                (SELECT count(*) FROM bk WHERE lang = 'en') AS tt),
+           |sgn AS (SELECT r.b,
+           |    CASE WHEN (coalesce(t.ct, 0) + 1) * (tots.tr + 64)
+           |              > (r.cr + 1) * (tots.tt + 64) THEN 1
+           |         WHEN (coalesce(t.ct, 0) + 1) * (tots.tr + 64)
+           |              < (r.cr + 1) * (tots.tt + 64) THEN -1
+           |         ELSE 0 END AS sg
+           |  FROM raws r LEFT JOIN tgt t ON r.b = t.b, tots),
+           |db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+           |sc AS (SELECT db.doc_id, cast(sum(db.c * sgn.sg) as bigint) AS score,
+           |         cast(sum(db.c) as bigint) AS n_terms
+           |       FROM db JOIN sgn ON db.b = sgn.b GROUP BY db.doc_id)
+           |SELECT d.doc_id, d.lang, sc.score, sc.n_terms
+           |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+           |ORDER BY score DESC, d.doc_id LIMIT 100""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+      val bk = docs.select(col("doc_id"), col("lang"),
+        explode(expr(XSql.wordHashesOfText("text"))).as("h"))
+        .withColumn("b", col("h") % 64)
+      // two 64-row histograms + one 1-row total — all broadcastable
+      val raws = bk.groupBy("b").agg(count(lit(1)).as("cr"))
+      val tgt = bk.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val tots = bk.agg(count(lit(1)).as("tr"),
+        count(when(col("lang") === "en", 1)).as("tt"))
+      val lhs = (coalesce(col("ct"), lit(0L)) + 1) * (col("tr") + 64)
+      val rhs = (col("cr") + 1) * (col("tt") + 64)
+      val sgn = raws.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("b"), when(lhs > rhs, 1L).when(lhs < rhs, -1L)
+          .otherwise(0L).as("sg"))
+      // one shuffle keyed (doc, bucket), then a broadcast rejoin —
+      // the whole selection is a single pass over the corpus
+      val sc = bk.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(sgn), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("sg")).cast("long").as("score"),
+          sum(col("c")).cast("long").as("n_terms"))
+      sc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("score"), col("n_terms"))
+        .orderBy(desc("score"), col("doc_id")).limit(100)
     }
   )
 }

@@ -1130,6 +1130,77 @@ object Similarity {
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // Filtered vector search — ANN under a metadata predicate (the
+    // RAG shape: "nearest documents WHERE lang = 'de'"). The
+    // discipline being gated is PRE-filtering: the predicate prunes
+    // candidates BEFORE any distance work (a broadcast semi-join on
+    // the filtered doc ids — at scale the filter column is a
+    // partition key and this is partition pruning), and the IVF tier
+    // intersects its probed lists with the same filter. The naive
+    // alternative — post-filtering an unfiltered top-k — silently
+    // under-fills k whenever the predicate is selective (here 'de' is
+    // ~14% of the corpus, so an unfiltered top-10 would keep ~1 row).
+    // Both tiers ride one result: 'exact' is the filtered brute-force
+    // truth, 'ivf2' the filtered 2-probe trained index — the oracle
+    // reproduces both, so list-intersection correctness is
+    // hash-gated, not spot-checked.
+    Q("k17_filtered_ann",
+      "pre-filtered ANN: metadata predicate prunes before distance; exact + filtered-IVF tiers",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |f AS (SELECT n.vec_id, n.v, n.n2 FROM n
+           |      JOIN documents dd ON n.vec_id = dd.doc_id
+           |      WHERE dd.lang = 'de'),
+           |ex AS (SELECT 'exact' AS tier, f.vec_id,
+           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("f.v", "q.qv"), "f.n2", "q.qn2")} AS dist
+           |  FROM f, q WHERE f.vec_id != 0 ORDER BY dist, f.vec_id LIMIT 10),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2),
+           |iv AS (SELECT 'ivf2' AS tier, f.vec_id,
+           |    1.0 - ${XSql.cosineFromNorms(XSql.dot("f.v", "q.qv"), "f.n2", "q.qn2")} AS dist
+           |  FROM f JOIN a2 ON f.vec_id = a2.vec_id, q
+           |  WHERE a2.cid IN (SELECT cid FROM pick) AND f.vec_id != 0
+           |  ORDER BY dist, f.vec_id LIMIT 10)
+           |SELECT * FROM ex UNION ALL SELECT * FROM iv
+           |ORDER BY tier, dist, vec_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      // pre-filter: the predicate's id set semi-joins the vector scan
+      // BEFORE any distance is computed
+      val ids = t(s, d, "documents").filter(col("lang") === "de")
+        .select(col("doc_id").as("vec_id"))
+      val f = n.join(broadcast(ids), Seq("vec_id"), "left_semi")
+      def tier(name: String, in: org.apache.spark.sql.DataFrame) =
+        in.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= 0)
+          .select(lit(name).as("tier"), col("vec_id"),
+            (lit(1.0) - expr(XSql.cosineFromNorms(
+              XSql.dot("v", "qv"), "n2", "qn2"))).as("dist"))
+          .orderBy(col("dist"), col("vec_id")).limit(10)
+      val cents = graft.operators.KMeans.trainLocal(e, 4, LloydRounds)
+      val pick = cents.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select("cid")
+      // per-row argmin assignment restricted to the FILTERED set —
+      // assignment is pointwise, so filtered-then-assigned equals the
+      // oracle's assigned-then-filtered
+      val ivf = graft.operators.KMeans.withAssign(f, cents)
+        .join(broadcast(pick), Seq("cid"))
+      tier("exact", f).unionByName(tier("ivf2", ivf.drop("cid")))
+        .orderBy("tier", "dist", "vec_id")
     }
   )
 }
