@@ -79,7 +79,17 @@ object Plans {
     "k14_live_similarity" ->
       "Serving live similarity across the metric allow-list: each metric is a broadcast 1-row query + codegen'd vector_distance + TakeOrdered top-10; the union is of three 10-row results, never of scans.",
     "x3_aqe_skew_join" ->
-      "AQE runtime skew-join: the hot-shard fact-fact SortMergeJoin split at runtime — skew=true appears only in the FINAL adaptive plan, so this entry prints the EXECUTED plan (explain-before-run cannot show it; PlanSpec asserts it).")
+      "AQE runtime skew-join: the hot-shard fact-fact SortMergeJoin split at runtime — skew=true appears only in the FINAL adaptive plan, so this entry prints the EXECUTED plan (explain-before-run cannot show it; PlanSpec asserts it).",
+    "s24_snapshot_changes" ->
+      "Snapshot CDC diff: ONE key-partitioned full-outer join between the two versions; change detection is a single null-aware xxhash64, and each row explodes into its 0/1/2 change rows in place — no union of per-type scans.",
+    "i3_cdc_apply" ->
+      "Incremental view maintenance: signed changelog deltas collapse in one map-side-combinable aggregate, then ONE key join against the materialized view — O(changes ∪ touched groups), the base table is never re-read.",
+    "d12_chunk_dedup" ->
+      "Passage-level exact dedup: narrow chunk explode, the keep decision is one partial_min aggregate keyed by chunk, doc rebuild is one groupBy — linear where suffix-array substring dedup costs a global sort.",
+    "k17_filtered_ann" ->
+      "Filtered ANN: the metadata predicate semi-joins candidates out BEFORE any distance compute (partition pruning at scale); the IVF tier intersects its 2 probed lists with the same filter — no post-filter under-fill.",
+    "c10_dsir_selection" ->
+      "DSIR selection: two 64-row hashed-bucket histograms + a 1-row total broadcast back over one (doc, bucket) aggregate — the whole target-affinity scoring is a single pass over the corpus.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -41,10 +41,38 @@ object SkippingIndex {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
     } :+ count(lit(1)).as("n_rows")
+    // n_total_files rides every row: EMPTY data files (a hash
+    // repartition with fewer keys than partitions writes some) have no
+    // rows to index — and can never match a predicate — but the
+    // staleness guard must still account for them
+    val total = spark.read.parquet(path).inputFiles.length
     val idx = spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_total_files", lit(total))
     TableStore.overwrite(idx, idxPath(path))
+  }
+
+  /** Staleness guard shared by both index kinds: the index is valid
+    * iff the table's file count equals the build-time count AND every
+    * indexed file still exists (basename compare — rewrites mint new
+    * UUID part names, so any rewrite flips at least one check). Files
+    * with no index row are the build-time EMPTY files: nothing to
+    * match, safely never scanned.
+    */
+  private def requireFresh(spark: SparkSession, path: String,
+      idx: DataFrame, what: String): Unit = {
+    val current = spark.read.parquet(path).inputFiles
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val rows = idx.select("file", "n_total_files").collect()
+    val indexed = rows.map { r =>
+      val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1)
+    }.toSet
+    val storedTotal = rows.headOption.map(_.getInt(1)).getOrElse(0)
+    require(storedTotal == current.size && indexed.subsetOf(current),
+      s"$what is stale: built over $storedTotal files " +
+        s"(${indexed.size} non-empty), table now has ${current.size} " +
+        s"(${indexed.diff(current).size} indexed files gone) — rebuild")
   }
 
   /** Plan a scan over only the files whose [min, max] box intersects
@@ -57,15 +85,12 @@ object SkippingIndex {
   def prunedScan(spark: SparkSession, path: String,
       ranges: Map[String, (Any, Any)]): DataFrame = {
     val idx = TableStore.read(spark, idxPath(path))
+    requireFresh(spark, path, idx, "skipping index")
     val keep = ranges.foldLeft(idx) { case (d, (c, (lo, hi))) =>
       d.filter(col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
     }
     // planning metadata through the driver: one URI per KEPT file
     val files = keep.select("file").collect().map(_.getString(0))
-    val total = spark.read.parquet(path).inputFiles.length
-    require(idxCount(spark, path) == total,
-      s"skipping index is stale: indexes ${idxCount(spark, path)} files, " +
-        s"table has $total — rebuild with SkippingIndex.build")
     if (files.isEmpty)
       // no file can match: an empty frame with the table's schema
       spark.read.parquet(path).limit(0)
@@ -118,6 +143,7 @@ object SkippingIndex {
     */
   def buildBloom(spark: SparkSession, path: String, c: String,
       bits: Int = 1 << 16, hashes: Int = 4): Unit = {
+    val total = spark.read.parquet(path).inputFiles.length
     val probes = (0 until hashes).map(j =>
       pmod(xxhash64(col(c), lit(j)), lit(bits)).cast("int"))
     val idx = spark.read.parquet(path)
@@ -125,6 +151,7 @@ object SkippingIndex {
       .groupBy("file")
       .agg(sort_array(collect_set(col("p"))).as("bits_set"))
       .withColumn("bits", lit(bits)).withColumn("hashes", lit(hashes))
+      .withColumn("n_total_files", lit(total))
     TableStore.overwrite(idx, bloomPath(path, c))
   }
 
@@ -135,10 +162,7 @@ object SkippingIndex {
   def bloomScan(spark: SparkSession, path: String, c: String,
       value: Any): DataFrame = {
     val idx = TableStore.read(spark, bloomPath(path, c))
-    val total = spark.read.parquet(path).inputFiles.length
-    require(idx.count() == total,
-      s"bloom index on $c is stale: indexes ${idx.count()} files, table " +
-        s"has $total — rebuild with SkippingIndex.buildBloom")
+    requireFresh(spark, path, idx, s"bloom index on $c")
     val params = idx.select("bits", "hashes").head()
     val (bits, hashes) = (params.getInt(0), params.getInt(1))
     val keep = (0 until hashes).foldLeft(idx) { (d, j) =>

@@ -86,6 +86,71 @@ object StreamingOps {
 
   val all: Seq[Q] = Seq(
 
+    // ---------------------------------------------------------------
+    // Streaming CDC apply — the continuous form of i3: a CHANGELOG
+    // stream (insert / delete / update_preimage / update_postimage
+    // rows, here the s24 snapshot diff replayed in micro-batches)
+    // maintains a materialized aggregate view batch by batch via
+    // Ivm.applyDelta. The theorem this gates: the signed-delta fold
+    // is ASSOCIATIVE over any batch decomposition — the stage split
+    // scatters change rows arbitrarily, so an update's preimage and
+    // postimage routinely land in DIFFERENT micro-batches (the view
+    // is transiently double- or under-counted mid-stream), and the
+    // final state still equals the bit-exact recompute. Counts can
+    // never go negative mid-stream (a group's decrements are bounded
+    // by its initial rows), so the n>0 group-drop is safe at every
+    // intermediate step. This is how a warehouse tails a CDC feed
+    // (Debezium/CDF) into derived tables: O(batch changes) per tick,
+    // the base table never re-read.
+    Q("st12_stream_cdc_apply",
+      "changelog stream maintains an aggregate view across micro-batches == bit-exact recompute",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st12")
+      val snaps = tmp.resolve("snap").toString
+      val viewPath = tmp.resolve("view").toString
+      // the same adversarial edit script as i3 (deletes, in-place and
+      // group-moving updates, inserts into new groups)
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val v1 = TableStore.publishVersion(s, snaps, o, note = "base")
+      val v2 = TableStore.publishVersion(s, snaps, edited, note = "edit")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(s, snaps, Some(v1)),
+        Seq("o_custkey"), Seq("o_totalprice")), viewPath)
+      val changes =
+        TableStore.changesBetween(s, snaps, v1, v2, Seq("o_orderkey"))
+      val stream = EventStream.stagedFileStream(s, changes,
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        TableStore.rewrite(s, viewPath, Ivm.applyDelta(
+          TableStore.read(s, viewPath), batch,
+          Seq("o_custkey"), Seq("o_totalprice")))
+      }
+      TableStore.read(s, viewPath)
+        .select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("o_custkey")
+    },
+
     Q("st1_stream_window",
       "streaming tumbling daily window agg == batch time_bucket agg",
       s"""SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
