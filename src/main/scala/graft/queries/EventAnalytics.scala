@@ -112,6 +112,53 @@ object EventAnalytics {
         .withColumn("p", round(col("n").cast("double")
           / sum(col("n")).over(wt).cast("double"), 6))
         .orderBy("event_type", "next_type")
+    },
+
+    // ---------------------------------------------------------------
+    // Sequential pattern matching — the MATCH_RECOGNIZE shape: each
+    // user's event history becomes an ordered code string (one char
+    // per event, total order by (ts, event_id)) and the funnel
+    // pattern `view (click|error)* purchase` is counted as
+    // non-overlapping regex matches over it. This is how sequence
+    // analytics engines run row-pattern queries: the per-key sequence
+    // build is ONE shuffle (the same sort any windowed query pays)
+    // and the pattern automaton then runs narrow, per row. e1 gates
+    // the aggregate funnel; this gates the per-user OCCURRENCE
+    // COUNTING with order and adjacency constraints that aggregate
+    // step-joins cannot express (an intervening 'signup'/'view'
+    // breaks a run here; e1 would still count it). The regex is
+    // anchored-free and backtracking-trivial (single literal head,
+    // bounded class body), so Java and RE2 agree on leftmost
+    // non-overlapping semantics.
+    Q("e5_pattern_match",
+      "MATCH_RECOGNIZE-shape: per-user ordered event string, non-overlapping v[ce]*p funnel runs",
+      """WITH seq AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(s, 'v[ce]*p')) AS BIGINT) AS n_runs,
+        |  (len(regexp_extract_all(s, 'v[ce]*p')) > 0) AS converted
+        |FROM seq ORDER BY user_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("code"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          // one sorted fold builds the ordered sequence: struct sort
+          // by (ts, event_id) is the same total order the oracle's
+          // ORDER BY states; the collect is per-user event counts —
+          // the same bound any sessionization holds
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("code")))),
+            x => x.getField("code")), "").as("s"))
+        .select(col("user_id"), col("n_events"),
+          size(expr("regexp_extract_all(s, 'v[ce]*p', 0)")).cast("long")
+            .as("n_runs"),
+          (size(expr("regexp_extract_all(s, 'v[ce]*p', 0)")) > 0)
+            .as("converted"))
+        .orderBy("user_id")
     }
   )
 }
