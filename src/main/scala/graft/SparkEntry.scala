@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.Relational3.all ++
       graft.queries.RetrievalOps.all ++
       graft.queries.EventAnalytics.all ++
+      graft.queries.GraphOps.all ++
       graft.queries.HybridRetrieval.all ++
       graft.queries.TextOps.all ++
       graft.queries.Dedup.all ++

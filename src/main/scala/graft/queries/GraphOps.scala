@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.XSql
+import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
+
+/** Graph analytics over data-derived edge sets — the iterative
+  * message-passing family (PageRank here; connected components already
+  * ships as `operators/ConnectedComponents` under d7).
+  *
+  * Scale design: every iteration is ONE equi-join (ranks ⨝ edges on
+  * src) plus ONE keyed aggregate (sum of contributions by dst) — the
+  * Pregel-as-joins shape that runs PageRank at web scale. Edges carry
+  * their out-degree from a single upfront aggregate, so iterations
+  * never recompute it. The graph itself comes from the LSH band join
+  * (bounded candidate generation, never all-pairs) — the same edge
+  * set d3 verifies.
+  *
+  * Determinism at scale: ranks are FIXED-POINT BIGINTs (units of
+  * 1e-12), not doubles. Integer sums are order-invariant, so the
+  * result is bit-identical at ANY partition count / merge order —
+  * where a double-sum PageRank drifts in low-order bits between runs.
+  * Total rank mass is ~1e12, so every partial sum fits a long with
+  * ~6 orders of headroom at any corpus size; the per-edge division
+  * floor loses mass (never gains), bounded by deg per node per round —
+  * invisible at rank granularity 1e-12.
+  */
+object GraphOps {
+
+  private def wordsE(implicit d: Dialect) = XSql.words("text")
+
+  /** Fixed-point scale: 1.0 of rank mass == 1e12. */
+  private val S = 1000000000000L
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // PageRank (damping 0.85, 3 rounds) over the verified near-dup
+    // graph: nodes = docs with >= 1 verified LSH pair, undirected
+    // edges. High rank == the doc sits in a dense duplication
+    // neighborhood — the centrality signal crawl pipelines use to
+    // pick canonical copies. No dangling nodes by construction
+    // (every node of an undirected edge has out-degree >= 1), so the
+    // update is exactly r' = (0.15/n + 0.85 * sum_in(r/deg)) in
+    // 1e-12 fixed point, all-BIGINT: `div` floors identically in
+    // Spark and DuckDB, and the corpus size n rides a broadcast
+    // 1-row aggregate (never a driver-side collect).
+    Q("g1_pagerank",
+      "fixed-point PageRank (d=0.85, 3 rounds) over the verified LSH near-dup graph",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val teleport = s"(15 * ${S}) // (100 * nn.n)"
+        def iter(prev: String, out: String): String =
+          s"""$out AS (
+             |  SELECT e.dst AS id, cast($teleport
+             |      + (85 * sum(p.r // e.deg)) // 100 AS BIGINT) AS r
+             |  FROM edges e JOIN $prev p ON p.id = e.src, nn
+             |  GROUP BY e.dst, nn.n)""".stripMargin
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5),
+           |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |edges AS (SELECT ed.src, ed.dst, deg.deg FROM ed JOIN deg ON deg.src = ed.src),
+           |nn AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS id, cast(${S} // nn.n AS BIGINT) AS r FROM deg, nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT d.src AS doc_id, d.deg, r3.r AS rank_fp,
+           |       cast(r3.r AS double) / 1e12 AS rank
+           |FROM r3 JOIN deg d ON d.src = r3.id
+           |ORDER BY rank_fp DESC, doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.5)
+        .select("doc_a", "doc_b")
+      val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      // degree attached ONCE; iterations reuse this edge table (cached:
+      // recomputing it would re-run the LSH band join per round)
+      val edges = edges0.join(deg, "src").cache()
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      val r0 = deg.select(col("src").as("id"))
+        .crossJoin(broadcast(nDf))
+        .select(col("id"), expr(s"cast($S div n AS BIGINT)").as("r"))
+      val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
+        edges.join(prev, edges("src") === prev("id"))
+          .select(col("dst"), expr("r div deg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inc"))
+          .crossJoin(broadcast(nDf))
+          .select(col("dst").as("id"),
+            expr(s"cast((15 * $S) div (100 * n) + (85 * inc) div 100 AS BIGINT)")
+              .as("r"))
+      }
+      r3.join(deg, r3("id") === deg("src"))
+        .select(col("src").as("doc_id"), col("deg"),
+          col("r").as("rank_fp"),
+          (col("r").cast("double") / lit(1e12)).as("rank"))
+        .orderBy(col("rank_fp").desc, col("doc_id"))
+    }
+  )
+}
