@@ -726,6 +726,69 @@ object Sinks {
       SkippingIndex.bloomScan(s, path, "event_id", 421L)
         .filter(col("event_id") === 421L)
         .select("event_id", "user_id", "event_type", "value")
+    },
+
+    // ---------------------------------------------------------------
+    // Write-audit-publish with expectations — the lakehouse ingest
+    // discipline (Iceberg WAP / Delta Live Tables expectations): a
+    // batch lands only after its audit rules run, failing rows are
+    // QUARANTINED with their reasons (never silently dropped, never
+    // published), and the clean subset publishes as an atomic snapshot
+    // version. One narrow pass computes every per-row rule verdict
+    // (the reasons array is a codegen'd filter over CASE arms — no
+    // second scan per rule); the referential rule rides the same pass
+    // as a key join against `orders` (broadcast-able dim at real
+    // scale). The gated result reads BOTH destinations BACK from disk
+    // — published snapshot and quarantine table — so the oracle's
+    // algebraic statement checks the full round trip, including that
+    // published + quarantined partitions the batch exactly. `fk_orders`
+    // passes with zero violations by design: a rule that never fires
+    // must cost nothing and quarantine nothing.
+    Q("s26_write_audit_publish",
+      "expectations gate: clean rows publish as a snapshot, violations quarantine with reasons",
+      s"""WITH c AS (
+         |  SELECT l.l_quantity AS qty,
+         |    coalesce(array_to_string(list_filter([
+         |      CASE WHEN l.l_quantity > 45 THEN 'qty_range' END,
+         |      CASE WHEN l.l_discount > 0.08 THEN 'disc_range' END,
+         |      CASE WHEN o.o_orderkey IS NULL THEN 'fk_orders' END],
+         |      x_ -> x_ IS NOT NULL), ','), '') AS reason
+         |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         |SELECT 'published' AS metric, count(*) AS n, ${dsumSql("qty")} AS qty
+         |FROM c WHERE reason = ''
+         |UNION ALL
+         |SELECT 'quarantined', count(*), ${dsumSql("qty")} FROM c WHERE reason != ''
+         |UNION ALL
+         |SELECT 'rule:' || reason, count(*), ${dsumSql("qty")}
+         |FROM c WHERE reason != '' GROUP BY reason
+         |ORDER BY metric""".stripMargin) { (s, d) =>
+      val path = scratch("s26")
+      val qpath = path + "_quarantine"
+      val li = t(s, d, "lineitem")
+      val ords = t(s, d, "orders").select("o_orderkey")
+      val checked = li
+        .join(broadcast(ords), li("l_orderkey") === ords("o_orderkey"), "left")
+        .withColumn("reason", array_join(filter(array(
+          when(col("l_quantity") > 45, "qty_range"),
+          when(col("l_discount") > 0.08, "disc_range"),
+          when(col("o_orderkey").isNull, "fk_orders")),
+          x_ => x_.isNotNull), ","))
+        .select(col("l_quantity").as("qty"), col("reason"))
+      TableStore.publishVersion(s, path,
+        checked.filter(col("reason") === "").select("qty"))
+      TableStore.overwrite(checked.filter(col("reason") =!= ""), qpath)
+      val pub = TableStore.readVersion(s, path, None)
+        .agg(count(lit(1)).as("n"), dsum(col("qty")).as("qty"))
+        .select(lit("published").as("metric"), col("n"), col("qty"))
+      val quar = TableStore.read(s, qpath)
+      pub.unionByName(
+          quar.agg(count(lit(1)).as("n"), dsum(col("qty")).as("qty"))
+            .select(lit("quarantined").as("metric"), col("n"), col("qty")))
+        .unionByName(quar.groupBy("reason")
+          .agg(count(lit(1)).as("n"), dsum(col("qty")).as("qty"))
+          .select(concat(lit("rule:"), col("reason")).as("metric"),
+            col("n"), col("qty")))
+        .orderBy("metric")
     }
   )
 }
