@@ -574,6 +574,77 @@ object CorpusOps {
       sc.join(docs.select("doc_id", "lang"), "doc_id")
         .select(col("doc_id"), col("lang"), col("score"), col("n_terms"))
         .orderBy(desc("score"), col("doc_id")).limit(100)
+    },
+
+    // ---------------------------------------------------------------
+    // Temperature rebalancing (UniMax shape) — multilingual corpora
+    // follow a power law, and training on the raw distribution
+    // starves tail languages; sampling language l proportional to
+    // p_l^alpha (alpha = 0.5 here) flattens the mixture. The quota
+    // math is data-derived (unlike c6's FIXED per-source rates):
+    // per-lang counts -> integer fixed-point weights sqrt(n)*1e6
+    // (exact order-invariant integer sum for the normalizer) ->
+    // per-lang target = floor(budget * w/W) capped at n_l. The
+    // arithmetic that leaves integer space (the w/W share) is pure
+    // per-row IEEE — deterministic in both engines; no double is
+    // ever aggregated. Selection is a deterministic hash-rank quota:
+    // row_number per lang ordered by (content hash, doc_id), keep
+    // rank <= target — Spark runs it as WindowGroupLimit (map-side
+    // partial top-m per group, bounded state; the rank filter is the
+    // pushdown trigger). Budget = half the corpus.
+    Q("c11_temperature_rebalance",
+      "UniMax temperature (alpha=0.5) language rebalancing: data-derived quotas, hash-rank selection",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           |w AS (SELECT lang, n,
+           |        cast(floor(sqrt(cast(n AS double)) * 1000000) AS BIGINT) AS wfp
+           |      FROM g),
+           |tot AS (SELECT cast(sum(n) AS BIGINT) AS nn,
+           |               cast(sum(wfp) AS BIGINT) AS ww FROM w),
+           |tgt AS (SELECT lang, n,
+           |          least(n, cast(floor(cast(tot.nn // 2 AS double)
+           |            * (cast(wfp AS double) / cast(tot.ww AS double))) AS BIGINT))
+           |            AS target_n
+           |        FROM w, tot),
+           |r AS (SELECT lang, doc_id,
+           |        row_number() OVER (PARTITION BY lang
+           |          ORDER BY ${XSql.charHash("text")}, doc_id) AS rk
+           |      FROM documents),
+           |k AS (SELECT r.lang, count(*) AS n_kept
+           |      FROM r JOIN tgt ON r.lang = tgt.lang
+           |      WHERE r.rk <= tgt.target_n GROUP BY r.lang)
+           |SELECT t.lang, t.n AS n_total, t.target_n, k.n_kept,
+           |  round(cast(k.n_kept AS double) / cast(t.n AS double), 6) AS keep_frac
+           |FROM tgt t JOIN k ON k.lang = t.lang ORDER BY t.lang""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+      val g = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("wfp",
+          floor(sqrt(col("n").cast("double")) * 1000000).cast("long"))
+      // the normalizer is a 1-row integer aggregate — broadcast, never
+      // a driver-side collect
+      val tot = g.agg(sum("n").cast("long").as("nn"),
+        sum("wfp").cast("long").as("ww"))
+      val tgt = g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          least(col("n"), floor(expr("cast(nn div 2 AS double)")
+            * (col("wfp").cast("double") / col("ww").cast("double")))
+            .cast("long")).as("target_n"))
+      val rk = docs.withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(expr(XSql.charHash("text")), col("doc_id"))))
+      val kept = rk.join(broadcast(tgt.select("lang", "target_n")), "lang")
+        .filter(col("rk") <= col("target_n"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      tgt.join(kept, "lang")
+        .select(col("lang"), col("n").as("n_total"), col("target_n"),
+          col("n_kept"),
+          round(col("n_kept").cast("double") / col("n").cast("double"), 6)
+            .as("keep_frac"))
+        .orderBy("lang")
     }
   )
 }
