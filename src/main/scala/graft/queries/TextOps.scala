@@ -523,6 +523,49 @@ object TextOps {
           round(col("s") / col("n_bigrams").cast("double") * 1000000)
             .cast("long").as("score_e6"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Vocabulary coverage / OOV rate — the tokenizer-fit check every
+    // training pipeline runs before committing to a vocab: build the
+    // top-K vocabulary from the corpus itself (count desc, word asc —
+    // the tie-break makes the boundary deterministic), then score
+    // every document by its out-of-vocabulary token fraction. Shape:
+    // one explode + one keyed count for the vocab (map-side
+    // combinable), then the corpus re-probes the vocab through a
+    // BROADCAST left join — the vocab is K rows no matter how big the
+    // corpus, so the probe never shuffles the token stream a second
+    // time. High-OOV docs are the ones a fixed tokenizer would
+    // shred into bytes — the list this query ends with is the
+    // filter/re-train candidate set.
+    Q("t29_vocab_coverage",
+      "top-50 corpus vocab + per-doc OOV token fraction via broadcast probe",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH wd AS (SELECT doc_id, unnest($wordsE) AS w FROM documents),
+           |cnt AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+           |voc AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 50),
+           |per AS (SELECT wd.doc_id, count(*) AS n_tokens,
+           |          count(*) FILTER (WHERE voc.w IS NULL) AS n_oov
+           |        FROM wd LEFT JOIN voc ON wd.w = voc.w GROUP BY wd.doc_id)
+           |SELECT doc_id, n_tokens, n_oov,
+           |  round(cast(n_oov AS double) / cast(n_tokens AS double), 6) AS oov_frac
+           |FROM per ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val wd = t(s, d, "documents")
+        .select(col("doc_id"), explode(expr(XSql.words("text"))).as("w"))
+      val voc = wd.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(50)
+        .select(col("w"), lit(1).as("in_voc"))
+      wd.join(broadcast(voc), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_voc").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("oov_frac"))
+        .orderBy("doc_id")
     }
   )
 }
