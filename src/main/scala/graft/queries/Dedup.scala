@@ -534,6 +534,57 @@ object Dedup {
               x => x.getField("chunk")), " "),
             lit("")).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Boilerplate removal by document frequency — the CCNet/C4
+    // discipline d12 does NOT cover: a passage that appears in >= 3
+    // DISTINCT documents is boilerplate (nav chrome, license
+    // headers, "subscribe" footers) and is removed from EVERY doc —
+    // no copy survives, where d12's keep-first policy always keeps
+    // one. The frequency is per-document (count distinct doc_id),
+    // not per-occurrence, so a passage repeated inside ONE doc is
+    // untouched — that is t14's repetition signal, a different
+    // filter. Shape: same bounded chunking as d12, one (chunk,
+    // doc_id)-keyed dedup + count for the df table, one key join
+    // back, one per-doc rebuild — every stage a narrow map or a
+    // keyed shuffle, nothing pairwise.
+    Q("d13_boilerplate_removal",
+      "chunks in >= 3 distinct docs removed everywhere (CCNet boilerplate), docs rebuilt",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |c AS (SELECT doc_id, i, array_to_string(l[i*5+1 : i*5+5], ' ') AS chunk
+        |      FROM w, UNNEST(range(GREATEST(CAST(ceil(len(l) / 5.0) AS BIGINT), 1))) AS t(i)),
+        |df AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE df.df < 3) AS n_kept,
+        |  coalesce(string_agg(c.chunk, ' ' ORDER BY c.i)
+        |    FILTER (WHERE df.df < 3), '') AS clean_text
+        |FROM c JOIN df ON c.chunk = df.chunk
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val chunks = t(s, d, "documents").select("doc_id", "text")
+        .withColumn("l", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, greatest(cast(ceil(size(l) / 5.0) as int), 1) - 1),
+            |  i -> array_join(slice(l, i * 5 + 1, 5), ' '))""".stripMargin))
+          .as(Seq("i", "chunk")))
+      // exact distinct-doc frequency: the (chunk, doc) dedup runs as a
+      // partial-aggregate pass before the count, so the shuffle carries
+      // one row per (chunk, doc), never per occurrence
+      val df = chunks.select("chunk", "doc_id").distinct()
+        .groupBy("chunk").agg(count(lit(1)).as("df"))
+      chunks.join(df, "chunk")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          count(when(col("df") < 3, 1)).as("n_kept"),
+          coalesce(
+            array_join(transform(
+              array_sort(collect_list(
+                when(col("df") < 3, struct(col("i"), col("chunk"))))),
+              x => x.getField("chunk")), " "),
+            lit("")).as("clean_text"))
+        .orderBy("doc_id")
     }
   )
 
