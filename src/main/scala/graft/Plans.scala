@@ -89,7 +89,15 @@ object Plans {
     "k17_filtered_ann" ->
       "Filtered ANN: the metadata predicate semi-joins candidates out BEFORE any distance compute (partition pruning at scale); the IVF tier intersects its 2 probed lists with the same filter — no post-filter under-fill.",
     "c10_dsir_selection" ->
-      "DSIR selection: two 64-row hashed-bucket histograms + a 1-row total broadcast back over one (doc, bucket) aggregate — the whole target-affinity scoring is a single pass over the corpus.")
+      "DSIR selection: two 64-row hashed-bucket histograms + a 1-row total broadcast back over one (doc, bucket) aggregate — the whole target-affinity scoring is a single pass over the corpus.",
+    "g1_pagerank" ->
+      "Fixed-point PageRank: each round is ONE equi-join (ranks x degree-carrying edges) + ONE partial_sum keyed aggregate; corpus size rides a broadcast 1-row frame; integer ranks make every sum order-invariant.",
+    "c11_temperature_rebalance" ->
+      "Temperature rebalancing: per-lang quotas from integer fixed-point weights (1-row broadcast normalizer); selection is one lang-keyed window (O(1) running rank, no heap) + a broadcast quota join.",
+    "t29_vocab_coverage" ->
+      "Vocab coverage: top-K vocab from one keyed count; the corpus probes it through a BROADCAST left join — the token stream shuffles once, K bounds the probe side at any corpus size.",
+    "s26_write_audit_publish" ->
+      "Write-audit-publish: every expectation verdict computed in ONE narrow pass (codegen'd CASE arms), fk rule rides a broadcast dim join; clean rows publish as an atomic snapshot, violations quarantine with reasons.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -589,9 +589,14 @@ object CorpusOps {
     // per-row IEEE — deterministic in both engines; no double is
     // ever aggregated. Selection is a deterministic hash-rank quota:
     // row_number per lang ordered by (content hash, doc_id), keep
-    // rank <= target — Spark runs it as WindowGroupLimit (map-side
-    // partial top-m per group, bounded state; the rank filter is the
-    // pushdown trigger). Budget = half the corpus.
+    // rank <= the lang's quota. The quota is data-derived per group,
+    // so Spark's WindowGroupLimit (literal-k only) cannot pre-limit —
+    // the selection pass is ONE sort-shuffle by lang with an O(1)
+    // running counter per group (row_number keeps no heap), and the
+    // quota table joins back as a broadcast (|langs| rows). A
+    // head-language hot partition is the one skew risk; the x1/x2
+    // salting pattern applies if a single language dominates.
+    // Budget = half the corpus.
     Q("c11_temperature_rebalance",
       "UniMax temperature (alpha=0.5) language rebalancing: data-derived quotas, hash-rank selection",
       {

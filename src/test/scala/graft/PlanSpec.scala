@@ -419,4 +419,38 @@ class PlanSpec extends SparkSpec {
       "keep-key min must combine map-side:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("c11: quota selection is one lang-keyed window + a broadcast quota join") {
+    // the quota bound is data-derived per group, so WindowGroupLimit
+    // (literal-k only) can't pre-limit — the contract is instead: the
+    // corpus sort-shuffles ONCE (the window), the per-lang quota table
+    // comes back via broadcast, and nothing is cartesian
+    val p = plan("c11_temperature_rebalance")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), "quota table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t29: the vocab probe is a broadcast join — the token stream shuffles once") {
+    val p = plan("t29_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), "50-row vocab must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g1: pagerank iterations are equi-join + keyed agg; n rides a broadcast, never a cartesian") {
+    val p = plan("g1_pagerank")
+    // the 1-row corpus-size frame joins via hinted broadcast nested
+    // loop (one row, zero data movement); rank propagation itself must
+    // be hash-partitioned equi-joins with partial aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), "contribution sums must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s26: the expectations pass audits every rule in one scan with a broadcast fk probe") {
+    val p = plan("s26_write_audit_publish")
+    assert(!p.contains("SortMergeJoin"),
+      "the orders fk dim must broadcast, not shuffle the batch:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
