@@ -159,6 +159,113 @@ object EventAnalytics {
           (size(expr("regexp_extract_all(s, 'v[ce]*p', 0)")) > 0)
             .as("converted"))
         .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // In-engine grouped OLS — per-event-type trend of value over time,
+    // fitted from SUFFICIENT STATISTICS: n, Σt, Σv, Σtv, Σt², Σv² are
+    // the whole model, and every one is an INTEGER sum (t = whole
+    // hours since the window start; v = exact cents via round(×100) —
+    // the data is 2-decimal money, so the cast is lossless). Integer
+    // partials are map-side combinable and order-invariant, so the fit
+    // is bit-identical at any partition count; floats appear only in
+    // the final per-group projection (slope/intercept/r from exact
+    // ints — a handful of IEEE ops, deterministic in both engines).
+    // This is the grouped-ML-without-an-ML-runtime shape: one scan,
+    // one keyed aggregate, models for every group in parallel. All
+    // magnitudes are long-safe: |Σtv| < n·max_t·max_vc ≈ 1e4·1e3·1e4
+    // = 1e11 at sf0.01 and still < 2^63 headroom at 1e9-row groups;
+    // the r numerator squares in DOUBLE (exact-int-derived, < 2^53).
+    Q("a22_grouped_ols",
+      "per-type OLS trend (value ~ hours) from exact integer sufficient statistics",
+      """WITH p AS (
+        |  SELECT event_type,
+        |    cast(floor(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) / 3600.0) AS BIGINT) AS t,
+        |    cast(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |        cast(sum(t) AS BIGINT) AS st, cast(sum(vc) AS BIGINT) AS sv,
+        |        cast(sum(t * vc) AS BIGINT) AS stv,
+        |        cast(sum(t * t) AS BIGINT) AS stt,
+        |        cast(sum(vc * vc) AS BIGINT) AS svv
+        |      FROM p GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(cast(n * stv - st * sv AS double)
+        |    / (cast(n * stt - st * st AS double) * 100.0), 6) AS slope,
+        |  round(cast(sv AS double) / (cast(n AS double) * 100.0)
+        |    - (cast(n * stv - st * sv AS double)
+        |       / (cast(n * stt - st * st AS double) * 100.0))
+        |      * (cast(st AS double) / cast(n AS double)), 6) AS intercept,
+        |  round(cast(n * stv - st * sv AS double)
+        |    / sqrt(cast(n * stt - st * st AS double)
+        |           * cast(n * svv - sv * sv AS double)), 6) AS r
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      val p = t(s, d, "events").select(col("event_type"),
+        floor((col("ts").cast("long")
+          - lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond))
+          .cast("double") / 3600.0).cast("long").as("t"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val st = p.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("t").as("st"), sum("vc").as("sv"),
+        sum(col("t") * col("vc")).as("stv"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("vc") * col("vc")).as("svv"))
+      val num = (col("n") * col("stv") - col("st") * col("sv")).cast("double")
+      val dent = (col("n") * col("stt") - col("st") * col("st")).cast("double")
+      val denv = (col("n") * col("svv") - col("sv") * col("sv")).cast("double")
+      val slope = num / (dent * 100.0)
+      st.select(col("event_type"), col("n"),
+          round(slope, 6).as("slope"),
+          round(col("sv").cast("double") / (col("n").cast("double") * 100.0)
+            - slope * (col("st").cast("double") / col("n").cast("double")), 6)
+            .as("intercept"),
+          round(num / sqrt(dent * denv), 6).as("r"))
+        .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // Calendar-spine gap filling — time-series resampling: daily
+    // per-type activity with MISSING DAYS materialized as zeros, the
+    // step every downstream window/trend consumer needs (a rolling
+    // average over a table with holes is silently wrong). The spine
+    // is GENERATED (sequence over the observed [min, max] date range
+    // × the distinct type set — |days|·|types| rows regardless of
+    // event volume, from two broadcast 1-row/|types|-row aggregates),
+    // and the fact side collapses to its daily aggregate BEFORE the
+    // spine left-joins it — the join is dimension-sized on both
+    // sides at any scale.
+    Q("e6_gap_fill",
+      "daily per-type counts on a generated calendar spine, missing days filled with zeros",
+      s"""WITH b AS (SELECT min(cast(ts AS date)) AS lo, max(cast(ts AS date)) AS hi
+         |           FROM events),
+         |spine AS (SELECT cast(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS date) AS day
+         |          FROM b),
+         |types AS (SELECT DISTINCT event_type FROM events),
+         |daily AS (SELECT cast(ts AS date) AS day, event_type, count(*) AS c,
+         |            ${dsumSql("value")} AS total
+         |          FROM events GROUP BY 1, 2)
+         |SELECT s.day, t.event_type,
+         |  coalesce(d.c, 0) AS n, coalesce(d.total, 0.0) AS total,
+         |  (d.c IS NULL) AS filled
+         |FROM spine s CROSS JOIN types t
+         |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+         |ORDER BY s.day, t.event_type""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi"))
+      val spine = b.select(explode(expr(
+        "sequence(lo, hi, interval 1 day)")).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"), dsum(col("value")).as("total"))
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"),
+          col("c").isNull.as("filled"))
+        .orderBy("day", "event_type")
     }
   )
 }
