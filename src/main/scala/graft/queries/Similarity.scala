@@ -1201,6 +1201,73 @@ object Similarity {
         .join(broadcast(pick), Seq("cid"))
       tier("exact", f).unionByName(tier("ivf2", ivf.drop("cid")))
         .orderBy("tier", "dist", "vec_id")
+    },
+
+    // ---------------------------------------------------------------
+    // PCA by power iteration, exact integer fixed-point — the
+    // dimensionality-reduction / spectral shape: the dominant
+    // principal direction of the (uncentered) gram matrix XᵀX,
+    // computed WITHOUT materializing XᵀX (64×64 here, but dim² rows
+    // at real width): each round is v ← XᵀXv as two keyed passes —
+    // s_i = ⟨x_i, v⟩ per row, then w_j = Σ_i q_ij·s_i per dim — the
+    // classic distributed matvec pair. Everything is INTEGER: vectors
+    // quantize once to a 1e3 grid (per-row IEEE round, deterministic),
+    // v renormalizes each round to max|v| = 1000 by nonnegative
+    // integer division (sign split out — floor-vs-trunc division
+    // semantics differ between engines ONLY for negatives, so the
+    // divide never sees one). Integer sums are order-invariant →
+    // bit-identical at any partition count, where float power
+    // iteration drifts. Magnitude ladder at sf0.01: |s| ≤ 64·530·1000
+    // ≈ 3.4e7, |w| ≤ n·530·|s| ≈ 9e12, |w|·1000 ≈ 9e15 < 2^63; at
+    // ≥1e8 rows, rescale s by div 1024 per round — same contract,
+    // one more integer op. The 64-row v and 1-row max broadcast each
+    // round; the exploded (vec_id, j, q) table is built ONCE.
+    Q("k18_pca_power",
+      "dominant principal direction via 3 integer fixed-point power-iteration rounds",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val arr = vDouble(SqlDuck)
+        def rnd(prev: String, k: Int): String =
+          s"""s$k AS (SELECT r.vec_id, cast(sum(r.q * v.v) AS BIGINT) AS s
+             |        FROM rows r JOIN $prev v ON v.j = r.j GROUP BY r.vec_id),
+             |w$k AS (SELECT r.j, cast(sum(r.q * s.s) AS BIGINT) AS w
+             |        FROM rows r JOIN s$k s ON s.vec_id = r.vec_id GROUP BY r.j),
+             |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+             |v$k AS (SELECT j, CASE WHEN w < 0
+             |          THEN -cast((abs(w) * 1000) // m AS BIGINT)
+             |          ELSE  cast((abs(w) * 1000) // m AS BIGINT) END AS v
+             |        FROM w$k, m$k)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, $arr AS a FROM embeddings),
+           |rows AS (SELECT vec_id, i AS j,
+           |           cast(round(a[i + 1] * 1000) AS BIGINT) AS q
+           |         FROM e, UNNEST(range(64)) AS t(i)),
+           |v0 AS (SELECT j, cast(1000 AS BIGINT) AS v FROM range(64) t(j)),
+           |${rnd("v0", 1)},
+           |${rnd("v1", 2)},
+           |${rnd("v2", 3)}
+           |SELECT j, v AS v_fp, round(cast(v AS double) / 1000.0, 3) AS loading
+           |FROM v3 ORDER BY j""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val rows = t(s, d, "embeddings").select(col("vec_id"),
+          posexplode(expr(
+            s"transform(${vDouble(SqlSpark)}, x_ -> cast(round(x_ * 1000) AS bigint))"))
+            .as(Seq("j", "q")))
+        .cache()
+      val v0 = s.range(64).select(col("id").as("j"), lit(1000L).as("v"))
+      val v3 = (1 to 3).foldLeft(v0) { (v, _) =>
+        val si = rows.join(broadcast(v), "j")
+          .groupBy("vec_id").agg(sum(col("q") * col("v")).as("s"))
+        val w = rows.join(si, "vec_id")
+          .groupBy("j").agg(sum(col("q") * col("s")).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        w.crossJoin(broadcast(m)).select(col("j"),
+          (when(col("w") < 0, -1L).otherwise(1L)
+            * expr("(abs(w) * 1000) div m")).as("v"))
+      }
+      v3.select(col("j"), col("v").as("v_fp"),
+          round(col("v").cast("double") / 1000.0, 3).as("loading"))
+        .orderBy("j")
     }
   )
 }
