@@ -97,7 +97,13 @@ object Plans {
     "t29_vocab_coverage" ->
       "Vocab coverage: top-K vocab from one keyed count; the corpus probes it through a BROADCAST left join — the token stream shuffles once, K bounds the probe side at any corpus size.",
     "s26_write_audit_publish" ->
-      "Write-audit-publish: every expectation verdict computed in ONE narrow pass (codegen'd CASE arms), fk rule rides a broadcast dim join; clean rows publish as an atomic snapshot, violations quarantine with reasons.")
+      "Write-audit-publish: every expectation verdict computed in ONE narrow pass (codegen'd CASE arms), fk rule rides a broadcast dim join; clean rows publish as an atomic snapshot, violations quarantine with reasons.",
+    "k18_pca_power" ->
+      "Integer power iteration: each round is two keyed matvec passes (row-dot then dim-sum, both partial_sum map-side combinable); the 64-row v and 1-row max broadcast; XᵀX is never materialized.",
+    "a22_grouped_ols" ->
+      "Grouped OLS: the entire model is one keyed aggregate of integer sufficient statistics (map-side combinable, order-invariant); floats only in the final per-group projection.",
+    "e6_gap_fill" ->
+      "Calendar-spine gap fill: the spine generates from two broadcast aggregates (|days| x |types| rows at any event volume); the fact side collapses to its daily aggregate BEFORE the spine join.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

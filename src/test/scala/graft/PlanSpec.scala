@@ -447,6 +447,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("k18: power-iteration matvecs broadcast v and combine integer sums map-side") {
+    val p = plan("k18_pca_power")
+    assert(p.contains("BroadcastHashJoin"), "64-row v must broadcast into the rows scan:\n" + p)
+    assert(p.contains("partial_sum"), "matvec sums must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s26: the expectations pass audits every rule in one scan with a broadcast fk probe") {
     val p = plan("s26_write_audit_publish")
     assert(!p.contains("SortMergeJoin"),
