@@ -566,6 +566,47 @@ object TextOps {
           round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
             .as("oov_frac"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Character-entropy quality signal — the compression-ratio proxy
+    // in the Gopher/MassiveText rule family: natural prose sits in a
+    // mid-entropy band; keyboard mash and minified blobs score high,
+    // template spam and char-runs score low. Per-doc Shannon entropy
+    // H = ln(n) − (Σ c·ln c)/n over the doc's char histogram: one
+    // narrow explode + one (doc, char) keyed count + one per-doc
+    // aggregate, all map-side combinable. The ln-sum goes through the
+    // decimal-exact dsum (t28's discipline) so partial-aggregation
+    // order cannot flip the ×1e6 gate; ln/division are per-row IEEE
+    // on exact counts — deterministic in both engines.
+    Q("t30_char_entropy",
+      "per-doc character Shannon entropy (compression-ratio quality proxy)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH ch AS (SELECT doc_id, unnest(${SqlDuck.chars("text")}) AS c
+           |            FROM documents),
+           |cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+           |e AS (SELECT doc_id, cast(sum(k) AS BIGINT) AS n,
+           |        count(*) AS n_distinct,
+           |        ${dsumSql("k * ln(cast(k AS double))", 12)} AS s
+           |      FROM cc GROUP BY doc_id)
+           |SELECT doc_id, n, n_distinct,
+           |  cast(round((ln(cast(n AS double)) - s / cast(n AS double))
+           |    * 1000000) AS BIGINT) AS entropy_e6
+           |FROM e ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      val cc = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(expr(SqlSpark.chars("text"))).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+      cc.groupBy("doc_id")
+        .agg(sum("k").as("n"), count(lit(1)).as("n_distinct"),
+          dsum(col("k").cast("double") * log(col("k").cast("double")), 12)
+            .as("s"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round((log(col("n").cast("double")) - col("s") / col("n").cast("double"))
+            * 1000000).cast("long").as("entropy_e6"))
+        .orderBy("doc_id")
     }
   )
 }
