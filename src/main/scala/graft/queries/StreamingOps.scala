@@ -551,6 +551,78 @@ object StreamingOps {
         s"st8_mem_${System.nanoTime()}", OutputMode.Append())
         .filter(col("purchase_id") >= 0) // drop sentinel punctuation rows
         .orderBy("purchase_id", "click_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Streaming write-audit-publish — s26's expectations gate applied
+    // per MICRO-BATCH (the Delta-Live-Tables ingest loop): every
+    // batch computes its per-row rule verdicts in one narrow pass,
+    // appends violations to the quarantine table WITH their reasons,
+    // appends clean rows to the published table, and publishes the
+    // grown table as the batch's snapshot version — so downstream
+    // consumers only ever pin versions that have passed audit, while
+    // quarantined rows stay queryable for triage instead of poisoning
+    // the table or vanishing. The oracle states the same partition
+    // algebraically over the whole stream: what was published is
+    // EXACTLY the rows that pass every rule, regardless of how the
+    // stream was batched — expectations commute with batching because
+    // verdicts are per-row. `evt_known` and `value_range` both fire
+    // on real data; `user_nonneg` never fires (a passing rule must
+    // cost and quarantine nothing). Scale: the audit pass is
+    // codegen'd CASE arms on the batch scan; quarantine/publish are
+    // appends + one atomic marker per batch.
+    Q("st13_stream_audit_publish",
+      "per-micro-batch expectations: clean rows publish versioned, violations quarantine == whole-stream audit",
+      s"""WITH c AS (
+         |  SELECT value,
+         |    coalesce(array_to_string(list_filter([
+         |      CASE WHEN event_type = 'error' THEN 'evt_known' END,
+         |      CASE WHEN value > 300 THEN 'value_range' END,
+         |      CASE WHEN user_id < 0 THEN 'user_nonneg' END],
+         |      x_ -> x_ IS NOT NULL), ','), '') AS reason
+         |  FROM events)
+         |SELECT 'published' AS metric, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM c WHERE reason = ''
+         |UNION ALL
+         |SELECT 'quarantined', count(*), ${dsumSql("value")} FROM c WHERE reason != ''
+         |UNION ALL
+         |SELECT 'rule:' || reason, count(*), ${dsumSql("value")}
+         |FROM c WHERE reason != '' GROUP BY reason
+         |ORDER BY metric""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st13")
+      val clean = tmp.resolve("clean").toString
+      val quar = tmp.resolve("quar").toString
+      val snaps = tmp.resolve("snaps").toString
+      val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, id) =>
+        val checked = batch.withColumn("reason", array_join(filter(array(
+          when(col("event_type") === "error", "evt_known"),
+          when(col("value") > 300, "value_range"),
+          when(col("user_id") < 0, "user_nonneg")),
+          x_ => x_.isNotNull), ","))
+        TableStore.append(checked.filter(col("reason") =!= "")
+          .select("event_id", "value", "reason"), quar)
+        TableStore.append(checked.filter(col("reason") === "")
+          .select("event_id", "value"), clean)
+        TableStore.publishVersion(s, snaps, TableStore.read(s, clean),
+          note = s"audited-batch:$id")
+      }
+      val current = TableStore.currentVersion(s, snaps)
+        .getOrElse(sys.error("st13: stream published no audited snapshot"))
+      val pub = TableStore.readVersion(s, snaps, Some(current))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .select(lit("published").as("metric"), col("n"), col("total"))
+      val q = TableStore.read(s, quar)
+      pub.unionByName(
+          q.agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+            .select(lit("quarantined").as("metric"), col("n"), col("total")))
+        .unionByName(q.groupBy("reason")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .select(concat(lit("rule:"), col("reason")).as("metric"),
+            col("n"), col("total")))
+        .orderBy("metric")
     }
   )
 }
