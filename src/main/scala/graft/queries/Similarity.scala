@@ -1258,8 +1258,12 @@ object Similarity {
       val v3 = (1 to 3).foldLeft(v0) { (v, _) =>
         val si = rows.join(broadcast(v), "j")
           .groupBy("vec_id").agg(sum(col("q") * col("v")).as("s"))
+        // cache the dim-sized w: the max and the renormalized v both
+        // consume it, and the next round re-reads v — without the cut,
+        // each round re-evaluates its predecessors' whole chains
         val w = rows.join(si, "vec_id")
           .groupBy("j").agg(sum(col("q") * col("s")).as("w"))
+          .cache()
         val m = w.agg(max(abs(col("w"))).as("m"))
         w.crossJoin(broadcast(m)).select(col("j"),
           (when(col("w") < 0, -1L).otherwise(1L)
