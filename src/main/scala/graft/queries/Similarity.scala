@@ -1272,6 +1272,66 @@ object Similarity {
       v3.select(col("j"), col("v").as("v_fp"),
           round(col("v").cast("double") / 1000.0, 3).as("loading"))
         .orderBy("j")
+    },
+
+    // ---------------------------------------------------------------
+    // Semantic decontamination — c5 catches eval contamination by
+    // n-gram OVERLAP; this catches what paraphrase survives: a
+    // benchmark item whose EMBEDDING nearly coincides with a training
+    // vector. The benchmark set here is constructed contamination
+    // (every 20th vector, one dim nudged +0.01 — cosine ≈ 0.9999 to
+    // its source, the d1-doubling idiom for vectors), so the query
+    // must find exactly those plants. Shape: the benchmark side is
+    // TINY by nature (an eval suite), so its multi-probe rows
+    // (bucket + all hamming-1 buckets, covering single boundary-bit
+    // flips from the perturbation) BROADCAST; the training corpus
+    // scans ONCE and candidates come from the bucket equi-join —
+    // never an all-pairs product. Exact cosine ≥ 0.95 verifies
+    // candidates; flagged training rows are the removal list.
+    Q("c12_semantic_decontamination",
+      "embedding-level eval decontamination: broadcast multi-probe bucket join + exact cosine verify",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val probeList = (Seq("qb") ++
+          (0 until Planes).map(p => s"xor(qb, ${1L << p})")).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |b AS (SELECT vec_id + 10000 AS bench_id,
+           |        list_concat([v[1] + 0.01], v[2:]) AS bv
+           |      FROM e WHERE vec_id % 20 = 0),
+           |bn AS (SELECT bench_id, bv, ${XSql.norm2("bv")} AS n2b,
+           |         ${lshBucket("bv")} AS qb FROM b),
+           |probes AS (SELECT bench_id, bv, n2b, unnest($probeList) AS bucket FROM bn),
+           |t AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2,
+           |        ${lshBucket("v")} AS bucket FROM e),
+           |cand AS (SELECT p.bench_id, t.vec_id,
+           |           ${XSql.cosineFromNorms(XSql.dot("t.v", "p.bv"), "t.n2", "p.n2b")} AS sim
+           |         FROM t JOIN probes p ON t.bucket = p.bucket)
+           |SELECT bench_id, vec_id AS train_id, round(sim, 6) AS sim
+           |FROM cand WHERE sim >= 0.95
+           |ORDER BY bench_id, train_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .select("vec_id", "v")
+      val b = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000L).as("bench_id"),
+          expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, 63))").as("bv"))
+        .withColumn("n2b", expr(XSql.norm2("bv")))
+        .withColumn("qb", expr(lshBucket("bv")))
+      val probes = b.select(col("bench_id"), col("bv"), col("n2b"),
+        explode(array(Seq(col("qb")) ++
+          (0 until Planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
+          .as("bucket"))
+      val tr = e
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .withColumn("bucket", expr(lshBucket("v")))
+      tr.join(broadcast(probes), Seq("bucket"))
+        .select(col("bench_id"), col("vec_id").as("train_id"),
+          expr(XSql.cosineFromNorms(XSql.dot("v", "bv"), "n2", "n2b")).as("sim"))
+        .filter(col("sim") >= 0.95)
+        .select(col("bench_id"), col("train_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("bench_id", "train_id")
     }
   )
 }
