@@ -789,6 +789,67 @@ object Sinks {
           .select(concat(lit("rule:"), col("reason")).as("metric"),
             col("n"), col("qty")))
         .orderBy("metric")
+    },
+
+    // ---------------------------------------------------------------
+    // Temporal dimension join — the query SCD2 history exists FOR:
+    // each fact row joins the dimension version that was valid AT
+    // FACT TIME, so January purchases see January's segment and
+    // February purchases see the renamed one — point-in-time-correct
+    // enrichment (joining the live dim back-dates every historical
+    // fact, the classic silent-corruption bug). The history is built
+    // by the same three scd2Upsert batches s18 gates (change at
+    // 01-10, partial revert at 01-20; the oracle restates it
+    // algebraically), then the join runs as an EQUI-join on the key
+    // with the validity-window predicate applied post-join — bounded
+    // by versions-per-key (≤ 3 here, small always), so this is NOT a
+    // band/range join: the shuffle carries each fact row once, and
+    // exactly one version survives the window filter per fact.
+    Q("j17_temporal_dim_join",
+      "facts join the SCD2 dimension version valid at fact time (point-in-time enrichment)",
+      s"""WITH hist AS (
+         |  SELECT c_custkey AS k, c_mktsegment AS seg,
+         |         DATE '2024-01-01' AS vf,
+         |         CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-01-10' END AS vt
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, 'X-' || c_mktsegment, DATE '2024-01-10',
+         |         CASE WHEN c_custkey % 6 = 0 THEN DATE '2024-01-20' END
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, DATE '2024-01-20', NULL
+         |  FROM customer WHERE c_custkey % 6 = 0)
+         |SELECT h.seg, count(*) AS n, ${dsumSql("e.value")} AS total
+         |FROM events e JOIN hist h ON e.user_id = h.k
+         |  AND cast(e.ts AS date) >= h.vf
+         |  AND (h.vt IS NULL OR cast(e.ts AS date) < h.vt)
+         |WHERE e.event_type = 'purchase'
+         |GROUP BY h.seg ORDER BY h.seg""".stripMargin) { (s, d) =>
+      val path = scratch("j17")
+      val base = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"))
+      def day(x: String) = java.sql.Date.valueOf(x)
+      TableStore.scd2Upsert(s, path, base,
+        Seq("c_custkey"), Seq("seg"), day("2024-01-01"))
+      val b2 = base.withColumn("seg",
+        when(col("c_custkey") % 3 === 0, concat(lit("X-"), col("seg")))
+          .otherwise(col("seg")))
+      TableStore.scd2Upsert(s, path, b2,
+        Seq("c_custkey"), Seq("seg"), day("2024-01-10"))
+      val b3 = b2.withColumn("seg",
+        when(col("c_custkey") % 6 === 0,
+          regexp_replace(col("seg"), "^X-", "")).otherwise(col("seg")))
+      TableStore.scd2Upsert(s, path, b3,
+        Seq("c_custkey"), Seq("seg"), day("2024-01-20"))
+      val hist = TableStore.read(s, path)
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .join(hist, col("user_id") === col("c_custkey") &&
+          to_date(col("ts")) >= col("valid_from") &&
+          (col("valid_to").isNull || to_date(col("ts")) < col("valid_to")))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("seg")
     }
   )
 }
