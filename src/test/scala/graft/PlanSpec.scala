@@ -447,6 +447,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("aqe: post-shuffle partition coalescing engages on a small aggregate") {
+    // the other half of AQE's runtime re-planning (x3 gates skew
+    // SPLITTING): a shuffle whose output is far smaller than the
+    // static partition count must COALESCE its reducers at runtime —
+    // at scale this is thousands of empty reducer tasks not launched.
+    // Asserted on the EXECUTED plan: AQEShuffleRead only appears once
+    // the adaptive plan is final.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("AQEShuffleRead coalesced"),
+      "expected runtime-coalesced shuffle read:\n" + p)
+  }
+
   test("k18: power-iteration matvecs broadcast v and combine integer sums map-side") {
     val p = plan("k18_pca_power")
     assert(p.contains("BroadcastHashJoin"), "64-row v must broadcast into the rows scan:\n" + p)
