@@ -1332,6 +1332,58 @@ object Similarity {
         .filter(col("sim") >= 0.95)
         .select(col("bench_id"), col("train_id"), round(col("sim"), 6).as("sim"))
         .orderBy("bench_id", "train_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Assignment-drift monitor — the retrain-policy loop for a live
+    // ANN index (k16 shows HOW to absorb a batch without retraining;
+    // this measures WHEN that stops being safe): centroids trained on
+    // the base corpus (vec_id % 3 != 2) vs centroids trained on the
+    // full corpus, every vector assigned under BOTH (two broadcast
+    // argmin passes over one scan each), and the drift report is the
+    // (base_cid, full_cid, n) CONTINGENCY TABLE — renumbering-
+    // agnostic, unlike a naive cid equality which breaks the moment
+    // the seeding picks different ids. A diagonal-dominant table says
+    // the frozen index is still partitioning like a fresh one; mass
+    // off every row-max says rebuild. Scale: trainings are bounded-
+    // sample local fits (k15's contract); the measurement is two
+    // broadcast joins + one tiny keyed count — O(n), no pairs.
+    Q("k19_assignment_drift",
+      "retrain-policy drift report: contingency of assignments under base-trained vs full-trained centroids",
+      {
+        implicit val dl: Dialect = SqlDuck
+        def assignCte(name: String, cents: String): String =
+          s"""$name AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+             |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |eb AS (SELECT vec_id, v FROM e WHERE vec_id % 3 != 2),
+           |${lloydCtes(4, p = "b", src = "eb")},
+           |${lloydCtes(4, p = "f", src = "e")},
+           |${assignCte("asb", "bc1")},
+           |${assignCte("asf", "fc1")}
+           |SELECT asb.cid AS base_cid, asf.cid AS full_cid, count(*) AS n
+           |FROM asb JOIN asf ON asb.vec_id = asf.vec_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .select("vec_id", "v")
+      val base = e.filter(col("vec_id") % 3 =!= 2)
+      val cb = KMeans.trainLocal(base, 4, LloydRounds)
+      val cf = KMeans.trainLocal(e, 4, LloydRounds)
+      val ab = KMeans.withAssign(e, cb)
+        .select(col("vec_id"), col("cid").as("base_cid"))
+      val af = KMeans.withAssign(e, cf)
+        .select(col("vec_id"), col("cid").as("full_cid"))
+      ab.join(af, "vec_id")
+        .groupBy("base_cid", "full_cid")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("base_cid", "full_cid")
     }
   )
 }
