@@ -162,6 +162,59 @@ object EventAnalytics {
     },
 
     // ---------------------------------------------------------------
+    // Time-boxed funnel (the windowFunnel semantics): e1 counts the
+    // ordered signup→view→purchase chain with NO deadline; here every
+    // later step must also land within 7 DAYS of the user's first
+    // signup — the conversion-window constraint every growth metric
+    // actually carries (a purchase a month later is not campaign
+    // attribution). Depth per user = furthest step reached inside the
+    // window; output is the depth histogram. Same scale shape as e1:
+    // each step is a key-bounded join against the previous step's
+    // 1-row-per-user aggregate; the deadline is a per-row predicate
+    // riding those joins, costing nothing extra.
+    Q("e7_windowed_funnel",
+      "7-day windowed funnel depth histogram (signup -> view -> purchase within the window)",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts >= s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY e.user_id),
+        |d AS (SELECT s1.user_id,
+        |        CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |             WHEN s2.user_id IS NOT NULL THEN 2
+        |             ELSE 1 END AS depth
+        |      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |              LEFT JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT depth, count(*) AS n_users
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.join(s2.select(col("user_id"), lit(1).as("h2")), Seq("user_id"), "left")
+        .join(s3.select(col("user_id"), lit(1).as("h3")), Seq("user_id"), "left")
+        .select(when(col("h3").isNotNull, 3)
+          .when(col("h2").isNotNull, 2).otherwise(1).as("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n_users"))
+        .orderBy("depth")
+    },
+
+    // ---------------------------------------------------------------
     // In-engine grouped OLS — per-event-type trend of value over time,
     // fitted from SUFFICIENT STATISTICS: n, Σt, Σv, Σtv, Σt², Σv² are
     // the whole model, and every one is an INTEGER sum (t = whole
