@@ -103,7 +103,13 @@ object Plans {
     "a22_grouped_ols" ->
       "Grouped OLS: the entire model is one keyed aggregate of integer sufficient statistics (map-side combinable, order-invariant); floats only in the final per-group projection.",
     "e6_gap_fill" ->
-      "Calendar-spine gap fill: the spine generates from two broadcast aggregates (|days| x |types| rows at any event volume); the fact side collapses to its daily aggregate BEFORE the spine join.")
+      "Calendar-spine gap fill: the spine generates from two broadcast aggregates (|days| x |types| rows at any event volume); the fact side collapses to its daily aggregate BEFORE the spine join.",
+    "j17_temporal_dim_join" ->
+      "Temporal dimension join: point-in-time enrichment against SCD2 history runs as an EQUI-join on the key (the validity window is a post-join filter bounded by versions-per-key) — never a range/nested-loop join.",
+    "c12_semantic_decontamination" ->
+      "Semantic decontamination: the benchmark's multi-probe rows broadcast (an eval suite is tiny by nature); the training corpus scans ONCE and candidates come from the bucket equi-join; exact cosine verifies.",
+    "k19_assignment_drift" ->
+      "Assignment drift: two broadcast-centroid argmin passes over one scan each + one tiny contingency aggregate — the retrain-policy measurement is O(n) with no pair joins.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -447,6 +447,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j17: the temporal dimension join is an equi-join on the key, never a range/nested-loop join") {
+    // the validity window applies as a post-join filter bounded by
+    // versions-per-key — the fact side shuffles once on the key
+    val p = plan("j17_temporal_dim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "expected a hash/merge equi-join on the dimension key:\n" + p)
+  }
+
+  test("c12: the benchmark probe set broadcasts; candidates come from the bucket equi-join") {
+    val p = plan("c12_semantic_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "probe rows must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("k19: both assignment passes are broadcast-centroid argmins over one scan each") {
+    // same contract as k9: the hinted 1-row centroid-array frame rides
+    // a broadcast join (nested-loop on the constant key is fine — one
+    // row, zero movement); a CartesianProduct would shuffle the corpus
+    val p = plan("k19_assignment_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aqe: post-shuffle partition coalescing engages on a small aggregate") {
     // the other half of AQE's runtime re-planning (x3 gates skew
     // SPLITTING): a shuffle whose output is far smaller than the
