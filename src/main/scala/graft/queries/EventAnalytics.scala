@@ -278,6 +278,56 @@ object EventAnalytics {
     },
 
     // ---------------------------------------------------------------
+    // Association rules — market-basket analysis over per-user event
+    // baskets: for every ordered type pair (a → b), support = users
+    // with both / all users, confidence = P(b | a), lift =
+    // conf / P(b). The candidate space is the DISTINCT per-user type
+    // set, so pair explosion is bounded by |types|² per user (≤ 25
+    // here) REGARDLESS of event volume — the reason basket mining is
+    // linear where naive event-pair joins are quadratic: collapse to
+    // baskets FIRST, then pair within the basket. Ratios are exact
+    // integer counts divided once at the end (per-row IEEE, both
+    // engines agree); rounded to 6.
+    Q("e8_assoc_rules",
+      "market-basket rules over per-user event-type sets: support / confidence / lift",
+      """WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+        |tc AS (SELECT event_type, count(*) AS c FROM u GROUP BY event_type),
+        |pairs AS (SELECT a.user_id, a.event_type AS ante, b.event_type AS cons
+        |          FROM u a JOIN u b ON a.user_id = b.user_id
+        |          WHERE a.event_type != b.event_type),
+        |pc AS (SELECT ante, cons, count(*) AS both FROM pairs GROUP BY ante, cons)
+        |SELECT pc.ante, pc.cons, pc.both,
+        |  round(cast(pc.both AS double) / cast(nu.n AS double), 6) AS support,
+        |  round(cast(pc.both AS double) / cast(ta.c AS double), 6) AS confidence,
+        |  round((cast(pc.both AS double) / cast(ta.c AS double))
+        |    / (cast(tb.c AS double) / cast(nu.n AS double)), 6) AS lift
+        |FROM pc JOIN tc ta ON ta.event_type = pc.ante
+        |        JOIN tc tb ON tb.event_type = pc.cons, nu
+        |ORDER BY ante, cons""".stripMargin) { (s, d) =>
+      val u = t(s, d, "events").select("user_id", "event_type").distinct()
+      val nu = u.agg(countDistinct("user_id").as("n"))
+      val tc = u.groupBy("event_type").agg(count(lit(1)).as("c"))
+      val a = u.select(col("user_id"), col("event_type").as("ante"))
+      val b = u.select(col("user_id"), col("event_type").as("cons"))
+      val pc = a.join(b, "user_id")
+        .filter(col("ante") =!= col("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).as("both"))
+      pc.join(broadcast(tc.select(col("event_type").as("ante"), col("c").as("ca"))), "ante")
+        .join(broadcast(tc.select(col("event_type").as("cons"), col("c").as("cb"))), "cons")
+        .crossJoin(broadcast(nu))
+        .select(col("ante"), col("cons"), col("both"),
+          round(col("both").cast("double") / col("n").cast("double"), 6)
+            .as("support"),
+          round(col("both").cast("double") / col("ca").cast("double"), 6)
+            .as("confidence"),
+          round((col("both").cast("double") / col("ca").cast("double"))
+            / (col("cb").cast("double") / col("n").cast("double")), 6)
+            .as("lift"))
+        .orderBy("ante", "cons")
+    },
+
+    // ---------------------------------------------------------------
     // Calendar-spine gap filling — time-series resampling: daily
     // per-type activity with MISSING DAYS materialized as zeros, the
     // step every downstream window/trend consumer needs (a rolling

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the selection/partition operators added in round 6 —
+  * properties the oracle equality can't state on its own:
+  * expectations must PARTITION the batch (nothing dropped, nothing
+  * duplicated, nothing both published and quarantined), quotas must
+  * never be exceeded, and removal policies must actually remove.
+  */
+class PartitionInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("s26: published + quarantined partitions the batch exactly") {
+    val out = SparkEntry.queries("s26_write_audit_publish")(spark, sf).collect()
+    def n(metric: String) =
+      out.find(_.getAs[String]("metric") == metric).map(_.getAs[Long]("n")).getOrElse(0L)
+    val batch = Tables.load(spark, sf, "lineitem").count()
+    assert(n("published") + n("quarantined") == batch,
+      s"rows lost or duplicated: ${n("published")} + ${n("quarantined")} != $batch")
+    // per-rule quarantine rows must sum back to the quarantined total
+    // (each row carries its COMPOSED reason exactly once)
+    val ruleSum = out.filter(_.getAs[String]("metric").startsWith("rule:"))
+      .map(_.getAs[Long]("n")).sum
+    assert(ruleSum == n("quarantined"), out.mkString("\n"))
+    // the never-firing rule must not appear as a standalone reason row
+    assert(!out.exists(_.getAs[String]("metric") == "rule:fk_orders"),
+      "fk_orders fired on clean data")
+  }
+
+  test("c11: per-lang kept counts never exceed quotas; total stays within budget") {
+    val out = SparkEntry.queries("c11_temperature_rebalance")(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("target_n"), r)
+      assert(r.getAs[Long]("target_n") <= r.getAs[Long]("n_total"), r)
+      // hash-rank selection fills every quota exactly (targets are
+      // capped at n, so the rank always reaches target_n)
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("target_n"), r)
+    }
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum <= total / 2,
+      "kept more than the half-corpus budget")
+    // temperature flattening: every language's keep fraction must be
+    // >= the head language's (sqrt weighting favors the tail)
+    val fracs = out.map(r =>
+      r.getAs[Long]("n_total") -> r.getAs[Double]("keep_frac"))
+    val head = fracs.maxBy(_._1)
+    assert(fracs.forall(_._2 >= head._2 - 1e-9),
+      s"tail language kept below the head rate: ${fracs.mkString(", ")}")
+  }
+
+  test("d13: no chunk with document frequency >= 3 survives in any rebuilt doc") {
+    val out = SparkEntry.queries("d13_boilerplate_removal")(spark, sf)
+    val surviving = out.select(col("doc_id"),
+        explode(split(col("clean_text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    // recompute df over the ORIGINAL chunking and check the survivors.
+    // Re-chunking a rebuilt doc can form NEW windows where interior
+    // chunks were removed, so this is a deterministic regression
+    // tripwire on this corpus (none of those windows coincide with
+    // boilerplate here), not a boundary-exact theorem
+    val chunks = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .withColumn("l", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(
+          |  sequence(0, greatest(cast(ceil(size(l) / 5.0) as int), 1) - 1),
+          |  i -> array_join(slice(l, i * 5 + 1, 5), ' '))""".stripMargin)).as("chunk"))
+    val df3 = chunks.select("chunk", "doc_id").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+    val cleanChunks = out.select(col("doc_id"), col("clean_text"))
+      .filter(col("clean_text") =!= "")
+      .withColumn("l", split(col("clean_text"), " "))
+      .select(explode(expr(
+        """transform(
+          |  sequence(0, greatest(cast(ceil(size(l) / 5.0) as int), 1) - 1),
+          |  i -> array_join(slice(l, i * 5 + 1, 5), ' '))""".stripMargin)).as("chunk"))
+    val leaked = cleanChunks.join(df3, "chunk").count()
+    assert(leaked == 0L, s"$leaked boilerplate chunks survived the removal")
+    assert(surviving.count() > 0L, "removal must not empty the corpus")
+  }
+}
