@@ -565,6 +565,32 @@ object TableStore {
         keys.map(col) ++: dataCols.map(c => col(s"_c.$c").as(c)): _*)
   }
 
+  /** Reclaim the data dirs of UNCOMMITTED versions — what a publisher
+    * that crashed between claim and marker leaves behind (its `v=N`
+    * dir holds partial files no reader can ever see, but the storage
+    * is real). The claim file is KEPT as the burn record, so the
+    * number is never re-issued and [[readVersion]]'s loud
+    * orphan-is-not-a-version failure is unchanged; committed dirs and
+    * markers are never touched. MAINTENANCE-ROLE contract (same as
+    * [[compact]]/[[applyDeletes]]): must not run concurrently with a
+    * publisher — an in-flight publish's half-written dir is
+    * indistinguishable from a crashed one's. Returns the number of
+    * orphan dirs reclaimed.
+    */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) return 0L
+    val committed = numbered(f, path, "_committed_v").toSet
+    val orphans = f.listStatus(p).toSeq
+      .filter(_.getPath.getName.startsWith("v="))
+      .filter(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("v=").toLong).toOption
+        .exists(!committed.contains(_)))
+    orphans.foreach(st => f.delete(st.getPath, true): Unit)
+    orphans.size.toLong
+  }
+
   /** Retention: drop the DATA of all versions strictly below
     * `keepFrom` (never the current one). Markers are kept: dropped
     * numbers stay burned and their commit notes remain readable —

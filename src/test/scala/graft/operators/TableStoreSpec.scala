@@ -372,4 +372,29 @@ class TableStoreSpec extends SparkSpec {
     assert(diff(v2, v1).count(_._1 == "delete") == 1 &&
       diff(v2, v1).count(_._1 == "insert") == 1)
   }
+
+  test("vacuum reclaims crashed-publish orphan dirs, keeps the burn record and all commits") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    val v2 = TableStore.publishVersion(spark, p, Seq((2L, "b")).toDF("k", "v"))
+    // simulate a publisher that crashed between claim and marker:
+    // claim file present, data dir (partially) written, no marker
+    val f = new java.io.File(p)
+    assert(new java.io.File(f, "_claim_v3").createNewFile())
+    Seq((9L, "ghost")).toDF("k", "v").write.parquet(s"$p/v=3")
+    assert(TableStore.vacuum(spark, p) == 1L, "exactly the one orphan reclaimed")
+    assert(!new java.io.File(f, "v=3").exists(), "orphan data dir must be gone")
+    assert(new java.io.File(f, "_claim_v3").exists(), "burn record must survive")
+    // committed versions untouched, current unchanged
+    assert(TableStore.committedVersions(spark, p) == Seq(v1, v2))
+    assert(TableStore.readVersion(spark, p, Some(v1)).collect()
+      .map(_.getString(1)).toSeq == Seq("a"))
+    assert(TableStore.currentVersion(spark, p).contains(v2))
+    // the burned number is never re-issued: the next publish skips it
+    assert(TableStore.publishVersion(spark, p,
+      Seq((3L, "c")).toDF("k", "v")) == 4L)
+    // idempotent: a second vacuum finds nothing
+    assert(TableStore.vacuum(spark, p) == 0L)
+  }
 }
