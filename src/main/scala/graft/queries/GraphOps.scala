@@ -114,6 +114,89 @@ object GraphOps {
           col("r").as("rank_fp"),
           (col("r").cast("double") / lit(1e12)).as("rank"))
         .orderBy(col("rank_fp").desc, col("doc_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // Weighted PageRank — the realistic variant: edges carry their
+    // verified Jaccard as an INTEGER weight (round(jacc*1000) ∈
+    // [500,1000] at the 0.5 threshold), and each node distributes its
+    // rank proportionally to edge weight: contribution along (u,v) is
+    // (r_u · w_uv) div strength_u, strength = Σ w per node. Same
+    // order-invariant all-BIGINT contract as g1 — the only new
+    // magnitude is r·w ≤ 1e12·1000 = 1e15, still 3 orders inside
+    // int64 — and the same two-pass iteration shape (one equi-join,
+    // one keyed sum). Strength rides the edge table from one upfront
+    // aggregate, exactly like g1's degree.
+    Q("g2_weighted_pagerank",
+      "similarity-weighted fixed-point PageRank over the verified LSH near-dup graph",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val teleport = s"(15 * ${S}) // (100 * nn.n)"
+        def iter(prev: String, out: String): String =
+          s"""$out AS (
+             |  SELECT e.dst AS id, cast($teleport
+             |      + (85 * sum((p.r * e.w) // e.strength)) // 100 AS BIGINT) AS r
+             |  FROM edges e JOIN $prev p ON p.id = e.src, nn
+             |  GROUP BY e.dst, nn.n)""".stripMargin
+        s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
+           |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT c.doc_a, c.doc_b,
+           |            cast(round(${XSql.jaccard("sa.sh", "sb.sh")} * 1000) AS BIGINT) AS w
+           |          FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5),
+           |ed AS (SELECT doc_a AS src, doc_b AS dst, w FROM pairs
+           |       UNION ALL SELECT doc_b, doc_a, w FROM pairs),
+           |st AS (SELECT src, cast(sum(w) AS BIGINT) AS strength FROM ed GROUP BY src),
+           |edges AS (SELECT ed.src, ed.dst, ed.w, st.strength
+           |          FROM ed JOIN st ON st.src = ed.src),
+           |nn AS (SELECT count(*) AS n FROM st),
+           |r0 AS (SELECT src AS id, cast(${S} // nn.n AS BIGINT) AS r FROM st, nn),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT s.src AS doc_id, s.strength, r3.r AS rank_fp,
+           |       cast(r3.r AS double) / 1e12 AS rank
+           |FROM r3 JOIN st s ON s.src = r3.id
+           |ORDER BY rank_fp DESC, doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jacc") * 1000).cast("long").as("w"))
+      val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+      val st = edges0.groupBy("src").agg(sum("w").as("strength"))
+      val edges = edges0.join(st, "src").cache()
+      val nDf = st.agg(count(lit(1)).as("n"))
+      val r0 = st.select(col("src").as("id"))
+        .crossJoin(broadcast(nDf))
+        .select(col("id"), expr(s"cast($S div n AS BIGINT)").as("r"))
+      val r3 = (1 to 3).foldLeft(r0) { (prev, _) =>
+        edges.join(prev, edges("src") === prev("id"))
+          .select(col("dst"), expr("(r * w) div strength").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inc"))
+          .crossJoin(broadcast(nDf))
+          .select(col("dst").as("id"),
+            expr(s"cast((15 * $S) div (100 * n) + (85 * inc) div 100 AS BIGINT)")
+              .as("r"))
+      }
+      r3.join(st, r3("id") === st("src"))
+        .select(col("src").as("doc_id"), col("strength"),
+          col("r").as("rank_fp"),
+          (col("r").cast("double") / lit(1e12)).as("rank"))
+        .orderBy(col("rank_fp").desc, col("doc_id"))
     }
   )
 }
