@@ -12,19 +12,21 @@ class NumericOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("g1: rank mass is conserved up to integer-floor loss, ranks positive") {
-    val out = SparkEntry.queries("g1_pagerank")(spark, sf).collect()
-    assert(out.nonEmpty, "near-dup graph should be non-empty at sf0.001")
-    val n = out.length.toLong
-    val total = out.map(_.getAs[Long]("rank_fp")).sum
+  test("g1/g2: rank mass is conserved up to integer-floor loss, ranks positive") {
     val S = 1000000000000L
-    // every division floors, so mass can only LEAK, never appear:
-    // teleport loses < 100n units, each node's contribution sum loses
-    // < deg per incoming edge, scaled by 0.85 and compounded over 3
-    // rounds — bound generously at 1% of S
-    assert(total <= S, s"rank mass appeared from nowhere: $total > $S")
-    assert(total >= S - S / 100, s"rank mass leaked past the floor bound: $total")
-    assert(out.forall(_.getAs[Long]("rank_fp") > 0), "ranks must be positive")
+    Seq("g1_pagerank", "g2_weighted_pagerank").foreach { q =>
+      val out = SparkEntry.queries(q)(spark, sf).collect()
+      assert(out.nonEmpty, s"$q: near-dup graph should be non-empty at sf0.001")
+      val total = out.map(_.getAs[Long]("rank_fp")).sum
+      // every division floors, so mass can only LEAK, never appear:
+      // teleport loses < 100n units, each node's contribution sum
+      // loses < deg (g1) / < strength-granularity (g2) per incoming
+      // edge, scaled by 0.85 and compounded over 3 rounds — bound
+      // generously at 1% of S
+      assert(total <= S, s"$q: rank mass appeared from nowhere: $total > $S")
+      assert(total >= S - S / 100, s"$q: rank mass leaked past the floor bound: $total")
+      assert(out.forall(_.getAs[Long]("rank_fp") > 0), s"$q: ranks must be positive")
+    }
   }
 
   test("k18: the integer fixed-point iterate tracks the float algorithm it quantizes") {
