@@ -608,6 +608,118 @@ object Relational3 {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end_gap"), col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q14 shape — promotion revenue share: a conditional
+    // aggregate ratio over one fact-dim join. The plan property: BOTH
+    // the promo and total revenue come from ONE pass (two conditional
+    // sums in the same partial+final aggregate), never two scans or a
+    // self-join; `part` broadcasts. Exact decimal sums; the share is
+    // one IEEE division at the end.
+    Q("q14_promo_share",
+      "promotion revenue share: two conditional sums in one pass (TPC-H Q14 shape)",
+      s"""SELECT round(100.0 * (
+         |    ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+         |  ) / (
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)", 6)}
+         |  ), 6) AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1996-01-01'
+         |  AND l_shipdate < DATE '1996-02-01'""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-02-01").cast("date"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)), 6)
+            .as("promo"),
+          dsum(rev, 6).as("total"))
+        .select(round(lit(100.0) * col("promo") / col("total"), 6)
+          .as("promo_share"))
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q16 shape — supplier diversity per product segment with a
+    // NOT-IN exclusion: distinct suppliers per (brand, type, size)
+    // after anti-joining the excluded supplier set (negative balance
+    // — Q16's complaints filter on this schema). Plan properties: the
+    // exclusion is a tiny BROADCAST anti-join (never a full shuffle
+    // of partsupp-shaped data), and the distinct count shuffles the
+    // (group, supplier) pairs exactly once.
+    Q("q16_supplier_diversity",
+      "distinct suppliers per (brand, type, size) with NOT-IN exclusion (TPC-H Q16 shape)",
+      """WITH ex AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (11, 18, 25, 32)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM ex)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      val ex = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(ex), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_size").isin(11, 18, 25, 32))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q21 shape — the EXISTS + NOT-EXISTS chain: suppliers who
+    // were the SOLE late shipper on a multi-supplier order. Three
+    // references to the same fact resolve as one semi-join (another
+    // supplier shipped the order) and one anti-join (no OTHER
+    // supplier shipped late) against the late-line base — the classic
+    // correlated-subquery pair the optimizer must turn into
+    // key-bounded hash joins, NOT per-row re-scans. At scale both
+    // probes shuffle on l_orderkey, the same key as the base — one
+    // partitioning reused three times.
+    Q("q21_sole_late_supplier",
+      "sole-late-shipper per multi-supplier order via semi + anti fact self-probes (TPC-H Q21 shape)",
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= DATE '1998-06-01'),
+        |base AS (
+        |  SELECT DISTINCT lt.l_orderkey, lt.l_suppkey
+        |  FROM late lt
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |                WHERE l2.l_orderkey = lt.l_orderkey
+        |                  AND l2.l_suppkey != lt.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |                    WHERE l3.l_orderkey = lt.l_orderkey
+        |                      AND l3.l_suppkey != lt.l_suppkey))
+        |SELECT l_suppkey AS s_suppkey, count(*) AS numwait
+        |FROM base GROUP BY l_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      val lateLines = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-06-01").cast("date"))
+        .select("l_orderkey", "l_suppkey")
+      val base = lateLines.distinct()
+      val others = li
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("o_supp"))
+      val lateOthers = lateLines
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("lo_supp"))
+      base
+        .join(others, base("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(lateOthers, base("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("lo_supp"), "left_anti")
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
     }
   )
 }
