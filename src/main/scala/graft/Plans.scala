@@ -109,7 +109,9 @@ object Plans {
     "c12_semantic_decontamination" ->
       "Semantic decontamination: the benchmark's multi-probe rows broadcast (an eval suite is tiny by nature); the training corpus scans ONCE and candidates come from the bucket equi-join; exact cosine verifies.",
     "k19_assignment_drift" ->
-      "Assignment drift: two broadcast-centroid argmin passes over one scan each + one tiny contingency aggregate — the retrain-policy measurement is O(n) with no pair joins.")
+      "Assignment drift: two broadcast-centroid argmin passes over one scan each + one tiny contingency aggregate — the retrain-policy measurement is O(n) with no pair joins.",
+    "q21_sole_late_supplier" ->
+      "TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair resolves to key-bounded hash semi + anti joins on l_orderkey — one partitioning reused across base and both probes, never a per-row re-scan.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

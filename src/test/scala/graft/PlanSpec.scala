@@ -447,6 +447,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q14: both conditional revenue sums run in ONE aggregate pass over one joined scan") {
+    val p = plan("q14_promo_share")
+    assert(!p.contains("Union"), "promo/total must not be separate scans:\n" + p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      "one lineitem scan + one part scan only:\n" + p)
+  }
+
+  test("q21: the exists/not-exists pair resolves to hash semi + anti joins, no nested loops") {
+    val p = plan("q21_sole_late_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "correlated probes must become key-bounded hash joins:\n" + p)
+  }
+
   test("j17: the temporal dimension join is an equi-join on the key, never a range/nested-loop join") {
     // the validity window applies as a post-join filter bounded by
     // versions-per-key — the fact side shuffles once on the key
