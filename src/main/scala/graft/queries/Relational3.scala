@@ -720,6 +720,39 @@ object Relational3 {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(20)
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q11 shape — HAVING against a global-scalar fraction:
+    // suppliers whose revenue exceeds 1/200 of TOTAL revenue. The
+    // plan property: the global total is a 1-row aggregate that comes
+    // back as a BROADCAST (hinted crossJoin), so the HAVING is a
+    // per-group filter against a broadcast scalar — never a second
+    // shuffle, never a rescan of the fact, and the per-supplier and
+    // global aggregates share one map-side-combinable pass shape.
+    // Exact decimal sums on both sides; the threshold compare is in
+    // decimal-derived doubles (identical in both engines).
+    Q("q11_important_suppliers",
+      "suppliers above 1/200 of total revenue (TPC-H Q11 group-vs-global-scalar shape)",
+      s"""WITH s AS (
+         |  SELECT l_suppkey,
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+         |  FROM lineitem GROUP BY l_suppkey),
+         |tot AS (SELECT ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS total
+         |        FROM lineitem)
+         |SELECT s.l_suppkey AS s_suppkey, round(s.revenue, 2) AS revenue
+         |FROM s, tot WHERE s.revenue > tot.total / 200.0
+         |ORDER BY revenue DESC, s_suppkey""".stripMargin) { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val bySupp = li.groupBy("l_suppkey").agg(dsum(rev, 6).as("revenue"))
+      val tot = li.agg(dsum(rev, 6).as("total"))
+      bySupp.crossJoin(broadcast(tot))
+        .filter(col("revenue") > col("total") / 200.0)
+        .select(col("l_suppkey").as("s_suppkey"),
+          round(col("revenue"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
     }
   )
 }
