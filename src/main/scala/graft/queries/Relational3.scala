@@ -753,6 +753,40 @@ object Relational3 {
         .select(col("l_suppkey").as("s_suppkey"),
           round(col("revenue"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("s_suppkey"))
+    },
+
+    // ---------------------------------------------------------------
+    // Time-based RANGE window frame — the windowing mode w4's ROWS
+    // frame cannot express: each event aggregates its user's TRAILING
+    // HOUR (whatever number of rows that is — bursty minutes widen,
+    // quiet hours narrow), the frame every rate-limit / rolling-rate
+    // metric actually needs. Spark states it as rangeBetween over
+    // epoch seconds (-3600, 0]; the oracle as RANGE INTERVAL 1 HOUR
+    // PRECEDING — identical inclusive-bound semantics, and RANGE's
+    // all-peers rule makes equal-timestamp rows share a frame in both
+    // engines. One shuffle by user, one ordered pass with a sliding
+    // frame pointer — same cost class as any windowed query; decimal
+    // sum keeps the frame total order-exact.
+    Q("w9_time_range_frame",
+      "trailing-1-hour RANGE frame per user: time-based rolling sum + event rate",
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value as decimal(30,2))) OVER w as double) AS hour_sum,
+        |  count(*) OVER w AS n_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(DecimalType(30, 2))).over(w)
+            .cast(DoubleType).as("hour_sum"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("event_id")
     }
   )
 }
