@@ -623,6 +623,57 @@ object StreamingOps {
           .select(concat(lit("rule:"), col("reason")).as("metric"),
             col("n"), col("total")))
         .orderBy("metric")
+    },
+
+    // ---------------------------------------------------------------
+    // Checkpoint RESUME — the contract st9 deliberately does NOT use:
+    // st9 proves full redelivery (fresh checkpoint) is made safe by
+    // idempotent commits; this proves the default production path
+    // needs no such replay at all — a durable checkpoint means a
+    // restarted job continues from committed offsets and the files
+    // already processed are NEVER redelivered. Choreography: half the
+    // events land, the job runs (checkpoint C) and stops; the other
+    // half lands; the job restarts with the SAME C. The second run
+    // must admit only the NEW files (counted and required), and the
+    // blind-append output must equal the whole-stream aggregate — one
+    // duplicated batch would double rows and fail the gate, because
+    // unlike st6/st9 nothing here merges or dedups. Scale: this is
+    // the restart story of every long-running ingest job; the
+    // checkpoint holds offsets, not data, so its cost is independent
+    // of stream volume.
+    Q("st14_stream_resume",
+      "durable-checkpoint restart resumes from committed offsets: no redelivery, blind appends stay exact",
+      s"""SELECT user_id, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st14")
+      val stage = tmp.resolve("stage").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val out = tmp.resolve("out").toString
+      val ev = t(s, d, "events")
+      val run2Batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      // wave 1: half the stream lands and is processed under checkpoint C
+      ev.filter(col("event_id") % 2 === 0).repartition(2)
+        .write.mode("append").parquet(stage)
+      EventStream.runForeachBatch(s,
+        EventStream.restageFileStream(s, ev.schema, stage), Some(ckpt)) {
+        (batch, _) => TableStore.append(batch.select("user_id", "value"), out)
+      }
+      // wave 2: the rest lands; the restarted job reuses C
+      ev.filter(col("event_id") % 2 =!= 0).repartition(2)
+        .write.mode("append").parquet(stage)
+      EventStream.runForeachBatch(s,
+        EventStream.restageFileStream(s, ev.schema, stage), Some(ckpt)) {
+        (batch, _) =>
+          run2Batches.incrementAndGet()
+          TableStore.append(batch.select("user_id", "value"), out)
+      }
+      require(run2Batches.get() <= 2L,
+        s"resume redelivered old files: ${run2Batches.get()} batches in run 2")
+      TableStore.read(s, out)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("user_id")
     }
   )
 }

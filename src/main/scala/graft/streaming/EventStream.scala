@@ -202,15 +202,21 @@ object EventStream {
     * merges its delta into a stored table). Same state-partitioning
     * discipline as [[runToMemory]].
     */
-  def runForeachBatch(spark: SparkSession, streamed: DataFrame)(
+  def runForeachBatch(spark: SparkSession, streamed: DataFrame,
+      checkpoint: Option[String] = None)(
       fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "4")
     try {
-      val q = streamed.writeStream
+      val base = streamed.writeStream
         .foreachBatch(fn)
         .trigger(Trigger.AvailableNow())
+      // an explicit checkpoint makes the run RESUMABLE: a later run
+      // with the same location continues from the committed offsets
+      // instead of redelivering (st14's contract; st9 deliberately
+      // uses fresh checkpoints to force the redelivery it proves safe)
+      val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
         .start()
       q.awaitTermination()
     } finally spark.conf.set(key, prev)
