@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Synthetic test tables (TESTDATA.md): TPC-H-ish star schema plus an
   * `events` stream table, `documents` + `embeddings` for the
@@ -39,16 +40,32 @@ object Tables {
     // functions (vector_distance, graft_char_hash) resolvable
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(stagedOrOriginal(spark, sfDir, name))
-    // The events table is written as parquet TIMESTAMP(NANOS), which
-    // Spark 4 refuses to map to TimestampType. We read nanos as a long
-    // (legacy flag, set in the session builders) and convert with exact
-    // integer division — double division would lose precision at 1e18.
-    // The test data carries no sub-microsecond components, so this is
-    // lossless and matches DuckDB's ns→µs read.
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize `events.ts` to session-zoned TimestampType regardless of
+    * how the driver generated the parquet — the physical type has
+    * DRIFTED across testdata generations, and a hard-coded assumption
+    * silently breaks every events query when it does (round 6: 69
+    * catalog rows lost to a TIMESTAMP(µs) regen against nanos-as-long
+    * code). Dispatch on the type actually loaded:
+    *   - nanos-long (legacy flag turns TIMESTAMP(NANOS) into BIGINT):
+    *     exact integer division to µs — double division would lose
+    *     precision at 1e18, and the data has no sub-µs components;
+    *   - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false — what pyarrow's
+    *     timestamp[us] becomes under Spark's NTZ inference): cast to
+    *     TimestampType, identity on the micros under the UTC sessions
+    *     every graft entrypoint pins;
+    *   - already TimestampType: pass through.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** The driver's tables are written as ONE parquet row group each, and
     * a row group is the unit of scan parallelism — a 600k-row table

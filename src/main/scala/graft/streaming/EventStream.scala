@@ -18,24 +18,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema as the file source sees it (ts = TIMESTAMP(NANOS),
-    * which Spark reads as a nanosecond long under the legacy flag).
+  /** Stream the events table. The file source needs an explicit
+    * schema; rather than hard-code one, take it from the parquet
+    * footer via a batch read (footer-only, no data scan) — the
+    * driver's physical `ts` type has drifted across testdata
+    * generations (nanos-long → TIMESTAMP(µs)), and a pinned schema
+    * silently misreads the data when it drifts again (round 6: raw
+    * micros read as nanos collapsed every window 1000×).
+    * [[graft.Tables.normalizeTs]] then gives the same session-zoned
+    * TimestampType the batch path sees.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      // the file source wants a directory; filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val footerSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(footerSchema)
+        // the file source wants a directory; filter to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
 
   /** A genuinely MULTI-batch replay: the file source admits whole
     * files per micro-batch (a single file is never split), so the
