@@ -111,7 +111,15 @@ object Plans {
     "k19_assignment_drift" ->
       "Assignment drift: two broadcast-centroid argmin passes over one scan each + one tiny contingency aggregate — the retrain-policy measurement is O(n) with no pair joins.",
     "q21_sole_late_supplier" ->
-      "TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair resolves to key-bounded hash semi + anti joins on l_orderkey — one partitioning reused across base and both probes, never a per-row re-scan.")
+      "TPC-H Q21 shape: the EXISTS/NOT-EXISTS pair resolves to key-bounded hash semi + anti joins on l_orderkey — one partitioning reused across base and both probes, never a per-row re-scan.",
+    "q7_nation_volume" ->
+      "TPC-H Q7 shape: supplier/customer/nation all broadcast with the pair filter applied BEFORE the fact join; the only fact shuffle is lineitem⋈orders on the order key.",
+    "q13_custdist" ->
+      "TPC-H Q13 shape: the priority filter lives in the LEFT outer join condition (zero bucket survives); the histogram re-aggregate shuffles only customer-cardinality rows.",
+    "q17_small_qty_revenue" ->
+      "TPC-H Q17 shape: the correlated per-part average rewrites to one semi-pruned aggregate + broadcast rejoin on l_partkey — never a per-row re-scan of the fact.",
+    "q22_dormant_customers" ->
+      "TPC-H Q22 shape: broadcast global-scalar balance threshold + anti join against distinct order custkeys — the probe build is customer-bounded, not order-bounded.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -16,6 +16,7 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Relational2.all ++
       graft.queries.Relational3.all ++
+      graft.queries.Relational4.all ++
       graft.queries.RetrievalOps.all ++
       graft.queries.EventAnalytics.all ++
       graft.queries.GraphOps.all ++

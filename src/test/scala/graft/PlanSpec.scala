@@ -517,4 +517,48 @@ class PlanSpec extends SparkSpec {
       "the orders fk dim must broadcast, not shuffle the batch:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q7: all dimension sides broadcast; the fact shuffles only for lineitem⋈orders") {
+    val p = plan("q7_nation_volume")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "supplier+nation and customer+nation assemblies must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q10: top-20 is TakeOrdered over aggregated rows; customer/nation broadcast") {
+    val p = plan("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT 20 must plan TakeOrdered, not a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters"), "returnflag filter must reach the scan:\n" + p)
+  }
+
+  test("q13: the priority filter stays inside the LEFT outer join (zero bucket survives)") {
+    val p = plan("q13_custdist")
+    assert(p.contains("LeftOuter"), "must stay an outer join:\n" + p)
+    // two aggregation levels, both partial+final
+    assert(p.sliding("partial_count".length).count(_ == "partial_count") >= 1, p)
+  }
+
+  test("q17: the per-part average is a semi-pruned aggregate + broadcast rejoin") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("LeftSemi"), "brand filter must semi-prune the fact scan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "the per-part averages must broadcast back:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q19: the disjunctive predicate rides one broadcast part join, no union of scans") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") <= 2,
+      "one lineitem scan + one part scan — no per-branch scan union:\n" + p)
+    assert(p.contains("PushedFilters"), "quantity range union must reach the scan:\n" + p)
+  }
+
+  test("q22: dormant-customer probe is a broadcast anti join against distinct custkeys") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row scalar must broadcast (BroadcastNestedLoopJoin), never a cartesian:\n" + p)
+  }
 }
