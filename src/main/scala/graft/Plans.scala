@@ -119,7 +119,13 @@ object Plans {
     "q17_small_qty_revenue" ->
       "TPC-H Q17 shape: the correlated per-part average rewrites to one semi-pruned aggregate + broadcast rejoin on l_partkey — never a per-row re-scan of the fact.",
     "q22_dormant_customers" ->
-      "TPC-H Q22 shape: broadcast global-scalar balance threshold + anti join against distinct order custkeys — the probe build is customer-bounded, not order-bounded.")
+      "TPC-H Q22 shape: broadcast global-scalar balance threshold + anti join against distinct order custkeys — the probe build is customer-bounded, not order-bounded.",
+    "q6_forecast_revenue" ->
+      "TPC-H Q6 shape: the pure-pushdown scan — all three range predicates in PushedFilters, 3-column ReadSchema, one map-side-combinable decimal sum; at scale this is row-group skipping, not compute.",
+    "q8_market_share" ->
+      "TPC-H Q8 shape: national market share as CASE-arm numerator + total denominator in ONE aggregate pass over a 5-way join whose dims all broadcast — never a self-join of per-year totals.",
+    "q15_top_supplier" ->
+      "TPC-H Q15 shape: the revenue view aggregates once, its max broadcasts back as a scalar, and the tie-keeping equality filter replaces the LIMIT-1 shortcut that would drop tied winners.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -561,4 +561,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the 1-row scalar must broadcast (BroadcastNestedLoopJoin), never a cartesian:\n" + p)
   }
+
+  test("q4: the EXISTS is a hash semi join with the lateness predicate as residual") {
+    val p = plan("q4_priority_fulfillment")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters"), "the quarter filter must reach the orders scan:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the correlated EXISTS must not plan a nested loop:\n" + p)
+  }
+
+  test("q6: every predicate reaches the parquet scan; 3-column read schema") {
+    // the default metadata print truncates PushedFilters at 100 chars,
+    // hiding the later range entries — widen it for this assertion
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1000")
+    try {
+      val p = plan("q6_forecast_revenue")
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+      assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+      assert(p.contains("LessThanOrEqual(l_discount,0.07)"), p)
+      assert(p.contains("LessThan(l_quantity,24"), p)
+      assert(!p.contains("l_orderkey"), "scan must not read unused columns:\n" + p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q8: market-share numerator and denominator share ONE aggregate pass") {
+    val p = plan("q8_market_share")
+    assert(!p.contains("Union"), "share must not union two scans:\n" + p)
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "supplier-nation tag and region membership must broadcast:\n" + p)
+  }
+
+  test("q9: part LIKE filter prunes the broadcast build side, one fact pass") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Contains(p_name,red)") || p.contains("p_name"),
+      "the LIKE filter must reach the part scan:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "all dims must broadcast:\n" + p)
+  }
+
+  test("q15: the view max comes back as a broadcast scalar, ties kept") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("TakeOrdered") || !p.contains("Limit"),
+      "tie-keeping equality filter, not a LIMIT shortcut:\n" + p)
+  }
 }
