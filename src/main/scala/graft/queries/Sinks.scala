@@ -303,6 +303,106 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // I4 — JOIN-view IVM: the bilinear delta rule Δ(A⋈B) = ΔA⋈B_old
+    // ∪ A_old⋈ΔB ∪ ΔA⋈ΔB with signs multiplying in the cross term,
+    // over a multiplicity-annotated view (Ivm.joinView /
+    // applyJoinDelta). BOTH sides take an adversarial edit script —
+    // deletes, in-place updates, inserts — including overlapping
+    // orderkeys so the ΔA⋈ΔB term genuinely fires (an updated order
+    // meeting its own updated lines re-derives through all three
+    // terms and the signs must cancel to exactly one derivation).
+    // The oracle recomputes the joined view from the edited tables,
+    // so a green row proves maintained == recomputed. At scale each
+    // tick broadcasts the deltas into one probe of each base side —
+    // O(|Δ|·fanout), never a recompute of A⋈B.
+    Q("i4_join_view_ivm",
+      "CDC-maintained JOIN view == recompute under edits on BOTH sides (bilinear delta rule)",
+      s"""WITH a2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |b0 AS (
+         |  SELECT l_orderkey AS o_orderkey, l_linenumber,
+         |    max(l_extendedprice) AS l_extendedprice
+         |  FROM lineitem GROUP BY 1, 2),
+         |b2 AS (
+         |  SELECT o_orderkey, l_linenumber,
+         |    CASE WHEN (o_orderkey + l_linenumber) % 9 = 0
+         |         THEN l_extendedprice + 100 ELSE l_extendedprice END AS l_extendedprice
+         |  FROM b0 WHERE (o_orderkey + l_linenumber) % 6 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, l_linenumber + 100, l_extendedprice
+         |  FROM b0 WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n_lines,
+         |  ${dsumSql("l_extendedprice")} AS sum_ext,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM a2 JOIN b2 USING (o_orderkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val pathA = scratch("i4_a")
+      val pathB = scratch("i4_b")
+      val viewPath = scratch("i4_view")
+      val a = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val editedA = a.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      // the synthetic lineitem does NOT have unique (orderkey,
+      // linenumber) pairs (unlike real TPC-H), and a keyed changelog
+      // diff needs a real key — collapse to one row per key with a
+      // deterministic max, identically in the oracle's b0
+      val b = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_extendedprice")).as("l_extendedprice"))
+      val bTouched = (col("o_orderkey") + col("l_linenumber")) % 6
+      val editedB = b.filter(bTouched =!= 0)
+        .withColumn("l_extendedprice",
+          when((col("o_orderkey") + col("l_linenumber")) % 9 === 0,
+            col("l_extendedprice") + 100).otherwise(col("l_extendedprice")))
+        .unionByName(b.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"),
+            (col("l_linenumber") + 100).as("l_linenumber"),
+            col("l_extendedprice")))
+      val av1 = TableStore.publishVersion(s, pathA, a, note = "base")
+      val av2 = TableStore.publishVersion(s, pathA, editedA, note = "edit")
+      val bv1 = TableStore.publishVersion(s, pathB, b, note = "base")
+      val bv2 = TableStore.publishVersion(s, pathB, editedB, note = "edit")
+      // materialize the join view at (av1, bv1), then maintain it
+      // from the changelogs alone + one probe of each old side
+      TableStore.overwrite(Ivm.joinView(
+        TableStore.readVersion(s, pathA, Some(av1)),
+        TableStore.readVersion(s, pathB, Some(bv1)),
+        Seq("o_orderkey")), viewPath)
+      val dA = TableStore.changesBetween(s, pathA, av1, av2, Seq("o_orderkey"))
+      val dB = TableStore.changesBetween(s, pathB, bv1, bv2,
+        Seq("o_orderkey", "l_linenumber"))
+      val maintained = Ivm.applyJoinDelta(TableStore.read(s, viewPath),
+        TableStore.readVersion(s, pathA, Some(av1)),
+        TableStore.readVersion(s, pathB, Some(bv1)),
+        dA, dB, Seq("o_orderkey"))
+      // multiplicity-weighted exact decimal sums (all mults are
+      // positive; the weighting keeps the algebra honest if a future
+      // edit script produces mult > 1)
+      def wsum(c: String) =
+        sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
+      maintained.groupBy("o_custkey")
+        .agg(sum(col("_mult")).as("n_lines"),
+          wsum("l_extendedprice").as("sum_ext"),
+          wsum("o_totalprice").as("sum_price"))
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
     // Bucketed co-located join — the layout that kills the big-big
     // join's shuffle: both sides written bucketBy the join key (8
     // buckets, external tables under a scratch path), so each scan
