@@ -151,6 +151,146 @@ object StreamingOps {
         .orderBy("o_custkey")
     },
 
+    // ---------------------------------------------------------------
+    // Streaming JOIN-view IVM — i4's bilinear delta rule running as a
+    // CONTINUOUS maintenance loop: one changelog stream carries both
+    // sides' changes (tagged `_side`), and each micro-batch (1) splits
+    // its slice into ΔA/ΔB, (2) folds Δ(A⋈B) into the stored view
+    // with Ivm.applyJoinDelta against the CURRENT base states, then
+    // (3) advances the stored base tables by the same slice — so the
+    // next tick's "old" states are exactly right. The tick-split
+    // associativity IvmJoinSpec proves is what makes the arbitrary
+    // stage-file decomposition safe: an update's preimage and
+    // postimage may land in different ticks and the view is
+    // transiently wrong mid-stream, yet the final state equals the
+    // bit-exact recompute (the oracle). At scale this is a CDC feed
+    // (Debezium/CDF) maintaining a denormalized join table with
+    // O(batch) work per tick — the deltas broadcast into one keyed
+    // probe of each base, and the base advance is the same
+    // upsert/delete merge every lakehouse MERGE runs.
+    Q("st15_stream_join_ivm",
+      "changelog stream maintains a JOIN view across micro-batches == bit-exact recompute",
+      s"""WITH a2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |b0 AS (
+         |  SELECT l_orderkey AS o_orderkey, l_linenumber,
+         |    max(l_extendedprice) AS l_extendedprice
+         |  FROM lineitem GROUP BY 1, 2),
+         |b2 AS (
+         |  SELECT o_orderkey, l_linenumber,
+         |    CASE WHEN (o_orderkey + l_linenumber) % 9 = 0
+         |         THEN l_extendedprice + 100 ELSE l_extendedprice END AS l_extendedprice
+         |  FROM b0 WHERE (o_orderkey + l_linenumber) % 6 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, l_linenumber + 100, l_extendedprice
+         |  FROM b0 WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n_lines,
+         |  ${dsumSql("l_extendedprice")} AS sum_ext,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM a2 JOIN b2 USING (o_orderkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st15")
+      val aPath = tmp.resolve("a").toString
+      val bPath = tmp.resolve("b").toString
+      val viewPath = tmp.resolve("view").toString
+      val a = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val editedA = a.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val b = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_extendedprice")).as("l_extendedprice"))
+      val editedB = b.filter((col("o_orderkey") + col("l_linenumber")) % 6 =!= 0)
+        .withColumn("l_extendedprice",
+          when((col("o_orderkey") + col("l_linenumber")) % 9 === 0,
+            col("l_extendedprice") + 100).otherwise(col("l_extendedprice")))
+        .unionByName(b.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"),
+            (col("l_linenumber") + 100).as("l_linenumber"),
+            col("l_extendedprice")))
+      // materialize bases + view at v1
+      TableStore.overwrite(a, aPath)
+      TableStore.overwrite(b, bPath)
+      TableStore.overwrite(Ivm.joinView(a, b, Seq("o_orderkey")), viewPath)
+      // one combined changelog (keyed diffs computed batch-side), both
+      // sides tagged; nulls pad the side-specific columns
+      val snapA = tmp.resolve("snap_a").toString
+      val snapB = tmp.resolve("snap_b").toString
+      val av1 = TableStore.publishVersion(s, snapA, a, note = "base")
+      val av2 = TableStore.publishVersion(s, snapA, editedA, note = "edit")
+      val bv1 = TableStore.publishVersion(s, snapB, b, note = "base")
+      val bv2 = TableStore.publishVersion(s, snapB, editedB, note = "edit")
+      val dA = TableStore.changesBetween(s, snapA, av1, av2, Seq("o_orderkey"))
+        .select(lit("a").as("_side"), col("o_orderkey"), col("_change_type"),
+          col("o_custkey"), col("o_totalprice"),
+          lit(null).cast("int").as("l_linenumber"),
+          lit(null).cast("double").as("l_extendedprice"))
+      val dB = TableStore.changesBetween(s, snapB, bv1, bv2,
+          Seq("o_orderkey", "l_linenumber"))
+        .select(lit("b").as("_side"), col("o_orderkey"), col("_change_type"),
+          lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          col("l_linenumber"), col("l_extendedprice"))
+      val stream = EventStream.stagedFileStream(s, dA.unionByName(dB),
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        val slice = batch.cache()
+        try {
+          val sa = slice.filter(col("_side") === "a")
+            .select("o_orderkey", "_change_type", "o_custkey", "o_totalprice")
+          val sb = slice.filter(col("_side") === "b")
+            .select("o_orderkey", "l_linenumber", "_change_type", "l_extendedprice")
+          val aOld = TableStore.read(s, aPath)
+          val bOld = TableStore.read(s, bPath)
+          TableStore.rewrite(s, viewPath, Ivm.applyJoinDelta(
+            TableStore.read(s, viewPath), aOld, bOld, sa, sb, Seq("o_orderkey")))
+          // advance the base states by the same slice. This must be a
+          // SIGNED whole-row fold, not a keyed delete+insert: the
+          // stage split can put an update's postimage in an EARLIER
+          // tick than its preimage, and a by-key anti-join would then
+          // wrongly delete both rows when the preimage arrives. The
+          // signed fold is linear, so base_t == base_0 ⊎ Σ deltas
+          // under ANY split — exactly the invariant the delta rule
+          // needs from its old sides.
+          def advance(path: String, old: org.apache.spark.sql.DataFrame,
+              delta: org.apache.spark.sql.DataFrame): Unit = {
+            val signed = delta.withColumn("_s",
+              when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+                .otherwise(lit(-1L)))
+              .drop("_change_type")
+            val cols = signed.columns.filterNot(_ == "_s").toSeq
+            TableStore.rewrite(s, path,
+              old.withColumn("_s", lit(1L)).unionByName(signed)
+                .groupBy(cols.map(col): _*).agg(sum(col("_s")).as("_s"))
+                .filter(col("_s") > 0).drop("_s"))
+          }
+          advance(aPath, aOld, sa)
+          advance(bPath, bOld, sb)
+        } finally { slice.unpersist(); () }
+      }
+      def wsum(c: String) =
+        sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
+      TableStore.read(s, viewPath).groupBy("o_custkey")
+        .agg(sum(col("_mult")).as("n_lines"),
+          wsum("l_extendedprice").as("sum_ext"),
+          wsum("o_totalprice").as("sum_price"))
+        .orderBy("o_custkey")
+    },
+
     Q("st1_stream_window",
       "streaming tumbling daily window agg == batch time_bucket agg",
       s"""SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
