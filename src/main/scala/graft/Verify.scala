@@ -22,16 +22,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nOk, nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       spark.catalog.clearCache() // queries cache intermediates; isolate them
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        nOk += 1
+      } catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // round 6's breakage surfaced as silently-absent result dirs; a
+    // loud tally makes a partial dump visible in any capture (stdout
+    // AND stderr — round logs often keep only one)
+    val tally = s"[verify] wrote $nOk results, $nFailed failed"
+    println(tally)
+    System.err.println(tally)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

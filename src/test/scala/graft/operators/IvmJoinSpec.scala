@@ -94,4 +94,16 @@ class IvmJoinSpec extends SparkSpec {
     assert(viewSet(combined) == viewSet(recomputed),
       s"combined ${viewSet(combined)} vs recomputed ${viewSet(recomputed)}")
   }
+
+  test("the deltas ride broadcasts into the base probes (O(Δ) tick, plan-gated)") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")
+    val v0 = Ivm.joinView(a, b, Seq("k"))
+    val maintained = Ivm.applyJoinDelta(v0, a, b,
+      dA((1L, "delete", "x")), dB((2L, "insert", 21L)), Seq("k"))
+    val p = maintained.queryExecution.executedPlan.toString()
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      "ΔA⋈B_old and A_old⋈ΔB must broadcast the delta side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
