@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's four write disciplines over partitioned parquet
@@ -73,6 +73,45 @@ object TableStore {
         .join(src.select(keys.map(col): _*).distinct(), keys, "left_anti")
       rewrite(spark, path, kept.unionByName(src))
     }
+
+  /** Full three-clause MERGE (the lakehouse `MERGE INTO` surface
+    * beyond [[upsertByKey]]'s update-or-insert): WHEN MATCHED AND
+    * <deleteWhen> THEN DELETE; WHEN MATCHED THEN UPDATE SET
+    * <updateSet>; WHEN NOT MATCHED THEN INSERT <insertRow>. Source
+    * must be key-unique (same contract as SQL MERGE — a source key
+    * matching twice is nondeterministic by spec).
+    *
+    * Mechanics: source non-key columns arrive prefixed `src_`;
+    * `deleteWhen` / `updateSet` / `insertRow` are expressions over
+    * the joined row (target columns + `src_*` columns). One keyed
+    * full-outer join decides every row's fate — matched rows delete
+    * or update in place, unmatched target rows pass through,
+    * unmatched source rows insert. At scale this is ONE shuffle on
+    * the merge key (exactly what Delta/Iceberg MERGE plans), and the
+    * rewrite goes through the staged-rename crash-safe path.
+    */
+  def mergeClauses(spark: SparkSession, path: String, src: DataFrame,
+      keys: Seq[String], deleteWhen: Column, updateSet: Map[String, Column],
+      insertRow: Map[String, Column]): Unit = {
+    val target = read(spark, path)
+    val targetCols = target.columns.toSeq
+    val srcTagged = src.select(
+      keys.map(col) ++ src.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"src_$c")): _*)
+      .withColumn("_src_present", lit(true))
+    val joined = target.withColumn("_t_present", lit(true))
+      .join(srcTagged, keys, "full_outer")
+    val matched = col("_t_present").isNotNull && col("_src_present").isNotNull
+    val kept = joined
+      .filter(col("_src_present").isNull ||
+        (matched && !coalesce(deleteWhen, lit(false))))
+      .select(targetCols.map { c =>
+        when(matched, updateSet.getOrElse(c, col(c))).otherwise(col(c)).as(c)
+      }: _*)
+    val inserted = joined.filter(col("_t_present").isNull)
+      .select(targetCols.map(c => insertRow(c).as(c)): _*)
+    rewrite(spark, path, kept.unionByName(inserted))
+  }
 
   /** S11: move rows older than `cutoff` into an archive table. Rows
     * with a NULL timestamp are kept in the live table (they have no

@@ -403,6 +403,83 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // S27 — full three-clause MERGE: the complete `MERGE INTO`
+    // surface (matched-delete with its own predicate, matched-update,
+    // not-matched-insert) that upsertByKey (i1) and insertIfAbsent
+    // (s7) each cover a third of. One keyed full-outer join decides
+    // every row's fate — the single-shuffle plan Delta/Iceberg MERGE
+    // compiles to — and the rewrite rides the staged-rename crash
+    // path. The oracle states the same final table algebraically.
+    Q("s27_merge_full",
+      "three-clause MERGE (delete-when / update-set / insert) == algebraic recompute",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, 100.0 AS delta
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, 500.0
+        |  FROM orders WHERE o_orderkey % 31 = 0),
+        |t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT t.o_orderkey, t.o_orderstatus,
+        |  CASE WHEN src.k IS NOT NULL THEN t.o_totalprice + src.delta
+        |       ELSE t.o_totalprice END AS o_totalprice
+        |FROM t LEFT JOIN src ON t.o_orderkey = src.k
+        |WHERE NOT (src.k IS NOT NULL AND t.o_totalprice < 1000)
+        |UNION ALL
+        |SELECT src.k, 'N', src.delta
+        |FROM src LEFT JOIN t ON src.k = t.o_orderkey
+        |WHERE t.o_orderkey IS NULL
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = scratch("s27")
+      val target = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TableStore.overwrite(target, path)
+      val o = t(s, d, "orders")
+      val src = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(100.0).as("delta"))
+        .unionByName(o.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            lit(500.0).as("delta")))
+      TableStore.mergeClauses(s, path, src, Seq("o_orderkey"),
+        deleteWhen = col("o_totalprice") < 1000,
+        updateSet = Map(
+          "o_totalprice" -> (col("o_totalprice") + col("src_delta"))),
+        insertRow = Map(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_orderstatus" -> lit("N"),
+          "o_totalprice" -> col("src_delta")))
+      TableStore.read(s, path).orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
+    // S28 — snapshot RESTORE (rollback): recovering from a bad write
+    // by republishing an OLD version as the new current — history is
+    // append-only (the bad version stays readable for forensics; no
+    // files are deleted), exactly Delta's RESTORE / Iceberg's
+    // rollback semantics. The query fails loudly if the "bad" version
+    // stopped being readable after the restore.
+    Q("s28_snapshot_restore",
+      "RESTORE publishes an old snapshot as current; bad version stays readable",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val path = scratch("s28")
+      val good = t(s, d, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+      // the "bad write": totals corrupted and half the rows dropped
+      val bad = good.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * -1)
+      val v1 = TableStore.publishVersion(s, path, good, note = "good")
+      val v2 = TableStore.publishVersion(s, path, bad, note = "bad")
+      val restored = TableStore.publishVersion(s, path,
+        TableStore.readVersion(s, path, Some(v1)), note = s"restore:v$v1")
+      require(restored > v2, "restore must advance the version counter")
+      // forensics contract: the bad version is still pinned-readable
+      val badRows = TableStore.readVersion(s, path, Some(v2)).count()
+      require(badRows > 0, "rolled-back version must remain readable")
+      TableStore.readVersion(s, path, None).orderBy("o_orderkey")
+    },
+
+    // ---------------------------------------------------------------
     // Bucketed co-located join — the layout that kills the big-big
     // join's shuffle: both sides written bucketBy the join key (8
     // buckets, external tables under a scratch path), so each scan

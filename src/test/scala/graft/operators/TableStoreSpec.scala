@@ -397,4 +397,36 @@ class TableStoreSpec extends SparkSpec {
     // idempotent: a second vacuum finds nothing
     assert(TableStore.vacuum(spark, p) == 0L)
   }
+
+  test("mergeClauses: delete / update / insert / untouched all in one merge") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "del", 2L -> "upd", 3L -> "keep"), p)
+    // src matches 1 (tagged for delete), 2 (update), and brings 9 (insert)
+    val src = Seq((1L, "x"), (2L, "new"), (9L, "ins")).toDF("k", "sv")
+    TableStore.mergeClauses(spark, p, src, Seq("k"),
+      deleteWhen = col("v") === "del",
+      updateSet = Map("v" -> col("src_sv")),
+      insertRow = Map("k" -> col("k"), "v" -> col("src_sv")))
+    assert(readSorted(p) == Seq(2L -> "new", 3L -> "keep", 9L -> "ins"))
+  }
+
+  test("mergeClauses: empty source is a no-op; all-delete empties matched keys only") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a", 2L -> "b"), p)
+    TableStore.mergeClauses(spark, p,
+      Seq.empty[(Long, String)].toDF("k", "sv"), Seq("k"),
+      deleteWhen = lit(true),
+      updateSet = Map.empty,
+      insertRow = Map("k" -> col("k"), "v" -> col("src_sv")))
+    assert(readSorted(p) == Seq(1L -> "a", 2L -> "b"))
+    TableStore.mergeClauses(spark, p, Seq((1L, "z")).toDF("k", "sv"), Seq("k"),
+      deleteWhen = lit(true),
+      updateSet = Map.empty,
+      insertRow = Map("k" -> col("k"), "v" -> col("src_sv")))
+    assert(readSorted(p) == Seq(2L -> "b"))
+  }
 }
