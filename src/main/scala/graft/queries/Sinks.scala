@@ -361,9 +361,13 @@ object Sinks {
       // linenumber) pairs (unlike real TPC-H), and a keyed changelog
       // diff needs a real key — collapse to one row per key with a
       // deterministic max, identically in the oracle's b0
+      // checkpoint the grouped base: it feeds the publish, the edit
+      // script AND the changelog diff — without this the groupBy over
+      // lineitem re-executes for each consumer
       val b = t(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
         .agg(max(col("l_extendedprice")).as("l_extendedprice"))
+        .localCheckpoint()
       val bTouched = (col("o_orderkey") + col("l_linenumber")) % 6
       val editedB = b.filter(bTouched =!= 0)
         .withColumn("l_extendedprice",
