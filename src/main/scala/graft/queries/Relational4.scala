@@ -456,6 +456,104 @@ object Relational4 {
           col("supplier_no") === col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q2 shape — cheapest supplier per part: the correlated
+    // min-cost subquery, adapted to this schema (no partsupp, so unit
+    // cost is observed l_extendedprice/l_quantity from shipments).
+    // The per-part argmin resolves to ONE aggregate + a min-struct
+    // pick — (unit_cost, suppkey) lexicographic min gives the minimum
+    // cost with the deterministic smallest-supplier tiebreak, no
+    // second scan, no per-part re-probe. Region membership rides a
+    // broadcast; the only fact shuffle is the (part, supplier) agg.
+    Q("q2_min_cost_supplier",
+      "cheapest observed supplier per part with argmin tiebreak (TPC-H Q2 shape)",
+      """WITH asia AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS u
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'
+        |    AND l_suppkey IN (SELECT s_suppkey FROM asia)
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(u) AS mu FROM unit GROUP BY 1)
+        |SELECT u.l_partkey AS p_partkey, min(u.l_suppkey) AS s_suppkey,
+        |       b.mu AS unit_cost
+        |FROM unit u JOIN best b ON u.l_partkey = b.l_partkey AND u.u = b.mu
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin) { (s, d) =>
+      val asia = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_regionkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val perPair = t(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("u"))
+      perPair
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(min(struct(col("u"), col("l_suppkey"))).as("m"))
+        .select(col("p_partkey"), col("m.l_suppkey").as("s_suppkey"),
+          col("m.u").as("unit_cost"))
+        .orderBy("p_partkey")
+    },
+
+    // ---------------------------------------------------------------
+    // TPC-H Q20 shape — excess shippers: the IN-subquery chain
+    // (parts of a type → per-supplier shipped quantity in a year →
+    // threshold → suppliers of target nations) resolved to one
+    // semi-pruned fact aggregate + broadcast dims. At scale the only
+    // shuffle is the per-supplier quantity aggregate; everything else
+    // is a broadcast probe or a threshold filter on supplier-
+    // cardinality rows.
+    Q("q20_excess_shippers",
+      "suppliers of target nations shipping >500 units of a part type in a year (TPC-H Q20 shape)",
+      s"""WITH sq AS (
+         |  SELECT l_suppkey, ${dsumSql("l_quantity")} AS qty
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  WHERE p_type = 'PROMO'
+         |    AND l_shipdate >= DATE '1997-01-01'
+         |    AND l_shipdate < DATE '1998-01-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, qty
+         |FROM supplier
+         |JOIN sq ON s_suppkey = l_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name IN ('NATION_3', 'NATION_4') AND qty > 500
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val sq = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 500)
+      sq.join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_4"))
+          .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "qty")
+        .orderBy("s_suppkey")
     }
   )
 }

@@ -601,6 +601,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "all dims must broadcast:\n" + p)
   }
 
+  test("q2: the per-part argmin is one agg + min-struct pick, dims broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("LeftSemi"), "region membership must semi-prune:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "all dims must broadcast:\n" + p)
+    assert(!p.contains("Window"), "argmin must be min(struct), not a rank window:\n" + p)
+  }
+
+  test("q20: the subquery chain is one semi-pruned fact aggregate, no per-supplier probes") {
+    val p = plan("q20_excess_shippers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), "quantity agg must combine map-side:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q15: the view max comes back as a broadcast scalar, ties kept") {
     val p = plan("q15_top_supplier")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
