@@ -125,7 +125,9 @@ object Plans {
     "q8_market_share" ->
       "TPC-H Q8 shape: national market share as CASE-arm numerator + total denominator in ONE aggregate pass over a 5-way join whose dims all broadcast — never a self-join of per-year totals.",
     "q15_top_supplier" ->
-      "TPC-H Q15 shape: the revenue view aggregates once, its max broadcasts back as a scalar, and the tie-keeping equality filter replaces the LIMIT-1 shortcut that would drop tied winners.")
+      "TPC-H Q15 shape: the revenue view aggregates once, its max broadcasts back as a scalar, and the tie-keeping equality filter replaces the LIMIT-1 shortcut that would drop tied winners.",
+    "q2_min_cost_supplier" ->
+      "TPC-H Q2 shape: the correlated min-cost subquery as ONE (part,supplier) aggregate + min-struct argmin with deterministic tiebreak — no rank window, no per-part re-probe, dims broadcast.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

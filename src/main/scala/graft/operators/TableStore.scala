@@ -93,6 +93,15 @@ object TableStore {
   def mergeClauses(spark: SparkSession, path: String, src: DataFrame,
       keys: Seq[String], deleteWhen: Column, updateSet: Map[String, Column],
       insertRow: Map[String, Column]): Unit = {
+    // SQL MERGE raises on a source key that matches twice (the update
+    // would be nondeterministic); enforce the same contract loudly
+    // instead of silently duplicating joined rows. Same guard
+    // discipline as scd2Upsert; one cheap keys-only aggregate.
+    val dup = src.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeClauses: source has duplicate merge key ${dup.headOption.map(_.toString).getOrElse("")} — " +
+        "a key matching twice makes the merge nondeterministic (SQL MERGE contract)")
     val target = read(spark, path)
     val targetCols = target.columns.toSeq
     val srcTagged = src.select(

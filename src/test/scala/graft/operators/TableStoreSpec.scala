@@ -412,6 +412,22 @@ class TableStoreSpec extends SparkSpec {
     assert(readSorted(p) == Seq(2L -> "new", 3L -> "keep", 9L -> "ins"))
   }
 
+  test("mergeClauses: duplicate source keys fail fast (SQL MERGE contract)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val p = scratch()
+    TableStore.overwrite(kv(1L -> "a"), p)
+    val dupSrc = Seq((1L, "x"), (1L, "y")).toDF("k", "sv")
+    val e = intercept[IllegalArgumentException] {
+      TableStore.mergeClauses(spark, p, dupSrc, Seq("k"),
+        deleteWhen = lit(false),
+        updateSet = Map("v" -> col("src_sv")),
+        insertRow = Map("k" -> col("k"), "v" -> col("src_sv")))
+    }
+    assert(e.getMessage.contains("duplicate merge key"))
+    assert(readSorted(p) == Seq(1L -> "a"), "target must be untouched")
+  }
+
   test("mergeClauses: empty source is a no-op; all-delete empties matched keys only") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions._
