@@ -33,6 +33,10 @@ object Tables {
     * never be a bench-only code path the gate doesn't see.
     */
   private val StageThresholdBytes: Long = 512L << 10
+  // 16 shards, not one per core: at sf0.1 row counts the extra task
+  // overhead of 32 smaller files measurably outweighs the decode
+  // parallelism (measured: q6 0.17->0.21 s, q9 0.70->0.79 s); at real
+  // scale the equivalent knob is files >= provisioned scan parallelism
   private val NShards = 16
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -92,8 +96,10 @@ object Tables {
     // originals; the hash also keeps distinct dirs from colliding
     val pathTag = Integer.toHexString(src.getAbsolutePath.hashCode)
     val stageRoot = new java.io.File(s"/tmp/graft_stage/$pathTag")
+    // NShards is part of the key: a config change must re-stage, not
+    // silently read the old layout
     val dest = new java.io.File(stageRoot,
-      s"$name-${src.length}-${src.lastModified}")
+      s"$name-${src.length}-${src.lastModified}-n$NShards")
     if (!new java.io.File(dest, "_SUCCESS").isFile) synchronized {
       if (!new java.io.File(dest, "_SUCCESS").isFile) {
         val tmp = new java.io.File(stageRoot,
