@@ -615,6 +615,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("g3: triangle wedges and closings are equi-joins only — no cartesian anywhere") {
+    val p = plan("g3_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the final 1-row×1-row
+    // count assembly; wedge generation and the closing probe must be
+    // hash equi-joins
+    val bnlj = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(bnlj <= 1, s"wedge/closing joins must be hash equi-joins ($bnlj BNLJs):\n" + p)
+  }
+
   test("q15: the view max comes back as a broadcast scalar, ties kept") {
     val p = plan("q15_top_supplier")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
