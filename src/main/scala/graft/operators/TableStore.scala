@@ -590,6 +590,17 @@ object TableStore {
     require(pre.columns.sameElements(post.columns),
       s"changesBetween: schema drift between v$fromV and v$toV " +
         s"(${pre.columns.mkString(",")} vs ${post.columns.mkString(",")})")
+    diffKeyed(pre, post, keys)
+  }
+
+  /** The keyed snapshot-diff algorithm behind [[changesBetween]],
+    * usable on any two key-unique frames directly (a changelog
+    * producer that already holds both states in memory — st15 — skips
+    * the four snapshot round trips and diffs the frames themselves;
+    * the emitted rows are identical).
+    */
+  def diffKeyed(pre: DataFrame, post: DataFrame,
+      keys: Seq[String]): DataFrame = {
     val dataCols = pre.columns.filterNot(keys.contains).toSeq
     def hashed(df: DataFrame, tag: String): DataFrame =
       df.withColumn(s"_h$tag", xxhash64(

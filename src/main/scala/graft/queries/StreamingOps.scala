@@ -235,21 +235,17 @@ object StreamingOps {
       // maintenance loop reads them rather than re-writing its own
       // copies; only the VIEW is this loop's stored artifact
       TableStore.overwrite(Ivm.joinView(a, b, Seq("o_orderkey")), viewPath)
-      // one combined changelog (keyed diffs computed batch-side), both
+      // one combined changelog (keyed diffs via the s24 snapshot-diff
+      // ALGORITHM, run directly on the in-memory states — the producer
+      // already holds both, so the four snapshot round trips i4 pays
+      // for its storage story would be pure overhead here), both
       // sides tagged; nulls pad the side-specific columns
-      val snapA = tmp.resolve("snap_a").toString
-      val snapB = tmp.resolve("snap_b").toString
-      val av1 = TableStore.publishVersion(s, snapA, a, note = "base")
-      val av2 = TableStore.publishVersion(s, snapA, editedA, note = "edit")
-      val bv1 = TableStore.publishVersion(s, snapB, b, note = "base")
-      val bv2 = TableStore.publishVersion(s, snapB, editedB, note = "edit")
-      val dA = TableStore.changesBetween(s, snapA, av1, av2, Seq("o_orderkey"))
+      val dA = TableStore.diffKeyed(a, editedA, Seq("o_orderkey"))
         .select(lit("a").as("_side"), col("o_orderkey"), col("_change_type"),
           col("o_custkey"), col("o_totalprice"),
           lit(null).cast("int").as("l_linenumber"),
           lit(null).cast("double").as("l_extendedprice"))
-      val dB = TableStore.changesBetween(s, snapB, bv1, bv2,
-          Seq("o_orderkey", "l_linenumber"))
+      val dB = TableStore.diffKeyed(b, editedB, Seq("o_orderkey", "l_linenumber"))
         .select(lit("b").as("_side"), col("o_orderkey"), col("_change_type"),
           lit(null).cast("long").as("o_custkey"),
           lit(null).cast("double").as("o_totalprice"),
