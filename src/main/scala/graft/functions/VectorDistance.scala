@@ -183,6 +183,13 @@ object GraftFunctions {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
       (children: Seq[Expression]) => ShingleSet(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_char_entropy(s) takes exactly 1 argument")
+        CharEntropy(children.head)
+      })
   }
 }
 

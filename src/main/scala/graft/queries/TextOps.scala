@@ -573,12 +573,14 @@ object TextOps {
     // in the Gopher/MassiveText rule family: natural prose sits in a
     // mid-entropy band; keyboard mash and minified blobs score high,
     // template spam and char-runs score low. Per-doc Shannon entropy
-    // H = ln(n) − (Σ c·ln c)/n over the doc's char histogram: one
-    // narrow explode + one (doc, char) keyed count + one per-doc
-    // aggregate, all map-side combinable. The ln-sum goes through the
-    // decimal-exact dsum (t28's discipline) so partial-aggregation
-    // order cannot flip the ×1e6 gate; ln/division are per-row IEEE
-    // on exact counts — deterministic in both engines.
+    // H = ln(n) − (Σ c·ln c)/n over the doc's char histogram. The
+    // histogram is row-local, so the Spark side computes it in a
+    // single codegen'd expression (graft_char_entropy) with NO
+    // shuffle at all; the oracle keeps the explode+group formulation
+    // (DuckDB has no such scalar). The per-term decimal(30,12)
+    // rounding inside the expression reproduces dsum (t28's
+    // discipline) bit-for-bit, and ln/division are per-row IEEE on
+    // exact counts — deterministic in both engines.
     Q("t30_char_entropy",
       "per-doc character Shannon entropy (compression-ratio quality proxy)",
       {
@@ -595,16 +597,20 @@ object TextOps {
            |    * 1000000) AS BIGINT) AS entropy_e6
            |FROM e ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      val cc = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(expr(SqlSpark.chars("text"))).as("c"))
-        .groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
-      cc.groupBy("doc_id")
-        .agg(sum("k").as("n"), count(lit(1)).as("n_distinct"),
-          dsum(col("k").cast("double") * log(col("k").cast("double")), 12)
-            .as("s"))
-        .select(col("doc_id"), col("n"), col("n_distinct"),
-          round((log(col("n").cast("double")) - col("s") / col("n").cast("double"))
+      // Row-local: the whole histogram + Σ k·ln(k) happens inside ONE
+      // generated projection (graft.functions.CharEntropy) — zero
+      // Exchange before the final sort, vs the naive explode-and-
+      // shuffle of (doc_id, char) pairs. The expression rounds each
+      // term to decimal(30,12) and sums exactly, so it hash-matches
+      // the oracle's dsum to the bit. NULL text vanishes from the
+      // explode plan's output (explode of null = no rows), so filter
+      // it; empty text is one empty-string "char" in both engines.
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), expr("graft_char_entropy(text)").as("e"))
+        .select(col("doc_id"), col("e.n").as("n"),
+          col("e.n_distinct").as("n_distinct"),
+          round((log(col("e.n").cast("double")) - col("e.s") / col("e.n").cast("double"))
             * 1000000).cast("long").as("entropy_e6"))
         .orderBy("doc_id")
     }

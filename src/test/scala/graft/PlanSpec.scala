@@ -431,6 +431,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t30: char entropy is row-local — no hash Exchange, no explode, no aggregate") {
+    // the whole histogram + Σ k·ln(k) lives inside one generated
+    // projection (graft_char_entropy); the only exchange allowed is
+    // the final sort's range partitioning
+    val p = plan("t30_char_entropy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "char entropy must not shuffle (doc_id, char) pairs:\n" + p)
+    assert(!p.contains("Generate"), "no explode — the histogram is row-local:\n" + p)
+    assert(!p.contains("HashAggregate"), "no aggregate — the stats are per-row:\n" + p)
+    assert(p.contains("graft_char_entropy"), p)
+  }
+
   test("t29: the vocab probe is a broadcast join — the token stream shuffles once") {
     val p = plan("t29_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), "50-row vocab must broadcast:\n" + p)
