@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -52,17 +52,36 @@ object Ivm {
         sumCols.map(c => sum(col(c).cast(DecimalType(30, 2)) * col("_sign"))
           .as(s"_dsum_$c")): _*)
     // one key join: untouched groups pass through, touched groups
-    // adjust, emptied groups drop, new groups materialize
-    view.join(delta, keys, "full_outer")
-      .select(keys.map(col) ++
-        Seq((coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
-          .as("n")) ++
+    // adjust, emptied groups drop, new groups materialize. The join
+    // must be NULL-SAFE: groupBy puts null keys in one group, so a
+    // plain equi-join would strand a null-key delta on its own row.
+    // (The delta side is renamed rather than referenced through its
+    // frame: view and changes often share lineage, and frame-qualified
+    // refs would be ambiguous in that self-join.)
+    val deltaR = delta.select(keys.map(k => col(k).as(s"_d_$k")) ++
+      (delta.columns.toSeq diff keys).map(col): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_d_$k")).reduce(_ && _)
+    view.join(deltaR, cond, "full_outer")
+      .select(keys.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++
+        Seq(checked(coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)),
+          "group count").as("n")) ++
         sumCols.map(c =>
           (coalesce(col(s"sum_$c"), lit(0).cast(DecimalType(30, 2))) +
             coalesce(col(s"_dsum_$c"), lit(0).cast(DecimalType(30, 2))))
             .cast(DecimalType(30, 2)).as(s"sum_$c")): _*)
       .filter(col("n") > 0)
   }
+
+  /** A derivation/group count that reaches zero is a legitimate drop;
+    * one that goes NEGATIVE means the changelog is inconsistent with
+    * the view (a delete for a row the view never derived). Filtering
+    * it away would silently diverge from recompute — fail loudly
+    * instead, per-row, inside the plan.
+    */
+  private def checked(c: Column, what: String): Column =
+    when(c < 0, raise_error(concat(
+      lit(s"IVM $what went negative — changelog inconsistent with view: "),
+      c.cast("string")))).otherwise(c)
 
   /** The view shape [[applyDelta]] maintains, computed from scratch
     * (used to materialize v0 and, in specs, to prove maintained ==
@@ -137,10 +156,19 @@ object Ivm {
       .unionByName(t3.select((viewCols :+ "_s").map(col): _*))
       .groupBy(viewCols.map(col): _*)
       .agg(sum(col("_s")).as("_dmult"))
-    view.join(delta, viewCols, "full_outer")
-      .select(viewCols.map(col) :+
-        (coalesce(col("_mult"), lit(0L)) + coalesce(col("_dmult"), lit(0L)))
-          .as("_mult"): _*)
+    // NULL-SAFE on every view column: joinView's groupBy treats NULLs
+    // as equal, so a NULL in any data column must still pair the view
+    // row with its delta row — a plain equi-join would strand the
+    // negative _dmult on a separate row and leave a ghost behind.
+    // (Delta side renamed: view and delta share base lineage, so
+    // frame-qualified refs would be an ambiguous self-join.)
+    val deltaR = delta.select(viewCols.map(c => col(c).as(s"_d_$c")) :+
+      col("_dmult"): _*)
+    val cond = viewCols.map(c => col(c) <=> col(s"_d_$c")).reduce(_ && _)
+    view.join(deltaR, cond, "full_outer")
+      .select(viewCols.map(c => coalesce(col(c), col(s"_d_$c")).as(c)) :+
+        checked(coalesce(col("_mult"), lit(0L)) + coalesce(col("_dmult"), lit(0L)),
+          "derivation count").as("_mult"): _*)
       .filter(col("_mult") > 0)
   }
 }

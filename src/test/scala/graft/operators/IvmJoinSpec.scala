@@ -95,6 +95,38 @@ class IvmJoinSpec extends SparkSpec {
       s"combined ${viewSet(combined)} vs recomputed ${viewSet(recomputed)}")
   }
 
+  test("NULL data columns still pair view rows with their deltas (null-safe merge)") {
+    // joinView's groupBy treats NULLs as equal, so the merge join must
+    // too — a plain equi-join would strand the -1 on its own row and
+    // leave the (1, null, 10) ghost alive
+    val a = Seq((1L, Option.empty[String]), (2L, Some("y"))).toDF("k", "va")
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")
+    val v0 = Ivm.joinView(a, b, Seq("k"))
+    assert(v0.count() == 2)
+    val delNull = Seq((1L, "delete", Option.empty[String]))
+      .toDF("k", "_change_type", "va")
+    val aAfter = Seq((2L, "y")).toDF("k", "va")
+    val v1 = Ivm.applyJoinDelta(v0, a, b, delNull, emptyDB, Seq("k"))
+    assert(viewSet(v1) == Set((2L, "y", 20L, 1L)),
+      s"ghost row survived: ${viewSet(v1)}")
+    assert(viewSet(v1) == viewSet(Ivm.joinView(aAfter, b, Seq("k"))))
+  }
+
+  test("inconsistent changelog (delete of an underived row) fails loudly") {
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, 10L)).toDF("k", "vb")
+    val v0 = Ivm.joinView(a, b, Seq("k"))
+    // (1, 'zzz') was never in A: ΔA⋈B_old derives (1, zzz, 10, -1)
+    // with no view row to absorb it — must raise, not silently filter
+    val bad = dA((1L, "delete", "zzz"))
+    val ex = intercept[Throwable] {
+      Ivm.applyJoinDelta(v0, a, b, bad, emptyDB, Seq("k")).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("went negative"), messages(ex))
+  }
+
   test("the deltas ride broadcasts into the base probes (O(Δ) tick, plan-gated)") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
     val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")

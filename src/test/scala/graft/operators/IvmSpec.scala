@@ -45,4 +45,26 @@ class IvmSpec extends SparkSpec {
     assert(snap(Ivm.applyDelta(view1, none, Seq("grp"), Seq("amt"))) ==
       snap(view1))
   }
+
+  test("NULL group keys fold into the null group, not a stranded row (null-safe merge)") {
+    import TestSpark.spark.implicits._
+    val p = Files.createTempDirectory("graft_ivm_null").toString + "/t"
+    def rowsN(rs: (Long, Option[String], Double)*): DataFrame =
+      rs.toDF("id", "grp", "amt")
+    // v1: two rows in the NULL group + one in b; v2 deletes one null-
+    // group row and reprices the other — the delta must land ON the
+    // view's null-group row (groupBy treats NULL keys as one group)
+    val v1Data = rowsN((1L, None, 10.0), (2L, None, 20.0), (3L, Some("b"), 30.0))
+    val v2Data = rowsN((2L, None, 25.0), (3L, Some("b"), 30.0))
+    val v1 = TableStore.publishVersion(spark, p, v1Data)
+    val v2 = TableStore.publishVersion(spark, p, v2Data)
+    val view1 = Ivm.aggregate(v1Data, Seq("grp"), Seq("amt"))
+    val changes = TableStore.changesBetween(spark, p, v1, v2, Seq("id"))
+    val maintained = Ivm.applyDelta(view1, changes, Seq("grp"), Seq("amt"))
+    val recomputed = Ivm.aggregate(v2Data, Seq("grp"), Seq("amt"))
+    assert(snap(maintained) == snap(recomputed),
+      s"maintained ${snap(maintained)} vs recomputed ${snap(recomputed)}")
+    // exactly ONE null-group row, with the folded values
+    assert(maintained.filter(col("grp").isNull).count() == 1)
+  }
 }
