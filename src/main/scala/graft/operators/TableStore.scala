@@ -93,19 +93,27 @@ object TableStore {
   def mergeClauses(spark: SparkSession, path: String, src: DataFrame,
       keys: Seq[String], deleteWhen: Column, updateSet: Map[String, Column],
       insertRow: Map[String, Column]): Unit = {
+    val target = read(spark, path)
+    val targetCols = target.columns.toSeq
+    require(targetCols.forall(insertRow.contains),
+      s"mergeClauses: insertRow is missing target column(s) " +
+        s"${targetCols.filterNot(insertRow.contains).mkString(", ")} — " +
+        "WHEN NOT MATCHED THEN INSERT must produce every target column")
     // SQL MERGE raises on a source key that matches twice (the update
     // would be nondeterministic); enforce the same contract loudly
-    // instead of silently duplicating joined rows. Same guard
-    // discipline as scd2Upsert; one cheap keys-only aggregate.
-    val dup = src.groupBy(keys.map(col): _*).count()
+    // instead of silently duplicating joined rows. The source is
+    // pinned first (localCheckpoint) so the guard and the merge join
+    // see the SAME rows — a nondeterministic source (sample/limit)
+    // could otherwise pass the guard yet still match twice in the
+    // join — and the source plan computes once, not twice.
+    val srcPinned = src.localCheckpoint(eager = true)
+    val dup = srcPinned.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"mergeClauses: source has duplicate merge key ${dup.headOption.map(_.toString).getOrElse("")} — " +
         "a key matching twice makes the merge nondeterministic (SQL MERGE contract)")
-    val target = read(spark, path)
-    val targetCols = target.columns.toSeq
-    val srcTagged = src.select(
-      keys.map(col) ++ src.columns.filterNot(keys.contains)
+    val srcTagged = srcPinned.select(
+      keys.map(col) ++ srcPinned.columns.filterNot(keys.contains)
         .map(c => col(c).as(s"src_$c")): _*)
       .withColumn("_src_present", lit(true))
     val joined = target.withColumn("_t_present", lit(true))
