@@ -127,7 +127,11 @@ object Plans {
     "q15_top_supplier" ->
       "TPC-H Q15 shape: the revenue view aggregates once, its max broadcasts back as a scalar, and the tie-keeping equality filter replaces the LIMIT-1 shortcut that would drop tied winners.",
     "q2_min_cost_supplier" ->
-      "TPC-H Q2 shape: the correlated min-cost subquery as ONE (part,supplier) aggregate + min-struct argmin with deterministic tiebreak — no rank window, no per-part re-probe, dims broadcast.")
+      "TPC-H Q2 shape: the correlated min-cost subquery as ONE (part,supplier) aggregate + min-struct argmin with deterministic tiebreak — no rank window, no per-part re-probe, dims broadcast.",
+    "t30_char_entropy" ->
+      "Row-local char entropy: histogram + Σ k·ln(k) inside ONE codegen'd projection (graft_char_entropy) — no Generate, no HashAggregate, no Exchange before the final sort.",
+    "i5_minmax_ivm" ->
+      "MIN/MAX IVM: signed deltas fold count/sum; deleted-extremum groups rescan via a broadcast null-safe semi probe of ONLY those keys — O(changes ∪ touched ∪ rescanned-group rows), never O(base).")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -72,6 +72,106 @@ object Ivm {
       .filter(col("n") > 0)
   }
 
+  /** The view shape [[applyDeltaWithExtrema]] maintains: the
+    * [[aggregate]] columns plus `min_<c>` / `max_<c>` per extremum
+    * column.
+    */
+  def aggregateWithExtrema(base: DataFrame, keys: Seq[String],
+      sumCols: Seq[String], minCols: Seq[String],
+      maxCols: Seq[String]): DataFrame =
+    base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (sumCols.map(c => sum(col(c).cast(DecimalType(30, 2)))
+          .cast(DecimalType(30, 2)).as(s"sum_$c")) ++
+          minCols.map(c => min(col(c)).as(s"min_$c")) ++
+          maxCols.map(c => max(col(c)).as(s"max_$c"))): _*)
+
+  /** IVM for views that ALSO carry MIN/MAX — the documented
+    * non-invertible case: count and decimal SUM fold deltas exactly,
+    * but a deleted extremum cannot be "un-min'd" from the view alone
+    * (the runner-up value was never stored). Production IVM engines
+    * handle this with a bounded fallback, implemented here: a group
+    * whose delta only INSERTS (or whose deletes land strictly inside
+    * the (min, max) interval) maintains incrementally — new_min =
+    * least(old_min, inserted_min), a pure column op; a group whose
+    * delta deletes a value AT its current extremum (or that is born
+    * with same-tick deletes, where no stored extremum exists to
+    * compare against) is RESCANNED from the post-change base — but
+    * ONLY that group, via a null-safe semi-join keyed probe. Total
+    * tick cost: O(changes ∪ touched groups ∪ rows-of-rescanned-
+    * groups), never O(base); at 100 TB the rescan probe is exactly
+    * what partition pruning / data skipping on the group key bounds
+    * further. Groups emptied to zero always hit the rescan path
+    * (their extremum was necessarily deleted) and vanish because the
+    * rescan finds no rows.
+    *
+    * @param newBase the POST-change base (version N+1) — rescan
+    *                ground truth
+    */
+  def applyDeltaWithExtrema(view: DataFrame, changes: DataFrame,
+      newBase: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val delta = changes
+      .withColumn("_sign", sign)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_sign")).as("_dn"),
+        (sumCols.map(c => sum(col(c).cast(DecimalType(30, 2)) * col("_sign"))
+          .as(s"_dsum_$c")) ++
+          minCols.map(c => min(when(col("_sign") === 1L, col(c)))
+            .as(s"_ins_min_$c")) ++
+          maxCols.map(c => max(when(col("_sign") === 1L, col(c)))
+            .as(s"_ins_max_$c")) ++
+          minCols.map(c => min(when(col("_sign") === -1L, col(c)))
+            .as(s"_del_min_$c")) ++
+          maxCols.map(c => max(when(col("_sign") === -1L, col(c)))
+            .as(s"_del_max_$c")) ++
+          Seq(sum(when(col("_sign") === -1L, lit(1L)).otherwise(lit(0L)))
+            .as("_n_del"))): _*)
+    val deltaR = delta.select(keys.map(k => col(k).as(s"_d_$k")) ++
+      (delta.columns.toSeq diff keys).map(col): _*)
+    val cond = keys.map(k => col(k) <=> col(s"_d_$k")).reduce(_ && _)
+    val merged = view.join(deltaR, cond, "full_outer")
+    // rescan iff the group LOST rows and either (a) a deleted value
+    // sits at the stored extremum, or (b) the view never stored an
+    // extremum for it (group born and shrunk in the same tick)
+    val touchesExtremum =
+      (minCols.map(c => col(s"_del_min_$c") <= col(s"min_$c")) ++
+        maxCols.map(c => col(s"_del_max_$c") >= col(s"max_$c")))
+        .map(p => coalesce(p, lit(false)))
+        .foldLeft(lit(false))(_ || _)
+    val needsRescan = coalesce(col("_n_del"), lit(0L)) > 0 &&
+      (col("n").isNull || touchesExtremum)
+    val incr = merged.filter(!needsRescan)
+      .select(keys.map(k => coalesce(col(k), col(s"_d_$k")).as(k)) ++
+        Seq(checked(coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)),
+          "group count").as("n")) ++
+        sumCols.map(c =>
+          (coalesce(col(s"sum_$c"), lit(0).cast(DecimalType(30, 2))) +
+            coalesce(col(s"_dsum_$c"), lit(0).cast(DecimalType(30, 2))))
+            .cast(DecimalType(30, 2)).as(s"sum_$c")) ++
+        // least/greatest skip NULLs: an untouched group keeps its
+        // extremum, an insert-only delta folds in, a new group takes
+        // the inserted extremum outright
+        minCols.map(c =>
+          least(col(s"min_$c"), col(s"_ins_min_$c")).as(s"min_$c")) ++
+        maxCols.map(c =>
+          greatest(col(s"max_$c"), col(s"_ins_max_$c")).as(s"max_$c")): _*)
+      .filter(col("n") > 0)
+    // keyed probe of ONLY the rescanned groups (null-safe: a null
+    // group key rescans like any other)
+    val rescanKeys = merged.filter(needsRescan)
+      .select(keys.map(k => coalesce(col(k), col(s"_d_$k")).as(s"_r_$k")): _*)
+      .distinct()
+    val rescanCond = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
+    val rescanned = aggregateWithExtrema(
+      newBase.join(broadcast(rescanKeys), rescanCond, "left_semi"),
+      keys, sumCols, minCols, maxCols)
+    incr.unionByName(rescanned)
+  }
+
   /** A derivation/group count that reaches zero is a legitimate drop;
     * one that goes NEGATIVE means the changelog is inconsistent with
     * the view (a delete for a row the view never derived). Filtering

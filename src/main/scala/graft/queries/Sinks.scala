@@ -270,7 +270,7 @@ object Sinks {
          |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          |  FROM orders WHERE o_orderkey % 7 <> 0
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
          |  FROM orders WHERE o_orderkey % 13 = 0)
          |SELECT o_custkey, count(*) AS n,
          |  ${dsumSql("o_totalprice")} AS total
@@ -280,13 +280,17 @@ object Sinks {
       val viewPath = scratch("i3_view")
       val o = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+      // inserted rows take NEGATED keys: TPC-H keys are >= 1, so -k
+      // can never collide with a real key at ANY scale factor (a
+      // fixed +offset would collide once keys exceed it, silently
+      // breaking the key-uniqueness the changelog diff requires)
       val edited = o.filter(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
           col("o_custkey") + 1).otherwise(col("o_custkey")))
         .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
           col("o_totalprice") * 2).otherwise(col("o_totalprice")))
         .unionByName(o.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       val v1 = TableStore.publishVersion(s, path, o, note = "base")
       val v2 = TableStore.publishVersion(s, path, edited, note = "edit")
@@ -323,7 +327,7 @@ object Sinks {
          |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          |  FROM orders WHERE o_orderkey % 7 <> 0
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
          |  FROM orders WHERE o_orderkey % 13 = 0),
          |b0 AS (
          |  SELECT l_orderkey AS o_orderkey, l_linenumber,
@@ -355,7 +359,7 @@ object Sinks {
         .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
           col("o_totalprice") * 2).otherwise(col("o_totalprice")))
         .unionByName(a.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       // the synthetic lineitem does NOT have unique (orderkey,
       // linenumber) pairs (unlike real TPC-H), and a keyed changelog
@@ -403,6 +407,62 @@ object Sinks {
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // I5 — IVM with MIN/MAX: the documented non-invertible case
+    // (Ivm.scala scaladoc). Count/sum fold deltas exactly; a deleted
+    // extremum forces a rescan of ONLY that group from the post-
+    // change base (null-safe keyed semi-probe — O(changes ∪ touched
+    // groups ∪ rescanned-group rows), never O(base)). The edit
+    // script's %7 deletes necessarily remove many per-customer
+    // extrema, so both the incremental AND the rescan paths carry
+    // real weight; the oracle recomputes from v2, proving maintained
+    // == recomputed bit-exactly for all five aggregates.
+    Q("i5_minmax_ivm",
+      "CDC-maintained MIN/MAX view == recompute; deleted extrema rescan only their group",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  min(o_totalprice) AS min_price,
+         |  max(o_totalprice) AS max_price
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      val path = scratch("i5")
+      val viewPath = scratch("i5_view")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val v1 = TableStore.publishVersion(s, path, o, note = "base")
+      val v2 = TableStore.publishVersion(s, path, edited, note = "edit")
+      TableStore.overwrite(Ivm.aggregateWithExtrema(
+        TableStore.readVersion(s, path, Some(v1)),
+        Seq("o_custkey"), Seq("o_totalprice"),
+        Seq("o_totalprice"), Seq("o_totalprice")), viewPath)
+      val changes = TableStore.changesBetween(s, path, v1, v2, Seq("o_orderkey"))
+      Ivm.applyDeltaWithExtrema(TableStore.read(s, viewPath), changes,
+        TableStore.readVersion(s, path, Some(v2)),
+        Seq("o_custkey"), Seq("o_totalprice"),
+        Seq("o_totalprice"), Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"),
+          col("min_o_totalprice").as("min_price"),
+          col("max_o_totalprice").as("max_price"))
         .orderBy("o_custkey")
     },
 

@@ -431,6 +431,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("i5: min/max IVM rescan is a broadcast semi probe of only the flagged keys") {
+    val p = plan("i5_minmax_ivm")
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the rescan must probe the base via a broadcast semi join on the " +
+        "flagged keys, not rescan the whole base:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") && p.contains("partial_sum"),
+      "delta collapse must combine map-side:\n" + p)
+  }
+
   test("t30: char entropy is row-local — no hash Exchange, no explode, no aggregate") {
     // the whole histogram + Σ k·ln(k) lives inside one generated
     // projection (graft_char_entropy); the only exchange allowed is
