@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.functions.XSql
 import graft.functions.XSql.{Dialect, Spark => SqlSpark, Duck => SqlDuck}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, JoinViewMaintenance}
 
 /** Streaming operators run through Structured Streaming (AvailableNow
   * replay of the events table) and checked against batch SQL oracles —
@@ -110,7 +110,7 @@ object StreamingOps {
          |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          |  FROM orders WHERE o_orderkey % 7 <> 0
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
          |  FROM orders WHERE o_orderkey % 13 = 0)
          |SELECT o_custkey, count(*) AS n,
          |  ${dsumSql("o_totalprice")} AS total
@@ -129,7 +129,7 @@ object StreamingOps {
         .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
           col("o_totalprice") * 2).otherwise(col("o_totalprice")))
         .unionByName(o.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       val v1 = TableStore.publishVersion(s, snaps, o, note = "base")
       val v2 = TableStore.publishVersion(s, snaps, edited, note = "edit")
@@ -176,7 +176,7 @@ object StreamingOps {
          |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
          |  FROM orders WHERE o_orderkey % 7 <> 0
          |  UNION ALL
-         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice + 1000
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
          |  FROM orders WHERE o_orderkey % 13 = 0),
          |b0 AS (
          |  SELECT l_orderkey AS o_orderkey, l_linenumber,
@@ -207,7 +207,7 @@ object StreamingOps {
         .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
           col("o_totalprice") * 2).otherwise(col("o_totalprice")))
         .unionByName(a.filter(col("o_orderkey") % 13 === 0)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       // checkpoint the grouped base: it feeds the publish, the edit
       // script AND the changelog diff — without this the groupBy over
@@ -228,13 +228,17 @@ object StreamingOps {
           .select(col("o_orderkey"),
             (col("l_linenumber") + 100).as("l_linenumber"),
             col("l_extendedprice")))
-      // materialize the view at v1; the base STATES the delta rule
-      // probes are held as eagerly-checkpointed frames and advanced
-      // per tick — in production the bases are real tables that
-      // ingestion maintains anyway (st6/i1's upsert path), so the
-      // maintenance loop reads them rather than re-writing its own
-      // copies; only the VIEW is this loop's stored artifact
-      TableStore.overwrite(Ivm.joinView(a, b, Seq("o_orderkey")), viewPath)
+      // ALL THREE states — view and both bases — live as versioned
+      // TableStore tables advanced through the same publish path
+      // production ingestion uses; each tick is a WAL-style
+      // transaction (commit notes tag the tick, redelivery skips,
+      // mid-tick crashes roll forward deterministically — see
+      // JoinViewMaintenance; JoinViewResumeSpec crashes this loop
+      // mid-tick and proves resume)
+      val basePathA = tmp.resolve("base_a").toString
+      val basePathB = tmp.resolve("base_b").toString
+      JoinViewMaintenance.init(s, viewPath, basePathA, basePathB,
+        a, b, Seq("o_orderkey"))
       // one combined changelog (keyed diffs via the s24 snapshot-diff
       // ALGORITHM, run directly on the in-memory states — the producer
       // already holds both, so the four snapshot round trips i4 pays
@@ -252,45 +256,21 @@ object StreamingOps {
           col("l_linenumber"), col("l_extendedprice"))
       val stream = EventStream.stagedFileStream(s, dA.unionByName(dB),
         tmp.resolve("stage").toString, nFiles = 3)
-      var aCur = a.localCheckpoint()
-      var bCur = b.localCheckpoint()
-      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (batch, batchId) =>
         val slice = batch.cache()
         try {
           val sa = slice.filter(col("_side") === "a")
             .select("o_orderkey", "_change_type", "o_custkey", "o_totalprice")
           val sb = slice.filter(col("_side") === "b")
             .select("o_orderkey", "l_linenumber", "_change_type", "l_extendedprice")
-          TableStore.rewrite(s, viewPath, Ivm.applyJoinDelta(
-            TableStore.read(s, viewPath), aCur, bCur, sa, sb, Seq("o_orderkey")))
-          // advance the base states by the same slice. This must be a
-          // SIGNED whole-row fold, not a keyed delete+insert: the
-          // stage split can put an update's postimage in an EARLIER
-          // tick than its preimage, and a by-key anti-join would then
-          // wrongly delete both rows when the preimage arrives. The
-          // signed fold is linear, so base_t == base_0 ⊎ Σ deltas
-          // under ANY split — exactly the invariant the delta rule
-          // needs from its old sides. localCheckpoint keeps each state
-          // eager so the lineage doesn't re-fold every prior tick.
-          def advance(old: org.apache.spark.sql.DataFrame,
-              delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-            val signed = delta.withColumn("_s",
-              when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
-                .otherwise(lit(-1L)))
-              .drop("_change_type")
-            val cols = signed.columns.filterNot(_ == "_s").toSeq
-            old.withColumn("_s", lit(1L)).unionByName(signed)
-              .groupBy(cols.map(col): _*).agg(sum(col("_s")).as("_s"))
-              .filter(col("_s") > 0).drop("_s")
-              .localCheckpoint()
-          }
-          aCur = advance(aCur, sa)
-          bCur = advance(bCur, sb)
+          JoinViewMaintenance.applyTick(s, viewPath, basePathA, basePathB,
+            sa, sb, Seq("o_orderkey"), batchId)
         } finally { slice.unpersist(); () }
       }
       def wsum(c: String) =
         sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
-      TableStore.read(s, viewPath).groupBy("o_custkey")
+      JoinViewMaintenance.currentView(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
