@@ -160,4 +160,27 @@ object Multimodal {
       }
     }
   }
+
+  /** The SAME sampling as [[sampleFrames]] expressed as a native
+    * generator — `explode(sequence(0, nFrames-1, stride))` + substring
+    * arithmetic — so the hot path stays inside whole-stage codegen
+    * with no typed-encoder round trip (the flatMap costs an
+    * InternalRow⇄object conversion per row that a 100 TB frame scan
+    * cannot afford when the "decode" is pure byte slicing).
+    * [[sampleFrames]] remains the documented codec seam: a real
+    * demuxer replaces its body and pays the object boundary because it
+    * must; THIS is the plumbing to run when it needn't.
+    * MultimodalSpec proves the two produce identical frames.
+    */
+  def sampleFramesNative(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): DataFrame =
+    media.toDF()
+      .withColumn("_nf",
+        (octet_length(col("payload")) / lit(frameBytes)).cast("int"))
+      .filter(col("_nf") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("_nf") - 1, lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
 }

@@ -43,11 +43,14 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
-    // Frame sampling as a gate query: the flatMap plumbing (one row
-    // per sampled fixed-size frame) is the real contract; the oracle
-    // states the same byte slicing as substr arithmetic (payload ==
-    // ASCII text bytes), and each frame is content-hashed so the
-    // comparison covers the bytes, not just the shape.
+    // Frame sampling as a gate query: one row per sampled fixed-size
+    // frame, produced by the NATIVE generator path (explode(sequence)
+    // + substring — whole-stage codegen, no typed-encoder round trip;
+    // Multimodal.sampleFrames keeps the flatMap shape solely as the
+    // documented codec seam). The oracle states the same byte slicing
+    // as substr arithmetic (payload == ASCII text bytes), and each
+    // frame is content-hashed so the comparison covers the bytes,
+    // not just the shape.
     Q("m2_frame_sample",
       "video-style frame sampling: every 2nd 64-byte frame, content-hashed",
       {
@@ -67,9 +70,9 @@ object MultimodalOps {
       import org.apache.spark.sql.functions._
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val frames = Multimodal.sampleFrames(
+      val frames = Multimodal.sampleFramesNative(
         Multimodal.mediaTable(s, d), frameBytes = 64, stride = 2)
-      frames.toDF()
+      frames
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           expr("cast(length(frame) as bigint)").as("frame_bytes"),
           expr("graft_char_hash(decode(frame, 'UTF-8'))").as("frame_hash"))
@@ -111,9 +114,8 @@ object MultimodalOps {
       // shared distinct frames (the stated semantics), and a frame
       // repeated within a doc (padding, black frames) cannot inflate
       // the pair's agg input nA x nB-fold
-      val h = Multimodal.sampleFrames(
+      val h = Multimodal.sampleFramesNative(
         Multimodal.mediaTable(s, d), frameBytes = 64, stride = 1)
-        .toDF()
         .select(col("doc_id"),
           expr("graft_char_hash(decode(frame, 'UTF-8'))").as("fh"))
         .distinct()

@@ -30,4 +30,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame.length == 16))
     assert(frames.map(_.frame_idx).toSeq == (0 until r.payload.length / 16 by 2))
   }
+
+  test("native generator sampling == typed flatMap sampling, bytes included") {
+    def key(docId: Long, idx: Int, frame: Array[Byte]) =
+      (docId, idx, frame.toSeq)
+    for ((fb, st) <- Seq((16, 2), (64, 1), (64, 2))) {
+      val typed = Multimodal.sampleFrames(media, fb, st).collect()
+        .map(f => key(f.doc_id, f.frame_idx, f.frame)).toSet
+      val native = Multimodal.sampleFramesNative(media, fb, st).collect()
+        .map(r => key(r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2))).toSet
+      assert(native == typed, s"frameBytes=$fb stride=$st")
+    }
+  }
+
+  test("native sampling plan has no typed-encoder boundary") {
+    val p = Multimodal.sampleFramesNative(media, 64, 2)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions") &&
+      !p.contains("DeserializeToObject"),
+      "frame slicing must stay in codegen, not cross an object boundary:\n" + p)
+  }
 }
