@@ -44,19 +44,38 @@ object Models {
       case Some(wm) => gamesActive.filter(col("load_timestamp") > lit(wm))
       case None => gamesActive
     }
+    // One aggregate, not one per entity: tag each (bridge ⋈ dim) with
+    // its entity type, union, and collapse all six arrays in a SINGLE
+    // game_id-keyed aggregate joined back to the base once. The same
+    // rows move through the cluster as with six separate aggregates,
+    // but in ONE exchange instead of six agg exchanges + six join
+    // probes — at 100 TB that is 2 shuffles instead of ~12, and on
+    // fixture-sized input it removes ~10 stages of scheduling/codegen
+    // overhead. Dims are bounded vocabularies (categories/mechanics/…
+    // stay thousands of rows at any corpus size) → broadcast.
     val toProcess = base.select("game_id")
-    val withAggs = entities.foldLeft(base.as("g")) {
-      case (acc, (colName, (bridge, dim, idCol))) =>
+    val withAggs =
+      if (entities.isEmpty) base
+      else {
+        val entityCols = entities.keys.toSeq.sorted
+        val tagged = entities.toSeq.map { case (colName, (bridge, dim, idCol)) =>
+          bridge.join(broadcast(dim), Seq(idCol), "left")
+            .select(col("game_id"), lit(colName).as("_etype"),
+              col("name").as("_ename"))
+        }.reduce(_ unionByName _)
+        // Incremental join-input reduction applied ONCE on the union —
+        // equivalent to reducing each bridge (same surviving rows).
         val reduced =
-          if (watermark.isDefined) bridge.join(toProcess, Seq("game_id"), "left_semi")
-          else bridge
-        val agg = reduced.join(dim, Seq(idCol), "left")
-          .groupBy("game_id")
-          .agg(sort_array(collect_list(col("name"))).as(colName))
-          .withColumnRenamed("game_id", s"${colName}_gid")
-        acc.join(agg, col("game_id") === col(s"${colName}_gid"), "left")
-          .drop(s"${colName}_gid")
-    }
+          if (watermark.isDefined)
+            tagged.join(toProcess, Seq("game_id"), "left_semi")
+          else tagged
+        val aggExprs = entityCols.map(c =>
+          sort_array(collect_list(when(col("_etype") === c, col("_ename"))))
+            .as(c))
+        val aggs = reduced.groupBy("game_id")
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        base.join(aggs, Seq("game_id"), "left")
+      }
     withAggs.select(
       (Seq(
         col("game_id"), col("name"), col("year_published"),
