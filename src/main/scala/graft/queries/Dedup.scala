@@ -403,19 +403,31 @@ object Dedup {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .withColumn("sig", expr(XSql.minhashSig("sh")))
         .filter(col("sig").isNotNull)
-      val bs = sg.select(col("doc_id"), col("sh"), col("sig"),
+      // The band self-join shuffles ONLY (band_idx, band_key, doc_id) —
+      // the shingle + signature arrays would otherwise replicate 16×
+      // (once per band) into the exchange and jaccard would recompute
+      // per COLLISION instead of per PAIR (a near-dup pair collides in
+      // several bands). Pairs distinct first, then each side's arrays
+      // re-attach exactly once per distinct pair.
+      val bs = sg.select(col("doc_id"),
         posexplode(expr(XSql.bandKeys("sig"))))
         .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
-      val a = bs.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("sig").as("sig_a"))
-      val b = bs.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("band_idx", "band_key"))
+      val pairs = bs.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("doc_a"))
+        .join(bs.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
         .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val docs = sg.select(col("doc_id"), col("sh"), col("sig"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("sig").as("sig_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("sig").as("sig_b")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr(XSql.sigAgreement("sig_a", "sig_b")).as("n_agree"),
           expr(XSql.jaccard("sh_a", "sh_b")).as("jacc"))
-        .distinct()
         .select(col("doc_a"), col("doc_b"), col("n_agree"),
           (col("n_agree").cast("double") / lit(XSql.MinhashK.toDouble)).as("est_jacc"),
           col("jacc"))
