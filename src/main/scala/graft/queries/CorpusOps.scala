@@ -650,6 +650,155 @@ object CorpusOps {
           round(col("n_kept").cast("double") / col("n").cast("double"), 6)
             .as("keep_frac"))
         .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------
+    // Distributed classifier TRAINING — the fastText-style quality/
+    // language-filter probe, trained by gradient descent without an ML
+    // runtime. The determinism discipline is a22/k18's taken one step
+    // further: per-doc features quantize to exact integers (ratio ×
+    // 1000, floor division — both engines floor nonnegative ints), and
+    // because the probe's activation is LINEAR (p = 0.5 + z/4, the
+    // first-order sigmoid around 0), every GD step is linear in the
+    // weights — so the WHOLE multi-round training collapses onto fixed
+    // integer sufficient statistics (n, Σa, Σaaᵀ, Σy·a: ONE map-side-
+    // combinable aggregate pass over the corpus, order-invariant
+    // int64 sums). The 3 unrolled GD rounds then run in chained 1-row
+    // projections — pure scalar IEEE +,×,/ on exact ints, identical in
+    // both engines (no exp/ln anywhere, so no libm divergence; a true
+    // logistic sigmoid swaps in by sampling the same harness's scored
+    // pass). Final pass: every doc scored under the trained weights
+    // via ONE broadcast of the 1-row weight table. At 100 TB: two
+    // corpus scans total (stats + scoring), KB of driver-free state.
+    // On this synthetic corpus lang is independent of the text surface
+    // (t3's documented property), so GD correctly converges toward the
+    // majority class — the gate checks the TRAINER's arithmetic
+    // (weights to the bit, exact prediction counts), not model skill.
+    Q("c13_quality_classifier",
+      "linear-probe classifier (lang='en' from surface features) trained by 3 unrolled GD rounds over exact integer sufficient stats",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val feat =
+          s"""f AS (SELECT doc_id,
+             |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |  (1000 * ${dl.arrSize(dl.filt(wordsC, "w_", s"list_contains(${stopArr(SqlDuck)}, w_)"))})
+             |    // greatest(${dl.arrSize(wordsC)}, 1) AS a1,
+             |  (1000 * length(regexp_replace(text, '[^a-z]', '', 'g')))
+             |    // greatest(n_chars, 1) AS a2
+             | FROM documents)""".stripMargin
+        "WITH " + (Seq(feat, probeStatsSql) ++ probeRoundCtes).mkString(",\n") +
+          s"""
+             |SELECT w0, w1, w2, b0 AS n_pos, n AS n_total,
+             |  cast(sum(CASE WHEN (CASE WHEN ${probeZ} > 0.0 THEN 1 ELSE 0 END) = y
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             |FROM f, r$ProbeRounds
+             |GROUP BY w0, w1, w2, b0, n""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents")
+      val f = docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        expr(s"(1000 * ${dl.arrSize(dl.filt(wordsC, "w_", s"array_contains(${stopArr(SqlSpark)}, w_)"))})" +
+          s" div greatest(${dl.arrSize(wordsC)}, 1)").as("a1"),
+        expr("(1000 * length(regexp_replace(text, '[^a-z]', '')))" +
+          " div greatest(n_chars, 1)").as("a2"))
+      val stats = f.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("a1").cast("long").as("sa1"), sum("a2").cast("long").as("sa2"),
+        sum(col("a1") * col("a1")).cast("long").as("g11"),
+        sum(col("a1") * col("a2")).cast("long").as("g12"),
+        sum(col("a2") * col("a2")).cast("long").as("g22"),
+        sum("y").cast("long").as("b0"),
+        sum(col("y") * col("a1")).cast("long").as("b1"),
+        sum(col("y") * col("a2")).cast("long").as("b2"))
+      // the 3 GD rounds: chained 1-row projections over the stats row
+      val trained = probeRoundExprs.foldLeft(stats) { case (df, es) =>
+        df.select(ProbeStatCols.map(col) ++ es.zipWithIndex.map { case (e, i) =>
+          expr(e).as(s"w$i") } : _*)
+      }
+      // scoring rides the SAME broadcast weight row, and grouping on
+      // the (constant) weight/stat columns folds everything into one
+      // aggregate — one corpus scan for stats, one for scoring
+      f.crossJoin(broadcast(trained))
+        .groupBy("w0", "w1", "w2", "b0", "n")
+        .agg(sum(when(when(expr(probeZ) > 0.0, 1L).otherwise(0L) === col("y"),
+          1L).otherwise(0L)).cast("long").as("n_correct"))
+        .select(col("w0"), col("w1"), col("w2"),
+          col("b0").as("n_pos"), col("n").as("n_total"), col("n_correct"))
     }
   )
+
+  // ------------------------------------------------------------ c13
+  // Linear-probe trainer internals. Feature space: x = (1, a1/1000,
+  // a2/1000) with a1/a2 exact integer per-mille ratios; activation
+  // p = 0.5 + z/4 (first-order sigmoid), squared-loss gradient
+  // ∇_i = (0.5·Σx_i + 0.25·(Σxxᵀ·w)_i − Σy·x_i) / n, step η = 0.5.
+  // Everything below emits IDENTICAL expression strings for both
+  // engines, so the trained doubles are bit-equal.
+
+  private def ProbeRounds = 3
+  private def ProbeStatCols =
+    Seq("n", "sa1", "sa2", "g11", "g12", "g22", "b0", "b1", "b2")
+
+  private def wordsC(implicit d: Dialect) = XSql.words("text")
+
+  private def stopArr(d: Dialect): String = {
+    val items = Seq("the", "a", "and", "of", "to").map(s => s"'$s'")
+    d match {
+      case SqlSpark => items.mkString("array(", ", ", ")")
+      case SqlDuck  => items.mkString("[", ", ", "]")
+    }
+  }
+
+  /** Gram matrix Σxxᵀ in real feature space, as expressions over the
+    * integer stat columns (row 0 doubles as Σx — the bias row).
+    */
+  private def probeG: Seq[Seq[String]] = Seq(
+    Seq("cast(n as double)",
+      "(cast(sa1 as double) / 1000.0)", "(cast(sa2 as double) / 1000.0)"),
+    Seq("(cast(sa1 as double) / 1000.0)",
+      "(cast(g11 as double) / 1000000.0)", "(cast(g12 as double) / 1000000.0)"),
+    Seq("(cast(sa2 as double) / 1000.0)",
+      "(cast(g12 as double) / 1000000.0)", "(cast(g22 as double) / 1000000.0)"))
+
+  private def probeB: Seq[String] = Seq("cast(b0 as double)",
+    "(cast(b1 as double) / 1000.0)", "(cast(b2 as double) / 1000.0)")
+
+  private def probeStep(prev: Seq[String]): Seq[String] =
+    (0 until 3).map { i =>
+      s"(${prev(i)} - 0.5 * ((0.5 * ${probeG(0)(i)}" +
+        s" + 0.25 * (${probeG(i)(0)} * ${prev(0)} + ${probeG(i)(1)} * ${prev(1)}" +
+        s" + ${probeG(i)(2)} * ${prev(2)}) - ${probeB(i)}) / cast(n as double)))"
+    }
+
+  /** Per-round weight-update expressions: round 1 from w = 0, later
+    * rounds from the previous round's w columns.
+    */
+  private def probeRoundExprs: Seq[Seq[String]] =
+    probeStep(Seq("0.0", "0.0", "0.0")) +:
+      Seq.fill(ProbeRounds - 1)(probeStep(Seq("w0", "w1", "w2")))
+
+  /** The r1..rN chained-projection CTEs for the oracle SQL. */
+  private def probeRoundCtes: Seq[String] =
+    probeRoundExprs.zipWithIndex.map { case (es, idx) =>
+      val src = if (idx == 0) "stats" else s"r$idx"
+      s"r${idx + 1} AS (SELECT ${ProbeStatCols.mkString(", ")}, " +
+        es.zipWithIndex.map { case (e, i) => s"$e AS w$i" }.mkString(", ") +
+        s" FROM $src)"
+    }
+
+  private def probeStatsSql: String =
+    """stats AS (SELECT cast(count(*) AS BIGINT) AS n,
+      |  cast(sum(a1) AS BIGINT) AS sa1, cast(sum(a2) AS BIGINT) AS sa2,
+      |  cast(sum(a1*a1) AS BIGINT) AS g11, cast(sum(a1*a2) AS BIGINT) AS g12,
+      |  cast(sum(a2*a2) AS BIGINT) AS g22,
+      |  cast(sum(y) AS BIGINT) AS b0, cast(sum(y*a1) AS BIGINT) AS b1,
+      |  cast(sum(y*a2) AS BIGINT) AS b2
+      | FROM f)""".stripMargin
+
+  /** The probe's decision value z = w·x over a doc's feature row —
+    * identical text in both dialects.
+    */
+  private def probeZ: String =
+    "(w0 + w1 * (cast(a1 as double) / 1000.0) + w2 * (cast(a2 as double) / 1000.0))"
 }

@@ -613,6 +613,97 @@ object TextOps {
           round((log(col("e.n").cast("double")) - col("e.s") / col("e.n").cast("double"))
             * 1000000).cast("long").as("entropy_e6"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // BPE tokenizer TRAINING — the greedy pair-merge loop (Sennrich et
+    // al.) that fits a subword vocabulary to the corpus, run for
+    // BpeRounds merges. The scalable decomposition is the one every
+    // production trainer (HF tokenizers, SentencePiece-BPE) uses:
+    // collapse the corpus to its WORD-FREQUENCY table first — one
+    // map-side-combinable shuffle over the raw text, after which all
+    // training touches only the bounded vocabulary (capped at the
+    // top-BpeVocabCap words by count; the cap is the trainer's own
+    // max_vocab discipline and what keeps the iteration state KB-sized
+    // at 100 TB). Each merge round is then: adjacent-symbol pair
+    // counts weighted by word frequency (ONE tiny aggregate), argmax
+    // pair by (count desc, pair asc) — a total order, so the trained
+    // merge table is deterministic — and a leftmost-non-overlapping
+    // replace applied to every word's symbol sequence (space-anchored
+    // string replace: both engines scan left-to-right without
+    // overlap, which is exactly BPE's greedy application order). The
+    // merge scalar rides a broadcast into the next round; nothing ever
+    // rescans the corpus after the first aggregate.
+    Q("t31_bpe_train",
+      s"BPE tokenizer training: ${BpeRounds} greedy pair merges over the capped word-frequency table",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val ctes = Seq(
+          s"""wc AS (SELECT w AS word, count(*) AS n
+             |  FROM (SELECT unnest($wordsE) AS w FROM documents)
+             |  GROUP BY w ORDER BY n DESC, word LIMIT $BpeVocabCap)""".stripMargin,
+          s"w0 AS (SELECT word, n, ${charSeq("word")} AS seq FROM wc)") ++
+          (1 to BpeRounds).flatMap { r =>
+            Seq(
+              s"""p$r AS (SELECT pair, cast(sum(n) AS BIGINT) AS cnt
+                 |  FROM (SELECT unnest(${symPairs("seq")}) AS pair, n FROM w${r - 1})
+                 |  GROUP BY pair)""".stripMargin,
+              s"m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)",
+              s"""w$r AS (SELECT word, n, ${mergeApply(s"w${r - 1}.seq", s"m$r.pair")} AS seq
+                 |  FROM w${r - 1}, m$r)""".stripMargin)
+          }
+        val outs = (1 to BpeRounds).map(r =>
+          s"""SELECT $r AS merge_round, pair AS merge_pair,
+             |  replace(pair, ' ', '') AS new_token, cnt AS pair_count FROM m$r""".stripMargin)
+        "WITH " + ctes.mkString(",\n") +
+          "\nSELECT * FROM (" + outs.mkString(" UNION ALL ") + ") ORDER BY merge_round"
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val wc = t(s, d, "documents")
+        .select(explode(expr(wordsE)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(BpeVocabCap)
+      var w = wc.withColumn("seq", expr(charSeq("word")))
+      val merges = (1 to BpeRounds).map { r =>
+        val m = w.select(explode(expr(symPairs("seq"))).as("pair"), col("n"))
+          .groupBy("pair").agg(sum("n").cast("long").as("cnt"))
+          .orderBy(desc("cnt"), col("pair")).limit(1)
+        val out = m.select(lit(r).as("merge_round"), col("pair").as("merge_pair"),
+          expr("replace(pair, ' ', '')").as("new_token"), col("cnt").as("pair_count"))
+        w = w.crossJoin(broadcast(m))
+          .withColumn("seq", expr(mergeApply("seq", "pair")))
+          .drop("pair", "cnt")
+        out
+      }
+      merges.reduce(_ union _).orderBy("merge_round")
     }
   )
+
+  /** Number of greedy merges t31 trains, and the word-frequency-table
+    * cap (the trainer's max-candidate-vocab bound — what keeps every
+    * post-aggregate round KB-sized however big the corpus is).
+    */
+  private def BpeRounds = 6
+  private def BpeVocabCap = 30
+
+  /** A word as its initial space-separated character sequence. */
+  private def charSeq(word: String)(implicit d: Dialect): String = d match {
+    case SqlSpark => s"array_join(${d.chars(word)}, ' ')"
+    case SqlDuck  => s"array_to_string(${d.chars(word)}, ' ')"
+  }
+
+  /** Adjacent symbol pairs ("a b") of a space-separated sequence. */
+  private def symPairs(seq: String)(implicit d: Dialect): String = {
+    val syms = d.strSplit(seq, " ")
+    d.xform(d.seq0(s"${d.arrSize(syms)} - 1"), "i_",
+      s"concat(${d.idx(syms, "i_")}, ' ', ${d.idx(syms, "i_ + 1")})")
+  }
+
+  /** Apply one merge: space-anchored leftmost-non-overlapping replace
+    * (identical scan semantics in Spark's UTF8String.replace and
+    * DuckDB's replace — BPE's greedy left-to-right application).
+    */
+  private def mergeApply(seq: String, pair: String): String =
+    s"trim(replace(concat(' ', $seq, ' '), concat(' ', $pair, ' '), " +
+      s"concat(' ', replace($pair, ' ', ''), ' ')))"
 }

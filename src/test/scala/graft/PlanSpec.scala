@@ -665,4 +665,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("TakeOrdered") || !p.contains("Limit"),
       "tie-keeping equality filter, not a LIMIT shortcut:\n" + p)
   }
+
+  test("t31: merge rounds reuse the one word-count shuffle; corpus is scanned once at runtime") {
+    // the BPE trainer's scale contract: after the first word-frequency
+    // aggregate, every merge round runs over the bounded vocab table.
+    // The 6 output branches + the evolving word chain all contain the
+    // SAME word-count exchange — runtime exchange reuse must dedupe it
+    // so the documents scan executes once, not 7+ times.
+    val df = SparkEntry.queries("t31_bpe_train")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      "word-count exchange must be reused across merge rounds:\n" + p)
+    // merge scalars ride broadcasts, never another shuffle of the vocab
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("c13: probe training is one stats pass + broadcast weights; no per-round corpus scan") {
+    // multi-round GD collapsed onto sufficient statistics: the plan
+    // may scan documents at most twice (stats pass + scoring pass),
+    // regardless of ProbeRounds; trained weights reach the scoring
+    // pass as a broadcast.
+    val p = plan("c13_quality_classifier")
+    val docScans = p.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans <= 2,
+      s"GD must not rescan the corpus per round, saw $docScans scans:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_"), "stats must combine map-side:\n" + p)
+  }
 }
