@@ -111,6 +111,63 @@ object ConnectedComponents {
     }
   }
 
+  /** INCREMENTAL maintenance of a min-label component fixpoint — the
+    * graph twin of the Ivm signed-delta rule: given `baseLabels` (a
+    * converged (node, component) table for the old edge set) and a
+    * batch of NEW edges, produce the fixpoint of (old ∪ new) while
+    * touching only delta-derived state.
+    *
+    * Correctness rests on contraction: each old component behaves as
+    * one super-node (its label), so the merged fixpoint equals the
+    * fixpoint of the CONTRACTED delta graph (new edges with endpoints
+    * mapped through their base labels; unlabeled endpoints map to
+    * themselves) composed back onto the base labels. Labels are min
+    * node ids, and each base label IS the min of its part, so the
+    * contracted solve yields the true global min per merged cluster.
+    *
+    * Scale shape: two keyed equi-joins to contract (O(|Δ|) rows probe
+    * the label table), a [[minLabel]] solve over O(|Δ|) contracted
+    * edges — NEVER the base graph — and one keyed left join to
+    * relabel. At a 100 TB corpus with a daily crawl increment this is
+    * the difference between relabeling everything and an O(batch)
+    * tick, exactly the changelog-consumer contract i3/i4 gate for
+    * aggregates and joins. Property-checked against the full
+    * recompute in IncrementalComponentsSpec.
+    */
+  def incrementalMinLabel(baseLabels: DataFrame, deltaEdges: DataFrame,
+      a: String = "a", b: String = "b"): DataFrame = {
+    val lbl = baseLabels.select(col("node"), col("component"))
+    val e0 = deltaEdges.select(col(a).as("ea"), col(b).as("eb"))
+    val contracted = e0
+      .join(lbl.select(col("node").as("ea"), col("component").as("ca")),
+        Seq("ea"), "left")
+      .join(lbl.select(col("node").as("eb"), col("component").as("cb")),
+        Seq("eb"), "left")
+      .select(coalesce(col("ca"), col("ea")).as("p"),
+        coalesce(col("cb"), col("eb")).as("q"))
+      // an edge inside one existing component contracts to a self-loop
+      // and carries no new connectivity
+      .filter(col("p") =!= col("q"))
+    val remap = minLabel(contracted, "p", "q")
+      .select(col("node").as("old_label"), col("component").as("new_label"))
+    val oldFinal = lbl
+      .join(remap, lbl("component") === remap("old_label"), "left")
+      .select(lbl("node"),
+        coalesce(remap("new_label"), lbl("component")).as("component"))
+    // delta endpoints the base graph never saw (new docs, or old docs
+    // with no old-old edge): they entered the contracted solve as raw
+    // ids
+    val rawNodes = e0.select(col("ea").as("node"))
+      .unionByName(e0.select(col("eb").as("node")))
+      .distinct()
+      .join(lbl.select("node"), Seq("node"), "left_anti")
+    val newFinal = rawNodes
+      .join(remap, rawNodes("node") === remap("old_label"), "left")
+      .select(rawNodes("node"),
+        coalesce(remap("new_label"), rawNodes("node")).as("component"))
+    oldFinal.unionByName(newFinal)
+  }
+
   /** Alternating large-star/small-star contraction (Kiveris et al.,
     * SoCC'14). Input: raw undirected edges (p, q) in any orientation
     * plus the distinct node set; output: (node, component) with

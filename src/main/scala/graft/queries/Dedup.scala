@@ -597,6 +597,62 @@ object Dedup {
               x => x.getField("chunk")), " "),
             lit("")).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // INCREMENTAL connected components — the maintenance tick d7's
+    // clusters need when the daily crawl lands: base components are
+    // already computed over the stored corpus; the new batch's pairs
+    // arrive through the increment-bounded LSH join (d9's bound — old
+    // × old is never compared), and the component table is carried to
+    // the merged fixpoint by solving only the CONTRACTED delta graph
+    // (operators/ConnectedComponents.incrementalMinLabel): each old
+    // component acts as one super-node, so the per-tick solve is
+    // O(|new pairs|) however big the accumulated graph is. The oracle
+    // recomputes components over ALL pairs from scratch (d7's
+    // recursive CTE), so the gate IS incremental == full recompute —
+    // the same changelog-consumer contract i3/i4 state for aggregate
+    // and join views, here for graph connectivity.
+    Q("d14_incremental_components",
+      "near-dup clusters maintained incrementally: base components + new-batch LSH pairs, O(delta) relabel",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig
+           |       FROM (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sh),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |           AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a)
+           |SELECT src AS doc_id, min(node) AS component
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{ConnectedComponents, Lsh}
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val stored = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val fresh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
+      // yesterday's state: components of the stored corpus only
+      val base = ConnectedComponents.minLabel(
+        Lsh.verifiedPairs(stored, 0.3), "doc_a", "doc_b")
+      // today's tick: increment-bounded pairs, contracted solve
+      val delta = Lsh.incrementalPairs(Lsh.bands(fresh), Lsh.bands(stored), 0.3)
+        .select("doc_a", "doc_b")
+      ConnectedComponents.incrementalMinLabel(base, delta, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
     }
   )
 
