@@ -53,6 +53,46 @@ object TableLayout {
     spark.read.parquet(path)
       .filter(col("load_date") >= lit(from) && col("load_date") <= lit(to))
 
+  // ---------------------------------------- partition-spec evolution
+
+  /** Month-partitioned leg of an EVOLVED time-series table — the
+    * Iceberg/Delta partition-evolution discipline: when the spec
+    * changes (here day → month, the move a table makes when daily
+    * partitions grow too numerous), history is NOT rewritten. Old
+    * files stay under the old spec's directories; only data written
+    * after the evolution lands under the new spec. At 100 TB a spec
+    * change that required rewriting history would be a full-table
+    * job; this one is a metadata decision.
+    */
+  def writeTimeSeriesMonthly(df: DataFrame, path: String, tsCol: String,
+      keyCol: String): Unit =
+    df.withColumn("load_month", date_format(col(tsCol), "yyyy-MM"))
+      .repartition(col("load_month"))
+      .sortWithinPartitions(keyCol)
+      .write.partitionBy("load_month").mode("append").parquet(path)
+
+  /** Day-range read over an evolved table: each leg plans its OWN
+    * partition filter — the day leg prunes `load_date` directories
+    * directly, the month leg prunes `load_month` directories by the
+    * covering month range (lexicographic yyyy-MM compare) and applies
+    * the exact day window as a residual predicate on the timestamp.
+    * Rows carry the serving spec as provenance. This is exactly how
+    * an Iceberg reader plans one scan task set per partition spec.
+    */
+  def evolvedDayRange(spark: SparkSession, dayPath: String,
+      monthPath: String, tsCol: String, from: String, to: String): DataFrame = {
+    val dayLeg = dayRange(spark, dayPath, from, to)
+      .withColumn("spec", lit("day"))
+    val (mFrom, mTo) = (from.substring(0, 7), to.substring(0, 7))
+    val monthLeg = spark.read.parquet(monthPath)
+      .filter(col("load_month") >= lit(mFrom) && col("load_month") <= lit(mTo))
+      .withColumn("load_date", to_date(col(tsCol)))
+      .filter(col("load_date") >= lit(from) && col("load_date") <= lit(to))
+      .drop("load_month")
+      .withColumn("spec", lit("month"))
+    dayLeg.unionByName(monthLeg)
+  }
+
   // ------------------------------------------------- Z-order layout
 
   /** Morton (bit-interleaved) value of two `bits`-wide non-negative

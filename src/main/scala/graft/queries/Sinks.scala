@@ -1091,6 +1091,48 @@ object Sinks {
         .groupBy("seg")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("seg")
+    },
+
+    // ---------------------------------------------------------------
+    // Partition-spec EVOLUTION (Iceberg §partition-evolution): the
+    // events table starts day-partitioned (s13's layout); mid-history
+    // the spec evolves to month partitioning. History is NOT
+    // rewritten — rows before the evolution cutoff stay in day
+    // directories, rows after land in month directories — and the
+    // reader plans one pruned leg PER SPEC: the day leg prunes
+    // load_date directories, the month leg prunes load_month by the
+    // covering month range with the exact day window as a residual
+    // predicate. The read window straddles the cutoff so BOTH legs
+    // must serve rows; the `spec` provenance column lets the oracle
+    // pin which rows came through which spec (decidable from the
+    // cutoff alone). TableLayoutSpec proves the per-leg directory
+    // pruning; this entry pins the semantics of the stitched read.
+    Q("s29_partition_evolution",
+      "day->month partition-spec evolution: per-spec pruned legs stitched into one read",
+      s"""SELECT cast(ts as date) AS load_date,
+         |  CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |       THEN 'day' ELSE 'month' END AS spec,
+         |  count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events
+         |WHERE cast(ts as date) >= DATE '2024-01-10'
+         |  AND cast(ts as date) <= DATE '2024-01-20'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.TableLayout
+      val dayPath = scratch("s29_day")
+      val monthPath = scratch("s29_month")
+      val ev = t(s, d, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      // pre-evolution history under the day spec; post-evolution
+      // writes under the month spec — nothing rewritten
+      TableLayout.writeTimeSeries(
+        ev.filter(col("ts") < cutoff), dayPath, "ts", "user_id")
+      TableLayout.writeTimeSeriesMonthly(
+        ev.filter(col("ts") >= cutoff), monthPath, "ts", "user_id")
+      TableLayout.evolvedDayRange(s, dayPath, monthPath, "ts",
+          "2024-01-10", "2024-01-20")
+        .groupBy(col("load_date"), col("spec"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("load_date", "spec")
     }
   )
 }

@@ -44,6 +44,42 @@ class TableLayoutSpec extends SparkSpec {
     assert(scan.count() == 48)
   }
 
+  test("evolved table: each spec leg prunes its own directories; stitched read is exact") {
+    import TestSpark.spark.implicits._
+    val base = Files.createTempDirectory("graft_layout_evo").toString
+    val (dayPath, monthPath) = (base + "/day", base + "/month")
+    // 6 months of daily rows; the spec evolves after March
+    val rows = for (m <- 1 to 6; dom <- Seq(5, 15, 25)) yield
+      (m.toLong * 100 + dom,
+        java.sql.Timestamp.valueOf(f"2026-$m%02d-$dom%02d 12:00:00"))
+    val df = rows.toDF("game_id", "load_timestamp")
+    val cutoff = java.sql.Timestamp.valueOf("2026-04-01 00:00:00")
+    TableLayout.writeTimeSeries(
+      df.filter($"load_timestamp" < cutoff), dayPath, "load_timestamp", "game_id")
+    TableLayout.writeTimeSeriesMonthly(
+      df.filter($"load_timestamp" >= cutoff), monthPath, "load_timestamp", "game_id")
+
+    // window straddles the evolution: Mar 10 .. May 20
+    val scan = TableLayout.evolvedDayRange(spark, dayPath, monthPath,
+      "load_timestamp", "2026-03-10", "2026-05-20")
+    // both legs prune at the directory level under their OWN spec
+    val plan = scan.queryExecution.executedPlan.toString()
+    assert(plan.contains("load_date"), plan)
+    assert(plan.contains("load_month"), plan)
+    val prunedFiles = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    // day leg: 2 of 9 day dirs (Mar 15, 25); month leg: 2 of 3 month
+    // dirs (Apr, May) — far fewer files than the 9 + 3 on disk
+    assert(prunedFiles <= 4, s"expected <=4 files after pruning, got $prunedFiles:\n$plan")
+    // and the stitched result is exactly the logical day window
+    val got = scan.select($"game_id", $"spec").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(315L -> "day", 325L -> "day",
+      405L -> "month", 415L -> "month", 425L -> "month",
+      505L -> "month", 515L -> "month")
+    assert(got == want, s"got $got")
+  }
+
   test("interleaveBits is the Morton curve") {
     import TestSpark.spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
