@@ -1,0 +1,83 @@
+package graft.operators
+
+/** Local BPE merge training over a BOUNDED word-frequency table — the
+  * same index-build discipline as [[KMeans.trainLocal]]: the corpus
+  * collapses to (word, count) in one distributed map-side-combinable
+  * aggregate, the trainer fits on the hard-capped candidate vocabulary
+  * (≤ the t31 cap, KBs of driver state), and the trained merges ship
+  * back into distributed encode passes as expression constants. Every
+  * production BPE trainer (HF tokenizers, SentencePiece) has exactly
+  * this shape; iterating the merge rounds as Spark jobs would pay a
+  * shuffle + broadcast stage per merge for data that fits in a cache
+  * line.
+  *
+  * Semantics are pinned to the SQL-expressible form the t31/t32
+  * oracles state: pair counts weighted by word frequency, argmax by
+  * (count desc, pair asc in UTF-8 byte order), merges applied
+  * leftmost-non-overlapping left to right (the scan order of both
+  * engines' `replace`). BpeSpec pins overlap, tie-break, and
+  * exhaustion cases.
+  */
+object Bpe {
+
+  final case class Merge(round: Int, pair: String, token: String, count: Long)
+
+  /** UTF-8 byte-order comparison — what Spark and DuckDB use for
+    * string ORDER BY (Java's String ordering diverges on
+    * supplementary characters).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** One merge applied greedily (leftmost, non-overlapping). */
+  private[operators] def applyMerge(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Train `rounds` greedy merges on a word-frequency table. Stops
+    * early if no adjacent pair remains (all words fully merged).
+    */
+  def trainLocal(wordCounts: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
+    var seqs: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, n) => (w.split("").toVector, n) }
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      for ((syms, n) <- seqs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + n
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.reduceLeft { (best, cur) =>
+          val ((ba, bb), bc) = best
+          val ((ca, cb), cc) = cur
+          if (cc > bc || (cc == bc && utf8Less(s"$ca $cb", s"$ba $bb"))) cur
+          else best
+        }
+        seqs = seqs.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+        merges += Merge(r, s"$a $b", a + b, c)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+}

@@ -638,46 +638,87 @@ object TextOps {
       s"BPE tokenizer training: ${BpeRounds} greedy pair merges over the capped word-frequency table",
       {
         implicit val dl: Dialect = SqlDuck
-        val ctes = Seq(
-          s"""wc AS (SELECT w AS word, count(*) AS n
-             |  FROM (SELECT unnest($wordsE) AS w FROM documents)
-             |  GROUP BY w ORDER BY n DESC, word LIMIT $BpeVocabCap)""".stripMargin,
-          s"w0 AS (SELECT word, n, ${charSeq("word")} AS seq FROM wc)") ++
-          (1 to BpeRounds).flatMap { r =>
-            Seq(
-              s"""p$r AS (SELECT pair, cast(sum(n) AS BIGINT) AS cnt
-                 |  FROM (SELECT unnest(${symPairs("seq")}) AS pair, n FROM w${r - 1})
-                 |  GROUP BY pair)""".stripMargin,
-              s"m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)",
-              s"""w$r AS (SELECT word, n, ${mergeApply(s"w${r - 1}.seq", s"m$r.pair")} AS seq
-                 |  FROM w${r - 1}, m$r)""".stripMargin)
-          }
         val outs = (1 to BpeRounds).map(r =>
           s"""SELECT $r AS merge_round, pair AS merge_pair,
              |  replace(pair, ' ', '') AS new_token, cnt AS pair_count FROM m$r""".stripMargin)
-        "WITH " + ctes.mkString(",\n") +
+        "WITH " + bpeTrainCtes.mkString(",\n") +
           "\nSELECT * FROM (" + outs.mkString(" UNION ALL ") + ") ORDER BY merge_round"
       }) { (s, d) =>
+      // ONE distributed aggregate collapses the corpus to word counts;
+      // the merge loop fits at the driver on the hard-capped candidate
+      // vocabulary (≤ BpeVocabCap rows — KMeans.trainLocal's bounded-
+      // set discipline; iterating tiny merge rounds as cluster jobs
+      // would pay a shuffle + broadcast stage per merge)
+      import s.implicits._
+      trainedMerges(s, d)
+        .map(m => (m.round, m.pair, m.token, m.count))
+        .toDF("merge_round", "merge_pair", "new_token", "pair_count")
+        .orderBy("merge_round")
+    },
+
+    // ---------------------------------------------------------------
+    // BPE ENCODING — the other half of the tokenizer loop: apply
+    // t31's trained merges to EVERY document and account the result
+    // (per-doc token counts + compression vs the char baseline — the
+    // numbers a data pipeline reports when sizing a training run).
+    // The merge table re-derives in-plan (same bounded chain; the
+    // word-count exchange is reused at runtime) and lands on the scan
+    // as ONE broadcast row of 6 merge scalars. Application is
+    // row-local: a per-word lambda chains the 6 space-anchored
+    // replaces inside a single projection — no explode, no shuffle;
+    // the only exchange after training is the final sort. At 100 TB
+    // the encode pass is embarrassingly parallel, which is exactly
+    // what makes BPE the tokenizer of scale.
+    Q("t32_bpe_encode",
+      s"apply the ${BpeRounds} trained BPE merges corpus-wide: per-doc token counts, row-local",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val mrow = "SELECT " + (1 to BpeRounds).map(r => s"m$r.pair AS p$r")
+          .mkString(", ") + " FROM " + (1 to BpeRounds).map(r => s"m$r").mkString(", ")
+        s"""WITH ${bpeTrainCtes.mkString(",\n")},
+           |mrow AS ($mrow)
+           |SELECT doc_id,
+           |  ${dl.arrSize("w")} AS n_words,
+           |  cast(${sumTokens("w", oraclePairCols)} AS BIGINT) AS n_tokens,
+           |  cast(${sumChars("w")} AS BIGINT) AS n_word_chars,
+           |  cast((1000000 * ${sumTokens("w", oraclePairCols)}) // greatest(${sumChars("w")}, 1) AS BIGINT)
+           |    AS tokens_per_char_e6
+           |FROM (SELECT doc_id, $wordsE AS w FROM documents), mrow
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
-      val wc = t(s, d, "documents")
-        .select(explode(expr(wordsE)).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), col("word")).limit(BpeVocabCap)
-      var w = wc.withColumn("seq", expr(charSeq("word")))
-      val merges = (1 to BpeRounds).map { r =>
-        val m = w.select(explode(expr(symPairs("seq"))).as("pair"), col("n"))
-          .groupBy("pair").agg(sum("n").cast("long").as("cnt"))
-          .orderBy(desc("cnt"), col("pair")).limit(1)
-        val out = m.select(lit(r).as("merge_round"), col("pair").as("merge_pair"),
-          expr("replace(pair, ' ', '')").as("new_token"), col("cnt").as("pair_count"))
-        w = w.crossJoin(broadcast(m))
-          .withColumn("seq", expr(mergeApply("seq", "pair")))
-          .drop("pair", "cnt")
-        out
-      }
-      merges.reduce(_ union _).orderBy("merge_round")
+      // train locally on the bounded vocab (t31's path), then encode
+      // the corpus with the merges as expression CONSTANTS — the whole
+      // encode is one narrow codegen'd projection per doc, zero
+      // exchange before the final sort
+      val pairs = trainedMerges(s, d).map(m => sqlLit(m.pair))
+      t(s, d, "documents")
+        .select(col("doc_id"), expr(wordsE).as("w"))
+        .select(col("doc_id"),
+          expr(dl.arrSize("w")).as("n_words"),
+          expr(s"cast(${sumTokens("w", pairs)} AS BIGINT)").as("n_tokens"),
+          expr(s"cast(${sumChars("w")} AS BIGINT)").as("n_word_chars"),
+          expr(s"cast((1000000 * ${sumTokens("w", pairs)}) div greatest(${sumChars("w")}, 1) AS BIGINT)")
+            .as("tokens_per_char_e6"))
+        .orderBy("doc_id")
     }
   )
+
+  /** t31's training path: one distributed word-count aggregate, local
+    * greedy merge fit on the ≤ BpeVocabCap candidate table.
+    */
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.operators.Bpe.Merge] = {
+    implicit val dl: Dialect = SqlSpark
+    val wc = t(s, d, "documents")
+      .select(explode(expr(wordsE)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word")).limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.Bpe.trainLocal(wc, BpeRounds)
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Number of greedy merges t31 trains, and the word-frequency-table
     * cap (the trainer's max-candidate-vocab bound — what keeps every
@@ -685,6 +726,52 @@ object TextOps {
     */
   private def BpeRounds = 6
   private def BpeVocabCap = 30
+
+  /** The t31 training chain as oracle CTEs (word counts → per-round
+    * pair counts / argmax merge / merge application) — shared by the
+    * t31 and t32 oracles so trainer and encoder gate the same merges.
+    */
+  private def bpeTrainCtes(implicit d: Dialect): Seq[String] =
+    Seq(
+      s"""wc AS (SELECT w AS word, count(*) AS n
+         |  FROM (SELECT unnest($wordsE) AS w FROM documents)
+         |  GROUP BY w ORDER BY n DESC, word LIMIT $BpeVocabCap)""".stripMargin,
+      s"w0 AS (SELECT word, n, ${charSeq("word")} AS seq FROM wc)") ++
+      (1 to BpeRounds).flatMap { r =>
+        Seq(
+          s"""p$r AS (SELECT pair, cast(sum(n) AS BIGINT) AS cnt
+             |  FROM (SELECT unnest(${symPairs("seq")}) AS pair, n FROM w${r - 1})
+             |  GROUP BY pair)""".stripMargin,
+          s"m$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)",
+          s"""w$r AS (SELECT word, n, ${mergeApply(s"w${r - 1}.seq", s"m$r.pair")} AS seq
+             |  FROM w${r - 1}, m$r)""".stripMargin)
+      }
+
+  /** The oracle's merge scalar columns (from the mrow CTE). */
+  private def oraclePairCols: Seq[String] = (1 to BpeRounds).map(r => s"p$r")
+
+  /** A word encoded under the trained merges: the char sequence with
+    * the merge pair expressions (oracle: the p1..pN scalar columns;
+    * Spark: string literals from the local fit) applied in training
+    * order — a pure per-row string fold.
+    */
+  private def bpeEncodedSeq(wvar: String, pairExprs: Seq[String])(
+      implicit d: Dialect): String =
+    pairExprs.foldLeft(charSeq(wvar))((acc, p) => mergeApply(acc, p))
+
+  /** Σ over a words array of the encoded token count (row-local). */
+  private def sumTokens(wordsArr: String, pairExprs: Seq[String])(
+      implicit d: Dialect): String =
+    d.foldL(d.xform(wordsArr, "w_",
+        s"cast(${d.arrSize(d.strSplit(bpeEncodedSeq("w_", pairExprs), " "))} as bigint)"),
+      0L, "a_", "x_", "a_ + x_")
+
+  /** Σ over a words array of the raw character count (the pre-merge
+    * token baseline — one symbol per char).
+    */
+  private def sumChars(wordsArr: String)(implicit d: Dialect): String =
+    d.foldL(d.xform(wordsArr, "w_", "cast(length(w_) as bigint)"),
+      0L, "a_", "x_", "a_ + x_")
 
   /** A word as its initial space-separated character sequence. */
   private def charSeq(word: String)(implicit d: Dialect): String = d match {

@@ -666,20 +666,25 @@ class PlanSpec extends SparkSpec {
       "tie-keeping equality filter, not a LIMIT shortcut:\n" + p)
   }
 
-  test("t31: merge rounds reuse the one word-count shuffle; corpus is scanned once at runtime") {
-    // the BPE trainer's scale contract: after the first word-frequency
-    // aggregate, every merge round runs over the bounded vocab table.
-    // The 6 output branches + the evolving word chain all contain the
-    // SAME word-count exchange — runtime exchange reuse must dedupe it
-    // so the documents scan executes once, not 7+ times.
-    val df = SparkEntry.queries("t31_bpe_train")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString()
-    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
-      "word-count exchange must be reused across merge rounds:\n" + p)
-    // merge scalars ride broadcasts, never another shuffle of the vocab
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    assert(!p.contains("CartesianProduct"), p)
+  test("t31/t32: BPE trains on the bounded vocab locally; the encode pass is shuffle-free") {
+    // the trainer's scale contract (KMeans.trainLocal's discipline):
+    // ONE distributed word-count aggregate, the merge loop fits on the
+    // ≤30-row capped vocabulary at the driver — so the t31 result plan
+    // is a local table, and the t32 encode plan applies the merges as
+    // expression constants: one corpus scan, zero Exchange except the
+    // final presentation sort.
+    val pTrain = plan("t31_bpe_train")
+    assert(pTrain.contains("LocalTableScan") || pTrain.contains("localtablescan"),
+      "trained merges should be a local table:\n" + pTrain)
+    val pEnc = plan("t32_bpe_encode")
+    val scans = pEnc.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"encode must scan the corpus once, saw $scans:\n" + pEnc)
+    assert(!pEnc.contains("HashAggregate"),
+      "encode is row-local — no aggregate anywhere:\n" + pEnc)
+    val exchanges = pEnc.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the final sort may exchange, saw $exchanges:\n" + pEnc)
   }
 
   test("c13: probe training is one stats pass + broadcast weights; no per-round corpus scan") {

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Bpe.trainLocal]] to the SQL-expressible semantics the
+  * t31/t32 oracles state: frequency-weighted pair counts, argmax by
+  * (count desc, pair asc), greedy leftmost-non-overlapping merges.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  test("overlapping runs merge leftmost-non-overlapping (the replace scan order)") {
+    // "aaaa" under merge (a,a): ' a a a a ' -> ' aa aa ', NOT ' aa a a '
+    assert(Bpe.applyMerge(Vector("a", "a", "a", "a"), "a", "a") ==
+      Vector("aa", "aa"))
+    // odd run: trailing singleton survives
+    assert(Bpe.applyMerge(Vector("a", "a", "a"), "a", "a") ==
+      Vector("aa", "a"))
+  }
+
+  test("pair counts weight by word frequency; argmax picks the heaviest pair") {
+    val merges = Bpe.trainLocal(Seq(("ab", 10L), ("cd", 3L)), 1)
+    assert(merges == Seq(Bpe.Merge(1, "a b", "ab", 10L)))
+  }
+
+  test("count ties break by pair string ascending (engine ORDER BY parity)") {
+    // 'xy' and 'ab' both appear 5 times -> 'a b' < 'x y' wins
+    val merges = Bpe.trainLocal(Seq(("xy", 5L), ("ab", 5L)), 1)
+    assert(merges.head.pair == "a b")
+  }
+
+  test("merged tokens participate in later rounds (cascade)") {
+    // round 1 merges (e,r); round 2 can then merge (m, er)
+    val merges = Bpe.trainLocal(Seq(("mer", 10L), ("er", 15L)), 2)
+    assert(merges(0) == Bpe.Merge(1, "e r", "er", 25L))
+    assert(merges(1) == Bpe.Merge(2, "m er", "mer", 10L))
+  }
+
+  test("training stops early when no adjacent pair remains") {
+    // (a,b) merges in round 1; the fully-merged word has no pairs left
+    val merges = Bpe.trainLocal(Seq(("ab", 1L)), 5)
+    assert(merges == Seq(Bpe.Merge(1, "a b", "ab", 1L)))
+  }
+
+  test("single-char words contribute no pairs") {
+    assert(Bpe.trainLocal(Seq(("a", 100L), ("b", 50L)), 3).isEmpty)
+  }
+}
