@@ -131,7 +131,15 @@ object Plans {
     "t30_char_entropy" ->
       "Row-local char entropy: histogram + Σ k·ln(k) inside ONE codegen'd projection (graft_char_entropy) — no Generate, no HashAggregate, no Exchange before the final sort.",
     "i5_minmax_ivm" ->
-      "MIN/MAX IVM: signed deltas fold count/sum; deleted-extremum groups rescan via a broadcast null-safe semi probe of ONLY those keys — O(changes ∪ touched ∪ rescanned-group rows), never O(base).")
+      "MIN/MAX IVM: signed deltas fold count/sum; deleted-extremum groups rescan via a broadcast null-safe semi probe of ONLY those keys — O(changes ∪ touched ∪ rescanned-group rows), never O(base).",
+    "t32_bpe_encode" ->
+      "BPE encode: trained merges applied as expression constants in ONE narrow projection per doc (per-word replace chain in a higher-order fold) — one corpus scan, no aggregate, no Exchange before the presentation sort.",
+    "c13_quality_classifier" ->
+      "Classifier training as sufficient statistics: ONE map-side-combinable integer stats pass, GD rounds as chained 1-row projections, trained weights broadcast into the single scoring scan — the corpus is read twice regardless of rounds.",
+    "s29_partition_evolution" ->
+      "Partition-spec evolution: one pruned leg PER SPEC — load_date directory pruning on the day leg, covering-month pruning + residual day predicate on the month leg — stitched by union; history is never rewritten.",
+    "d14_incremental_components" ->
+      "Incremental connected components: delta edges contract through base labels (keyed joins), the solve runs on the O(|delta|) contracted graph only, one keyed left join relabels — the base graph is never re-propagated.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

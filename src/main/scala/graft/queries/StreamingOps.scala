@@ -277,6 +277,73 @@ object StreamingOps {
         .orderBy("o_custkey")
     },
 
+    // ---------------------------------------------------------------
+    // Streaming INCREMENTAL COMPONENTS — d14's maintenance tick as a
+    // continuous loop: near-dup pairs arrive as an edge stream (the
+    // daily-crawl feed), and each micro-batch carries the stored
+    // cluster table to the merged fixpoint by solving only the batch's
+    // CONTRACTED delta graph (ConnectedComponents.incrementalMinLabel)
+    // — per-tick work is O(batch edges), never the accumulated graph.
+    // Tick composition is safe because contraction commutes with edge
+    // batching (IncrementalComponentsSpec proves multi-tick == full
+    // solve over random splits); the oracle recomputes components over
+    // the WHOLE pair set from scratch, so the gate is stream-of-
+    // increments == batch fixpoint. At 100 TB this is the cluster
+    // registry a dedup pipeline keeps warm between crawls instead of
+    // re-propagating billions of edges nightly.
+    Q("st16_stream_components",
+      "edge stream maintains near-dup cluster state across micro-batches == full-graph fixpoint",
+      {
+        import graft.functions.XSql
+        implicit val dl: XSql.Dialect = XSql.Duck
+        val wordsE = XSql.words("text")
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig
+           |       FROM (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sh),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |           AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a)
+           |SELECT src AS doc_id, min(node) AS component
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.functions.XSql
+      import graft.operators.{ConnectedComponents, Lsh, TableStore}
+      implicit val dl: XSql.Dialect = XSql.Spark
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st16")
+      val labelsPath = tmp.resolve("labels").toString
+      val sh = t(s, d, "documents")
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      // the full verified pair set, replayed as a 3-batch edge stream
+      val pairs = Lsh.verifiedPairs(sh, 0.3).select("doc_a", "doc_b")
+      // empty initial cluster registry
+      TableStore.overwrite(
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "node BIGINT, component BIGINT")), labelsPath)
+      val stream = EventStream.stagedFileStream(s, pairs,
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream) { (batch, _) =>
+        TableStore.rewrite(s, labelsPath,
+          ConnectedComponents.incrementalMinLabel(
+            TableStore.read(s, labelsPath), batch, "doc_a", "doc_b"))
+      }
+      TableStore.read(s, labelsPath)
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    },
+
     Q("st1_stream_window",
       "streaming tumbling daily window agg == batch time_bucket agg",
       s"""SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,

@@ -82,6 +82,27 @@ class IncrementalComponentsSpec extends SparkSpec {
     }
   }
 
+  test("repeated ticks over a random edge stream land on the full fixpoint (st16's composition)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(816L)
+    for (trial <- 0 until 4) {
+      val n = 14 + rnd.nextInt(8)
+      val edges = Seq.fill(18 + rnd.nextInt(10)) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 1) else (a, b)
+      }.distinct
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = edges.groupBy(_ => rnd.nextInt(nBatches)).values.toSeq
+      var labels = Seq.empty[(Long, Long)].toDF("node", "component")
+      for (b <- batches)
+        labels = ConnectedComponents.incrementalMinLabel(labels, b.toDF("a", "b"))
+          .localCheckpoint()
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == full(edges), s"trial $trial diverged over $nBatches ticks")
+    }
+  }
+
   test("delta chaining many base components in one tick (transitive merges)") {
     // four separate base components joined into one by a delta chain
     val base = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
