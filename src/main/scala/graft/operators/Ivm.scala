@@ -72,6 +72,30 @@ object Ivm {
       .filter(col("n") > 0)
   }
 
+  /** Auxiliary state for a COUNT(DISTINCT value) view — the classic
+    * non-self-maintainable aggregate made invertible by storing one
+    * multiplicity row per (group, value): a delete decrements the
+    * pair's count instead of guessing whether the value still occurs.
+    * The state IS an [[aggregate]] view on the enriched key
+    * `keys :+ valueCol`, so maintenance is exactly [[applyDelta]] on
+    * that key — no new machinery, and the state stays O(distinct
+    * pairs), not O(base).
+    */
+  def distinctState(base: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    aggregate(base, keys :+ valueCol, Nil)
+
+  /** The distinct-count view derived from [[distinctState]]: one
+    * map-side-combinable aggregate over the (bounded) state — the
+    * base is never touched. Emits the total row count too (the sum of
+    * multiplicities), since the state carries it for free.
+    */
+  def distinctView(state: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"n_distinct_$valueCol"),
+        sum(col("n")).as("n_rows"))
+
   /** The view shape [[applyDeltaWithExtrema]] maintains: the
     * [[aggregate]] columns plus `min_<c>` / `max_<c>` per extremum
     * column.

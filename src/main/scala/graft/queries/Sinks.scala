@@ -467,6 +467,60 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // COUNT(DISTINCT) IVM — the textbook NON-self-maintainable
+    // aggregate: a delete can't tell the view whether the value still
+    // occurs in the group. The fix every IVM engine ships is an
+    // auxiliary multiplicity state — one row per (group, value) with
+    // its count — which IS an aggregate view on the enriched key, so
+    // maintenance reuses i3's signed-delta fold verbatim
+    // (Ivm.distinctState / applyDelta on keys :+ value) and the
+    // distinct count derives from ONE aggregate over the bounded
+    // state, never the base. The edit script moves values between
+    // groups, empties (group, value) pairs (distinct count actually
+    // drops), and inserts brand-new values; oracle = recompute of
+    // count(distinct) over the edited base. Tick cost: O(changes ∪
+    // touched pairs); state size: O(distinct pairs).
+    Q("i6_distinct_ivm",
+      "CDC-maintained COUNT DISTINCT view via multiplicity state == recompute",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN '0-MOVED' ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, '9-INSERTED'
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey,
+         |  count(DISTINCT o_orderpriority) AS n_distinct_o_orderpriority,
+         |  count(*) AS n_rows
+         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      val path = scratch("i6")
+      val statePath = scratch("i6_state")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_orderpriority", when(col("o_orderkey") % 11 === 0,
+          lit("0-MOVED")).otherwise(col("o_orderpriority")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_custkey"), lit("9-INSERTED").as("o_orderpriority")))
+      val v1 = TableStore.publishVersion(s, path, o, note = "base")
+      val v2 = TableStore.publishVersion(s, path, edited, note = "edit")
+      // materialize the multiplicity state at v1; maintain WITHOUT v1
+      TableStore.overwrite(Ivm.distinctState(
+        TableStore.readVersion(s, path, Some(v1)),
+        Seq("o_custkey"), "o_orderpriority"), statePath)
+      val changes = TableStore.changesBetween(s, path, v1, v2, Seq("o_orderkey"))
+      val state2 = Ivm.applyDelta(TableStore.read(s, statePath), changes,
+        Seq("o_custkey", "o_orderpriority"), Nil)
+      Ivm.distinctView(state2, Seq("o_custkey"), "o_orderpriority")
+        .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
     // S27 — full three-clause MERGE: the complete `MERGE INTO`
     // surface (matched-delete with its own predicate, matched-update,
     // not-matched-insert) that upsertByKey (i1) and insertIfAbsent

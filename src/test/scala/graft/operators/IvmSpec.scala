@@ -67,4 +67,31 @@ class IvmSpec extends SparkSpec {
     // exactly ONE null-group row, with the folded values
     assert(maintained.filter(col("grp").isNull).count() == 1)
   }
+
+  test("distinct-count state: multiplicity decrement vs pair emptied (i6's contract)") {
+    import TestSpark.spark.implicits._
+    val p = Files.createTempDirectory("graft_ivm_dst").toString + "/t"
+    def rowsV(rs: (Long, String, String)*): DataFrame =
+      rs.toDF("id", "grp", "v")
+    // group a holds value x TWICE and y once; group b holds z once.
+    // v2 deletes ONE copy of (a, x) — distinct count must NOT drop —
+    // and deletes (b, z) — pair emptied, b vanishes; plus a new value
+    // w lands in a.
+    val v1Data = rowsV((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "z"))
+    val v2Data = rowsV((2L, "a", "x"), (3L, "a", "y"), (5L, "a", "w"))
+    val v1 = TableStore.publishVersion(spark, p, v1Data)
+    val v2 = TableStore.publishVersion(spark, p, v2Data)
+    val state1 = Ivm.distinctState(v1Data, Seq("grp"), "v")
+    val changes = TableStore.changesBetween(spark, p, v1, v2, Seq("id"))
+    val state2 = Ivm.applyDelta(state1, changes, Seq("grp", "v"), Nil)
+    val got = Ivm.distinctView(state2, Seq("grp"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: values {x, y, w} = 3 distinct over 3 rows; b gone
+    assert(got == Map("a" -> (3L, 3L)), s"got $got")
+    // and the state still remembers x's multiplicity fell to 1
+    val xMult = state2.filter(col("grp") === "a" && col("v") === "x")
+      .select("n").collect().map(_.getLong(0)).toSeq
+    assert(xMult == Seq(1L))
+  }
 }
