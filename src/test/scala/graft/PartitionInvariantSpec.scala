@@ -80,4 +80,39 @@ class PartitionInvariantSpec extends SparkSpec {
     assert(leaked == 0L, s"$leaked boilerplate chunks survived the removal")
     assert(surviving.count() > 0L, "removal must not empty the corpus")
   }
+
+  test("c13: trained weights are bit-identical at any shuffle partitioning (order-invariant stats)") {
+    // the probe's determinism claim made falsifiable: the integer
+    // sufficient statistics are order-invariant sums, so retraining
+    // under a different partition count must reproduce the SAME
+    // doubles to the last bit — a float-summed gradient would not.
+    def run(): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries("c13_quality_classifier")(spark, sf).collect().toSeq
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = run()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = run()
+      assert(a == b, s"weights drift across partitionings:\n$a\n$b")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("t32: per-doc token counts sit between word count and char count; merges never add tokens") {
+    val out = SparkEntry.queries("t32_bpe_encode")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nw, nt, nc) = (r.getAs[Number]("n_words").longValue,
+        r.getAs[Number]("n_tokens").longValue,
+        r.getAs[Number]("n_word_chars").longValue)
+      // every word encodes to >= 1 token; a merge only ever shrinks
+      // the sequence, so tokens never exceed raw chars
+      assert(nw <= nt, s"fewer tokens than words: $r")
+      assert(nt <= nc, s"more tokens than characters: $r")
+    }
+    // the trained merges actually fire somewhere: total tokens must be
+    // strictly below the char baseline
+    val (tTok, tChar) = out.foldLeft((0L, 0L)) { case ((a, b), r) =>
+      (a + r.getAs[Long]("n_tokens"), b + r.getAs[Long]("n_word_chars")) }
+    assert(tTok < tChar, "no merge compressed anything")
+  }
 }
