@@ -725,8 +725,71 @@ object CorpusOps {
           1L).otherwise(0L)).cast("long").as("n_correct"))
         .select(col("w0"), col("w1"), col("w2"),
           col("b0").as("n_pos"), col("n").as("n_total"), col("n_correct"))
+    },
+
+    // ---------------------------------------------------------------
+    // k-ANONYMITY generalization — the release-governance discipline
+    // t13's PII regexes do not give: even with direct identifiers
+    // scrubbed, a row whose QUASI-identifier combination (lang,
+    // source) is rare re-identifies its subject by joining any outside
+    // table on those columns. Classic local-recoding ladder, fully
+    // deterministic: a (lang, source) group with >= k rows releases
+    // as-is (level 0); smaller groups generalize lang away and re-test
+    // on (*, source) (level 1); what still fails pools into (*, *)
+    // (level 2) — and if even the pooled remainder is < k it is
+    // SUPPRESSED, never released (on this corpus one source's 9-row
+    // remainder takes exactly that path, so all four outcomes gate).
+    // Scale shape: three aggregates over strictly shrinking row sets,
+    // each verdict a broadcast join back (group-count tables are
+    // |langs x sources|-bounded); no window, no self-join. The same
+    // ladder runs on any quasi-identifier list; k = 10 here.
+    Q("c14_k_anonymity",
+      "k-anonymity release ladder over (lang, source): generalize until every group >= k, else suppress",
+      s"""WITH g0 AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+         |lvl0 AS (SELECT lang, source FROM g0 WHERE n >= $KAnon),
+         |r1 AS (SELECT d.doc_id, d.lang, d.source FROM documents d
+         |       LEFT JOIN lvl0 USING (lang, source) WHERE lvl0.lang IS NULL),
+         |g1 AS (SELECT source, count(*) AS n FROM r1 GROUP BY 1),
+         |lvl1 AS (SELECT source FROM g1 WHERE n >= $KAnon),
+         |r2 AS (SELECT r1.doc_id, r1.source FROM r1
+         |       LEFT JOIN lvl1 USING (source) WHERE lvl1.source IS NULL),
+         |n2 AS (SELECT count(*) AS n FROM r2)
+         |SELECT doc_id, anon_lang, anon_source, level FROM (
+         |  SELECT d.doc_id, d.lang AS anon_lang, d.source AS anon_source,
+         |         'l0' AS level
+         |  FROM documents d JOIN lvl0 USING (lang, source)
+         |  UNION ALL
+         |  SELECT r1.doc_id, '*', r1.source, 'l1'
+         |  FROM r1 JOIN lvl1 USING (source)
+         |  UNION ALL
+         |  SELECT r2.doc_id, '*', '*',
+         |         CASE WHEN n2.n >= $KAnon THEN 'l2' ELSE 'suppressed' END
+         |  FROM r2, n2
+         |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "lang", "source")
+      val g0 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val lvl0 = g0.filter(col("n") >= KAnon).select("lang", "source")
+      val safe0 = docs.join(broadcast(lvl0), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang").as("anon_lang"),
+          col("source").as("anon_source"), lit("l0").as("level"))
+      val r1 = docs.join(broadcast(lvl0), Seq("lang", "source"), "left_anti")
+      val lvl1 = r1.groupBy("source").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= KAnon).select("source")
+      val safe1 = r1.join(broadcast(lvl1), Seq("source"))
+        .select(col("doc_id"), lit("*").as("anon_lang"),
+          col("source").as("anon_source"), lit("l1").as("level"))
+      val r2 = r1.join(broadcast(lvl1), Seq("source"), "left_anti")
+      val n2 = r2.agg(count(lit(1)).as("n"))
+      val tail = r2.crossJoin(broadcast(n2))
+        .select(col("doc_id"), lit("*").as("anon_lang"),
+          lit("*").as("anon_source"),
+          when(col("n") >= KAnon, "l2").otherwise("suppressed").as("level"))
+      safe0.unionByName(safe1).unionByName(tail).orderBy("doc_id")
     }
   )
+
+  /** c14's anonymity threshold. */
+  private def KAnon = 10
 
   // ------------------------------------------------------------ c13
   // Linear-probe trainer internals. Feature space: x = (1, a1/1000,

@@ -115,4 +115,23 @@ class PartitionInvariantSpec extends SparkSpec {
       (a + r.getAs[Long]("n_tokens"), b + r.getAs[Long]("n_word_chars")) }
     assert(tTok < tChar, "no merge compressed anything")
   }
+
+  test("c14: every released group has >= k rows; nothing lost; suppression actually fires") {
+    val out = SparkEntry.queries("c14_k_anonymity")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(out.length.toLong == total, "anonymization must account for every row")
+    // the k-anonymity guarantee itself: no released quasi-identifier
+    // combination identifies fewer than k subjects
+    val released = out.filter(_.getAs[String]("level") != "suppressed")
+    val groups = released.groupBy(r =>
+      (r.getAs[String]("anon_lang"), r.getAs[String]("anon_source")))
+    groups.foreach { case (g, rs) =>
+      assert(rs.length >= 10, s"group $g released with only ${rs.length} rows")
+    }
+    // all four ladder outcomes are reachable on this corpus — the
+    // suppression branch must not be dead code in the gate
+    val levels = out.map(_.getAs[String]("level")).toSet
+    assert(levels.contains("l0") && levels.contains("l1") &&
+      levels.contains("suppressed"), s"ladder outcomes seen: $levels")
+  }
 }
