@@ -257,8 +257,14 @@ object Ivm {
     * through untouched; rows whose derivation count reaches zero
     * vanish.
     */
-  def applyJoinDelta(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
-      dA: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
+  /** The SIGNED view delta Δ(A⋈B) of the bilinear rule — the rows a
+    * log-structured view version stores (O(batch·fanout), never the
+    * view): ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with sign-multiplying cross term,
+    * aggregated to (viewCols..., _dmult). [[applyJoinDelta]] folds it
+    * into a materialized view; a fold table publishes it directly.
+    */
+  def joinViewDelta(aOld: DataFrame, bOld: DataFrame, dA: DataFrame,
+      dB: DataFrame, keys: Seq[String], viewCols: Seq[String]): DataFrame = {
     def signed(d: DataFrame): DataFrame = d
       .withColumn("_s",
         when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
@@ -274,12 +280,17 @@ object Ivm {
       .join(broadcast(db.withColumnRenamed("_s", "_sb")), keys.toSeq)
       .withColumn("_s", col("_sa") * col("_sb"))
       .drop("_sa", "_sb")
-    val viewCols = view.columns.filterNot(_ == "_mult").toSeq
-    val delta = t1.select((viewCols :+ "_s").map(col): _*)
+    t1.select((viewCols :+ "_s").map(col): _*)
       .unionByName(t2.select((viewCols :+ "_s").map(col): _*))
       .unionByName(t3.select((viewCols :+ "_s").map(col): _*))
       .groupBy(viewCols.map(col): _*)
       .agg(sum(col("_s")).as("_dmult"))
+  }
+
+  def applyJoinDelta(view: DataFrame, aOld: DataFrame, bOld: DataFrame,
+      dA: DataFrame, dB: DataFrame, keys: Seq[String]): DataFrame = {
+    val viewCols = view.columns.filterNot(_ == "_mult").toSeq
+    val delta = joinViewDelta(aOld, bOld, dA, dB, keys, viewCols)
     // NULL-SAFE on every view column: joinView's groupBy treats NULLs
     // as equal, so a NULL in any data column must still pair the view
     // row with its delta row — a plain equi-join would strand the

@@ -663,6 +663,71 @@ object TableStore {
     * numbers stay burned and their commit notes remain readable —
     * only the storage is reclaimed.
     */
+  // ------------------------------------------------------ fold tables
+
+  /** Log-structured ("fold") tables on the SAME versioned substrate —
+    * the write-amplification fix versioned maintenance needs at scale:
+    * publishing the full state every micro-batch is O(state) per tick,
+    * a non-starter when the state is a 100 TB view. A fold table's
+    * version is either a FULL snapshot of a `_mult`-annotated multiset
+    * (plain publish) or a signed DELTA over the chain before it (note
+    * prefixed [[FoldDeltaPrefix]]); the logical state at version v is
+    * the groupBy-sum fold of the latest full snapshot at-or-before v
+    * plus every delta after it, `_mult > 0` — exactly Delta Lake's
+    * log + checkpoint design. Signed folding is LINEAR, so the fold
+    * equals the sequential per-tick application under any batch split
+    * (the same invariant the IVM delta rules rest on); groupBy treats
+    * NULLs as equal, matching the Ivm multiset semantics. Read cost
+    * grows with chain length, so writers [[compactFold]] periodically —
+    * a full snapshot resets the chain and lets retention drop history.
+    */
+  val FoldDeltaPrefix = "delta;"
+
+  /** Publish a signed delta version (rows: data columns + `_mult`
+    * with ±counts). O(delta) write.
+    */
+  def publishFoldDelta(spark: SparkSession, path: String, delta: DataFrame,
+      note: String = ""): Long =
+    publishVersion(spark, path, delta, FoldDeltaPrefix + note)
+
+  def isFoldDelta(spark: SparkSession, path: String, v: Long): Boolean =
+    versionNote(spark, path, v).exists(_.startsWith(FoldDeltaPrefix))
+
+  /** The newest full-snapshot version at or before `v` — the fold's
+    * anchor (and the retention horizon: versions below it can never
+    * be referenced again).
+    */
+  def foldAnchor(spark: SparkSession, path: String, v: Long): Long =
+    committedVersions(spark, path).filter(_ <= v).reverse
+      .find(x => !isFoldDelta(spark, path, x))
+      .getOrElse(sys.error(
+        s"readFolded: no full snapshot at or before v=$v at $path"))
+
+  /** The logical multiset state at version `upTo` (default: latest):
+    * anchor snapshot ⊎ Σ deltas, `_mult > 0`.
+    */
+  def readFolded(spark: SparkSession, path: String,
+      upTo: Option[Long] = None): DataFrame = {
+    val committed = committedVersions(spark, path)
+    if (committed.isEmpty) sys.error(s"readFolded: no published version at $path")
+    val v = upTo.getOrElse(committed.last)
+    val anchor = foldAnchor(spark, path, v)
+    val chain = committed.filter(x => x >= anchor && x <= v)
+    val all = chain.map(x => readVersion(spark, path, Some(x)))
+      .reduce(_ unionByName _)
+    val dataCols = all.columns.filterNot(_ == "_mult").toSeq
+    if (chain.size == 1) all.filter(col("_mult") > 0)
+    else all.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_mult")).as("_mult"))
+      .filter(col("_mult") > 0)
+  }
+
+  /** Materialize the current folded state as a new FULL snapshot —
+    * the checkpoint that bounds chain length and unlocks retention.
+    */
+  def compactFold(spark: SparkSession, path: String, note: String = ""): Long =
+    publishVersion(spark, path, readFolded(spark, path), note)
+
   def dropVersionsBelow(spark: SparkSession, path: String, keepFrom: Long): Unit = {
     val f = fs(spark, path)
     val cur = currentVersion(spark, path).getOrElse(return)

@@ -445,4 +445,56 @@ class TableStoreSpec extends SparkSpec {
       insertRow = Map("k" -> col("k"), "v" -> col("src_sv")))
     assert(readSorted(p) == Seq(2L -> "b"))
   }
+
+  private def foldState(path: String, upTo: Option[Long] = None): Set[(Long, String, Long)] =
+    TableStore.readFolded(spark, path, upTo).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("_mult"))).toSet
+
+  test("fold table: snapshot + signed deltas fold to the logical state; O(batch) writes") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p = scratch()
+    def rows(rs: (Long, String, Long)*) = rs.toDF("k", "v", "_mult")
+    val v0 = TableStore.publishVersion(spark, p, rows((1L, "a", 1L), (2L, "b", 1L)))
+    // tick 1: delete (2,b), insert (3,c); tick 2: re-insert (2,b) and
+    // bump (1,a)'s multiplicity
+    TableStore.publishFoldDelta(spark, p, rows((2L, "b", -1L), (3L, "c", 1L)))
+    val d2 = TableStore.publishFoldDelta(spark, p, rows((2L, "b", 1L), (1L, "a", 1L)))
+    assert(foldState(p) == Set((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 1L)))
+    // time travel: the state at the FIRST delta excludes tick 2
+    val mid = TableStore.committedVersions(spark, p)(1)
+    assert(foldState(p, Some(mid)) == Set((1L, "a", 1L), (3L, "c", 1L)))
+    // the anchor is the v0 snapshot for every version in the chain
+    assert(TableStore.foldAnchor(spark, p, d2) == v0)
+  }
+
+  test("fold table: compaction resets the chain and retention drops pre-anchor history") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    def rows(rs: (Long, String, Long)*) = rs.toDF("k", "v", "_mult")
+    TableStore.publishVersion(spark, p, rows((1L, "a", 1L)))
+    TableStore.publishFoldDelta(spark, p, rows((1L, "a", -1L), (2L, "b", 1L)))
+    val before = foldState(p)
+    val ck = TableStore.compactFold(spark, p, "checkpoint")
+    // compaction is logically invisible...
+    assert(foldState(p) == before && before == Set((2L, "b", 1L)))
+    assert(TableStore.foldAnchor(spark, p, ck) == ck)
+    // ...and unlocks retention: pre-anchor versions drop, state survives
+    TableStore.dropVersionsBelow(spark, p, ck)
+    assert(foldState(p) == before)
+    // a post-compaction delta folds against the new anchor
+    TableStore.publishFoldDelta(spark, p, rows((2L, "b", -1L), (4L, "d", 1L)))
+    assert(foldState(p) == Set((4L, "d", 1L)))
+  }
+
+  test("fold table: NULL data columns fold as one group (Ivm multiset parity)") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    def rowsN(rs: (Long, Option[String], Long)*) = rs.toDF("k", "v", "_mult")
+    TableStore.publishVersion(spark, p, rowsN((1L, None, 1L), (2L, Some("x"), 1L)))
+    TableStore.publishFoldDelta(spark, p, rowsN((1L, None, -1L)))
+    val got = TableStore.readFolded(spark, p).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((2L, Some("x"))), s"null-key delta stranded: $got")
+  }
 }
