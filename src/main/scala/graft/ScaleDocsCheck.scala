@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-headroom proof for the TRAINING-DATA operator family — the
+  * analogue of [[ScalePlanCheck]]/BENCH_SF1 for the dedup / text /
+  * corpus / similarity queries: run each linear-contract query on the
+  * pinned sf0.1 corpus and on a 10× generated corpus
+  * (tools/gen_sf.py now emits documents + embeddings), compare wall
+  * clock (min-of-2) and audit the executed plans for strategy flips
+  * (a CartesianProduct or a new BroadcastNestedLoopJoin at large
+  * stats = a candidate generator silently degenerating to all-pairs).
+  *
+  * The explicitly-quadratic verify tiers (d5 n-gram blocked, d8 fuzzy
+  * blocked, d6 label-blocked cosine) are excluded by design: their
+  * catalog docs state the quadratic block bound, and the linear-path
+  * queries here are the ones whose 100 TB viability rests on the
+  * band/bucket/centroid candidate bounds being real.
+  *
+  * Usage: tools/run.sh graft.ScaleDocsCheck [smallDir largeDir [out]]
+  * Writes the JSON report to `out` (default BENCH_SF1_DOCS.json) and
+  * exits nonzero on any plan flip.
+  */
+object ScaleDocsCheck {
+
+  /** The linear-contract doc/embedding queries under audit. */
+  private val Queries = Seq(
+    "d1_exact_dedup", "d2_minhash_sig", "d3_lsh_near_dup", "d4_simhash",
+    "d7_dup_components", "d9_incremental_dedup", "d10_minhash_estimate",
+    "d11_semantic_dedup", "d12_chunk_dedup", "d13_boilerplate_removal",
+    "d14_incremental_components",
+    "t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_clean_text", "t7_tfidf", "t8_bm25", "t30_char_entropy",
+    "t31_bpe_train", "t32_bpe_encode",
+    "c1_corpus_pipeline", "c5_decontamination", "c11_temperature_rebalance",
+    "c12_semantic_decontamination", "c13_quality_classifier",
+    "c14_k_anonymity",
+    "k1_knn_brute", "k2_ann_lsh", "k3_ann_ivf", "k6_quantized_knn",
+    "k9_kmeans_lloyd")
+
+  private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  private def counts(p: String): Map[String, Int] =
+    Ops.map(op => op -> op.r.findAllIn(p).size).toMap
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val large = args.lift(1).getOrElse("/tmp/sf1")
+    val out = args.lift(2).getOrElse("BENCH_SF1_DOCS.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def time(name: String, dir: String): (Double, Map[String, Int]) = {
+      var plan = ""
+      val secs = (0 until 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df.queryExecution.executedPlan.toString()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (secs, counts(plan))
+    }
+
+    // one warmup query per dir to absorb codegen/scan-service startup
+    time(Queries.head, small); time(Queries.head, large)
+
+    var flips = 0
+    var (totS, totL) = (0.0, 0.0)
+    val rows = Queries.map { n =>
+      val (ts, cs) = time(n, small)
+      val (tl, cl) = time(n, large)
+      val flip = cl("CartesianProduct") > cs("CartesianProduct") ||
+        cl("BroadcastNestedLoopJoin") > cs("BroadcastNestedLoopJoin")
+      if (flip) flips += 1
+      totS += ts; totL += tl
+      val ratio = if (ts > 0) tl / ts else 0.0
+      println(f"""{"query":"$n","small_sec":$ts%.4f,"large_sec":$tl%.4f,"ratio":$ratio%.2f,"flip":$flip}""")
+      (n, ts, tl, ratio, flip)
+    }
+    val worst = rows.maxBy(_._4)
+    val json =
+      f"""{
+         | "metric": "docs_scale_headroom",
+         | "data_ratio": "10x rows (documents 5k -> 50k, embeddings 2k -> 20k; tools/gen_sf.py seed 4242, driver-distribution-identical)",
+         | "total_sf0.1_sec": ${totS}%.4f,
+         | "total_sf1_sec": ${totL}%.4f,
+         | "wall_ratio": ${totL / totS}%.2f,
+         | "protocol": "min-of-2, local[32], per-dir warmup query",
+         | "plan_audit": "ScaleDocsCheck sf0.1 vs 10x: ${Queries.size} queries, $flips flips (CartesianProduct or new BroadcastNestedLoopJoin)",
+         | "worst_query": {"name": "${worst._1}", "ratio": ${worst._4}%.2f},
+         | "queries": {
+         |${rows.map(r => f""" "${r._1}": {"sf0.1_sec": ${r._2}%.4f, "sf1_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f}""").mkString(",\n")}
+         | }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"wrote $out (flips=$flips, wall ${f"${totL / totS}%.2f"}x for 10x data)")
+    spark.stop()
+    if (flips > 0) sys.exit(1)
+  }
+}

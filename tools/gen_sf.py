@@ -110,3 +110,52 @@ write("lineitem", pa.table({
         rng.choice(3, NL, p=[0.5, 0.25, 0.25])]),
     "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, NL)]),
     "l_shipdate": pa.array(ts_us(ship_days))}))
+
+# ---------------------------------------------------------------- docs
+# documents + embeddings mirroring the driver's corpus shape (same
+# vocabulary/length/lang/near-dup-plant distributions, different seed):
+# 30-word shared vocabulary, 10-100 words/doc, every 20th doc a
+# near-dup of its predecessor (one word swapped for the rare 'dup'
+# marker), lang ~ en-heavy, 20 uniform sources; embeddings are 64-d
+# label-clustered unit vectors with every 20th a one-dim-nudged copy.
+
+VOCAB = np.array(
+    ("spark window merge table column vector stream value data small "
+     "join filter big group hash customer sort order slow line part "
+     "fast the row agg key query a scan batch").split())
+N_DOCS = int(50_000 * sf)
+N_VEC = int(20_000 * sf)
+
+doc_lens = rng.integers(10, 101, N_DOCS)
+texts = []
+langs_arr = np.array(["en", "de", "es", "fr", "zh"])
+doc_langs = langs_arr[rng.choice(5, N_DOCS, p=[0.41, 0.14, 0.15, 0.15, 0.15])]
+for i in range(N_DOCS):
+    if i % 20 == 0 and i > 0:
+        words = texts[i - 1].split(" ")
+        words[int(rng.integers(0, len(words)))] = "dup"
+        texts.append(" ".join(words))
+    else:
+        texts.append(" ".join(VOCAB[rng.integers(0, len(VOCAB), doc_lens[i])]))
+write("documents", pa.table({
+    "doc_id": pa.array(np.arange(N_DOCS, dtype=np.int64)),
+    "text": pa.array(texts),
+    "lang": pa.array(doc_langs),
+    "source": pa.array([f"src{i % 20}" for i in
+                        rng.integers(0, 20, N_DOCS)]),
+    "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64))}))
+
+centroids = rng.normal(0, 1, (10, 64))
+vlabels = (np.arange(N_VEC) % 10).astype(np.int32)
+vecs = centroids[vlabels] + rng.normal(0, 0.3, (N_VEC, 64))
+vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+for i in range(0, N_VEC, 20):
+    if i > 0:
+        vecs[i] = vecs[i - 1]
+        vecs[i][int(rng.integers(0, 64))] += 0.01
+        vlabels[i] = vlabels[i - 1]
+write("embeddings", pa.table({
+    "vec_id": pa.array(np.arange(N_VEC, dtype=np.int64)),
+    "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                          type=pa.list_(pa.float32())),
+    "label": pa.array(vlabels)}))
