@@ -40,17 +40,30 @@ object Ivm {
     * @param changes [[TableStore.changesBetween]] output whose row
     *                columns include `keys` and `sumCols`
     */
-  def applyDelta(view: DataFrame, changes: DataFrame, keys: Seq[String],
+  /** A changelog slice as its SIGNED PARTIAL aggregate — the rows a
+    * log-structured aggregate view stores per tick, in the
+    * [[aggregate]] column shape (`n` carries ±row counts, `sum_<c>`
+    * signed partial sums). O(touched groups in the batch), never the
+    * view; the read-side merge is [[TableStore.readFoldedAgg]].
+    */
+  def aggDelta(changes: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
-    val delta = changes
+    changes
       .withColumn("_sign", sign)
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("_sign")).as("_dn"),
+      .agg(sum(col("_sign")).as("n"),
         sumCols.map(c => sum(col(c).cast(DecimalType(30, 2)) * col("_sign"))
-          .as(s"_dsum_$c")): _*)
+          .cast(DecimalType(30, 2)).as(s"sum_$c")): _*)
+  }
+
+  def applyDelta(view: DataFrame, changes: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    val delta = aggDelta(changes, keys, sumCols)
+      .select(keys.map(col) ++ Seq(col("n").as("_dn")) ++
+        sumCols.map(c => col(s"sum_$c").as(s"_dsum_$c")): _*)
     // one key join: untouched groups pass through, touched groups
     // adjust, emptied groups drop, new groups materialize. The join
     // must be NULL-SAFE: groupBy puts null keys in one group, so a

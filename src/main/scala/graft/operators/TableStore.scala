@@ -728,6 +728,33 @@ object TableStore {
   def compactFold(spark: SparkSession, path: String, note: String = ""): Long =
     publishVersion(spark, path, readFolded(spark, path), note)
 
+  /** AGGREGATE fold tables — the partial-aggregate-log variant (the
+    * rollup-segment pattern Druid/streaming-OLAP stores use): each
+    * version holds signed partial aggregates in the [[Ivm.aggregate]]
+    * shape (`keys..., n, sum_<c>`; [[Ivm.aggDelta]] produces a tick's
+    * rows), and the logical view at `upTo` is the mergeable-state
+    * fold: group by keys, sum the partials, keep `n > 0`. Same anchor
+    * /delta/compaction protocol as [[readFolded]]; compaction for an
+    * aggregate fold table publishes THIS read's result.
+    */
+  def readFoldedAgg(spark: SparkSession, path: String, keys: Seq[String],
+      sumCols: Seq[String], upTo: Option[Long] = None): DataFrame = {
+    val committed = committedVersions(spark, path)
+    if (committed.isEmpty) sys.error(s"readFoldedAgg: no published version at $path")
+    val v = upTo.getOrElse(committed.last)
+    val anchor = foldAnchor(spark, path, v)
+    val chain = committed.filter(x => x >= anchor && x <= v)
+    val all = chain.map(x => readVersion(spark, path, Some(x)))
+      .reduce(_ unionByName _)
+    if (chain.size == 1) all.filter(col("n") > 0)
+    else all.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sumCols.map(c => sum(col(s"sum_$c"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 2))
+          .as(s"sum_$c")): _*)
+      .filter(col("n") > 0)
+  }
+
   def dropVersionsBelow(spark: SparkSession, path: String, keepFrom: Long): Unit = {
     val f = fs(spark, path)
     val cur = currentVersion(spark, path).getOrElse(return)

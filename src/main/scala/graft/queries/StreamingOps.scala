@@ -133,19 +133,32 @@ object StreamingOps {
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       val v1 = TableStore.publishVersion(s, snaps, o, note = "base")
       val v2 = TableStore.publishVersion(s, snaps, edited, note = "edit")
-      TableStore.overwrite(Ivm.aggregate(
+      // the view is an AGGREGATE FOLD TABLE (partial-aggregate log):
+      // each tick publishes only the batch's signed partial aggregate
+      // (Ivm.aggDelta — O(touched groups)), never the view; the read
+      // folds anchor + deltas, and a mid-stream compaction checkpoint
+      // proves the chain reset is logically invisible. The Druid-style
+      // rollup-segment discipline at O(batch) write per tick.
+      TableStore.publishVersion(s, viewPath, Ivm.aggregate(
         TableStore.readVersion(s, snaps, Some(v1)),
-        Seq("o_custkey"), Seq("o_totalprice")), viewPath)
+        Seq("o_custkey"), Seq("o_totalprice")), note = "agg-base")
       val changes =
         TableStore.changesBetween(s, snaps, v1, v2, Seq("o_orderkey"))
       val stream = EventStream.stagedFileStream(s, changes,
         tmp.resolve("stage").toString, nFiles = 3)
-      EventStream.runForeachBatch(s, stream) { (batch, _) =>
-        TableStore.rewrite(s, viewPath, Ivm.applyDelta(
-          TableStore.read(s, viewPath), batch,
-          Seq("o_custkey"), Seq("o_totalprice")))
+      EventStream.runForeachBatch(s, stream) { (batch, bid) =>
+        TableStore.publishFoldDelta(s, viewPath,
+          Ivm.aggDelta(batch, Seq("o_custkey"), Seq("o_totalprice")),
+          s"tick=$bid")
+        if (bid == 1L) {
+          TableStore.publishVersion(s, viewPath,
+            TableStore.readFoldedAgg(s, viewPath,
+              Seq("o_custkey"), Seq("o_totalprice")),
+            note = "checkpoint;after=1"): Unit
+        }
       }
-      TableStore.read(s, viewPath)
+      TableStore.readFoldedAgg(s, viewPath,
+          Seq("o_custkey"), Seq("o_totalprice"))
         .select(col("o_custkey"), col("n"),
           col("sum_o_totalprice").cast("double").as("total"))
         .orderBy("o_custkey")

@@ -487,6 +487,36 @@ class TableStoreSpec extends SparkSpec {
     assert(foldState(p) == Set((4L, "d", 1L)))
   }
 
+  test("aggregate fold table: signed partial-aggregate log folds to the view; checkpoint invisible") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.types.Decimal
+    val p = scratch()
+    def agg(rs: (String, Long, java.math.BigDecimal)*) =
+      rs.toDF("g", "n", "sum_v").selectExpr("g", "n",
+        "cast(sum_v as decimal(30,2)) as sum_v")
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // anchor: a=2 rows/30.00, b=1 row/5.00
+    TableStore.publishVersion(spark, p,
+      agg(("a", 2L, bd("30.00")), ("b", 1L, bd("5.00"))), "agg-base")
+    // tick 0: delete one a-row (-10.00), create c
+    TableStore.publishFoldDelta(spark, p,
+      agg(("a", -1L, bd("-10.00")), ("c", 1L, bd("7.00"))))
+    // tick 1: empty b entirely
+    TableStore.publishFoldDelta(spark, p, agg(("b", -1L, bd("-5.00"))))
+    def state() = TableStore.readFoldedAgg(spark, p, Seq("g"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    val want = Set(("a", 1L, "20.00"), ("c", 1L, "7.00"))
+    assert(state() == want, state())
+    // compaction: publish the folded state as a full snapshot — the
+    // logical view must not move, and later deltas fold on top of it
+    TableStore.publishVersion(spark, p,
+      TableStore.readFoldedAgg(spark, p, Seq("g"), Seq("v")), "checkpoint")
+    assert(state() == want)
+    TableStore.publishFoldDelta(spark, p, agg(("c", 1L, bd("3.00"))))
+    assert(state() == Set(("a", 1L, "20.00"), ("c", 2L, "10.00")))
+  }
+
   test("fold table: NULL data columns fold as one group (Ivm multiset parity)") {
     import TestSpark.spark.implicits._
     val p = scratch()
