@@ -701,6 +701,36 @@ object TextOps {
           expr(s"cast((1000000 * ${sumTokens("w", pairs)}) div greatest(${sumChars("w")}, 1) AS BIGINT)")
             .as("tokens_per_char_e6"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Repetition RUNS — the remaining Gopher repetition rule t14's two
+    // signals (dup-word fraction, top-bigram fraction) don't cover:
+    // the longest run of consecutively repeated words ("the the the")
+    // catches generation loops and boilerplate stutter that global
+    // fractions dilute on long documents. Entirely row-local (one
+    // indexed transform + one packed-accumulator fold inside a single
+    // projection) — zero exchange before the presentation sort, so at
+    // 100 TB this is a free rider on any existing corpus scan.
+    Q("t33_repetition_runs",
+      "longest consecutive repeated-word run per doc (Gopher loop/stutter rule), row-local",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, $wordsE AS w FROM documents)
+           |SELECT doc_id, ${dl.arrSize("w")} AS n_words,
+           |  ${maxRunExpr("w")} AS max_run,
+           |  CASE WHEN ${maxRunExpr("w")} >= 3 THEN 1 ELSE 0 END AS flagged
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .select(col("doc_id"), expr(wordsE).as("w"))
+        .select(col("doc_id"),
+          expr(dl.arrSize("w")).as("n_words"),
+          expr(maxRunExpr("w")).as("max_run"),
+          expr(s"CASE WHEN ${maxRunExpr("w")} >= 3 THEN 1 ELSE 0 END")
+            .as("flagged"))
+        .orderBy("doc_id")
     }
   )
 
@@ -749,6 +779,31 @@ object TextOps {
 
   /** The oracle's merge scalar columns (from the mrow CTE). */
   private def oraclePairCols: Seq[String] = (1 to BpeRounds).map(r => s"p$r")
+
+  /** Nonnegative integer division (dialect spelling differs). */
+  private def idiv(a: String, b: String)(implicit d: Dialect): String =
+    d match {
+      case SqlSpark => s"(($a) div ($b))"
+      case SqlDuck  => s"(($a) // ($b))"
+    }
+
+  /** Longest run of consecutive identical words, row-locally: adjacency
+    * flags from one indexed transform, then a single fold whose BIGINT
+    * accumulator packs (current run, best run) as cur*1024 + best —
+    * runs are bounded by the ≤100-word docs, so the packing never
+    * collides; both fields stay nonnegative so integer division is
+    * engine-identical.
+    */
+  private def maxRunExpr(wordsArr: String)(implicit d: Dialect): String = {
+    val flags = d.xform(d.seq0(s"${d.arrSize(wordsArr)} - 1"), "i_",
+      s"CASE WHEN ${d.idx(wordsArr, "i_")} = ${d.idx(wordsArr, "i_ + 1")} " +
+        "THEN 1 ELSE 0 END")
+    val cur = idiv("acc_", "1024")
+    val fold = d.foldL(flags, 0L, "acc_", "x_",
+      s"CASE WHEN x_ = 1 THEN (($cur) + 1) * 1024 + greatest(($cur) + 1, acc_ % 1024) " +
+        "ELSE acc_ % 1024 END")
+    s"cast(($fold) % 1024 + 1 AS BIGINT)"
+  }
 
   /** A word encoded under the trained merges: the char sequence with
     * the merge pair expressions (oracle: the p1..pN scalar columns;

@@ -687,6 +687,14 @@ class PlanSpec extends SparkSpec {
       s"only the final sort may exchange, saw $exchanges:\n" + pEnc)
   }
 
+  test("t33: repetition runs are row-local — one scan, no aggregate, sort-only exchange") {
+    val p = plan("t33_repetition_runs")
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+    assert(p.linesIterator.count(l => l.contains("FileScan") &&
+      l.contains("documents")) == 1, p)
+  }
+
   test("c13: probe training is one stats pass + broadcast weights; no per-round corpus scan") {
     // multi-round GD collapsed onto sufficient statistics: the plan
     // may scan documents at most twice (stats pass + scoring pass),
