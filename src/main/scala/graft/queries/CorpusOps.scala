@@ -785,6 +785,72 @@ object CorpusOps {
           lit("*").as("anon_source"),
           when(col("n") >= KAnon, "l2").otherwise("suppressed").as("level"))
       safe0.unionByName(safe1).unionByName(tail).orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // SOFT dedup — the alternative to dropping near-dups (d7/c3's
+    // policy): keep every copy but DOWN-WEIGHT it by its cluster size,
+    // so a document duplicated k times contributes total loss weight 1
+    // (the SoftDeDup idea: duplication should not multiply gradient
+    // mass, but dropping loses the copies' unique spans). Weight =
+    // floor(1e6 / cluster_size) as an exact integer — engine-identical
+    // and order-free where a float reciprocal sum would drift.
+    // Pipeline: the SAME LSH pair discovery + connected components the
+    // hard-dedup path uses, one count per component, one broadcast
+    // join back; singletons weight 1e6. At 100 TB this costs exactly
+    // what d7 costs plus one keyed count.
+    Q("c15_soft_dedup",
+      "SoftDeDup: per-doc training weight 1e6/cluster_size instead of dropping near-dups",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val wordsE = XSql.words("text")
+        s"""WITH RECURSIVE
+           |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
+           |sh AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig
+           |       FROM (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)),
+           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sh),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM bands a JOIN bands b
+           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |           AND a.doc_id < b.doc_id
+           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |        UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(src, node) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a),
+           |comp AS (SELECT src AS doc_id, min(node) AS component
+           |         FROM reach GROUP BY src),
+           |sz AS (SELECT component, count(*) AS cluster_size
+           |       FROM comp GROUP BY component)
+           |SELECT d.doc_id,
+           |  cast(coalesce(sz.cluster_size, 1) AS BIGINT) AS cluster_size,
+           |  cast(1000000 // coalesce(sz.cluster_size, 1) AS BIGINT) AS weight_e6
+           |FROM documents d
+           |LEFT JOIN comp ON comp.doc_id = d.doc_id
+           |LEFT JOIN sz ON sz.component = comp.component
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{ConnectedComponents, Lsh}
+      val docs = t(s, d, "documents")
+      val sh = docs
+        .withColumn("sh", expr(XSql.shinglesOfText("text")))
+        .select("doc_id", "sh")
+      val comp = ConnectedComponents.minLabel(
+        Lsh.verifiedPairs(sh, 0.3), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("component"))
+      val sz = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      docs.select("doc_id")
+        .join(broadcast(comp), Seq("doc_id"), "left")
+        .join(broadcast(sz), Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_size"), lit(1L)).cast("long").as("cluster_size"),
+          expr("cast(1000000 div coalesce(cluster_size, 1) AS BIGINT)")
+            .as("weight_e6"))
+        .orderBy("doc_id")
     }
   )
 
