@@ -139,7 +139,9 @@ object Plans {
     "s29_partition_evolution" ->
       "Partition-spec evolution: one pruned leg PER SPEC — load_date directory pruning on the day leg, covering-month pruning + residual day predicate on the month leg — stitched by union; history is never rewritten.",
     "d14_incremental_components" ->
-      "Incremental connected components: delta edges contract through base labels (keyed joins), the solve runs on the O(|delta|) contracted graph only, one keyed left join relabels — the base graph is never re-propagated.")
+      "Incremental connected components: delta edges contract through base labels (keyed joins), the solve runs on the O(|delta|) contracted graph only, one keyed left join relabels — the base graph is never re-propagated.",
+    "t33_repetition_runs" ->
+      "Repetition runs: adjacency flags + packed-accumulator fold inside ONE projection — no Generate, no aggregate, no Exchange before the presentation sort; a free rider on any corpus scan.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry
