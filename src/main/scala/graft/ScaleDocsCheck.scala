@@ -38,6 +38,14 @@ object ScaleDocsCheck {
     "k1_knn_brute", "k2_ann_lsh", "k3_ann_ivf", "k6_quantized_knn",
     "k9_kmeans_lloyd")
 
+  /** Wall-ratio gates at 10× data: queries whose scale contract was
+    * ever measured violated get an explicit ceiling so a fix can't
+    * regress silently. c12's occupancy-capped LSH width exists for
+    * exactly this bound (round 8 measured 13× at the old fixed
+    * width).
+    */
+  private val MaxRatio = Map("c12_semantic_decontamination" -> 4.0)
+
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
   private def counts(p: String): Map[String, Int] =
@@ -76,6 +84,7 @@ object ScaleDocsCheck {
     time(Queries.head, small); time(Queries.head, large)
 
     var flips = 0
+    var ratioFails = 0
     var (totS, totL) = (0.0, 0.0)
     val rows = Queries.map { n =>
       val (ts, cs) = time(n, small)
@@ -85,7 +94,9 @@ object ScaleDocsCheck {
       if (flip) flips += 1
       totS += ts; totL += tl
       val ratio = if (ts > 0) tl / ts else 0.0
-      println(f"""{"query":"$n","small_sec":$ts%.4f,"large_sec":$tl%.4f,"ratio":$ratio%.2f,"flip":$flip}""")
+      val ratioFail = MaxRatio.get(n).exists(ratio > _)
+      if (ratioFail) ratioFails += 1
+      println(f"""{"query":"$n","small_sec":$ts%.4f,"large_sec":$tl%.4f,"ratio":$ratio%.2f,"flip":$flip,"ratio_fail":$ratioFail}""")
       (n, ts, tl, ratio, flip)
     }
     val worst = rows.maxBy(_._4)
@@ -97,7 +108,7 @@ object ScaleDocsCheck {
          | "total_sf1_sec": ${totL}%.4f,
          | "wall_ratio": ${totL / totS}%.2f,
          | "protocol": "min-of-2, local[32], per-dir warmup query",
-         | "plan_audit": "ScaleDocsCheck sf0.1 vs 10x: ${Queries.size} queries, $flips flips (CartesianProduct or new BroadcastNestedLoopJoin)",
+         | "plan_audit": "ScaleDocsCheck sf0.1 vs 10x: ${Queries.size} queries, $flips flips (CartesianProduct or new BroadcastNestedLoopJoin), $ratioFails wall-ratio gate failures (${MaxRatio.map { case (k, v) => s"$k<=${v}x" }.mkString(", ")})",
          | "worst_query": {"name": "${worst._1}", "ratio": ${worst._4}%.2f},
          | "queries": {
          |${rows.map(r => f""" "${r._1}": {"sf0.1_sec": ${r._2}%.4f, "sf1_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f}""").mkString(",\n")}
@@ -105,8 +116,9 @@ object ScaleDocsCheck {
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
-    println(s"wrote $out (flips=$flips, wall ${f"${totL / totS}%.2f"}x for 10x data)")
+    println(s"wrote $out (flips=$flips, ratioFails=$ratioFails, " +
+      s"wall ${f"${totL / totS}%.2f"}x for 10x data)")
     spark.stop()
-    if (flips > 0) sys.exit(1)
+    if (flips > 0 || ratioFails > 0) sys.exit(1)
   }
 }

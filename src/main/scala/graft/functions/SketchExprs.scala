@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -138,6 +138,67 @@ object LshBucket {
     }
     out
   }
+
+  /** Variable-width variant: plane coefficients come from the
+    * generating FORMULA (`XSql.A2`/`B2` are its first
+    * [[XSql.LshPlanes]] values), so any plane count up to 63 works
+    * without pre-sized constant arrays — the occupancy-capped width
+    * c12 derives from the corpus size. Identical to [[bucket]] when
+    * `planes == XSql.LshPlanes`.
+    */
+  def bucketN(v: ArrayData, planes: Int): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      val a = (1103515245L * (p + 7) + 12345L) % 1000003L
+      val b = (69069L * (p + 13) + 3571L) % 1000003L
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val w = ((a * (i + 1) + b) % XSql.PlaneMod - 1000).toDouble / 1000.0
+        acc += v.getDouble(i) * w
+        i += 1
+      }
+      if (acc > 0) out += (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** `graft_lsh_bucket_n(v, planes)` — [[LshBucket]] at a caller-chosen
+  * plane count: the occupancy-capped LSH width (planes grows
+  * logarithmically with the corpus so expected bucket occupancy stays
+  * constant — the lever that keeps bucket-join candidate generation
+  * LINEAR when corpus and probe set co-scale; a fixed width is
+  * measurably superlinear at 10× data).
+  */
+case class LshBucketN(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket_n"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket_n expects (array<double>, int), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(v: Any, p: Any): Any =
+    LshBucket.bucketN(v.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.functions.LshBucket.bucketN($v, $p)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** `graft_word_hashes(text)` — 31-poly charHash of every non-empty

@@ -49,9 +49,10 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
       TypeCheckResult.TypeCheckFailure("metric must be a string")
     else if (!third.foldable)
       TypeCheckResult.TypeCheckFailure("metric must be a constant string")
-    else if (!Seq("COSINE", "EUCLIDEAN", "DOT_PRODUCT").contains(metric))
+    else if (!Seq("COSINE", "COSINE_SIM", "EUCLIDEAN", "DOT_PRODUCT")
+        .contains(metric))
       TypeCheckResult.TypeCheckFailure(
-        s"metric must be COSINE, EUCLIDEAN or DOT_PRODUCT, got $metric")
+        s"metric must be COSINE, COSINE_SIM, EUCLIDEAN or DOT_PRODUCT, got $metric")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -74,6 +75,17 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
           i += 1
         }
         1.0 - dot / (math.sqrt(n2a) * math.sqrt(n2b))
+      // cosine SIMILARITY — XSql.cosineFromNorms's exact shape
+      // (dot / (sqrt(n2a) * sqrt(n2b)), each accumulator its own
+      // left fold), so a similarity threshold compares bit-identically
+      // against the oracle without the 1-(1-s) double-rounding detour
+      case "COSINE_SIM" =>
+        while (i < n) {
+          val xi = x.getDouble(i); val yi = y.getDouble(i)
+          dot += xi * yi; n2a += xi * xi; n2b += yi * yi
+          i += 1
+        }
+        dot / (math.sqrt(n2a) * math.sqrt(n2b))
       case "EUCLIDEAN" =>
         while (i < n) {
           val d = x.getDouble(i) - y.getDouble(i); se += d * d; i += 1
@@ -103,6 +115,15 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
              |  $dot += $xi * $yi; $n2a += $xi * $xi; $n2b += $yi * $yi;
              |}
              |${ev.value} = 1.0 - $dot / (java.lang.Math.sqrt($n2a) * java.lang.Math.sqrt($n2b));
+             |""".stripMargin
+        case "COSINE_SIM" =>
+          s"""double $dot = 0.0; double $n2a = 0.0; double $n2b = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $xi = $a.getDouble($i);
+             |  double $yi = $b.getDouble($i);
+             |  $dot += $xi * $yi; $n2a += $xi * $xi; $n2b += $yi * $yi;
+             |}
+             |${ev.value} = $dot / (java.lang.Math.sqrt($n2a) * java.lang.Math.sqrt($n2b));
              |""".stripMargin
         case "EUCLIDEAN" =>
           s"""double $dot = 0.0;
@@ -175,6 +196,10 @@ object GraftFunctions {
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucket(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_lsh_bucket_n"),
+      new ExpressionInfo(classOf[LshBucketN].getName, "graft_lsh_bucket_n"),
+      (children: Seq[Expression]) => LshBucketN(children(0), children(1)))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_word_hashes"),
       new ExpressionInfo(classOf[WordHashes].getName, "graft_word_hashes"),

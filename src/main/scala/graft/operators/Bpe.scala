@@ -54,8 +54,17 @@ object Bpe {
     * early if no adjacent pair remains (all words fully merged).
     */
   def trainLocal(wordCounts: Seq[(String, Long)], rounds: Int): Seq[Merge] = {
+    // initial symbols are CODE POINTS, not UTF-16 code units: both
+    // engines' char split (Spark split(w, ''), DuckDB string_split)
+    // is per code point, and String.split("") would break a
+    // supplementary-plane char into two unpaired surrogates — the
+    // trained merges would then diverge from the oracle's on exactly
+    // the inputs utf8Less exists for.
     var seqs: Seq[(Vector[String], Long)] =
-      wordCounts.map { case (w, n) => (w.split("").toVector, n) }
+      wordCounts.map { case (w, n) =>
+        (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))), n)
+      }
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var done = false

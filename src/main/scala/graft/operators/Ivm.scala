@@ -101,12 +101,18 @@ object Ivm {
   /** The distinct-count view derived from [[distinctState]]: one
     * map-side-combinable aggregate over the (bounded) state — the
     * base is never touched. Emits the total row count too (the sum of
-    * multiplicities), since the state carries it for free.
+    * multiplicities), since the state carries it for free. A NULL
+    * value's multiplicity row is kept in the state (it still counts
+    * toward `n_rows` and must be maintainable under deletes) but is
+    * excluded from `n_distinct_*` — SQL's COUNT(DISTINCT col) ignores
+    * NULLs, and the maintained view must match recompute on
+    * NULL-bearing columns, not just the test data.
     */
   def distinctView(state: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame =
     state.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as(s"n_distinct_$valueCol"),
+      .agg(count(when(col(valueCol).isNotNull, lit(1)))
+        .as(s"n_distinct_$valueCol"),
         sum(col("n")).as("n_rows"))
 
   /** The view shape [[applyDeltaWithExtrema]] maintains: the
@@ -275,6 +281,14 @@ object Ivm {
     * view): ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB with sign-multiplying cross term,
     * aggregated to (viewCols..., _dmult). [[applyJoinDelta]] folds it
     * into a materialized view; a fold table publishes it directly.
+    *
+    * `aOld`/`bOld` may carry a `_mult` multiplicity column (the shape
+    * [[TableStore.readFolded]] returns): a base row folded to
+    * multiplicity k contributes k derivations to each matching delta
+    * row, so the single-sided terms weight by it — dropping `_mult`
+    * before the probe would undercount whenever a duplicate base row
+    * was folded into one weighted row. Absent `_mult` means every
+    * base row counts once.
     */
   def joinViewDelta(aOld: DataFrame, bOld: DataFrame, dA: DataFrame,
       dB: DataFrame, keys: Seq[String], viewCols: Seq[String]): DataFrame = {
@@ -283,12 +297,17 @@ object Ivm {
         when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
           .otherwise(lit(-1L)))
       .drop("_change_type")
+    def weighted(base: DataFrame): DataFrame =
+      if (base.columns.contains("_mult")) base.withColumnRenamed("_mult", "_w")
+      else base.withColumn("_w", lit(1L))
     val da = signed(dA)
     val db = signed(dB)
     // the deltas are the small sides — broadcast them into the base
     // probes; the cross term is delta × delta (tiny × tiny)
-    val t1 = broadcast(da).join(bOld, keys.toSeq)
-    val t2 = aOld.join(broadcast(db), keys.toSeq)
+    val t1 = broadcast(da).join(weighted(bOld), keys.toSeq)
+      .withColumn("_s", col("_s") * col("_w")).drop("_w")
+    val t2 = weighted(aOld).join(broadcast(db), keys.toSeq)
+      .withColumn("_s", col("_s") * col("_w")).drop("_w")
     val t3 = broadcast(da.withColumnRenamed("_s", "_sa"))
       .join(broadcast(db.withColumnRenamed("_s", "_sb")), keys.toSeq)
       .withColumn("_s", col("_sa") * col("_sb"))

@@ -690,6 +690,30 @@ object TableStore {
       note: String = ""): Long =
     publishVersion(spark, path, delta, FoldDeltaPrefix + note)
 
+  /** Publish a FULL snapshot in the CANONICAL multiset shape: one row
+    * per distinct data tuple with its summed positive `_mult` (a
+    * missing `_mult` column means every row counts once). Writers use
+    * this for v0 and checkpoints so [[readFolded]]'s single-snapshot
+    * fast path is EXACT — without the invariant, a snapshot holding a
+    * duplicate row twice at `_mult=1` would read differently at the
+    * anchor (two rows) than one delta later (one row, `_mult=2`), and
+    * any consumer that drops `_mult` would silently under- or
+    * over-count. Canonicalizing at WRITE time keeps reads filter-only:
+    * at a 100 TB state, one extra aggregate per checkpoint beats one
+    * extra shuffle of the full state per read.
+    */
+  def publishFoldSnapshot(spark: SparkSession, path: String, df: DataFrame,
+      note: String = ""): Long = {
+    val withMult =
+      if (df.columns.contains("_mult")) df
+      else df.withColumn("_mult", lit(1L))
+    val dataCols = withMult.columns.filterNot(_ == "_mult").toSeq
+    val canon = withMult.groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_mult")).as("_mult"))
+      .filter(col("_mult") > 0)
+    publishVersion(spark, path, canon, note)
+  }
+
   def isFoldDelta(spark: SparkSession, path: String, v: Long): Boolean =
     versionNote(spark, path, v).exists(_.startsWith(FoldDeltaPrefix))
 
@@ -704,7 +728,12 @@ object TableStore {
         s"readFolded: no full snapshot at or before v=$v at $path"))
 
   /** The logical multiset state at version `upTo` (default: latest):
-    * anchor snapshot ⊎ Σ deltas, `_mult > 0`.
+    * anchor snapshot ⊎ Σ deltas, `_mult > 0`. The single-snapshot
+    * fast path returns the snapshot filter-only — exact because
+    * snapshots are canonical by construction ([[publishFoldSnapshot]]
+    * is the only snapshot writer: [[compactFold]] and fold-table v0s
+    * go through it), so the same logical state reads identically at
+    * the anchor and one delta later.
     */
   def readFolded(spark: SparkSession, path: String,
       upTo: Option[Long] = None): DataFrame = {
@@ -724,9 +753,10 @@ object TableStore {
 
   /** Materialize the current folded state as a new FULL snapshot —
     * the checkpoint that bounds chain length and unlocks retention.
+    * Canonicalized via [[publishFoldSnapshot]].
     */
   def compactFold(spark: SparkSession, path: String, note: String = ""): Long =
-    publishVersion(spark, path, readFolded(spark, path), note)
+    publishFoldSnapshot(spark, path, readFolded(spark, path), note)
 
   /** AGGREGATE fold tables — the partial-aggregate-log variant (the
     * rollup-segment pattern Druid/streaming-OLAP stores use): each

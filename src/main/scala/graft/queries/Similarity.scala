@@ -56,6 +56,54 @@ object Similarity {
     s"cast((($a * (($i) + 1) + $b) % ${XSql.PlaneMod}) - 1000 as double) / 1000.0"
   }
 
+  /** Expected per-bucket occupancy target for the occupancy-capped
+    * width (c12): planes are the smallest np >= [[Planes]] with
+    * TargetOcc · 2^np >= corpus size, so candidate generation stays
+    * linear as corpus and probe set co-scale.
+    */
+  private[queries] val TargetOcc = 8L
+
+  /** Smallest np >= [[Planes]] with [[TargetOcc]]·2^np >= n — the
+    * integer form of ceil(log2(n / TargetOcc)), computed without
+    * floating log so both engines agree bit-exactly at power-of-two
+    * boundaries.
+    */
+  private[queries] def occupancyCappedPlanes(n: Long): Int = {
+    // cap at 55: 2^55·TargetOcc is already ~2.8e17 rows AND keeps the
+    // shift·TargetOcc product inside int64 in both engines' search
+    var np = 1
+    while (np < 55 && (1L << np) * TargetOcc < n) np += 1
+    math.max(Planes, np)
+  }
+
+  /** [[planeW]] with coefficients from the GENERATING formula instead
+    * of the fixed-size A2/B2 constant arrays — any plane index works,
+    * which is what lets the occupancy-capped width exceed
+    * [[XSql.LshPlanes]]. Identical values for p < LshPlanes.
+    */
+  private def planeWDyn(p: String, i: String)(implicit d: Dialect): String = {
+    val a = s"((1103515245 * (($p) + 7) + 12345) % 1000003)"
+    val b = s"((69069 * (($p) + 13) + 3571) % 1000003)"
+    s"cast((($a * (($i) + 1) + $b) % ${XSql.PlaneMod}) - 1000 as double) / 1000.0"
+  }
+
+  /** [[lshBucket]] at a caller-supplied plane count `np` (an SQL
+    * expression — a literal on the Spark side, a scalar subquery in
+    * the oracle). Spark runs the native codegen'd
+    * `graft_lsh_bucket_n`; the oracle folds the equivalent lambda
+    * with formula coefficients.
+    */
+  private def lshBucketDyn(v: String, np: String)(implicit d: Dialect): String =
+    d match {
+      case SqlSpark => s"graft_lsh_bucket_n($v, int($np))"
+      case SqlDuck =>
+        val dotP = d.foldD(d.seq0(Dims.toString), "acc_", "i_",
+          s"acc_ + ${d.idx(s"($v)", "i_")} * ${planeWDyn("p_", "i_")}")
+        val bits = d.xform(d.seq0(np), "p_",
+          s"CASE WHEN ($dotP) > 0 THEN ${d.shiftLeft1("p_")} ELSE ${zero(d)} END")
+        d.foldL(bits, 0L, "a2_", "x2_", "a2_ + x2_")
+    }
+
   /** LSH bucket id of a double-vector expression: sign bits of the dot
     * products against the fixed hyperplanes, packed into a BIGINT.
     * Spark runs the native [[graft.functions.LshBucket]] loop; the
@@ -1288,21 +1336,39 @@ object Similarity {
     // scans ONCE and candidates come from the bucket equi-join —
     // never an all-pairs product. Exact cosine ≥ 0.95 verifies
     // candidates; flagged training rows are the removal list.
+    //
+    // LSH width is OCCUPANCY-CAPPED, not fixed: planes = the smallest
+    // np >= LshPlanes with TargetOcc·2^np >= corpus size, so expected
+    // per-bucket occupancy stays <= TargetOcc as the corpus grows.
+    // At a FIXED width, occupancy grows linearly with the corpus and
+    // the candidate count goes quadratic when the probe set co-scales
+    // (measured 13× wall at 10× data in round 8); with the width tied
+    // to the corpus, candidates ~ probes·(np+1)·TargetOcc = O(N log N).
+    // Both engines derive np from the same count: Spark reads it once
+    // at plan-build (a metadata count — index-build discipline, like
+    // the k-means trainers), the oracle computes it in a scalar CTE;
+    // plane coefficients come from the generating formula so no
+    // fixed-size constant array caps the width.
     Q("c12_semantic_decontamination",
-      "embedding-level eval decontamination: broadcast multi-probe bucket join + exact cosine verify",
+      "embedding-level eval decontamination: broadcast multi-probe bucket join (occupancy-capped LSH width) + exact cosine verify",
       {
         implicit val dl: Dialect = SqlDuck
-        val probeList = (Seq("qb") ++
-          (0 until Planes).map(p => s"xor(qb, ${1L << p})")).mkString("[", ", ", "]")
-        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+        val np = "(SELECT np FROM npc)"
+        val probeList = s"list_concat([qb], list_transform(" +
+          s"range(0, $np), px_ -> xor(qb, (cast(1 as bigint) << px_))))"
+        s"""WITH npc AS (SELECT greatest(${Planes}, (SELECT min(np_)
+           |        FROM (SELECT unnest(range(1, 56)) AS np_)
+           |        WHERE (cast(1 as bigint) << np_) * $TargetOcc >=
+           |          (SELECT count(*) FROM embeddings))) AS np),
+           |e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
            |b AS (SELECT vec_id + 10000 AS bench_id,
            |        list_concat([v[1] + 0.01], v[2:]) AS bv
            |      FROM e WHERE vec_id % 20 = 0),
            |bn AS (SELECT bench_id, bv, ${XSql.norm2("bv")} AS n2b,
-           |         ${lshBucket("bv")} AS qb FROM b),
+           |         ${lshBucketDyn("bv", np)} AS qb FROM b),
            |probes AS (SELECT bench_id, bv, n2b, unnest($probeList) AS bucket FROM bn),
            |t AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2,
-           |        ${lshBucket("v")} AS bucket FROM e),
+           |        ${lshBucketDyn("v", np)} AS bucket FROM e),
            |cand AS (SELECT p.bench_id, t.vec_id,
            |           ${XSql.cosineFromNorms(XSql.dot("t.v", "p.bv"), "t.n2", "p.n2b")} AS sim
            |         FROM t JOIN probes p ON t.bucket = p.bucket)
@@ -1314,21 +1380,24 @@ object Similarity {
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark)))
         .select("vec_id", "v")
+      val np = occupancyCappedPlanes(e.count())
       val b = e.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 10000L).as("bench_id"),
           expr("concat(array(element_at(v, 1) + 0.01d), slice(v, 2, 63))").as("bv"))
-        .withColumn("n2b", expr(XSql.norm2("bv")))
-        .withColumn("qb", expr(lshBucket("bv")))
-      val probes = b.select(col("bench_id"), col("bv"), col("n2b"),
+        .withColumn("qb", expr(lshBucketDyn("bv", np.toString)))
+      val probes = b.select(col("bench_id"), col("bv"),
         explode(array(Seq(col("qb")) ++
-          (0 until Planes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
+          (0 until np).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
           .as("bucket"))
       val tr = e
-        .withColumn("n2", expr(XSql.norm2("v")))
-        .withColumn("bucket", expr(lshBucket("v")))
+        .withColumn("bucket", expr(lshBucketDyn("v", np.toString)))
+      // exact verify runs the NATIVE single-loop cosine (codegen'd;
+      // XSql.cosineFromNorms's exact arithmetic) — the interpreted
+      // fold-lambda form re-evaluates inside the pushed-down join
+      // condition per CANDIDATE and was the wall-clock floor here
       tr.join(broadcast(probes), Seq("bucket"))
         .select(col("bench_id"), col("vec_id").as("train_id"),
-          expr(XSql.cosineFromNorms(XSql.dot("v", "bv"), "n2", "n2b")).as("sim"))
+          expr("vector_distance(v, bv, 'cosine_sim')").as("sim"))
         .filter(col("sim") >= 0.95)
         .select(col("bench_id"), col("train_id"), round(col("sim"), 6).as("sim"))
         .orderBy("bench_id", "train_id")

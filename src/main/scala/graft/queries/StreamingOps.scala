@@ -278,7 +278,11 @@ object StreamingOps {
           val sb = slice.filter(col("_side") === "b")
             .select("o_orderkey", "l_linenumber", "_change_type", "l_extendedprice")
           JoinViewMaintenance.applyTick(s, viewPath, basePathA, basePathB,
-            sa, sb, Seq("o_orderkey"), batchId)
+            sa, sb, Seq("o_orderkey"), batchId,
+            onCost = c => if (sys.env.contains("GRAFT_TICK_COST"))
+              System.err.println(f"[tick-cost] st15 b=${c.batchId} " +
+                f"view=${c.viewSec}%.3f bases=${c.basesSec}%.3f " +
+                f"compact=${c.compactSec}%.3f"))
         } finally { slice.unpersist(); () }
       }
       def wsum(c: String) =

@@ -51,14 +51,37 @@ object JoinViewMaintenance {
 
   private def note(b: Long) = s"tick=$b"
 
-  /** The committed version tagged `tick=<b>` at `path` (as a full
-    * snapshot or a fold delta), if any. Exact-match on the note, so
-    * compaction checkpoints (`checkpoint;after=N`) never collide.
+  private def checkpointNote(b: Long) = s"checkpoint;after=$b"
+
+  /** `Some(N)` for a compaction-checkpoint note `checkpoint;after=N`
+    * (possibly delta-prefixed — it never is in practice, but parsing
+    * stays total), else None.
+    */
+  private def checkpointAfter(n: String): Option[Long] = {
+    val bare = n.stripPrefix(TableStore.FoldDeltaPrefix)
+    val p = "checkpoint;after="
+    if (bare.startsWith(p))
+      scala.util.Try(bare.stripPrefix(p).toLong).toOption
+    else None
+  }
+
+  /** Proof that tick `b` committed at `path`: either a version tagged
+    * `tick=<b>` (snapshot or fold delta — commit markers survive
+    * retention, so this match outlives the version's DATA being
+    * reclaimed), or a compaction checkpoint `checkpoint;after=N` with
+    * N >= b — a checkpoint is only ever published AFTER every publish
+    * of its tick completed, so its note is itself a durable commit
+    * record for all ticks <= N. The second rule makes redelivery-
+    * after-compaction safe even on a store whose retention ALSO
+    * reclaims markers: the checkpoint is the one version retention
+    * must keep (it is the fold anchor), so at least one proof always
+    * survives.
     */
   def tickVersion(spark: SparkSession, path: String, b: Long): Option[Long] =
     TableStore.committedVersions(spark, path).find { v =>
       TableStore.versionNote(spark, path, v).exists(n =>
-        n == note(b) || n == TableStore.FoldDeltaPrefix + note(b))
+        n == note(b) || n == TableStore.FoldDeltaPrefix + note(b) ||
+          checkpointAfter(n).exists(_ >= b))
     }
 
   /** Publish the v0 states: both bases and their join view, tagged
@@ -66,11 +89,11 @@ object JoinViewMaintenance {
     */
   def init(spark: SparkSession, viewPath: String, aPath: String,
       bPath: String, a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
-    TableStore.publishVersion(spark, aPath,
-      a.withColumn("_mult", lit(1L)), note(InitTick))
-    TableStore.publishVersion(spark, bPath,
-      b.withColumn("_mult", lit(1L)), note(InitTick))
-    TableStore.publishVersion(spark, viewPath,
+    // canonical snapshots: duplicate base rows fold to one weighted
+    // row here, so every later read sees the same representation
+    TableStore.publishFoldSnapshot(spark, aPath, a, note(InitTick))
+    TableStore.publishFoldSnapshot(spark, bPath, b, note(InitTick))
+    TableStore.publishFoldSnapshot(spark, viewPath,
       Ivm.joinView(a, b, keys), note(InitTick)): Unit
   }
 
@@ -89,44 +112,91 @@ object JoinViewMaintenance {
         .otherwise(lit(-1L)))
     .drop("_change_type")
 
+  /** Per-tick cost breakdown (seconds): the view-delta compute+publish
+    * job, the two base-delta publishes, and the compaction checkpoint
+    * (0 on non-compaction ticks). What's NOT here — the gap between
+    * consecutive ticks' applyTick calls — is Structured Streaming's
+    * micro-batch machinery (batch planning, file-source listing,
+    * offset/commit log writes), measurable as wall minus the summed
+    * phases.
+    */
+  final case class TickCost(batchId: Long, viewSec: Double,
+      basesSec: Double, compactSec: Double)
+
   /** Apply micro-batch `batchId` (deltas `dA`/`dB` in changesBetween
     * shape) to all three stored states — idempotent and roll-forward-
     * safe per the class doc. `afterPublish(path)` is a test seam: the
     * crash spec throws from it to kill the loop between publishes.
+    * `onCost` receives the tick's phase timings (bench/diagnostics).
+    *
+    * The TWO BASE publishes run in parallel: the WAL protocol only
+    * requires the VIEW to publish first (so a mid-tick crash implies
+    * the bases still sit at B-1 when the view lacks tick B); the bases
+    * themselves are independent tables whose roll-forward recomputes
+    * each missing delta from the same re-read batch slice, in any
+    * order. Serializing them would add one full Spark-job latency per
+    * tick for no safety.
     */
   def applyTick(spark: SparkSession, viewPath: String, aPath: String,
       bPath: String, dA: DataFrame, dB: DataFrame, keys: Seq[String],
-      batchId: Long, afterPublish: String => Unit = _ => ()): Unit = {
+      batchId: Long, afterPublish: String => Unit = _ => (),
+      onCost: TickCost => Unit = _ => ()): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t0 = System.nanoTime()
     if (tickVersion(spark, viewPath, batchId).isEmpty) {
-      // bases still sit at tick B-1 here (they publish after the view)
-      val aPrev = TableStore.readFolded(spark, aPath).drop("_mult")
-      val bPrev = TableStore.readFolded(spark, bPath).drop("_mult")
-      val viewCols = (aPrev.columns ++ bPrev.columns).distinct.toSeq
+      // bases still sit at tick B-1 here (they publish after the view).
+      // `_mult` stays attached: joinViewDelta weights its base probes
+      // by it, so a duplicate base row folded to one `_mult=k` row
+      // still derives k view rows per matching delta row.
+      val aPrev = TableStore.readFolded(spark, aPath)
+      val bPrev = TableStore.readFolded(spark, bPath)
+      val viewCols = (aPrev.columns ++ bPrev.columns).distinct
+        .filterNot(_ == "_mult").toSeq
       val dView = Ivm.joinViewDelta(aPrev, bPrev, dA, dB, keys, viewCols)
         .withColumnRenamed("_dmult", "_mult")
       TableStore.publishFoldDelta(spark, viewPath, dView, note(batchId)): Unit
     }
     afterPublish(viewPath)
-    if (tickVersion(spark, aPath, batchId).isEmpty) {
-      TableStore.publishFoldDelta(spark, aPath, baseDelta(dA), note(batchId)): Unit
-    }
-    afterPublish(aPath)
-    if (tickVersion(spark, bPath, batchId).isEmpty) {
-      TableStore.publishFoldDelta(spark, bPath, baseDelta(dB), note(batchId)): Unit
-    }
-    afterPublish(bPath)
-    // checkpoint cadence: only AFTER the tick fully committed, so a
-    // roll-forward never loses a version it can still reference; the
-    // anchor then bounds both the fold chain and retained history
-    if ((batchId + 1) % CompactEvery == 0) {
-      Seq(viewPath, aPath, bPath).foreach { p =>
-        TableStore.compactFold(spark, p, s"checkpoint;after=$batchId")
-        TableStore.currentVersion(spark, p).foreach { cur =>
-          TableStore.dropVersionsBelow(spark, p,
-            TableStore.foldAnchor(spark, p, cur))
+    val t1 = System.nanoTime()
+    val basePubs = Seq(aPath -> dA, bPath -> dB).map { case (p, d) =>
+      Future {
+        if (tickVersion(spark, p, batchId).isEmpty) {
+          TableStore.publishFoldDelta(spark, p, baseDelta(d), note(batchId)): Unit
         }
+        afterPublish(p)
       }
     }
+    basePubs.foreach(Await.result(_, Duration.Inf))
+    val t2 = System.nanoTime()
+    // checkpoint cadence: only AFTER the tick's three publishes
+    // committed, so a mid-tick roll-forward never loses a version it
+    // can still reference; the anchor then bounds both the fold chain
+    // and retained history. Retention here reclaims only version DATA
+    // — commit markers (and so the tick=B notes) survive, and the
+    // checkpoint note itself proves every tick <= batchId committed
+    // (see tickVersion), so a crash in the REDELIVERY window between
+    // this compaction and the stream checkpoint's commit replays
+    // batch B into a tick that is provably already applied and is
+    // skipped — never re-folded onto the advanced state.
+    if ((batchId + 1) % CompactEvery == 0) {
+      // the three compactions are independent per-table checkpoints —
+      // run them in parallel too (each is a read-fold + full write job)
+      val compacts = Seq(viewPath, aPath, bPath).map { p =>
+        Future {
+          TableStore.compactFold(spark, p, checkpointNote(batchId))
+          TableStore.currentVersion(spark, p).foreach { cur =>
+            TableStore.dropVersionsBelow(spark, p,
+              TableStore.foldAnchor(spark, p, cur))
+          }
+        }
+      }
+      compacts.foreach(Await.result(_, Duration.Inf))
+    }
+    val t3 = System.nanoTime()
+    onCost(TickCost(batchId, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
+      (t3 - t2) / 1e9))
   }
 
   /** The maintained view at the latest committed tick. */

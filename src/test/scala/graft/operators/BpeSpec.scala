@@ -44,4 +44,18 @@ class BpeSpec extends AnyFunSuite {
   test("single-char words contribute no pairs") {
     assert(Bpe.trainLocal(Seq(("a", 100L), ("b", 50L)), 3).isEmpty)
   }
+
+  test("supplementary-plane chars split as code points, not UTF-16 units") {
+    // U+1D11E (musical G clef) is one code point, two UTF-16 units; a
+    // code-unit split would yield unpaired surrogates and train a
+    // surrogate-pair merge the SQL engines' char split never sees
+    val clef = new String(Character.toChars(0x1D11E))
+    val merges = Bpe.trainLocal(Seq((clef + "a", 7L)), 1)
+    assert(merges == Seq(Bpe.Merge(1, s"$clef a", clef + "a", 7L)))
+    // a two-code-point supplementary word fully merges in one round —
+    // under a code-unit split it would need three
+    val twoClefs = clef + clef
+    assert(Bpe.trainLocal(Seq((twoClefs, 1L)), 5) ==
+      Seq(Bpe.Merge(1, s"$clef $clef", twoClefs, 1L)))
+  }
 }

@@ -94,4 +94,25 @@ class IvmSpec extends SparkSpec {
       .select("n").collect().map(_.getLong(0)).toSeq
     assert(xMult == Seq(1L))
   }
+
+  test("distinct-count view ignores NULL values (SQL COUNT(DISTINCT) parity)") {
+    import TestSpark.spark.implicits._
+    def rowsV(rs: (Long, String, Option[String])*): DataFrame =
+      rs.toDF("id", "grp", "v")
+    // a: {x, NULL, NULL} — 1 distinct over 3 rows; b: {NULL} — 0
+    // distinct over 1 row (SQL still emits the group)
+    val base = rowsV((1L, "a", Some("x")), (2L, "a", None),
+      (3L, "a", None), (4L, "b", None))
+    val state = Ivm.distinctState(base, Seq("grp"), "v")
+    val got = Ivm.distinctView(state, Seq("grp"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> (1L, 3L), "b" -> (0L, 1L)), s"got $got")
+    // the NULL multiplicity rows stay maintainable: deleting one NULL
+    // copy adjusts n_rows without touching the distinct count
+    val delta = rowsV((2L, "a", None)).withColumn("_change_type", lit("delete"))
+    val state2 = Ivm.applyDelta(state, delta, Seq("grp", "v"), Nil)
+    val got2 = Ivm.distinctView(state2, Seq("grp"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == Map("a" -> (1L, 2L), "b" -> (0L, 1L)), s"got $got2")
+  }
 }

@@ -517,6 +517,28 @@ class TableStoreSpec extends SparkSpec {
     assert(state() == Set(("a", 1L, "20.00"), ("c", 2L, "10.00")))
   }
 
+  test("fold snapshots are canonical: duplicate rows fold at write, reads agree across the chain") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    // a raw multiset v0 with the same row twice and NO _mult column
+    val raw = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    TableStore.publishFoldSnapshot(spark, p, raw)
+    // the single-snapshot fast path must already read the canonical
+    // representation: ONE (1,a) row at _mult=2
+    assert(foldState(p) == Set((1L, "a", 2L), (2L, "b", 1L)))
+    // one delta later the SAME logical state must read identically
+    TableStore.publishFoldDelta(spark, p,
+      Seq((3L, "c", 1L), (3L, "c", -1L)).toDF("k", "v", "_mult"))
+    assert(foldState(p) == Set((1L, "a", 2L), (2L, "b", 1L)))
+    // compaction re-canonicalizes (and zero-mult rows never persist)
+    TableStore.publishFoldDelta(spark, p,
+      Seq((2L, "b", -1L)).toDF("k", "v", "_mult"))
+    val ck = TableStore.compactFold(spark, p, "checkpoint")
+    assert(TableStore.readVersion(spark, p, Some(ck))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("_mult")))
+      .toSet == Set((1L, "a", 2L)))
+  }
+
   test("fold table: NULL data columns fold as one group (Ivm multiset parity)") {
     import TestSpark.spark.implicits._
     val p = scratch()

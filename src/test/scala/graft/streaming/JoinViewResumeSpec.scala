@@ -78,4 +78,140 @@ class JoinViewResumeSpec extends SparkSpec {
     val want = viewSet(Ivm.joinView(a1, b1, Seq("k")))
     assert(got == want, s"got=$got want=$want")
   }
+
+  /** The REDELIVERY-after-compaction window: applyTick for a
+    * compaction tick fully returns (three publishes + checkpoint +
+    * retention), then the process dies BEFORE the stream checkpoint
+    * commits. The restarted stream redelivers that batch; the tick
+    * must be SKIPPED — compaction's retention reclaims the tick's
+    * delta DATA, but the commit markers (and the checkpoint's own
+    * `after=N` note) survive as proof, so nothing double-folds.
+    */
+  test("redelivery of a fully-committed compaction tick is skipped, not re-applied") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft_jvm_redeliver")
+    val viewPath = tmp.resolve("view").toString
+    val aPath = tmp.resolve("base_a").toString
+    val bPath = tmp.resolve("base_b").toString
+    val stage = tmp.resolve("stage").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    val a0 = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")
+    // three staged slices → ticks 0,1,2; CompactEvery=2 makes tick 1
+    // the compaction tick
+    def aRow(k: Long, ct: String, va: String) =
+      (("a", k, ct, Option(va), Option.empty[Long]))
+    def bRow(k: Long, ct: String, vb: Long) =
+      (("b", k, ct, Option.empty[String], Option(vb)))
+    val parts = Seq(
+      Seq(aRow(3L, "insert", "z"), bRow(3L, "insert", 30L)),
+      Seq(aRow(2L, "update_preimage", "y"), aRow(2L, "update_postimage", "Y"),
+        bRow(1L, "delete", 10L)),
+      Seq(aRow(1L, "delete", "x"), bRow(4L, "insert", 40L),
+        aRow(4L, "insert", "w"))
+    ).map(_.toDF("_side", "k", "_change_type", "va", "vb"))
+
+    JoinViewMaintenance.init(spark, viewPath, aPath, bPath, a0, b0, Seq("k"))
+    val streamed = EventStream.sequencedFileStream(spark, parts, stage)
+
+    def run(crashAfterTick: Option[Long], src: org.apache.spark.sql.DataFrame): Unit =
+      EventStream.runForeachBatch(spark, src, Some(ckpt)) { (batch, bid) =>
+        val slice = batch.cache()
+        try {
+          val sa = slice.filter(col("_side") === "a")
+            .select("k", "_change_type", "va")
+          val sb = slice.filter(col("_side") === "b")
+            .select("k", "_change_type", "vb")
+          JoinViewMaintenance.applyTick(spark, viewPath, aPath, bPath,
+            sa, sb, Seq("k"), bid)
+          // the injected crash fires AFTER applyTick returned — i.e.
+          // after compaction+retention ran for bid=1 — but before the
+          // foreachBatch stream checkpoint can commit the offset
+          crashAfterTick.foreach { cb =>
+            if (bid == cb) sys.error(s"injected crash after tick $cb")
+          }
+        } finally { slice.unpersist(); () }
+      }
+
+    val ex = intercept[Throwable] {
+      run(Some(1L), streamed)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("injected crash"), messages(ex))
+    // compaction really ran: tick-1 delta data is reclaimed, yet the
+    // tick still proves committed (marker notes + checkpoint note)
+    assert(JoinViewMaintenance.tickVersion(spark, viewPath, 1L).isDefined)
+    assert(JoinViewMaintenance.tickVersion(spark, aPath, 1L).isDefined)
+
+    // resume: the stream redelivers tick 1 (its offset never
+    // committed), which must be a no-op; tick 2 then applies
+    run(None, EventStream.restageFileStream(spark, parts.head.schema, stage))
+    val aF = Seq((2L, "Y"), (3L, "z"), (4L, "w")).toDF("k", "va")
+    val bF = Seq((2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "vb")
+    val got = viewSet(JoinViewMaintenance.currentView(spark, viewPath))
+    val want = viewSet(Ivm.joinView(aF, bF, Seq("k")))
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  /** Duplicate base rows: two identical INSERTs fold (post-compaction)
+    * to ONE `_mult=2` row in the stored base, and the view delta's
+    * base probes must weight by that multiplicity — a later matching
+    * insert on the other side derives TWO view rows, and deleting one
+    * copy removes exactly one derivation.
+    */
+  test("folded base multiplicity weights the view delta (duplicate rows)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft_jvm_mult")
+    val viewPath = tmp.resolve("view").toString
+    val aPath = tmp.resolve("base_a").toString
+    val bPath = tmp.resolve("base_b").toString
+    val stage = tmp.resolve("stage").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    val a0 = spark.emptyDataFrame
+      .select(lit(0L).as("k"), lit("").as("va")).limit(0)
+    val b0 = spark.emptyDataFrame
+      .select(lit(0L).as("k"), lit(0L).as("vb")).limit(0)
+    val parts = Seq(
+      // tick 0: the SAME a-row inserted twice (a true multiset base)
+      Seq(("a", 1L, "insert", Option("x"), Option.empty[Long]),
+        ("a", 1L, "insert", Option("x"), Option.empty[Long]),
+        ("a", 2L, "insert", Option("y"), Option.empty[Long])),
+      // tick 1 (compaction): b arrives — both a-copies must derive
+      Seq(("b", 1L, "insert", Option.empty[String], Option(10L)),
+        ("b", 2L, "insert", Option.empty[String], Option(20L))),
+      // tick 2: one more b match + delete ONE a-copy
+      Seq(("b", 1L, "insert", Option.empty[String], Option(11L)),
+        ("a", 1L, "delete", Option("x"), Option.empty[Long]))
+    ).map(_.toDF("_side", "k", "_change_type", "va", "vb"))
+
+    JoinViewMaintenance.init(spark, viewPath, aPath, bPath, a0, b0, Seq("k"))
+    EventStream.runForeachBatch(spark,
+      EventStream.sequencedFileStream(spark, parts, stage),
+      Some(ckpt)) { (batch, bid) =>
+      val slice = batch.cache()
+      try {
+        val sa = slice.filter(col("_side") === "a")
+          .select("k", "_change_type", "va")
+        val sb = slice.filter(col("_side") === "b")
+          .select("k", "_change_type", "vb")
+        JoinViewMaintenance.applyTick(spark, viewPath, aPath, bPath,
+          sa, sb, Seq("k"), bid)
+      } finally { slice.unpersist(); () }
+    }
+    // recompute oracle over the literal final MULTISET base: one "x"
+    // copy remains of the two inserted
+    val aF = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val bF = Seq((1L, 10L), (2L, 20L), (1L, 11L)).toDF("k", "vb")
+    val got = viewSet(JoinViewMaintenance.currentView(spark, viewPath))
+    val want = viewSet(Ivm.joinView(aF, bF, Seq("k")))
+    assert(got == want, s"got=$got want=$want")
+    // and mid-history the stored base really was ONE weighted row
+    val aState = TableStore.readFolded(spark, aPath)
+      .filter(col("k") === 1L).select("va", "_mult")
+      .as[(String, Long)].collect().toSet
+    assert(aState == Set(("x", 1L)), aState.toString)
+  }
 }
