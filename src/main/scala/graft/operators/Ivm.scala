@@ -303,7 +303,13 @@ object Ivm {
     val da = signed(dA)
     val db = signed(dB)
     // the deltas are the small sides — broadcast them into the base
-    // probes; the cross term is delta × delta (tiny × tiny)
+    // probes; the cross term is delta × delta (tiny × tiny).
+    // Callers whose base frames are EXPENSIVE to materialize (fold
+    // chains, multi-version unions) should pre-restrict them to the
+    // delta's keys before passing them in — see
+    // JoinViewMaintenance.applyTick — because only the caller knows
+    // whether the extra semi-join stages beat a plain scan; on a bare
+    // snapshot they don't.
     val t1 = broadcast(da).join(weighted(bOld), keys.toSeq)
       .withColumn("_s", col("_s") * col("_w")).drop("_w")
     val t2 = weighted(aOld).join(broadcast(db), keys.toSeq)

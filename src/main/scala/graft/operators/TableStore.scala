@@ -751,6 +751,27 @@ object TableStore {
       .filter(col("_mult") > 0)
   }
 
+  /** The UNFOLDED signed chain at `upTo` (anchor snapshot plus every
+    * delta, `_mult` signed, no merge): for consumers that fold the
+    * multiset into their OWN aggregate — any sum/count over the state
+    * distributes over the signed rows (a tuple whose `_mult` nets to
+    * zero contributes zero to every sum), so aggregating the raw
+    * chain directly skips the full-state groupBy a [[readFolded]]
+    * would pay first. At a 100 TB view that is the difference between
+    * one aggregate over the log and a state-wide shuffle before it.
+    */
+  def readFoldedUnion(spark: SparkSession, path: String,
+      upTo: Option[Long] = None): DataFrame = {
+    val committed = committedVersions(spark, path)
+    if (committed.isEmpty)
+      sys.error(s"readFoldedUnion: no published version at $path")
+    val v = upTo.getOrElse(committed.last)
+    val anchor = foldAnchor(spark, path, v)
+    committed.filter(x => x >= anchor && x <= v)
+      .map(x => readVersion(spark, path, Some(x)))
+      .reduce(_ unionByName _)
+  }
+
   /** Materialize the current folded state as a new FULL snapshot —
     * the checkpoint that bounds chain length and unlocks retention.
     * Canonicalized via [[publishFoldSnapshot]].

@@ -232,7 +232,7 @@ object StreamingOps {
         .filter(col("l_orderkey") % 3 === 1)
         .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
         .agg(max(col("l_extendedprice")).as("l_extendedprice"))
-        .localCheckpoint()
+        .cache()
       val editedB = b.filter((col("o_orderkey") + col("l_linenumber")) % 6 =!= 0)
         .withColumn("l_extendedprice",
           when((col("o_orderkey") + col("l_linenumber")) % 9 === 0,
@@ -248,10 +248,18 @@ object StreamingOps {
       // mid-tick crashes roll forward deterministically — see
       // JoinViewMaintenance; JoinViewResumeSpec crashes this loop
       // mid-tick and proves resume)
+      def phase[T](tag: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (sys.env.contains("GRAFT_TICK_COST"))
+          System.err.println(
+            f"[tick-cost] st15 phase=$tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+        r
+      }
       val basePathA = tmp.resolve("base_a").toString
       val basePathB = tmp.resolve("base_b").toString
-      JoinViewMaintenance.init(s, viewPath, basePathA, basePathB,
-        a, b, Seq("o_orderkey"))
+      phase("init")(JoinViewMaintenance.init(s, viewPath, basePathA, basePathB,
+        a, b, Seq("o_orderkey")))
       // one combined changelog (keyed diffs via the s24 snapshot-diff
       // ALGORITHM, run directly on the in-memory states — the producer
       // already holds both, so the four snapshot round trips i4 pays
@@ -267,9 +275,10 @@ object StreamingOps {
           lit(null).cast("long").as("o_custkey"),
           lit(null).cast("double").as("o_totalprice"),
           col("l_linenumber"), col("l_extendedprice"))
-      val stream = EventStream.stagedFileStream(s, dA.unionByName(dB),
-        tmp.resolve("stage").toString, nFiles = 3)
-      EventStream.runForeachBatch(s, stream,
+      val stream = phase("diff-stage")(
+        EventStream.stagedFileStream(s, dA.unionByName(dB),
+          tmp.resolve("stage").toString, nFiles = 3))
+      phase("stream")(EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, batchId) =>
         val slice = batch.cache()
         try {
@@ -284,13 +293,19 @@ object StreamingOps {
                 f"view=${c.viewSec}%.3f bases=${c.basesSec}%.3f " +
                 f"compact=${c.compactSec}%.3f"))
         } finally { slice.unpersist(); () }
-      }
+      })
       def wsum(c: String) =
         sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
-      JoinViewMaintenance.currentView(s, viewPath).groupBy("o_custkey")
+      // aggregate the RAW signed chain: every sum here distributes
+      // over signed partials (a tuple netting _mult=0 contributes 0),
+      // so the per-tuple fold shuffle readFolded would pay first is
+      // algebraically redundant — one groupBy over the log instead of
+      // a state-wide groupBy feeding another
+      TableStore.readFoldedUnion(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
+        .filter(col("n_lines") > 0)
         .orderBy("o_custkey")
     },
 

@@ -207,8 +207,15 @@ object EventStream {
       checkpoint: Option[String] = None)(
       fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
     val key = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
+    val prevAqe = spark.conf.get(aqeKey)
     spark.conf.set(key, "4")
+    // micro-batch maintenance plans are small, repeated shapes: AQE's
+    // per-exchange replanning buys nothing on them and charges a
+    // scheduling round-trip per stage per tick — measurable when a
+    // tick is a handful of sub-second jobs
+    spark.conf.set(aqeKey, "false")
     try {
       val base = streamed.writeStream
         .foreachBatch(fn)
@@ -220,6 +227,9 @@ object EventStream {
       val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(aqeKey, prevAqe)
+    }
   }
 }

@@ -89,12 +89,19 @@ object JoinViewMaintenance {
     */
   def init(spark: SparkSession, viewPath: String, aPath: String,
       bPath: String, a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // canonical snapshots: duplicate base rows fold to one weighted
-    // row here, so every later read sees the same representation
-    TableStore.publishFoldSnapshot(spark, aPath, a, note(InitTick))
-    TableStore.publishFoldSnapshot(spark, bPath, b, note(InitTick))
-    TableStore.publishFoldSnapshot(spark, viewPath,
-      Ivm.joinView(a, b, keys), note(InitTick)): Unit
+    // row here, so every later read sees the same representation.
+    // The three v0 publishes are independent writes — run in parallel
+    // (no tick ordering exists yet; the WAL protocol starts at tick 0)
+    Seq(
+      Future(TableStore.publishFoldSnapshot(spark, aPath, a, note(InitTick))),
+      Future(TableStore.publishFoldSnapshot(spark, bPath, b, note(InitTick))),
+      Future(TableStore.publishFoldSnapshot(spark, viewPath,
+        Ivm.joinView(a, b, keys), note(InitTick)))
+    ).foreach(Await.result(_, Duration.Inf))
   }
 
   /** A changelog slice as the signed fold-delta rows its base table
@@ -149,10 +156,23 @@ object JoinViewMaintenance {
       // bases still sit at tick B-1 here (they publish after the view).
       // `_mult` stays attached: joinViewDelta weights its base probes
       // by it, so a duplicate base row folded to one `_mult=k` row
-      // still derives k view rows per matching delta row.
-      val aPrev = TableStore.readFolded(spark, aPath)
-      val bPrev = TableStore.readFolded(spark, bPath)
-      val viewCols = (aPrev.columns ++ bPrev.columns).distinct
+      // still derives k view rows per matching delta row. Each fold
+      // read is SEMI-FILTERED by the opposing delta's keys before the
+      // probe: the inner join drops non-matching rows anyway, and the
+      // broadcast semi join pushes below the fold's groupBy
+      // (PushDownLeftSemiAntiJoin — join keys are grouping keys), so
+      // a long fold chain shuffles O(matching rows), not O(state);
+      // with a keyed file layout the same predicate prunes the scan.
+      val aPrev0 = TableStore.readFolded(spark, aPath)
+      val bPrev0 = TableStore.readFolded(spark, bPath)
+      // no .distinct() on the build side: LeftSemi deduplicates by
+      // construction, and the distinct would cost a 2-stage aggregate
+      // per tick for a build set that is already batch-sized
+      def keyFilter(base: DataFrame, d: DataFrame): DataFrame =
+        base.join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
+      val aPrev = keyFilter(aPrev0, dB)
+      val bPrev = keyFilter(bPrev0, dA)
+      val viewCols = (aPrev0.columns ++ bPrev0.columns).distinct
         .filterNot(_ == "_mult").toSeq
       val dView = Ivm.joinViewDelta(aPrev, bPrev, dA, dB, keys, viewCols)
         .withColumnRenamed("_dmult", "_mult")
