@@ -255,8 +255,10 @@ object Ivm {
   // against the base sides — ΔA and ΔB ride BROADCASTS into one probe
   // of each base, so the tick costs O(|Δ|·fanout + base probe), never
   // a recompute of A ⋈ B. The base probes are the part a lakehouse
-  // accelerates further with data skipping on the delta's key range;
-  // the algebra here is unchanged by that.
+  // accelerates further with data skipping on the delta's key range —
+  // composed here as SkippingIndex.probeForDelta (plan only the files
+  // whose key boxes intersect the delta's range; SkippingIvmSpec
+  // meters the planned-file count); the algebra is unchanged by it.
   // ----------------------------------------------------------------
 
   /** Materialize the multiset inner equi-join view `A ⋈_keys B` with

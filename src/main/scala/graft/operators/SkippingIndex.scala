@@ -101,6 +101,44 @@ object SkippingIndex {
   def idxCount(spark: SparkSession, path: String): Long =
     TableStore.read(spark, idxPath(path)).count()
 
+  /** Plan an IVM BASE PROBE over only the files whose key boxes
+    * intersect the delta's key range — the "lakehouse accelerates the
+    * base probes with data skipping on the delta's key range" story
+    * (Ivm's class doc), composed: the delta is batch-sized, so its
+    * per-key [min, max] is one tiny aggregate through the driver
+    * (planning metadata, like the file list itself), and the returned
+    * frame is safe wherever the consumer only needs base rows whose
+    * keys occur in the delta — `joinViewDelta`'s single-sided probes
+    * (inner joins on the keys) and `applyDeltaWithExtrema`'s rescan
+    * (rescanned groups' keys are delta keys, and every row of a kept
+    * group lies in a kept file because point keys intersect any box
+    * that contains them). A delta with only NULL keys (or no rows)
+    * probes nothing — NULL keys never match an inner join and a
+    * group-key NULL still folds into the aggregate path, not the
+    * rescan probe of a range scan; callers with NULL group keys keep
+    * the full-scan path.
+    */
+  def probeForDelta(spark: SparkSession, path: String, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val aggCols = keyCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"lo$i"), max(col(c)).as(s"hi$i"))
+    }
+    val bounds = delta.agg(aggCols.head, aggCols.tail: _*).head()
+    val ranges = keyCols.indices.flatMap { i =>
+      val (lo, hi) = (bounds.get(bounds.fieldIndex(s"lo$i")),
+        bounds.get(bounds.fieldIndex(s"hi$i")))
+      if (lo == null || hi == null) None
+      else Some(keyCols(i) -> ((lo.asInstanceOf[Any], hi.asInstanceOf[Any])))
+    }.toMap
+    if (ranges.size < keyCols.size)
+      // schema-only empty frame (a limit(0) over the scan would still
+      // report the table's files as planned inputs)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else prunedScan(spark, path, ranges)
+  }
+
   /** The kept-file count a given range set would scan (spec surface —
     * the measured pruning effectiveness).
     */

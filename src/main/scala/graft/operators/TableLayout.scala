@@ -93,6 +93,87 @@ object TableLayout {
     dayLeg.unionByName(monthLeg)
   }
 
+  // ------------------------------------- partition-spec HISTORY
+
+  /** General partition-spec evolution — the full Iceberg contract the
+    * single day→month transition above is a special case of: a table
+    * carries a LOG of partition specs (`<root>__speclog`, rows
+    * `(spec_id, kind)`), each batch is written under the spec CURRENT
+    * at write time (its own `spec=<id>` subtree, laid out per its
+    * kind), evolving appends a log row and rewrites NOTHING, and
+    * re-evolution is legal — day → month → day yields THREE legs, the
+    * two day specs distinct in the log. A reader plans one pruned
+    * scan per log entry exactly like an Iceberg reader plans one task
+    * set per spec. The log is metadata (bytes, not data): evolution
+    * at 100 TB stays a metadata decision.
+    */
+  private def specLogPath(root: String) = root + "__speclog"
+
+  /** Append a new current spec (`kind` ∈ day | month) to the log;
+    * returns its spec_id. The first call creates the log.
+    */
+  def evolveSpec(spark: SparkSession, root: String, kind: String): Int = {
+    require(Seq("day", "month").contains(kind), s"unknown spec kind $kind")
+    import spark.implicits._
+    val next = specLog(spark, root).map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    Seq((next, kind)).toDF("spec_id", "kind")
+      .write.mode("append").parquet(specLogPath(root))
+    next
+  }
+
+  /** The spec log, ascending by spec_id (empty before first evolve). */
+  def specLog(spark: SparkSession, root: String): Seq[(Int, String)] = {
+    val p = new org.apache.hadoop.fs.Path(specLogPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(specLogPath(root))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Write a batch under the CURRENT spec's layout. */
+  def writeUnderCurrentSpec(spark: SparkSession, root: String,
+      df: DataFrame, tsCol: String, keyCol: String): Unit = {
+    val (id, kind) = specLog(spark, root).lastOption.getOrElse(
+      sys.error(s"writeUnderCurrentSpec: no spec evolved yet at $root"))
+    val legPath = s"$root/spec=$id"
+    kind match {
+      case "day" => writeTimeSeries(df, legPath, tsCol, keyCol)
+      case "month" => writeTimeSeriesMonthly(df, legPath, tsCol, keyCol)
+    }
+  }
+
+  /** Day-range read across the WHOLE spec history: one pruned leg per
+    * log entry whose subtree exists (a spec evolved but never written
+    * under contributes nothing), each leg pruning by its own spec's
+    * partition column and carrying `(spec_id, spec)` provenance.
+    */
+  def readEvolvedDayRange(spark: SparkSession, root: String, tsCol: String,
+      from: String, to: String): DataFrame = {
+    val legs = specLog(spark, root).flatMap { case (id, kind) =>
+      val legPath = s"$root/spec=$id"
+      val hp = new org.apache.hadoop.fs.Path(legPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else Some(kind match {
+        case "day" =>
+          dayRange(spark, legPath, from, to)
+            .withColumn("spec_id", lit(id)).withColumn("spec", lit("day"))
+        case "month" =>
+          val (mFrom, mTo) = (from.substring(0, 7), to.substring(0, 7))
+          spark.read.parquet(legPath)
+            .filter(col("load_month") >= lit(mFrom) &&
+              col("load_month") <= lit(mTo))
+            .withColumn("load_date", to_date(col(tsCol)))
+            .filter(col("load_date") >= lit(from) && col("load_date") <= lit(to))
+            .drop("load_month")
+            .withColumn("spec_id", lit(id)).withColumn("spec", lit("month"))
+      })
+    }
+    require(legs.nonEmpty, s"readEvolvedDayRange: no written spec legs at $root")
+    legs.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------- Z-order layout
 
   /** Morton (bit-interleaved) value of two `bits`-wide non-negative

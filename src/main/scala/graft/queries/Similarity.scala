@@ -668,6 +668,18 @@ object Similarity {
     // cache: re-scanning parquet is the shape that survives 100 TB);
     // the 1-row counts combine via hinted broadcast crossJoins (the
     // e1 convention).
+    //
+    // Cost anatomy (measured, sf0.1 min-of-3): the query's ~3.1 s is
+    // the IN-QUERY INDEX BUILDS — PQ codebook training ≈ k11's 1.15 s,
+    // trained IVF ≈ k3's 0.43 s — plus four rankings and the report
+    // joins. The brute-force ground truth is ONE single-probe
+    // TakeOrdered scan (k1's 0.20 s): it is already an audit SAMPLE
+    // (one query vector), never a population-sized denominator, so at
+    // scale the audit cost stays O(corpus scan) per sampled query and
+    // the knob is the sample size, not the truth computation. A
+    // production loop amortizes the trainings across audits by
+    // reading the SHIPPED index instead of retraining — the query
+    // retrains only because the catalog's queries are self-contained.
     Q("k10_recall_report",
       "recall@10 of multi-probe LSH, trained-IVF, and PQ-ADC ANN vs brute-force ground truth",
       {

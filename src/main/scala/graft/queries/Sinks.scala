@@ -1187,6 +1187,52 @@ object Sinks {
         .groupBy(col("load_date"), col("spec"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("load_date", "spec")
+    },
+
+    // ---------------------------------------------------------------
+    // Partition-spec HISTORY (s29's general case — the full Iceberg
+    // contract): the spec LOG records every evolution, batches write
+    // under the spec current at write time, and RE-evolution is legal
+    // — here day → month → day, so the log holds three specs and the
+    // reader plans three pruned legs, the two day specs DISTINCT
+    // (spec_id 0 vs 2). Nothing is ever rewritten; the oracle decides
+    // each row's serving spec from the batch cutoffs alone. The
+    // provenance pair (spec_id, spec) is the gate that a one-
+    // transition reader cannot fake: a hardcoded day+month stitch has
+    // no second day leg to label.
+    Q("s29b_partition_spec_history",
+      "day->month->day re-evolution: spec log with three legs, per-spec pruned reads",
+      s"""SELECT cast(ts as date) AS load_date,
+         |  CASE WHEN ts < TIMESTAMP '2024-01-12 00:00:00' THEN 0
+         |       WHEN ts < TIMESTAMP '2024-01-18 00:00:00' THEN 1
+         |       ELSE 2 END AS spec_id,
+         |  CASE WHEN ts >= TIMESTAMP '2024-01-12 00:00:00'
+         |        AND ts < TIMESTAMP '2024-01-18 00:00:00'
+         |       THEN 'month' ELSE 'day' END AS spec,
+         |  count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events
+         |WHERE cast(ts as date) >= DATE '2024-01-10'
+         |  AND cast(ts as date) <= DATE '2024-01-20'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.TableLayout
+      val root = scratch("s29b")
+      val ev = t(s, d, "events")
+      val c1 = lit("2024-01-12 00:00:00").cast("timestamp")
+      val c2 = lit("2024-01-18 00:00:00").cast("timestamp")
+      TableLayout.evolveSpec(s, root, "day")
+      TableLayout.writeUnderCurrentSpec(s, root,
+        ev.filter(col("ts") < c1), "ts", "user_id")
+      TableLayout.evolveSpec(s, root, "month")
+      TableLayout.writeUnderCurrentSpec(s, root,
+        ev.filter(col("ts") >= c1 && col("ts") < c2), "ts", "user_id")
+      TableLayout.evolveSpec(s, root, "day")
+      TableLayout.writeUnderCurrentSpec(s, root,
+        ev.filter(col("ts") >= c2), "ts", "user_id")
+      TableLayout.readEvolvedDayRange(s, root, "ts",
+          "2024-01-10", "2024-01-20")
+        .groupBy(col("load_date"), col("spec_id"), col("spec"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("load_date", "spec_id")
     }
   )
 }

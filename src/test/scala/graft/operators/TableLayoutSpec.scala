@@ -80,6 +80,50 @@ class TableLayoutSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("spec HISTORY: day->month->day re-evolution keeps three pruned legs with distinct ids") {
+    import TestSpark.spark.implicits._
+    val root = Files.createTempDirectory("graft_layout_hist").toString + "/t"
+    val rows = for (m <- 1 to 6; dom <- Seq(5, 15, 25)) yield
+      (m.toLong * 100 + dom,
+        java.sql.Timestamp.valueOf(f"2026-$m%02d-$dom%02d 12:00:00"))
+    val df = rows.toDF("game_id", "load_timestamp")
+    def cut(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 under day spec 0, batch 2 under month spec 1, batch 3
+    // under a NEW day spec 2 — a re-evolution the log must keep apart
+    assert(TableLayout.evolveSpec(spark, root, "day") == 0)
+    TableLayout.writeUnderCurrentSpec(spark, root,
+      df.filter($"load_timestamp" < cut("2026-03-01 00:00:00")),
+      "load_timestamp", "game_id")
+    assert(TableLayout.evolveSpec(spark, root, "month") == 1)
+    TableLayout.writeUnderCurrentSpec(spark, root,
+      df.filter($"load_timestamp" >= cut("2026-03-01 00:00:00") &&
+        $"load_timestamp" < cut("2026-05-01 00:00:00")),
+      "load_timestamp", "game_id")
+    assert(TableLayout.evolveSpec(spark, root, "day") == 2)
+    TableLayout.writeUnderCurrentSpec(spark, root,
+      df.filter($"load_timestamp" >= cut("2026-05-01 00:00:00")),
+      "load_timestamp", "game_id")
+    assert(TableLayout.specLog(spark, root) ==
+      Seq((0, "day"), (1, "month"), (2, "day")))
+
+    // window touches all three legs: Feb 10 .. May 20
+    val scan = TableLayout.readEvolvedDayRange(spark, root,
+      "load_timestamp", "2026-02-10", "2026-05-20")
+    val got = scan.select($"game_id", $"spec_id", $"spec").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = Set(
+      (215L, 0, "day"), (225L, 0, "day"),
+      (305L, 1, "month"), (315L, 1, "month"), (325L, 1, "month"),
+      (405L, 1, "month"), (415L, 1, "month"), (425L, 1, "month"),
+      (505L, 2, "day"), (515L, 2, "day"))
+    assert(got == want, s"got $got")
+    // each leg prunes under its own spec: the stitched plan reads far
+    // fewer files than live on disk (6 day dirs + 4 month dirs + ...)
+    val prunedFiles = scan.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(prunedFiles <= 7, s"expected <=7 files after pruning, got $prunedFiles")
+  }
+
   test("interleaveBits is the Morton curve") {
     import TestSpark.spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L),
