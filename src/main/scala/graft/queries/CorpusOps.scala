@@ -851,6 +851,163 @@ object CorpusOps {
           expr("cast(1000000 div coalesce(cluster_size, 1) AS BIGINT)")
             .as("weight_e6"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // UniMax ALLOCATION (Chung et al. 2023) — the mixing policy that
+    // replaced temperature sampling for multilingual pretraining:
+    // give every language at most K epochs of its data and
+    // waterfill a total token budget B across languages, so
+    // low-resource languages are never over-repeated past K and the
+    // leftover budget flows to high-resource ones. Closed form, no
+    // iteration: sort languages ASCENDING by their cap K·n, and the
+    // threshold T with Σ min(cap_i, T) = B falls out of one window
+    // pass over prefix sums (the first language whose cap exceeds its
+    // even share of the remaining budget pins T; everyone below keeps
+    // their cap, everyone above gets T). c11's temperature rebalance
+    // is the α-power competitor; this is the epoch-capped policy. The
+    // whole computation is language-cardinality-sized — at 100 TB it
+    // runs on a few hundred aggregate rows after ONE map-side-
+    // combinable count, and the allocation ships to the sampler as a
+    // broadcast. Budget here: 2 average epochs (B = 2·Σn), cap K = 3.
+    Q("c16_unimax_allocation",
+      "UniMax epoch-cap waterfilling: per-language budget with K=3 epoch cap, threshold from sorted prefix sums",
+      s"""WITH g AS (SELECT lang, cast(count(*) AS BIGINT) AS n,
+         |             cast(3 * count(*) AS BIGINT) AS cap
+         |           FROM documents GROUP BY lang),
+         |tot AS (SELECT cast(2 * sum(n) AS BIGINT) AS b FROM g),
+         |ord AS (SELECT lang, n, cap, b,
+         |    row_number() OVER (ORDER BY cap, lang) AS idx,
+         |    coalesce(sum(cap) OVER (ORDER BY cap, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+         |    count(*) OVER () AS l
+         |  FROM g, tot),
+         |tc AS (SELECT *,
+         |    cast(b - pre AS double) / cast(l - idx + 1 AS double) AS t_cand
+         |  FROM ord),
+         |st AS (SELECT *,
+         |    min(CASE WHEN cast(cap AS double) > t_cand THEN idx END) OVER ()
+         |      AS stop_idx
+         |  FROM tc),
+         |fin AS (SELECT *,
+         |    max(CASE WHEN idx = stop_idx THEN t_cand END) OVER () AS t_final
+         |  FROM st),
+         |fin2 AS (SELECT *,
+         |    CASE WHEN stop_idx IS NULL THEN cast(cap AS double)
+         |         ELSE least(cast(cap AS double), t_final) END AS alloc
+         |  FROM fin)
+         |SELECT lang, n, cap,
+         |  cast(floor(1000000 * alloc) AS BIGINT) AS alloc_e6,
+         |  cast(floor(1000000 * alloc / cast(n AS double)) AS BIGINT) AS epochs_e6
+         |FROM fin2 ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("cap", (col("n") * 3).cast("long"))
+      val tot = g.agg((sum("n") * 2).cast("long").as("b"))
+      val byCap = Window.orderBy(col("cap"), col("lang"))
+      val whole = Window.partitionBy()
+      val ord = g.crossJoin(broadcast(tot))
+        .withColumn("idx", row_number().over(byCap))
+        .withColumn("pre", coalesce(sum("cap").over(
+          byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("l", count(lit(1)).over(whole))
+      val tc = ord.withColumn("t_cand",
+        (col("b") - col("pre")).cast("double") /
+          (col("l") - col("idx") + 1).cast("double"))
+      val st = tc.withColumn("stop_idx",
+        min(when(col("cap").cast("double") > col("t_cand"), col("idx")))
+          .over(whole))
+      val fin = st.withColumn("t_final",
+        max(when(col("idx") === col("stop_idx"), col("t_cand"))).over(whole))
+        .withColumn("alloc",
+          when(col("stop_idx").isNull, col("cap").cast("double"))
+            .otherwise(least(col("cap").cast("double"), col("t_final"))))
+      fin.select(col("lang"), col("n"), col("cap"),
+          floor(lit(1000000) * col("alloc")).cast("long").as("alloc_e6"),
+          floor(lit(1000000) * col("alloc") / col("n").cast("double"))
+            .cast("long").as("epochs_e6"))
+        .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------
+    // DoReMi-style domain REWEIGHTING (Xie et al. 2023) — the mixing
+    // loop that sets domain sampling weights from measured excess
+    // loss instead of corpus size: domains where the proxy model
+    // does WORSE than the mixture average get UPweighted so the next
+    // training round spends more tokens there. Three rounds of the
+    // multiplicative-weights update α'_i = α_i·(1 + η·(loss_i −
+    // Σ_j α_j·loss_j)) / Z (the linearized form of DoReMi's
+    // exponentiated gradient — chosen because +,*,/ doubles are
+    // bit-identical across engines where exp() is not), with the
+    // per-domain proxy loss = fraction of sub-150-char documents (a
+    // deterministic stand-in for per-domain LM loss; the update
+    // machinery is the operator). Scale shape: ONE map-side-
+    // combinable per-domain aggregate over the corpus, then the
+    // iteration runs on domain-cardinality rows — at 100 TB the loop
+    // costs nothing and the final α broadcasts into the sampler.
+    Q("c17_doremi_weights",
+      "DoReMi-style multiplicative-weights domain mixing: 3 rounds of excess-loss reweighting, exact fixed-point",
+      {
+        // η = 1/2 folded into the fixed-point update: the multiplier
+        // 1 + η·(loss − mix) becomes (2e6 + loss6 − mix6) / 2e6 with
+        // a numerator provably in [1e6, 3e6] — every division is by a
+        // positive value, so the engines' differing negative-division
+        // conventions (truncate vs floor) never engage; every sum is
+        // an INTEGER sum, so accumulation order cannot move a bit
+        def roundCtes(r: Int): String = {
+          val prev = if (r == 1) "w0" else s"w${r - 1}"
+          s"""m$r AS (SELECT cast(sum(w9 * loss6) // 1000000000 AS BIGINT) AS mix6
+             |        FROM $prev),
+             |u$r AS (SELECT source, n_docs, loss6,
+             |          cast((w9 * (2000000 + loss6 - (SELECT mix6 FROM m$r)))
+             |            // 2000000 AS BIGINT) AS wu9
+             |        FROM $prev),
+             |z$r AS (SELECT cast(sum(wu9) AS BIGINT) AS z9 FROM u$r),
+             |w$r AS (SELECT source, n_docs, loss6,
+             |          cast((wu9 * 1000000000) // (SELECT z9 FROM z$r) AS BIGINT)
+             |            AS w9 FROM u$r)""".stripMargin
+        }
+        s"""WITH g AS (SELECT source, cast(count(*) AS BIGINT) AS n_docs,
+           |    cast(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_small
+           |  FROM documents GROUP BY source),
+           |l AS (SELECT cast(count(*) AS BIGINT) AS n_dom FROM g),
+           |w0 AS (SELECT source, n_docs,
+           |    cast((1000000 * n_small) // n_docs AS BIGINT) AS loss6,
+           |    cast(1000000000 // (SELECT n_dom FROM l) AS BIGINT) AS w9 FROM g),
+           |${roundCtes(1)},
+           |${roundCtes(2)},
+           |${roundCtes(3)}
+           |SELECT source, n_docs, loss6 AS loss_e6, w9 AS weight_e9
+           |FROM w3 ORDER BY source""".stripMargin
+      }) { (s, d) =>
+      val g = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("n_chars") < 150, 1L).otherwise(0L)).cast("long")
+            .as("n_small"))
+      val nDom = g.agg(count(lit(1)).cast("long").as("n_dom"))
+      var w = g.crossJoin(broadcast(nDom))
+        .select(col("source"), col("n_docs"),
+          expr("cast((1000000 * n_small) div n_docs AS BIGINT)").as("loss6"),
+          expr("cast(1000000000 div n_dom AS BIGINT)").as("w9"))
+      for (_ <- 1 to 3) {
+        // the mixture loss and the normalizer are 1-row INTEGER
+        // aggregates riding broadcasts — map-side combinable, exact,
+        // order-free
+        val mix = w.agg(
+          expr("cast(sum(w9 * loss6) div 1000000000 AS BIGINT)").as("mix6"))
+        val u = w.crossJoin(broadcast(mix))
+          .withColumn("wu9",
+            expr("cast((w9 * (2000000 + loss6 - mix6)) div 2000000 AS BIGINT)"))
+        val z = u.agg(sum("wu9").cast("long").as("z9"))
+        w = u.crossJoin(broadcast(z))
+          .select(col("source"), col("n_docs"), col("loss6"),
+            expr("cast((wu9 * 1000000000) div z9 AS BIGINT)").as("w9"))
+      }
+      w.select(col("source"), col("n_docs"), col("loss6").as("loss_e6"),
+          col("w9").as("weight_e9"))
+        .orderBy("source")
     }
   )
 

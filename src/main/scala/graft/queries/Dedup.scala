@@ -653,8 +653,90 @@ object Dedup {
       ConnectedComponents.incrementalMinLabel(base, delta, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Exact SUBSTRING dedup (the ExactSubstr discipline of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): fuzzy doc-level dedup (d3) keeps documents that SHARE
+    // long verbatim passages — licenses, templates, quoted spam —
+    // because the rest of the document differs; the remedy is to find
+    // exact word-window repeats ACROSS documents and flag/trim them.
+    // Spark-shaped: every 8-word window rolls into one 131-poly hash
+    // (the shingle chain extended to k=8, mod P each step so the fold
+    // never leaves int64), windows that recur in >= 2 DISTINCT docs
+    // form the dup set via one map-side-combinable aggregate, and a
+    // single equi-join back scores each document's duplicated-window
+    // fraction. No pairwise comparison anywhere: cost is one 8x
+    // explode + two hash-keyed aggregates, linear in corpus size. At
+    // 100 TB the stride/winnowing lever (graft_winnow) bounds the
+    // explode factor; full stride here keeps the oracle exact.
+    Q("d15_substring_dedup",
+      "ExactSubstr: cross-document repeated 8-word windows, per-doc duplicated fraction",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id,
+           |    ${XSql.wordHashes(XSql.words("text"))} AS wh FROM documents),
+           |wins AS (SELECT doc_id, unnest(${winHashes("wh", 8)}) AS h FROM w),
+           |dup AS (SELECT h FROM wins GROUP BY h
+           |        HAVING count(DISTINCT doc_id) >= 2),
+           |cnt AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_windows
+           |        FROM wins GROUP BY doc_id),
+           |hit AS (SELECT wins.doc_id, cast(count(*) AS BIGINT) AS n_dup
+           |        FROM wins JOIN dup USING (h) GROUP BY wins.doc_id)
+           |SELECT d.doc_id,
+           |  coalesce(cnt.n_windows, 0) AS n_windows,
+           |  coalesce(hit.n_dup, 0) AS n_dup_windows,
+           |  cast((1000000 * coalesce(hit.n_dup, 0))
+           |    // greatest(coalesce(cnt.n_windows, 0), 1) AS BIGINT) AS dup_frac_e6,
+           |  CASE WHEN (1000000 * coalesce(hit.n_dup, 0))
+           |    // greatest(coalesce(cnt.n_windows, 0), 1) >= 500000
+           |    THEN 1 ELSE 0 END AS flagged
+           |FROM documents d
+           |LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+           |LEFT JOIN hit ON hit.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents")
+      val wins = docs
+        .select(col("doc_id"),
+          expr(XSql.wordHashes(XSql.words("text"))).as("wh"))
+        .select(col("doc_id"), explode(expr(winHashes("wh", 8))).as("h"))
+      val dup = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val cnt = wins.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"))
+      val hit = wins.join(dup, "h").groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_dup"))
+      docs.select("doc_id")
+        .join(cnt, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+          expr("cast((1000000 * coalesce(n_dup, 0)) div greatest(coalesce(n_windows, 0), 1) AS BIGINT)")
+            .as("dup_frac_e6"),
+          expr("CASE WHEN (1000000 * coalesce(n_dup, 0)) div greatest(coalesce(n_windows, 0), 1) >= 500000 THEN 1 ELSE 0 END")
+            .as("flagged"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Rolling k-word window hash list of a word-hash array expression:
+    * h = fold over the window of (h * 131 + wh[i+j]) mod P — the
+    * 3-gram shingle chain generalized to k, mod applied every step so
+    * every intermediate stays far under 2^63. One entry per start
+    * position (no distinct: positions are the unit the per-doc
+    * fraction counts).
+    */
+  private def winHashes(whE: String, k: Int)(implicit d: Dialect): String = {
+    val terms = (0 until k).map(j => d.idx(s"($whE)", s"i_ + $j"))
+    val body = terms.tail.foldLeft(terms.head)((acc, t) =>
+      s"((($acc) * ${XSql.WordM} + $t) % ${XSql.P})")
+    d.xform(d.seq0(s"${d.arrSize(s"($whE)")} - ${k - 1}"), "i_", body)
+  }
 
   private def dlDouble(d: Dialect): String = d.toDoubleArr("embedding")
 }

@@ -731,6 +731,64 @@ object TextOps {
           expr(s"CASE WHEN ${maxRunExpr("w")} >= 3 THEN 1 ELSE 0 END")
             .as("flagged"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Tokenizer FERTILITY report — the per-language eval every
+    // multilingual tokenizer ships with (tokens/word and tokens/char
+    // by language): a tokenizer trained on a skewed mix over-segments
+    // the under-represented languages, and this table is how that is
+    // detected (high fertility = the language pays more sequence
+    // positions per unit of text = effectively less context). Shape:
+    // t32's row-local encode (merges as broadcast-free expression
+    // constants from the bounded t31 fit) feeding ONE map-side-
+    // combinable per-language aggregate — integer sums end to end,
+    // ratios as e6 integer division, so the gate is exact. At 100 TB
+    // this is a free rider on the encode pass the pipeline already
+    // runs.
+    Q("t34_tokenizer_fertility",
+      "per-language BPE fertility: tokens/word and tokens/char by lang from the trained merges",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val mrow = "SELECT " + (1 to BpeRounds).map(r => s"m$r.pair AS p$r")
+          .mkString(", ") + " FROM " + (1 to BpeRounds).map(r => s"m$r").mkString(", ")
+        s"""WITH ${bpeTrainCtes.mkString(",\n")},
+           |mrow AS ($mrow),
+           |enc AS (SELECT lang,
+           |    ${dl.arrSize("w")} AS n_words,
+           |    cast(${sumTokens("w", oraclePairCols)} AS BIGINT) AS n_tokens,
+           |    cast(${sumChars("w")} AS BIGINT) AS n_chars
+           |  FROM (SELECT lang, $wordsE AS w FROM documents), mrow)
+           |SELECT lang, count(*) AS n_docs,
+           |  cast(sum(n_words) AS BIGINT) AS total_words,
+           |  cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  cast(sum(n_chars) AS BIGINT) AS total_chars,
+           |  cast((1000000 * sum(n_tokens)) // greatest(sum(n_words), 1) AS BIGINT)
+           |    AS tokens_per_word_e6,
+           |  cast((1000000 * sum(n_tokens)) // greatest(sum(n_chars), 1) AS BIGINT)
+           |    AS tokens_per_char_e6
+           |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val pairs = trainedMerges(s, d).map(m => sqlLit(m.pair))
+      t(s, d, "documents")
+        .select(col("lang"), expr(wordsE).as("w"))
+        .select(col("lang"),
+          expr(dl.arrSize("w")).as("n_words"),
+          expr(s"cast(${sumTokens("w", pairs)} AS BIGINT)").as("n_tokens"),
+          expr(s"cast(${sumChars("w")} AS BIGINT)").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").cast("long").as("total_words"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          col("total_tokens"), col("total_chars"),
+          expr("cast((1000000 * total_tokens) div greatest(total_words, 1) AS BIGINT)")
+            .as("tokens_per_word_e6"),
+          expr("cast((1000000 * total_tokens) div greatest(total_chars, 1) AS BIGINT)")
+            .as("tokens_per_char_e6"))
+        .orderBy("lang")
     }
   )
 
