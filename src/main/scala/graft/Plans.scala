@@ -107,7 +107,7 @@ object Plans {
     "j17_temporal_dim_join" ->
       "Temporal dimension join: point-in-time enrichment against SCD2 history runs as an EQUI-join on the key (the validity window is a post-join filter bounded by versions-per-key) — never a range/nested-loop join.",
     "c12_semantic_decontamination" ->
-      "Semantic decontamination: the benchmark's multi-probe rows broadcast (an eval suite is tiny by nature); the training corpus scans ONCE and candidates come from the bucket equi-join; exact cosine verifies.",
+      "Semantic decontamination: the benchmark's multi-probe rows broadcast (an eval suite is tiny by nature); the training corpus scans ONCE and candidates come from the OCCUPANCY-CAPPED bucket equi-join (LSH width grows log with the corpus — measured 1.6x wall at 10x co-scaled data, was 13x fixed-width); the native single-loop cosine verifies.",
     "k19_assignment_drift" ->
       "Assignment drift: two broadcast-centroid argmin passes over one scan each + one tiny contingency aggregate — the retrain-policy measurement is O(n) with no pair joins.",
     "q21_sole_late_supplier" ->
@@ -141,7 +141,17 @@ object Plans {
     "d14_incremental_components" ->
       "Incremental connected components: delta edges contract through base labels (keyed joins), the solve runs on the O(|delta|) contracted graph only, one keyed left join relabels — the base graph is never re-propagated.",
     "t33_repetition_runs" ->
-      "Repetition runs: adjacency flags + packed-accumulator fold inside ONE projection — no Generate, no aggregate, no Exchange before the presentation sort; a free rider on any corpus scan.")
+      "Repetition runs: adjacency flags + packed-accumulator fold inside ONE projection — no Generate, no aggregate, no Exchange before the presentation sort; a free rider on any corpus scan.",
+    "d15_substring_dedup" ->
+      "ExactSubstr dedup: rolling 8-word window hashes explode once, the cross-doc dup set is one hash-keyed aggregate, and ONE equi-join back scores documents — linear, no pairwise comparison anywhere.",
+    "t34_tokenizer_fertility" ->
+      "Tokenizer fertility: t32's row-local encode feeds ONE map-side-combinable per-language aggregate — integer sums end to end, a free rider on the encode pass.",
+    "c16_unimax_allocation" ->
+      "UniMax allocation: the waterfilling threshold falls out of one window pass over language-cardinality rows after ONE map-side-combinable count — the 100 TB corpus contributes one aggregate, the policy costs nothing.",
+    "c17_doremi_weights" ->
+      "DoReMi reweighting: one integer stats aggregate over the corpus, then 3 multiplicative-weight rounds on domain-cardinality rows with 1-row broadcast mixture/normalizer aggregates — exact fixed-point, no float drift.",
+    "s29b_partition_spec_history" ->
+      "Partition-spec HISTORY: one pruned leg per spec-log entry (re-evolution legal — two distinct day specs), stitched by union; evolution is a metadata append, history is never rewritten.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -904,10 +904,13 @@ object CorpusOps {
       val g = t(s, d, "documents").groupBy("lang")
         .agg(count(lit(1)).cast("long").as("n"))
         .withColumn("cap", (col("n") * 3).cast("long"))
-      val tot = g.agg((sum("n") * 2).cast("long").as("b"))
       val byCap = Window.orderBy(col("cap"), col("lang"))
       val whole = Window.partitionBy()
-      val ord = g.crossJoin(broadcast(tot))
+      // the budget is a whole-frame window over the ALREADY-aggregated
+      // language rows — a second agg+crossJoin would re-scan the
+      // corpus through a second lineage (PlanSpec gates one scan)
+      val ord = g
+        .withColumn("b", (sum("n").over(whole) * 2).cast("long"))
         .withColumn("idx", row_number().over(byCap))
         .withColumn("pre", coalesce(sum("cap").over(
           byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -986,22 +989,24 @@ object CorpusOps {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(when(col("n_chars") < 150, 1L).otherwise(0L)).cast("long")
             .as("n_small"))
-      val nDom = g.agg(count(lit(1)).cast("long").as("n_dom"))
-      var w = g.crossJoin(broadcast(nDom))
+      // every round-level aggregate (mixture loss, normalizer) is a
+      // whole-frame WINDOW over the domain-cardinality rows — one
+      // lineage, one corpus scan (agg+crossJoin per round would
+      // re-scan the corpus once per broadcast subtree); integer sums
+      // are order-free, so the window's single-partition shuffle of a
+      // handful of rows is the entire iteration cost
+      var w = g
+        .withColumn("n_dom", expr("count(1) over ()"))
         .select(col("source"), col("n_docs"),
           expr("cast((1000000 * n_small) div n_docs AS BIGINT)").as("loss6"),
           expr("cast(1000000000 div n_dom AS BIGINT)").as("w9"))
       for (_ <- 1 to 3) {
-        // the mixture loss and the normalizer are 1-row INTEGER
-        // aggregates riding broadcasts — map-side combinable, exact,
-        // order-free
-        val mix = w.agg(
-          expr("cast(sum(w9 * loss6) div 1000000000 AS BIGINT)").as("mix6"))
-        val u = w.crossJoin(broadcast(mix))
+        w = w
+          .withColumn("mix6",
+            expr("cast((sum(w9 * loss6) over ()) div 1000000000 AS BIGINT)"))
           .withColumn("wu9",
             expr("cast((w9 * (2000000 + loss6 - mix6)) div 2000000 AS BIGINT)"))
-        val z = u.agg(sum("wu9").cast("long").as("z9"))
-        w = u.crossJoin(broadcast(z))
+          .withColumn("z9", expr("cast(sum(wu9) over () AS BIGINT)"))
           .select(col("source"), col("n_docs"), col("loss6"),
             expr("cast((wu9 * 1000000000) div z9 AS BIGINT)").as("w9"))
       }

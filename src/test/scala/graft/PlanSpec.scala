@@ -708,4 +708,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("partial_"), "stats must combine map-side:\n" + p)
   }
+
+  test("c12: occupancy-capped LSH — native bucket expr, broadcast probes, no cartesian") {
+    val p = plan("c12_semantic_decontamination")
+    assert(p.contains("graft_lsh_bucket_n"),
+      "bucket width must come from the parameterized native expr:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("vector_distance"),
+      "exact verify must run the native single-loop cosine:\n" + p)
+  }
+
+  test("d15: substring dedup is hash-keyed aggregates + one equi-join — never pairwise") {
+    val p = plan("d15_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), "dup-set count must combine map-side:\n" + p)
+  }
+
+  test("t34: fertility is the row-local encode + ONE per-language aggregate") {
+    val p = plan("t34_tokenizer_fertility")
+    assert(p.linesIterator.count(l => l.contains("FileScan") &&
+      l.contains("documents")) == 1,
+      "the corpus-side encode must scan documents once:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-language sums must combine map-side:\n" + p)
+  }
+
+  test("c16/c17: mixing policies aggregate the corpus once and iterate on tiny frames") {
+    Seq("c16_unimax_allocation", "c17_doremi_weights").foreach { q =>
+      val p = plan(q)
+      val docScans = p.linesIterator
+        .count(l => l.contains("FileScan") && l.contains("documents"))
+      assert(docScans == 1,
+        s"$q must aggregate the corpus exactly once, saw $docScans scans:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
 }
