@@ -215,6 +215,82 @@ object Ivm {
     incr.unionByName(rescanned)
   }
 
+  /** The view shape [[applyDeltaTopK]] maintains: per group the K
+    * largest `(v, id)` pairs as a DESC-sorted struct array — the
+    * leaderboard / per-key-top-N materialization. Recompute path uses
+    * rank<=k, which Spark plans with a PARTIAL WindowGroupLimit below
+    * the shuffle (the w2 contract), so even the from-scratch build
+    * ships at most k rows per group per map task; the array collect
+    * then sees <= k rows per group, bounded however large the group.
+    * Ties break by id so the stored state is deterministic.
+    */
+  def aggregateTopK(base: DataFrame, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol).desc, col(idCol).desc)
+    base.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .groupBy(keys.map(col): _*)
+      .agg(reverse(array_sort(collect_list(
+        struct(col(valueCol).as("v"), col(idCol).as("id"))))).as("topk"))
+  }
+
+  /** TOP-K IVM — the leaderboard analogue of [[applyDeltaWithExtrema]]
+    * (MIN/MAX is the k=1 special case, and the same asymmetry holds):
+    * INSERTS are self-maintainable — new top-k = topk(stored ∪
+    * inserted), a pure array expression, because an entering row can
+    * only displace stored rows; a DELETE of a stored member is NOT —
+    * the runner-up (k+1-th) was never stored — so exactly those
+    * groups rescan from the post-change base via a broadcast
+    * null-safe keyed semi probe. A delete strictly below the stored
+    * k-th (by the same (v, id) order) provably cannot change the view
+    * and folds through untouched. Tick cost: O(changes ∪ touched
+    * groups ∪ rows-of-rescanned-groups), never O(base) — and the
+    * rescan probe composes with SkippingIndex.probeForDelta like the
+    * extrema path does.
+    *
+    * @param newBase the POST-change base (version N+1) — rescan
+    *                ground truth
+    */
+  def applyDeltaTopK(view: DataFrame, changes: DataFrame, newBase: DataFrame,
+      keys: Seq[String], valueCol: String, idCol: String, k: Int): DataFrame = {
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val pair = struct(col(valueCol).as("v"), col(idCol).as("id"))
+    val delta = changes
+      .groupBy(keys.map(col): _*)
+      .agg(
+        reverse(array_sort(collect_list(when(isIns, pair)))).as("_ins"),
+        max(when(!isIns, pair)).as("_del_max"),
+        sum(when(!isIns, lit(1L)).otherwise(lit(0L))).as("_n_del"))
+    val deltaR = delta.select(keys.map(kc => col(kc).as(s"_d_$kc")) ++
+      (delta.columns.toSeq diff keys).map(col): _*)
+    val cond = keys.map(kc => col(kc) <=> col(s"_d_$kc")).reduce(_ && _)
+    val merged = view.join(deltaR, cond, "full_outer")
+    // rescan iff the group LOST rows and either a deleted pair sits at
+    // or above the stored k-th (membership in the stored top-k), or
+    // the view never stored the group (born and shrunk same tick)
+    val kth = element_at(col("topk"), size(col("topk")))
+    val needsRescan = coalesce(col("_n_del"), lit(0L)) > 0 &&
+      (col("topk").isNull || coalesce(col("_del_max") >= kth, lit(false)))
+    val newTopk = when(col("topk").isNull, slice(col("_ins"), 1, k))
+      .when(col("_ins").isNull || size(col("_ins")) === 0, col("topk"))
+      .otherwise(slice(reverse(array_sort(
+        concat(col("topk"), col("_ins")))), 1, k))
+    val incr = merged.filter(!needsRescan)
+      .select(keys.map(kc => coalesce(col(kc), col(s"_d_$kc")).as(kc)) :+
+        newTopk.as("topk"): _*)
+      .filter(col("topk").isNotNull && size(col("topk")) > 0)
+    val rescanKeys = merged.filter(needsRescan)
+      .select(keys.map(kc => coalesce(col(kc), col(s"_d_$kc")).as(s"_r_$kc")): _*)
+      .distinct()
+    val rescanCond = keys.map(kc => col(kc) <=> col(s"_r_$kc")).reduce(_ && _)
+    val rescanned = aggregateTopK(
+      newBase.join(broadcast(rescanKeys), rescanCond, "left_semi"),
+      keys, valueCol, idCol, k)
+    incr.unionByName(rescanned)
+  }
+
   /** A derivation/group count that reaches zero is a legitimate drop;
     * one that goes NEGATIVE means the changelog is inconsistent with
     * the view (a delete for a row the view never derived). Filtering

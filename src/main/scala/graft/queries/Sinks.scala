@@ -521,6 +521,65 @@ object Sinks {
     },
 
     // ---------------------------------------------------------------
+    // TOP-K IVM — the leaderboard view, and the generalization i5's
+    // MIN/MAX is the k=1 case of: per customer the 3 highest-priced
+    // orders, CDC-maintained. Inserts are self-maintainable (an
+    // entering row can only displace stored rows — a pure array
+    // expression over stored ∪ inserted); a delete that hits the
+    // STORED top-k is not (the runner-up was never stored), so
+    // exactly those groups rescan from the post-change base via a
+    // broadcast keyed semi probe — i5's bounded-fallback discipline
+    // at k=3. The edit script exercises every path: price doublings
+    // promote rows in (insert-only fold), deletions evict stored
+    // members (rescan pulls runners-up), group moves do both, and
+    // fresh negative-key orders land in groups born this tick.
+    // Oracle = rank<=3 over the recomputed after-state; ties pinned
+    // by order key so the stored state is deterministic.
+    Q("i7_topk_ivm",
+      "CDC-maintained TOP-K-per-group view == recompute; only evicted groups rescan",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |r AS (SELECT o_custkey, o_totalprice, o_orderkey,
+         |        row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+         |      FROM v2)
+         |SELECT o_custkey, rk, o_totalprice AS price, o_orderkey AS orderkey
+         |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      val path = scratch("i7")
+      val viewPath = scratch("i7_view")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val v1 = TableStore.publishVersion(s, path, o, note = "base")
+      val v2 = TableStore.publishVersion(s, path, edited, note = "edit")
+      TableStore.overwrite(Ivm.aggregateTopK(
+        TableStore.readVersion(s, path, Some(v1)),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3), viewPath)
+      val changes = TableStore.changesBetween(s, path, v1, v2, Seq("o_orderkey"))
+      Ivm.applyDeltaTopK(TableStore.read(s, viewPath), changes,
+        TableStore.readVersion(s, path, Some(v2)),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), posexplode(col("topk")).as(Seq("p", "e")))
+        .select(col("o_custkey"), (col("p") + 1).cast("long").as("rk"),
+          col("e.v").as("price"), col("e.id").as("orderkey"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    // ---------------------------------------------------------------
     // S27 — full three-clause MERGE: the complete `MERGE INTO`
     // surface (matched-delete with its own predicate, matched-update,
     // not-matched-insert) that upsertByKey (i1) and insertIfAbsent
