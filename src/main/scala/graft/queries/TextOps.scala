@@ -789,8 +789,73 @@ object TextOps {
           expr("cast((1000000 * total_tokens) div greatest(total_chars, 1) AS BIGINT)")
             .as("tokens_per_char_e6"))
         .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------
+    // Quality RULE BUNDLE — the Gopher/C4-style composite filter as
+    // one verdict per document: the individual signals (t2's ratios,
+    // t14's repetition, t33's runs) each exist as diagnostics, but a
+    // pipeline filters on a BUNDLE with a reason trail — which rule
+    // killed the doc decides what to tune. Six rules, every threshold
+    // tested by INTEGER cross-multiplication (2·Σlen ≤ … ≤ 12·Σlen
+    // instead of a float mean), so the verdict is bit-exact across
+    // engines with no ratio rounding anywhere. Entirely row-local —
+    // one corpus scan, zero exchange before the presentation sort: at
+    // 100 TB the whole gate is a free rider on the ingest scan, and
+    // the reason bitmask aggregates into the per-rule kill report
+    // downstream dashboards want.
+    Q("t35_quality_gate",
+      "Gopher/C4 rule bundle: 6 integer-exact row-local rules, reason bitmask, keep verdict",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, text, n_chars, $wordsE AS w FROM documents)
+           |SELECT doc_id, ${qgRules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")},
+           |  ${qgMask} AS fail_mask,
+           |  CASE WHEN ${qgMask} = 0 THEN 1 ELSE 0 END AS keep
+           |FROM w ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .withColumn("w", expr(wordsE))
+        .select(Seq(col("doc_id")) ++
+          qgRules.map { case (n, e) => expr(e).as(n) } ++
+          Seq(expr(qgMask).as("fail_mask"),
+            expr(s"CASE WHEN ${qgMask} = 0 THEN 1 ELSE 0 END").as("keep")): _*)
+        .orderBy("doc_id")
     }
   )
+
+  /** The t35 rule set: (name, integer 0/1 pass expression) — shared
+    * verbatim by both dialects (thresholds via integer
+    * cross-multiplication; no float ratio anywhere).
+    */
+  private def qgRules(implicit d: Dialect): Seq[(String, String)] = {
+    val nw = d.arrSize("w")
+    val sumLen = d.foldL(
+      d.xform("w", "w_", s"cast(length(w_) as bigint)"), 0L, "a_", "x_", "a_ + x_")
+    val nStop = d.arrSize(d.filt("w", "w_",
+      (if (d == SqlSpark) s"array_contains(${strArr(StopWords)}, w_)"
+       else s"list_contains(${strArr(StopWords)}, w_)")))
+    val alphaLen = if (d == SqlSpark)
+      "length(regexp_replace(text, '[^a-z]', ''))"
+    else "length(regexp_replace(text, '[^a-z]', '', 'g'))"
+    val nDistinct = d.arrSize(d.arrDistinct("w"))
+    Seq(
+      "r_word_count" -> s"CASE WHEN $nw BETWEEN 10 AND 1000 THEN 1 ELSE 0 END",
+      "r_word_len" ->
+        s"CASE WHEN 2 * $nw <= $sumLen AND $sumLen <= 12 * $nw THEN 1 ELSE 0 END",
+      "r_stopwords" -> s"CASE WHEN $nStop >= 2 THEN 1 ELSE 0 END",
+      "r_alpha" -> s"CASE WHEN 5 * $alphaLen >= 3 * n_chars THEN 1 ELSE 0 END",
+      "r_no_runs" -> s"CASE WHEN ${maxRunExpr("w")} < 3 THEN 1 ELSE 0 END",
+      "r_distinct_words" ->
+        s"CASE WHEN 2 * $nDistinct >= $nw THEN 1 ELSE 0 END")
+  }
+
+  /** Failed-rule bitmask: bit i set when rule i FAILS. */
+  private def qgMask(implicit d: Dialect): String =
+    qgRules.zipWithIndex.map { case ((_, e), i) =>
+      s"(CASE WHEN ($e) = 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** t31's training path: one distributed word-count aggregate, local
     * greedy merge fit on the ≤ BpeVocabCap candidate table.
