@@ -151,7 +151,11 @@ object Plans {
     "c17_doremi_weights" ->
       "DoReMi reweighting: one integer stats aggregate over the corpus, then 3 multiplicative-weight rounds on domain-cardinality rows with 1-row broadcast mixture/normalizer aggregates — exact fixed-point, no float drift.",
     "s29b_partition_spec_history" ->
-      "Partition-spec HISTORY: one pruned leg per spec-log entry (re-evolution legal — two distinct day specs), stitched by union; evolution is a metadata append, history is never rewritten.")
+      "Partition-spec HISTORY: one pruned leg per spec-log entry (re-evolution legal — two distinct day specs), stitched by union; evolution is a metadata append, history is never rewritten.",
+    "i7_topk_ivm" ->
+      "TOP-K IVM: inserts fold as pure array expressions; a delete hitting the stored top-k rescans ONLY its group via a broadcast semi probe; the rescan's rank<=k pushes a partial WindowGroupLimit — O(changes ∪ evicted-group rows), never O(base).",
+    "t35_quality_gate" ->
+      "Quality rule bundle: six integer-exact rules + reason bitmask inside ONE row-local projection — zero exchange before the presentation sort; a free rider on the ingest scan.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

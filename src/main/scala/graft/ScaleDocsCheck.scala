@@ -28,13 +28,14 @@ object ScaleDocsCheck {
     "d1_exact_dedup", "d2_minhash_sig", "d3_lsh_near_dup", "d4_simhash",
     "d7_dup_components", "d9_incremental_dedup", "d10_minhash_estimate",
     "d11_semantic_dedup", "d12_chunk_dedup", "d13_boilerplate_removal",
-    "d14_incremental_components",
+    "d14_incremental_components", "d15_substring_dedup",
     "t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_clean_text", "t7_tfidf", "t8_bm25", "t30_char_entropy",
-    "t31_bpe_train", "t32_bpe_encode",
+    "t31_bpe_train", "t32_bpe_encode", "t34_tokenizer_fertility",
+    "t35_quality_gate",
     "c1_corpus_pipeline", "c5_decontamination", "c11_temperature_rebalance",
     "c12_semantic_decontamination", "c13_quality_classifier",
-    "c14_k_anonymity",
+    "c14_k_anonymity", "c16_unimax_allocation", "c17_doremi_weights",
     "k1_knn_brute", "k2_ann_lsh", "k3_ann_ivf", "k6_quantized_knn",
     "k9_kmeans_lloyd")
 

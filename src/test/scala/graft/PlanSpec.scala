@@ -451,6 +451,20 @@ class PlanSpec extends SparkSpec {
       "delta collapse must combine map-side:\n" + p)
   }
 
+  test("i7: top-k IVM rescan is a broadcast semi probe; recompute pushes a partial group limit") {
+    val p = plan("i7_topk_ivm")
+    assert(p.contains("Union"), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the rescan must probe the base via a broadcast semi join on the " +
+        "evicted groups only:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push a partial WindowGroupLimit below the shuffle " +
+        "(the w2 contract) so even the rescan ships <=k rows per group " +
+        "per map task:\n" + p)
+  }
+
   test("t30: char entropy is row-local — no hash Exchange, no explode, no aggregate") {
     // the whole histogram + Σ k·ln(k) lives inside one generated
     // projection (graft_char_entropy); the only exchange allowed is

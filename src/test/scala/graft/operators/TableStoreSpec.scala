@@ -539,6 +539,29 @@ class TableStoreSpec extends SparkSpec {
       .toSet == Set((1L, "a", 2L)))
   }
 
+  test("readFoldedUnion: aggregating the raw signed chain == aggregating the folded state") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum}
+    val p = scratch()
+    def rows(rs: (Long, String, Long)*) = rs.toDF("k", "v", "_mult")
+    TableStore.publishFoldSnapshot(spark, p, rows((1L, "a", 2L), (2L, "b", 1L)))
+    TableStore.publishFoldDelta(spark, p,
+      rows((1L, "a", -1L), (3L, "c", 1L), (2L, "b", -1L)))
+    TableStore.publishFoldDelta(spark, p, rows((3L, "c", 2L)))
+    // any sum over the state distributes over the signed rows — the
+    // zeroed (2, b) tuple contributes 0 to every aggregate, so the
+    // union path and the folded path agree without the state-wide
+    // pre-fold groupBy
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k").agg(sum(col("_mult")).as("n"))
+      .filter(col("n") > 0)
+      .as[(Long, Long)].collect().toSet
+    val viaUnion = agg(TableStore.readFoldedUnion(spark, p))
+    val viaFold = agg(TableStore.readFolded(spark, p))
+    assert(viaUnion == viaFold && viaUnion == Set((1L, 1L), (3L, 3L)),
+      s"union=$viaUnion fold=$viaFold")
+  }
+
   test("fold table: NULL data columns fold as one group (Ivm multiset parity)") {
     import TestSpark.spark.implicits._
     val p = scratch()
