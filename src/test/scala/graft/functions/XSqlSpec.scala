@@ -125,6 +125,21 @@ class XSqlSpec extends SparkSpec {
     assert(x >= 0 && x < (1L << XSql.LshPlanes))
   }
 
+  test("variable-width lsh bucket: formula coefficients == fixed arrays at the default width; wider = prefix-consistent") {
+    val v = (1 to 64).map(i => s"double(${i % 7} - 3)").mkString("array(", ",", ")")
+    // A2/B2 are the generating formula's first LshPlanes values, so
+    // bucketN at the default width must equal the fixed-array bucket
+    val fixed = eval1(s"graft_lsh_bucket($v)").asInstanceOf[Long]
+    val dyn = eval1(s"graft_lsh_bucket_n($v, ${XSql.LshPlanes})").asInstanceOf[Long]
+    assert(dyn == fixed, s"formula=$dyn fixed=$fixed")
+    // widening only ADDS high bits: the low LshPlanes bits are the
+    // same plane signs (the property that keeps narrow- and wide-width
+    // assignments comparable)
+    val wide = eval1(s"graft_lsh_bucket_n($v, 13)").asInstanceOf[Long]
+    assert((wide & ((1L << XSql.LshPlanes) - 1)) == fixed, s"wide=$wide")
+    assert(wide >= 0 && wide < (1L << 13))
+  }
+
   test("jaccard of overlapping sets") {
     assert(eval1(XSql.jaccard(
       "array(bigint(1), bigint(2), bigint(3))",
