@@ -80,6 +80,39 @@ class IvmTopKSpec extends SparkSpec {
       ins = Seq((3L, 7.0, 5L), (3L, 3.0, 6L)))
   }
 
+  test("property: maintained == recomputed for random states, drops, and births") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val baseGen = for {
+      n <- Gen.choose(0, 8)
+      gs <- Gen.listOfN(n, Gen.choose(1L, 3L))
+      vs <- Gen.listOfN(n, Gen.choose(10, 13).map(_.toDouble))
+    } yield gs.zip(vs).zipWithIndex.map { case ((g, v), i) => (g, v, i + 1L) }
+    val gen = for {
+      before <- baseGen
+      keep <- Gen.listOfN(8, Gen.oneOf(true, false))
+      m <- Gen.choose(0, 4)
+      ngs <- Gen.listOfN(m, Gen.choose(1L, 3L))
+      nvs <- Gen.listOfN(m, Gen.choose(10, 13).map(_.toDouble))
+    } yield {
+      val kept = before.zip(keep).collect { case (r, true) => r }
+      val born = ngs.zip(nvs).zipWithIndex.map { case ((g, v), i) =>
+        (g, v, 100L + i) }
+      (before, kept ++ born, before.diff(kept), born)
+    }
+    val prop = Prop.forAll(gen) { case (before, after, dropped, born) =>
+      val view1 = Ivm.aggregateTopK(base(before: _*), Seq("g"), "v", "id", K)
+      val maintained = Ivm.applyDeltaTopK(view1, changesOf(dropped, born),
+        base(after: _*), Seq("g"), "v", "id", K)
+      val recomputed = Ivm.aggregateTopK(base(after: _*), Seq("g"), "v", "id", K)
+      val (got, want) = (viewSet(maintained), viewSet(recomputed))
+      Prop(got == want) :|
+        s"got=$got want=$want before=$before after=$after"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("tie on value breaks by id — stored state is deterministic") {
     val v1 = base((1L, 10.0, 1L), (1L, 10.0, 2L), (1L, 10.0, 3L))
     val view1 = Ivm.aggregateTopK(v1, Seq("g"), "v", "id", K)

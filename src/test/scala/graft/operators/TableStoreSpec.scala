@@ -539,6 +539,39 @@ class TableStoreSpec extends SparkSpec {
       .toSet == Set((1L, "a", 2L)))
   }
 
+  test("concurrent publishers claim distinct versions; every commit is readable with its note") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val pubs = (1 to 8).map { i =>
+        scala.concurrent.Future {
+          TableStore.publishVersion(spark, p,
+            Seq((i.toLong, s"w$i")).toDF("k", "v"), s"writer$i")
+        }
+      }
+      val versions = pubs.map(f =>
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      // 8 racing publishers -> 8 DISTINCT committed versions (the
+      // claim/marker protocol never double-assigns a number)...
+      assert(versions.toSet.size == 8, versions.toString)
+      assert(TableStore.committedVersions(spark, p).toSet == versions.toSet)
+      // ...each readable with its own data and note, and the live
+      // version is simply the highest committed marker
+      versions.foreach { v =>
+        val row = TableStore.readVersion(spark, p, Some(v))
+          .as[(Long, String)].collect().toSeq
+        assert(row.size == 1, s"v=$v rows=$row")
+        val note = TableStore.versionNote(spark, p, v).get
+        assert(note == s"writer${row.head._1}", s"v=$v note=$note row=$row")
+      }
+      assert(TableStore.currentVersion(spark, p).contains(versions.max))
+    } finally pool.shutdown()
+  }
+
   test("readFoldedUnion: aggregating the raw signed chain == aggregating the folded state") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, sum}
