@@ -460,6 +460,75 @@ object TableStore {
     v
   }
 
+  /** A CAS publish lost its race: the table advanced past the version
+    * the writer's read-modify-write was computed against. Carry both
+    * versions so the caller can re-read and retry.
+    */
+  final case class ConcurrentVersionException(path: String,
+      expected: Option[Long], current: Option[Long])
+    extends RuntimeException(
+      s"concurrent publish at $path: expected current version $expected " +
+        s"but found $current — re-read and retry")
+
+  /** OPTIMISTIC (compare-and-swap) publish — the multi-writer commit
+    * protocol of a lakehouse log, on the same marker substrate: the
+    * writer states the version its read-modify-write was computed
+    * against, and the commit succeeds ONLY as `expected + 1`. The
+    * marker IS the entire atomic commit object: data stages under a
+    * content-addressed `d_<uuid>` dir first, then ONE create-exclusive
+    * of `_committed_v{expected+1}` (whose content carries the note
+    * plus the data pointer) decides the race — the loser's marker
+    * create fails, it deletes its staging and gets
+    * [[ConcurrentVersionException]] to re-read and retry, exactly
+    * Delta's optimistic-concurrency loop. No claim files: a crashed
+    * CAS writer leaves only an unreferenced staging dir ([[vacuum]]
+    * reclaims it), never a burned number, so retries can't livelock.
+    *
+    * Lost updates are impossible by construction: between the
+    * writer's read at `expected` and its commit, ANY other commit
+    * takes `expected + 1` first and the marker create fails. A table
+    * should be advanced EITHER by CAS publishes or by the claim-based
+    * [[publishVersion]] (ingest appends), not interleaved writers of
+    * both kinds racing: a claim-based publisher that loses version N
+    * to a CAS marker mid-flight fails loudly on its own marker create
+    * rather than corrupting anything.
+    */
+  def publishVersionIf(spark: SparkSession, path: String, df: DataFrame,
+      note: String, expected: Option[Long]): Long = {
+    val f = fs(spark, path)
+    val base = new Path(path)
+    if (!f.exists(base)) f.mkdirs(base)
+    val cur = currentVersion(spark, path)
+    if (cur != expected) throw ConcurrentVersionException(path, expected, cur)
+    val target = expected.getOrElse(0L) + 1L
+    val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.parquet(s"$path/$stage")
+    val marker = new Path(s"$path/_committed_v$target")
+    if (!createExclusive(f, marker, (note + DataPtr + stage).getBytes("UTF-8"))) {
+      f.delete(new Path(s"$path/$stage"), true)
+      throw ConcurrentVersionException(path, expected,
+        currentVersion(spark, path))
+    }
+    target
+  }
+
+  /** Retry loop for CAS read-modify-write: `attempt` receives the
+    * current version (None before the first publish) and returns the
+    * new full state; conflicts re-read and retry up to `maxRetries`.
+    */
+  def publishWithRetry(spark: SparkSession, path: String, note: String,
+      maxRetries: Int = 10)(attempt: Option[Long] => DataFrame): Long = {
+    var tries = 0
+    while (true) {
+      val cur = currentVersion(spark, path)
+      try return publishVersionIf(spark, path, attempt(cur), note, cur)
+      catch {
+        case _: ConcurrentVersionException if tries < maxRetries => tries += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** In-JVM serialization of the claim step (see class doc). */
   private val claimLock = new Object
 
@@ -536,10 +605,13 @@ object TableStore {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     committedVersions(spark, path).lastOption
 
-  /** The commit note version `v` was published with ("" if none), or
-    * None for a version never committed.
+  /** Marker-content delimiter separating the caller's note from a
+    * CAS commit's data pointer (see [[publishVersionIf]]).
     */
-  def versionNote(spark: SparkSession, path: String, v: Long): Option[String] = {
+  private val DataPtr = "\n@data="
+
+  private def markerContent(spark: SparkSession, path: String,
+      v: Long): Option[String] = {
     val f = fs(spark, path)
     val marker = new Path(s"$path/_committed_v$v")
     if (!f.exists(marker)) None
@@ -550,6 +622,29 @@ object TableStore {
       Some(s)
     }
   }
+
+  /** The commit note version `v` was published with ("" if none), or
+    * None for a version never committed. A CAS commit's data pointer
+    * is marker METADATA, not note text — stripped here so note
+    * matching (tick idempotency, checkpoint proofs) is publish-path-
+    * agnostic.
+    */
+  def versionNote(spark: SparkSession, path: String, v: Long): Option[String] =
+    markerContent(spark, path, v).map { s =>
+      val i = s.indexOf(DataPtr)
+      if (i < 0) s else s.substring(0, i)
+    }
+
+  /** The data directory version `v` reads from: the marker's pointer
+    * for CAS commits, the conventional `v=N` dir otherwise.
+    */
+  private def versionDataDir(spark: SparkSession, path: String,
+      v: Long): String =
+    markerContent(spark, path, v) match {
+      case Some(s) if s.contains(DataPtr) =>
+        s"$path/${s.substring(s.indexOf(DataPtr) + DataPtr.length).trim}"
+      case _ => s"$path/v=$v"
+    }
 
   /** Read a pinned version (reproducible training runs) or the live
     * one. Fails loudly on a version that was never committed (orphan
@@ -564,7 +659,7 @@ object TableStore {
     require(committed.contains(v),
       s"readVersion: version $v at $path is not committed " +
         "(a crashed publish's orphan dir is not a version)")
-    val vDir = s"$path/v=$v"
+    val vDir = versionDataDir(spark, path, v)
     require(fs(spark, path).exists(new Path(vDir)),
       s"readVersion: version $v does not exist at $path (dropped by retention)")
     spark.read.parquet(vDir)
@@ -655,7 +750,21 @@ object TableStore {
         st.getPath.getName.stripPrefix("v=").toLong).toOption
         .exists(!committed.contains(_)))
     orphans.foreach(st => f.delete(st.getPath, true): Unit)
-    orphans.size.toLong
+    // a crashed CAS publish leaves an unreferenced content-addressed
+    // staging dir — reclaim any d_* no committed marker points to,
+    // but ONLY past an age threshold: an unreferenced young dir may
+    // be an IN-FLIGHT publish whose marker hasn't landed yet (the
+    // same stale-file age guard Delta's VACUUM applies)
+    val referenced = committed.map(v =>
+      new Path(versionDataDir(spark, path, v)).getName)
+    val minAgeMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
+    val staged = f.listStatus(p).toSeq
+      .filter(st => st.getPath.getName.startsWith("d_") &&
+        !referenced.contains(st.getPath.getName) &&
+        now - st.getModificationTime > minAgeMs)
+    staged.foreach(st => f.delete(st.getPath, true): Unit)
+    (orphans.size + staged.size).toLong
   }
 
   /** Retention: drop the DATA of all versions strictly below
@@ -813,6 +922,14 @@ object TableStore {
     statuses.filter(_.getPath.getName.startsWith("v=")).foreach { st =>
       val v = st.getPath.getName.stripPrefix("v=").toLong
       if (v < keepFrom && v != cur) f.delete(st.getPath, true): Unit
+    }
+    // CAS commits keep their data behind marker pointers — reclaim
+    // those the same way (markers stay, numbers stay burned)
+    committedVersions(spark, path).foreach { v =>
+      if (v < keepFrom && v != cur) {
+        val d = versionDataDir(spark, path, v)
+        if (d != s"$path/v=$v") f.delete(new Path(d), true): Unit
+      }
     }
   }
 

@@ -1292,6 +1292,52 @@ object Sinks {
         .groupBy(col("load_date"), col("spec_id"), col("spec"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("load_date", "spec_id")
+    },
+
+    // ---------------------------------------------------------------
+    // OPTIMISTIC multi-writer commit (the lakehouse CAS loop) —
+    // upgrades the store's "single-writer" scope note to the real
+    // protocol: a writer states the version its read-modify-write was
+    // computed against and commits ONLY as expected+1; the marker is
+    // the entire atomic commit object (data behind a content-
+    // addressed pointer), so the loser of a race gets a conflict to
+    // re-read and retry, never a lost update. The query walks the
+    // loop end to end: base publish, a successful CAS update, a STALE
+    // writer whose conflict is caught and retried against the
+    // advanced state — final state provably reflects BOTH updates,
+    // and the version count proves exactly three commits happened.
+    // TableStoreSpec races 8 writers through the same loop and pins
+    // the no-lost-update guarantee; the oracle states the final
+    // algebra.
+    Q("s30_optimistic_merge",
+      "CAS multi-writer commit: stale writer conflicts, retries, merges — no lost update",
+      s"""SELECT c_mktsegment AS seg, count(*) + 110 AS n,
+         |  3 AS n_commits
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = scratch("s30")
+      val base = t(s, d, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val v1 = TableStore.publishVersionIf(s, path, base, "base", None)
+      // writer 1: read v1, add 10 — commits as v2
+      TableStore.publishVersionIf(s, path,
+        TableStore.readVersion(s, path, Some(v1))
+          .withColumn("n", col("n") + 10), "w1", Some(v1))
+      // writer 2 computed against v1 too — STALE: must conflict, then
+      // retry against the advanced state so w1's +10 is not lost
+      val stale = scala.util.Try(TableStore.publishVersionIf(s, path,
+        TableStore.readVersion(s, path, Some(v1))
+          .withColumn("n", col("n") + 100), "w2-stale", Some(v1)))
+      require(stale.failed.toOption.exists(
+        _.isInstanceOf[TableStore.ConcurrentVersionException]),
+        "stale CAS publish must conflict, not overwrite")
+      TableStore.publishWithRetry(s, path, "w2") { cur =>
+        TableStore.readVersion(s, path, cur).withColumn("n", col("n") + 100)
+      }
+      val nCommits = TableStore.currentVersion(s, path).getOrElse(0L)
+      TableStore.readVersion(s, path)
+        .select(col("seg"), col("n"),
+          lit(nCommits).cast("int").as("n_commits"))
+        .orderBy("seg")
     }
   )
 }

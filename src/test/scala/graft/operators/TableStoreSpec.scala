@@ -572,6 +572,83 @@ class TableStoreSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("CAS publish: stale expected conflicts; notes survive the data pointer; retention reclaims pointed dirs") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val v1 = TableStore.publishVersionIf(spark, p,
+      Seq((1L, 10L)).toDF("k", "n"), "first", None)
+    assert(v1 == 1L)
+    assert(TableStore.readVersion(spark, p).as[(Long, Long)].collect()
+      .toSeq == Seq((1L, 10L)))
+    // the data pointer is marker metadata — the NOTE reads clean
+    assert(TableStore.versionNote(spark, p, v1).contains("first"))
+    // a writer that read v1 commits v2; one that still thinks the
+    // table is empty must conflict, not overwrite
+    val v2 = TableStore.publishVersionIf(spark, p,
+      Seq((1L, 11L)).toDF("k", "n"), "second", Some(v1))
+    val ex = intercept[TableStore.ConcurrentVersionException] {
+      TableStore.publishVersionIf(spark, p,
+        Seq((9L, 99L)).toDF("k", "n"), "stale", None)
+    }
+    assert(ex.current.contains(v2), ex.toString)
+    // retention reclaims the pointed data dir, keeps marker + note
+    TableStore.dropVersionsBelow(spark, p, v2)
+    assert(TableStore.versionNote(spark, p, v1).contains("first"))
+    intercept[IllegalArgumentException] {
+      TableStore.readVersion(spark, p, Some(v1)).collect()
+    }
+    assert(TableStore.readVersion(spark, p, Some(v2)).as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 11L)))
+  }
+
+  test("CAS read-modify-write under 8 racing writers loses no update") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    TableStore.publishVersionIf(spark, p,
+      Seq((1L, 0L)).toDF("k", "n"), "init", None)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = (1 to 8).map { i =>
+        scala.concurrent.Future {
+          TableStore.publishWithRetry(spark, p, s"incr$i",
+            maxRetries = 100) { cur =>
+            // classic read-modify-write: read the state the CAS will
+            // be validated against, add 1 — lost updates would leave
+            // the final counter below 8
+            TableStore.readVersion(spark, p, cur)
+              .withColumn("n", org.apache.spark.sql.functions.col("n") + 1)
+          }
+        }
+      }
+      writers.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+      val fin = TableStore.readVersion(spark, p).as[(Long, Long)]
+        .collect().toSeq
+      assert(fin == Seq((1L, 8L)), s"lost update: $fin")
+      assert(TableStore.currentVersion(spark, p).contains(9L))
+    } finally pool.shutdown()
+  }
+
+  test("vacuum reclaims aged unreferenced CAS staging, never young or referenced dirs") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    TableStore.publishVersionIf(spark, p,
+      Seq((1L, 1L)).toDF("k", "n"), "live", None)
+    // a crashed publish: staged data, no marker
+    Seq((2L, 2L)).toDF("k", "n").write.parquet(s"$p/d_crashed")
+    assert(TableStore.vacuum(spark, p) == 0L,
+      "a young unreferenced staging dir may be in-flight — must survive")
+    val dir = new java.io.File(s"$p/d_crashed")
+    assert(dir.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    assert(TableStore.vacuum(spark, p) == 1L)
+    assert(!dir.exists())
+    // the committed version's pointed dir is untouched
+    assert(TableStore.readVersion(spark, p).as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 1L)))
+  }
+
   test("readFoldedUnion: aggregating the raw signed chain == aggregating the folded state") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.functions.{col, sum}
