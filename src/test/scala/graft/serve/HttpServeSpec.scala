@@ -1,0 +1,54 @@
+package graft.serve
+
+import graft.{SparkSpec, TestSpark}
+
+/** The HTTP serving shell end to end: a real server on an ephemeral
+  * port, driven with the JDK HTTP client — the reference's FastAPI
+  * route semantics (document compose, metric allow-list, 404/400
+  * paths) without any web-framework dependency.
+  */
+class HttpServeSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("health, document compose, live similarity, 404 and allow-list 400") {
+    val readers = Readers.build(TestSpark.spark, "/root/testdata/sf0.001", k = 3)
+    val srv = new HttpServe(readers)
+    srv.start()
+    val port = srv.boundPort
+    try {
+      assert(get(port, "/health") == ((200, """{"status":"ok"}""")))
+
+      // composed document: profile fields + precomputed neighbor list
+      val (c1, doc) = get(port, "/games/0")
+      assert(c1 == 200, doc)
+      assert(doc.contains("\"vec_id\":0"), doc)
+      assert(doc.contains("\"similar\":["), doc)
+
+      // live tuned similarity honors k and the metric allow-list
+      val (c2, sim) = get(port, "/games/0/similar?metric=cosine&k=2")
+      assert(c2 == 200, sim)
+      assert(sim.contains("\"metric\":\"COSINE\""), sim)
+      assert(sim.split("\"dist\":").length - 1 == 2, sim)
+
+      val (c3, bad) = get(port, "/games/0/similar?metric=MANHATTAN")
+      assert(c3 == 400 && bad.contains("not allowed"), s"$c3 $bad")
+
+      val (c4, missing) = get(port, "/games/999999")
+      assert(c4 == 404 && missing.contains("not found"), s"$c4 $missing")
+
+      assert(get(port, "/nope")._1 == 404)
+    } finally {
+      srv.stop()
+      readers.close()
+    }
+  }
+}
