@@ -822,8 +822,99 @@ object TextOps {
           Seq(expr(qgMask).as("fail_mask"),
             expr(s"CASE WHEN ${qgMask} = 0 THEN 1 ELSE 0 END").as("keep")): _*)
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // FIM (fill-in-the-middle) transform — the pretraining data op
+    // behind infilling-capable models (Bavarian et al. 2022): each
+    // document splits into prefix/middle/suffix at deterministic word
+    // thirds and re-serializes with sentinel tokens in PSM or SPM
+    // order (alternated by doc parity, the 50/50 mix the paper
+    // recommends). The op is a pure row-local rewrite — one scan,
+    // zero exchange before the presentation sort — and carries its
+    // own LOSSLESSNESS gate in-query: the three pieces, reassembled
+    // in source order, must equal the original word sequence for
+    // every document (roundtrip_ok), because FIM corrupting content
+    // silently is the failure mode that poisons a training run. Docs
+    // under 6 words pass through as RAW (nothing sensible to infill).
+    Q("t36_fim_transform",
+      "fill-in-middle rewrite: PSM/SPM split at word thirds + in-query losslessness gate",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH w AS (SELECT doc_id, $wordsE AS w FROM documents),
+           |c AS (SELECT doc_id, w, ${dl.arrSize("w")} AS n,
+           |        ${fimCut} AS p FROM w),
+           |f AS (SELECT doc_id, n, p,
+           |        ${fimPieces("w")},
+           |        CASE WHEN n < 6 THEN 'RAW'
+           |             WHEN doc_id % 2 = 0 THEN 'PSM' ELSE 'SPM' END AS mode,
+           |        ${aj("w")} AS orig
+           |      FROM c)
+           |SELECT doc_id, mode, n AS n_words,
+           |  CASE WHEN mode = 'RAW' THEN 0 ELSE p END AS n_prefix,
+           |  CASE WHEN mode = 'RAW' THEN 0 ELSE p END AS n_middle,
+           |  CASE WHEN mode = 'RAW' THEN 0 ELSE n - 2 * p END AS n_suffix,
+           |  md5(${fimText}) AS fim_md5,
+           |  CASE WHEN ${fimRoundtrip} THEN 1 ELSE 0 END AS roundtrip_ok
+           |FROM f ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      t(s, d, "documents")
+        .select(col("doc_id"), expr(wordsE).as("w"))
+        .select(col("doc_id"), col("w"),
+          expr(dl.arrSize("w")).as("n"), expr(fimCut).as("p"))
+        .select(Seq(col("doc_id"), col("n"), col("p")) ++
+          fimPieceCols :+
+          expr("CASE WHEN n < 6 THEN 'RAW' WHEN doc_id % 2 = 0 THEN 'PSM' ELSE 'SPM' END").as("mode") :+
+          expr(aj("w")).as("orig"): _*)
+        .select(col("doc_id"), col("mode"), col("n").as("n_words"),
+          expr("CASE WHEN mode = 'RAW' THEN 0 ELSE p END").as("n_prefix"),
+          expr("CASE WHEN mode = 'RAW' THEN 0 ELSE p END").as("n_middle"),
+          expr("CASE WHEN mode = 'RAW' THEN 0 ELSE n - 2 * p END").as("n_suffix"),
+          expr(s"md5(${fimText})").as("fim_md5"),
+          expr(s"CASE WHEN ${fimRoundtrip} THEN 1 ELSE 0 END").as("roundtrip_ok"))
+        .orderBy("doc_id")
     }
   )
+
+  /** FIM cut: the word-third length (integer, both engines). */
+  private def fimCut(implicit d: Dialect): String =
+    idiv(d.arrSize("w"), "3")
+
+  /** prefix/middle/suffix joined strings as SELECT-list items. */
+  private def fimPieces(w: String)(implicit d: Dialect): String = Seq(
+    s"${aj(slDyn(w, "1", "p"))} AS pre",
+    s"${aj(slDyn(w, "p + 1", "p"))} AS mid",
+    s"${aj(slDyn(w, "2 * p + 1", "n - 2 * p"))} AS suf").mkString(",\n        ")
+
+  private def fimPieceCols(implicit d: Dialect) = Seq(
+    expr(aj(slDyn("w", "1", "p"))).as("pre"),
+    expr(aj(slDyn("w", "p + 1", "p"))).as("mid"),
+    expr(aj(slDyn("w", "2 * p + 1", "n - 2 * p"))).as("suf"))
+
+  /** The serialized FIM document per mode (sentinels spelled out). */
+  private def fimText: String =
+    "CASE WHEN mode = 'RAW' THEN orig " +
+      "WHEN mode = 'PSM' THEN concat('<PRE>', pre, '<SUF>', suf, '<MID>', mid) " +
+      "ELSE concat('<SUF>', suf, '<PRE>', pre, '<MID>', mid) END"
+
+  /** Losslessness: pieces reassembled in source order == original. */
+  private def fimRoundtrip: String =
+    "(mode = 'RAW' OR concat(pre, ' ', mid, ' ', suf) = orig)"
+
+  /** Dynamic-length array slice (the Dialect.slice helper takes a
+    * constant length; FIM's cut points are per-row).
+    */
+  private def slDyn(arr: String, a: String, len: String)(
+      implicit d: Dialect): String = d match {
+    case SqlSpark => s"slice($arr, $a, $len)"
+    case SqlDuck => s"list_slice($arr, $a, ($a) + ($len) - 1)"
+  }
+
+  private def aj(arr: String)(implicit d: Dialect): String = d match {
+    case SqlSpark => s"array_join($arr, ' ')"
+    case SqlDuck => s"array_to_string($arr, ' ')"
+  }
 
   /** The t35 rule set: (name, integer 0/1 pass expression) — shared
     * verbatim by both dialects (thresholds via integer
