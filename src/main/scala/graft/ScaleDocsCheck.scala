@@ -32,7 +32,7 @@ object ScaleDocsCheck {
     "t1_token_count", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_clean_text", "t7_tfidf", "t8_bm25", "t30_char_entropy",
     "t31_bpe_train", "t32_bpe_encode", "t34_tokenizer_fertility",
-    "t35_quality_gate",
+    "t35_quality_gate", "t36_fim_transform",
     "c1_corpus_pipeline", "c5_decontamination", "c11_temperature_rebalance",
     "c12_semantic_decontamination", "c13_quality_classifier",
     "c14_k_anonymity", "c16_unimax_allocation", "c17_doremi_weights",

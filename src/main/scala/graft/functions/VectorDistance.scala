@@ -197,6 +197,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (children: Seq[Expression]) => LshBucket(children.head))
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bpe_stats"),
+      new ExpressionInfo(classOf[BpeStats].getName, "graft_bpe_stats"),
+      (children: Seq[Expression]) => BpeStats(children(0), children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_lsh_bucket_n"),
       new ExpressionInfo(classOf[LshBucketN].getName, "graft_lsh_bucket_n"),
       (children: Seq[Expression]) => LshBucketN(children(0), children(1)))

@@ -37,14 +37,33 @@ object Bpe {
     x.length < y.length
   }
 
-  /** One merge applied greedily (leftmost, non-overlapping). */
+  /** One merge applied with the SPACE-ANCHORED REPLACE semantics both
+    * engines' `replace(' '||seq||' ', ' a b ', ' ab ')` implements —
+    * the semantics the t31/t32 oracles pin. A match consumes the
+    * pair's surrounding separators, and the scan resumes after the
+    * MATCH, so the symbol immediately following a merged pair has no
+    * leading separator left and can never START the next match (it
+    * passes through protected; the symbol after IT can match again).
+    * On a run of four identical symbols this yields [ab, a, b-style]
+    * `[aa, a, a]`, NOT the textbook leftmost-non-overlapping
+    * `[aa, aa]` — a deliberate divergence pinned in BpeSpec, because
+    * cross-engine agreement with the SQL replace chain is the
+    * contract, and both the trainer's between-round application and
+    * the native encode (`graft_bpe_stats`) must share it exactly.
+    */
   private[operators] def applyMerge(syms: Vector[String], a: String,
       b: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < syms.length) {
       if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-        out += (a + b); i += 2
+        out += (a + b)
+        // the next symbol's leading separator was consumed by the
+        // match — it can be a pair's RIGHT element never its LEFT,
+        // and the only pair in play this round is (a, b), so it
+        // passes through verbatim
+        if (i + 2 < syms.length) out += syms(i + 2)
+        i += 3
       } else { out += syms(i); i += 1 }
     }
     out.result()

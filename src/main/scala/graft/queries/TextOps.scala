@@ -688,17 +688,23 @@ object TextOps {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       // train locally on the bounded vocab (t31's path), then encode
-      // the corpus with the merges as expression CONSTANTS — the whole
-      // encode is one narrow codegen'd projection per doc, zero
-      // exchange before the final sort
+      // the corpus with the merges as expression CONSTANTS through the
+      // NATIVE graft_bpe_stats call (same replace-chain semantics as
+      // the oracle's lambda fold, codegen'd — the interpreted HOF form
+      // was the doc-family's worst measured scale ratio) — the whole
+      // encode is one narrow projection per doc, zero exchange before
+      // the final sort
       val pairs = trainedMerges(s, d).map(m => sqlLit(m.pair))
+        .mkString("array(", ", ", ")")
       t(s, d, "documents")
         .select(col("doc_id"), expr(wordsE).as("w"))
+        .select(col("doc_id"), col("w"),
+          expr(s"graft_bpe_stats(w, $pairs)").as("bs"))
         .select(col("doc_id"),
           expr(dl.arrSize("w")).as("n_words"),
-          expr(s"cast(${sumTokens("w", pairs)} AS BIGINT)").as("n_tokens"),
-          expr(s"cast(${sumChars("w")} AS BIGINT)").as("n_word_chars"),
-          expr(s"cast((1000000 * ${sumTokens("w", pairs)}) div greatest(${sumChars("w")}, 1) AS BIGINT)")
+          col("bs.n_tokens").as("n_tokens"),
+          col("bs.n_chars").as("n_word_chars"),
+          expr("cast((1000000 * bs.n_tokens) div greatest(bs.n_chars, 1) AS BIGINT)")
             .as("tokens_per_char_e6"))
         .orderBy("doc_id")
     },
@@ -771,12 +777,15 @@ object TextOps {
       }) { (s, d) =>
       implicit val dl: Dialect = SqlSpark
       val pairs = trainedMerges(s, d).map(m => sqlLit(m.pair))
+        .mkString("array(", ", ", ")")
       t(s, d, "documents")
         .select(col("lang"), expr(wordsE).as("w"))
+        .select(col("lang"), col("w"),
+          expr(s"graft_bpe_stats(w, $pairs)").as("bs"))
         .select(col("lang"),
           expr(dl.arrSize("w")).as("n_words"),
-          expr(s"cast(${sumTokens("w", pairs)} AS BIGINT)").as("n_tokens"),
-          expr(s"cast(${sumChars("w")} AS BIGINT)").as("n_chars"))
+          col("bs.n_tokens").as("n_tokens"),
+          col("bs.n_chars").as("n_chars"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_words").cast("long").as("total_words"),

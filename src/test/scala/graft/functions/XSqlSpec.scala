@@ -140,6 +140,33 @@ class XSqlSpec extends SparkSpec {
     assert(wide >= 0 && wide < (1L << 13))
   }
 
+  test("native bpe stats: space-anchored replace chain, code-point chars, split-size tokens") {
+    // 'aaaa' under (a,a): ' a a a a ' -> ' aa a a ' (the replace scan
+    // consumes the third symbol's separator — engine semantics, see
+    // BpeSpec), so 3 tokens and 'aa aa' never applies; 'ab' untouched
+    // -> 2 tokens; chars = 4 + 2. Pinned equal to the SQL lambda
+    // chain the oracle runs.
+    val r = eval1(
+      "graft_bpe_stats(array('aaaa', 'ab'), array('a a', 'aa aa'))")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((r.getLong(0), r.getLong(1)) == ((5L, 6L)), r.toString)
+    // and Spark's own replace shows the same scan-after-match
+    // semantics the native loop uses (the cross-engine contract —
+    // DuckDB's replace agrees, verified against it directly)
+    assert(eval1("replace(' a a a a ', ' a a ', ' aa ')") == " aa a a ")
+    // supplementary-plane code point is ONE char and merges as one
+    val clef = new String(Character.toChars(0x1D11E))
+    val r2 = eval1(
+      s"graft_bpe_stats(array('${clef}a'), array('$clef a'))")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((r2.getLong(0), r2.getLong(1)) == ((1L, 2L)), r2.toString)
+    // no merges: one token per char
+    val r3 = eval1(
+      "graft_bpe_stats(array('xyz'), cast(array() as array<string>))")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert((r3.getLong(0), r3.getLong(1)) == ((3L, 3L)), r3.toString)
+  }
+
   test("jaccard of overlapping sets") {
     assert(eval1(XSql.jaccard(
       "array(bigint(1), bigint(2), bigint(3))",

@@ -8,13 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BpeSpec extends AnyFunSuite {
 
-  test("overlapping runs merge leftmost-non-overlapping (the replace scan order)") {
-    // "aaaa" under merge (a,a): ' a a a a ' -> ' aa aa ', NOT ' aa a a '
+  test("overlapping runs follow the space-anchored replace scan (engine parity, not textbook)") {
+    // ' a a a a ' under replace ' a a ' -> ' aa ': the match consumes
+    // the separator before the third symbol, so the scan CANNOT
+    // restart there — both engines yield ' aa a a ', and the trainer
+    // must agree with the SQL chain, not with textbook non-overlap
     assert(Bpe.applyMerge(Vector("a", "a", "a", "a"), "a", "a") ==
-      Vector("aa", "aa"))
-    // odd run: trailing singleton survives
+      Vector("aa", "a", "a"))
     assert(Bpe.applyMerge(Vector("a", "a", "a"), "a", "a") ==
       Vector("aa", "a"))
+    // a run of five: the protected third symbol's SUCCESSOR can match
+    assert(Bpe.applyMerge(Vector("a", "a", "a", "a", "a"), "a", "a") ==
+      Vector("aa", "a", "aa"))
+    // non-overlapping occurrences all merge
+    assert(Bpe.applyMerge(Vector("a", "a", "x", "a", "a"), "a", "a") ==
+      Vector("aa", "x", "aa"))
   }
 
   test("pair counts weight by word frequency; argmax picks the heaviest pair") {
