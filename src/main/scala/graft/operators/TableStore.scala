@@ -440,6 +440,7 @@ object TableStore {
     */
   def publishVersion(spark: SparkSession, path: String, df: DataFrame,
       note: String = ""): Long = {
+    requireCleanNote(note)
     val f = fs(spark, path)
     val base = new Path(path)
     if (!f.exists(base)) f.mkdirs(base)
@@ -495,6 +496,7 @@ object TableStore {
     */
   def publishVersionIf(spark: SparkSession, path: String, df: DataFrame,
       note: String, expected: Option[Long]): Long = {
+    requireCleanNote(note)
     val f = fs(spark, path)
     val base = new Path(path)
     if (!f.exists(base)) f.mkdirs(base)
@@ -609,6 +611,15 @@ object TableStore {
     * CAS commit's data pointer (see [[publishVersionIf]]).
     */
   private val DataPtr = "\n@data="
+
+  /** A note containing the pointer delimiter would make
+    * [[versionDataDir]] read a caller-chosen string as a data pointer
+    * — reject it loudly at publish time instead of corrupting reads.
+    */
+  private def requireCleanNote(note: String): Unit =
+    require(!note.contains(DataPtr),
+      s"publish note must not contain the reserved '@data=' marker " +
+        s"delimiter: ${note.take(80)}")
 
   private def markerContent(spark: SparkSession, path: String,
       v: Long): Option[String] = {
