@@ -376,6 +376,75 @@ object StreamingOps {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------
+    // Streaming TOP-K maintenance — i7's leaderboard view in the
+    // continuous loop (what st15 is to i4): the changelog stream
+    // advances a durable fold-table BASE first (signed slice — the
+    // rescan ground truth must be post-tick), then applyDeltaTopK
+    // folds the same slice into the stored view: inserts as pure
+    // array expressions, evicted groups rescanned from the advanced
+    // base via the broadcast semi probe. Tick composition is exact
+    // under arbitrary slice splits because the rescan classification
+    // is conservative per tick against the per-tick base (an update's
+    // halves may land in different ticks; the view is transiently
+    // wrong and lands exactly — the same split discipline
+    // IvmJoinSpec/IvmTopKSpec pin). At scale this is the continuously-
+    // maintained per-key leaderboard (top offers per user, hottest
+    // docs per topic) a 100 TB feed keeps warm for O(batch) per tick.
+    Q("st17_stream_topk",
+      "changelog stream maintains the TOP-K-per-group view across micro-batches == rank<=3 recompute",
+      s"""WITH v2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0),
+         |r AS (SELECT o_custkey, o_totalprice, o_orderkey,
+         |        row_number() OVER (PARTITION BY o_custkey
+         |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+         |      FROM v2)
+         |SELECT o_custkey, rk, o_totalprice AS price, o_orderkey AS orderkey
+         |FROM r WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st17")
+      val basePath = tmp.resolve("base").toString
+      val viewPath = tmp.resolve("view").toString
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val edited = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      TableStore.publishFoldSnapshot(s, basePath, o, "base")
+      TableStore.overwrite(Ivm.aggregateTopK(o,
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3), viewPath)
+      val changes = TableStore.diffKeyed(o, edited, Seq("o_orderkey"))
+      val stream = EventStream.stagedFileStream(s, changes,
+        tmp.resolve("stage").toString, nFiles = 3)
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (batch, bid) =>
+        val slice = batch.localCheckpoint()
+        // base advances FIRST: the rescan ground truth is post-tick
+        TableStore.publishFoldDelta(s, basePath,
+          JoinViewMaintenance.baseDelta(slice), s"tick=$bid")
+        val newBase = TableStore.readFolded(s, basePath).drop("_mult")
+        TableStore.rewrite(s, viewPath,
+          Ivm.applyDeltaTopK(TableStore.read(s, viewPath), slice, newBase,
+            Seq("o_custkey"), "o_totalprice", "o_orderkey", 3))
+      }
+      TableStore.read(s, viewPath)
+        .select(col("o_custkey"), posexplode(col("topk")).as(Seq("p", "e")))
+        .select(col("o_custkey"), (col("p") + 1).cast("long").as("rk"),
+          col("e.v").as("price"), col("e.id").as("orderkey"))
+        .orderBy("o_custkey", "rk")
+    },
+
     Q("st1_stream_window",
       "streaming tumbling daily window agg == batch time_bucket agg",
       s"""SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
