@@ -29,3 +29,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+scalacOptions += "-deprecation"

@@ -343,7 +343,7 @@ object Ivm {
     */
   def joinView(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val joined = a.join(b, keys.toSeq)
-    joined.groupBy(joined.columns.map(col): _*)
+    joined.groupBy(joined.columns.toIndexedSeq.map(col): _*)
       .agg(count(lit(1)).as("_mult"))
   }
 

@@ -94,7 +94,7 @@ object SkippingIndex {
     if (files.isEmpty)
       // no file can match: an empty frame with the table's schema
       spark.read.parquet(path).limit(0)
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Number of files the index covers (spec surface + staleness guard). */
@@ -209,7 +209,7 @@ object SkippingIndex {
     }
     val files = keep.select("file").collect().map(_.getString(0))
     if (files.isEmpty) spark.read.parquet(path).limit(0)
-    else spark.read.parquet(files: _*)
+    else spark.read.parquet(files.toIndexedSeq: _*)
   }
 
   /** Kept-file count for a bloom probe (spec surface). */

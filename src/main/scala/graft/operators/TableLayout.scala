@@ -237,7 +237,7 @@ object TableLayout {
       if (nFiles > 0) z.repartitionByRange(nFiles, col("z_"))
       else z.repartitionByRange(col("z_"))
     parts.sortWithinPartitions("z_")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
       .write.mode("overwrite").parquet(path)
   }
 }

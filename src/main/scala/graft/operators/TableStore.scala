@@ -289,9 +289,9 @@ object TableStore {
     val diff = attrs.map(a => !(col(a) <=> col(s"b_$a"))).reduce(_ || _)
     val j = open.join(b, joinCond, "left_outer")
     val keptOpen = j.filter(col("b_present").isNull || !diff)
-      .select(cur.columns.map(col): _*)
+      .select(cur.columns.toIndexedSeq.map(col): _*)
     val closedNow = j.filter(col("b_present").isNotNull && diff)
-      .select(cur.columns.map(col): _*)
+      .select(cur.columns.toIndexedSeq.map(col): _*)
       .withColumn("valid_to", lit(effective))
     val o = open.select(keys.map(k => col(k).as(s"cur_$k")) ++
       attrs.map(a => col(a).as(s"cur_$a")) :+ lit(1).as("cur_present"): _*)
@@ -299,7 +299,7 @@ object TableStore {
     val insDiff = attrs.map(a => !(col(a) <=> col(s"cur_$a"))).reduce(_ || _)
     val ins = incoming.join(o, insCond, "left_outer")
       .filter(col("cur_present").isNull || insDiff)
-      .select(incoming.columns.map(col): _*)
+      .select(incoming.columns.toIndexedSeq.map(col): _*)
     rewrite(spark, path,
       closed.unionByName(keptOpen).unionByName(closedNow).unionByName(ins))
   }
