@@ -110,7 +110,12 @@ object TableLayout {
   private def specLogPath(root: String) = root + "__speclog"
 
   /** Append a new current spec (`kind` ∈ day | month) to the log;
-    * returns its spec_id. The first call creates the log.
+    * returns its spec_id. The first call creates the log. Evolution
+    * is a TABLE-OWNER operation (same single-writer discipline as the
+    * layout writers themselves — racing evolvers would need the
+    * TableStore CAS protocol, which a table format's metadata commit
+    * gives for free); readers are never blocked, they just plan one
+    * more leg after the append lands.
     */
   def evolveSpec(spark: SparkSession, root: String, kind: String): Int = {
     require(Seq("day", "month").contains(kind), s"unknown spec kind $kind")
