@@ -265,6 +265,56 @@ object GraphOps {
         Seq("x", "y"))
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+    },
+
+    // ---------------------------------------------------------------
+    // Hierarchy FLATTEN — the classic warehouse parent-child op
+    // (org charts, category trees, BOM rollups): every node resolves
+    // its ROOT and DEPTH. The naive translation iterates depth-many
+    // self-joins (a 20-level tree = 20 shuffles); the distributed
+    // shape is POINTER DOUBLING: each round every node's known
+    // ancestor jumps to that ancestor's known ancestor, doubling the
+    // resolved distance — ceil(log2(depth)) rounds total, each ONE
+    // keyed self-join of the node-sized state. The same log-round
+    // discipline as ConnectedComponents' star contraction; rounds are
+    // fixed (idempotent once a node reaches its root), so the driver
+    // never inspects data. The forest here derives from customer keys
+    // (parent = key div 7, keys < 7 are roots — depth ~ log7(n), so
+    // the doubling bound is tiny while the oracle's recursive CTE
+    // walks it level by level).
+    Q("g4_hierarchy_flatten",
+      "parent-child hierarchy resolved to (root, depth) via log-round pointer doubling",
+      s"""WITH RECURSIVE h AS (
+         |  SELECT c_custkey AS node, c_custkey AS root,
+         |    cast(0 AS BIGINT) AS depth
+         |  FROM customer WHERE c_custkey < 7
+         |  UNION ALL
+         |  SELECT c.c_custkey, h.root, h.depth + 1
+         |  FROM customer c JOIN h ON c.c_custkey // 7 = h.node
+         |  WHERE c.c_custkey >= 7)
+         |SELECT node, root, depth FROM h ORDER BY node""".stripMargin) { (s, d) =>
+      val nodes = t(s, d, "customer").select(col("c_custkey").as("node"))
+      var st = nodes.select(col("node"),
+        when(col("node") < 7, col("node"))
+          .otherwise(expr("node div 7")).as("anc"),
+        when(col("node") < 7, lit(0L)).otherwise(lit(1L)).as("d"),
+        (col("node") < 7).as("done"))
+        .localCheckpoint()
+      // depth <= log7(max key); 5 doubling rounds resolve up to 2^5
+      // levels — far past any key range the fixture can produce, and
+      // extra rounds are no-ops on resolved nodes
+      for (_ <- 1 to 5) {
+        val b = st.select(col("node").as("b_node"), col("anc").as("b_anc"),
+          col("d").as("b_d"), col("done").as("b_done"))
+        st = st.join(b, col("anc") === col("b_node"))
+          .select(col("node"),
+            when(col("done"), col("anc")).otherwise(col("b_anc")).as("anc"),
+            when(col("done"), col("d")).otherwise(col("d") + col("b_d")).as("d"),
+            (col("done") || col("b_done")).as("done"))
+          .localCheckpoint()
+      }
+      st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
+        .orderBy("node")
     }
   )
 }
