@@ -750,7 +750,17 @@ object TableStore {
     * indistinguishable from a crashed one's. Returns the number of
     * orphan dirs reclaimed.
     */
-  def vacuum(spark: SparkSession, path: String): Long = {
+  /** @param minAgeMs stale-staging retention (default 1 h, like
+    *   Delta's VACUUM retention): an unreferenced `d_*` dir younger
+    *   than this is presumed an IN-FLIGHT CAS publish whose marker
+    *   hasn't landed yet and is left alone. Callers whose publishers
+    *   can stall longer between the last staging write and the marker
+    *   create (slow store, paused driver) MUST raise it — the
+    *   correctness assumption in [[publishVersionIf]] is that the
+    *   stage→marker gap stays under this threshold.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             minAgeMs: Long = 60L * 60 * 1000): Long = {
     val f = fs(spark, path)
     val p = new Path(path)
     if (!f.exists(p)) return 0L
@@ -765,10 +775,10 @@ object TableStore {
     // staging dir — reclaim any d_* no committed marker points to,
     // but ONLY past an age threshold: an unreferenced young dir may
     // be an IN-FLIGHT publish whose marker hasn't landed yet (the
-    // same stale-file age guard Delta's VACUUM applies)
+    // same stale-file age guard Delta's VACUUM applies; threshold is
+    // the minAgeMs parameter)
     val referenced = committed.map(v =>
       new Path(versionDataDir(spark, path, v)).getName)
-    val minAgeMs = 60L * 60 * 1000
     val now = System.currentTimeMillis()
     val staged = f.listStatus(p).toSeq
       .filter(st => st.getPath.getName.startsWith("d_") &&

@@ -145,7 +145,7 @@ object StreamingOps {
       val changes =
         TableStore.changesBetween(s, snaps, v1, v2, Seq("o_orderkey"))
       val stream = EventStream.stagedFileStream(s, changes,
-        tmp.resolve("stage").toString, nFiles = 3)
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
       EventStream.runForeachBatch(s, stream) { (batch, bid) =>
         TableStore.publishFoldDelta(s, viewPath,
           Ivm.aggDelta(batch, Seq("o_custkey"), Seq("o_totalprice")),
@@ -277,7 +277,7 @@ object StreamingOps {
           col("l_linenumber"), col("l_extendedprice"))
       val stream = phase("diff-stage")(
         EventStream.stagedFileStream(s, dA.unionByName(dB),
-          tmp.resolve("stage").toString, nFiles = 3))
+          tmp.resolve("stage").toString, nFiles = EventStream.ticks(3)))
       phase("stream")(EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, batchId) =>
         val slice = batch.cache()
@@ -365,7 +365,7 @@ object StreamingOps {
           org.apache.spark.sql.types.StructType.fromDDL(
             "node BIGINT, component BIGINT")), labelsPath)
       val stream = EventStream.stagedFileStream(s, pairs,
-        tmp.resolve("stage").toString, nFiles = 3)
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
       EventStream.runForeachBatch(s, stream) { (batch, _) =>
         TableStore.rewrite(s, labelsPath,
           ConnectedComponents.incrementalMinLabel(
@@ -421,24 +421,22 @@ object StreamingOps {
         .unionByName(o.filter(col("o_orderkey") % 13 === 0)
           .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
-      TableStore.publishFoldSnapshot(s, basePath, o, "base")
-      TableStore.overwrite(Ivm.aggregateTopK(o,
-        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3), viewPath)
+      TableStore.publishFoldSnapshot(s, basePath, o, "tick=-1")
+      TableStore.publishFoldSnapshot(s, viewPath, Ivm.aggregateTopK(o,
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", 3), "tick=-1")
       val changes = TableStore.diffKeyed(o, edited, Seq("o_orderkey"))
       val stream = EventStream.stagedFileStream(s, changes,
-        tmp.resolve("stage").toString, nFiles = 3)
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      // topKTick carries the WAL discipline (tick=<bid> guards on
+      // BOTH publishes), so a redelivered micro-batch rolls forward
+      // instead of double-folding — same contract applyTick pins
       EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, bid) =>
-        val slice = batch.localCheckpoint()
-        // base advances FIRST: the rescan ground truth is post-tick
-        TableStore.publishFoldDelta(s, basePath,
-          JoinViewMaintenance.baseDelta(slice), s"tick=$bid")
-        val newBase = TableStore.readFolded(s, basePath).drop("_mult")
-        TableStore.rewrite(s, viewPath,
-          Ivm.applyDeltaTopK(TableStore.read(s, viewPath), slice, newBase,
-            Seq("o_custkey"), "o_totalprice", "o_orderkey", 3))
+        JoinViewMaintenance.topKTick(s, basePath, viewPath,
+          batch.localCheckpoint(), bid,
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
       }
-      TableStore.read(s, viewPath)
+      TableStore.readFolded(s, viewPath).drop("_mult")
         .select(col("o_custkey"), posexplode(col("topk")).as(Seq("p", "e")))
         .select(col("o_custkey"), (col("p") + 1).cast("long").as("rk"),
           col("e.v").as("price"), col("e.id").as("orderkey"))

@@ -47,9 +47,15 @@ final class HttpServe(readers: Readers, port: Int = 0) {
           (405, err("method not allowed"))
         else path match {
           case "/health" => (200, """{"status":"ok"}""")
-          case SimilarRe(id) => similar(id.toLong, query(ex))
+          // ids beyond Long range (e.g. 20+ digits) are simply ids no
+          // game can have — 404, not a NumberFormatException → 500
+          case SimilarRe(id) =>
+            scala.util.Try(id.toLong).toOption match {
+              case Some(n) => similar(n, query(ex))
+              case None => (404, err(s"game $id not found"))
+            }
           case GameRe(id) =>
-            readers.document(id.toLong) match {
+            scala.util.Try(id.toLong).toOption.flatMap(readers.document) match {
               case Some(doc) => (200, js(doc))
               case None => (404, err(s"game $id not found"))
             }
@@ -57,7 +63,11 @@ final class HttpServe(readers: Readers, port: Int = 0) {
         }
       send(ex, resp._1, resp._2)
     } catch {
-      case e: Throwable => send(ex, 500, err(Option(e.getMessage).getOrElse("error")))
+      case e: Throwable =>
+        // detail stays server-side: raw exception messages can carry
+        // internal paths; the client gets a generic body
+        System.err.println(s"[serve] 500 on ${ex.getRequestURI}: $e")
+        send(ex, 500, err("internal server error"))
     } finally ex.close()
 
   private def similar(id: Long, q: Map[String, String]): (Int, String) = {

@@ -222,4 +222,37 @@ object JoinViewMaintenance {
   /** The maintained view at the latest committed tick. */
   def currentView(spark: SparkSession, viewPath: String): DataFrame =
     TableStore.readFolded(spark, viewPath)
+
+  /** One guarded TOP-K-view tick — the continuous form of
+    * [[graft.operators.Ivm.applyDeltaTopK]] under the same WAL
+    * discipline as [[applyTick]]: both publishes carry `tick=<b>`
+    * notes and are SKIPPED when that tick already committed, so a
+    * redelivered micro-batch (crash between a publish and the stream
+    * checkpoint's commit) rolls forward deterministically instead of
+    * double-folding the base or double-inserting into the view.
+    *
+    * Order is base-first because the evict-rescan ground truth must
+    * be the POST-tick base; on redelivery after a crash between the
+    * two publishes, the base guard skips (its fold already reflects
+    * the slice) and the view tick reruns against exactly that
+    * post-tick base — the state it needed anyway. The view is itself
+    * a versioned fold table (snapshot per tick — the view is
+    * O(groups·k), so a snapshot costs what a rewrite did), which is
+    * what makes its tick provable.
+    */
+  def topKTick(spark: SparkSession, basePath: String, viewPath: String,
+      slice: DataFrame, batchId: Long, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int): Unit = {
+    if (tickVersion(spark, basePath, batchId).isEmpty)
+      TableStore.publishFoldDelta(spark, basePath,
+        baseDelta(slice), note(batchId)): Unit
+    if (tickVersion(spark, viewPath, batchId).isEmpty) {
+      val newBase = TableStore.readFolded(spark, basePath).drop("_mult")
+      TableStore.publishFoldSnapshot(spark, viewPath,
+        graft.operators.Ivm.applyDeltaTopK(
+          TableStore.readFolded(spark, viewPath).drop("_mult"),
+          slice, newBase, keys, valueCol, idCol, k),
+        note(batchId)): Unit
+    }
+  }
 }

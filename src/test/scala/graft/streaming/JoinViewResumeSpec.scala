@@ -214,4 +214,69 @@ class JoinViewResumeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(aState == Set(("x", 1L)), aState.toString)
   }
+
+  /** st17's tick (topKTick) under the two redelivery shapes the WAL
+    * guards exist for: (a) the whole tick committed but the stream
+    * checkpoint didn't — redelivery must be a no-op (no base
+    * double-fold, no view double-insert); (b) crash BETWEEN the base
+    * publish and the view publish — redelivery must skip the base and
+    * roll the view forward against the already-advanced base.
+    */
+  test("topKTick: redelivered tick is idempotent; mid-tick crash rolls forward") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft_topk_redeliver")
+    val basePath = tmp.resolve("base").toString
+    val viewPath = tmp.resolve("view").toString
+    val base0 = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (1L, 40L, 103L), (2L, 5L, 200L)).toDF("g", "v", "id")
+    TableStore.publishFoldSnapshot(spark, basePath, base0, "tick=-1")
+    TableStore.publishFoldSnapshot(spark, viewPath,
+      Ivm.aggregateTopK(base0, Seq("g"), "v", "id", 2), "tick=-1")
+
+    def topkSet(df: DataFrame) = df
+      .select(col("g"), posexplode(col("topk")).as(Seq("p", "e")))
+      .select(col("g"), col("p"), col("e.v"), col("e.id"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    def view() = topkSet(TableStore.readFolded(spark, viewPath).drop("_mult"))
+
+    // tick 0: delete the stored max of g=1 (forces evict-rescan) and
+    // insert a new g=2 row (pure array path)
+    val slice0 = Seq((1L, 40L, 103L, "delete"), (2L, 50L, 201L, "insert"))
+      .toDF("g", "v", "id", "_change_type")
+    JoinViewMaintenance.topKTick(spark, basePath, viewPath, slice0, 0L,
+      Seq("g"), "v", "id", 2)
+    val afterTick0 = view()
+    val base1 = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 5L, 200L), (2L, 50L, 201L)).toDF("g", "v", "id")
+    assert(afterTick0 == topkSet(Ivm.aggregateTopK(base1, Seq("g"), "v", "id", 2)))
+
+    // (a) full redelivery of tick 0: both guards must skip
+    val baseVersions = TableStore.committedVersions(spark, basePath)
+    val viewVersions = TableStore.committedVersions(spark, viewPath)
+    JoinViewMaintenance.topKTick(spark, basePath, viewPath, slice0, 0L,
+      Seq("g"), "v", "id", 2)
+    assert(TableStore.committedVersions(spark, basePath) == baseVersions,
+      "redelivered tick republished the base")
+    assert(TableStore.committedVersions(spark, viewPath) == viewVersions,
+      "redelivered tick republished the view")
+    assert(view() == afterTick0)
+
+    // (b) crash between the publishes: simulate by advancing ONLY the
+    // base for tick 1, then redeliver the whole tick — the base guard
+    // skips, the view rolls forward against the post-tick base
+    val slice1 = Seq((1L, 30L, 102L, "delete"), (1L, 60L, 104L, "insert"))
+      .toDF("g", "v", "id", "_change_type")
+    TableStore.publishFoldDelta(spark, basePath,
+      JoinViewMaintenance.baseDelta(slice1), "tick=1")
+    JoinViewMaintenance.topKTick(spark, basePath, viewPath, slice1, 1L,
+      Seq("g"), "v", "id", 2)
+    val base2 = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 60L, 104L),
+      (2L, 5L, 200L), (2L, 50L, 201L)).toDF("g", "v", "id")
+    assert(view() == topkSet(Ivm.aggregateTopK(base2, Seq("g"), "v", "id", 2)))
+    // and the base holds exactly one tick=1 publish
+    val tick1 = TableStore.committedVersions(spark, basePath).count(v =>
+      TableStore.versionNote(spark, basePath, v)
+        .exists(_.endsWith("tick=1")))
+    assert(tick1 == 1, s"base has $tick1 tick=1 publishes")
+  }
 }
