@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-headroom proof for the LAKEHOUSE / IVM / STREAMING-STATE
+  * family — the third measured scale axis after BENCH_SF1 (TPC-H
+  * shapes) and BENCH_SF1_DOCS (dedup/text/similarity): run each
+  * state-maintenance query on the pinned sf0.1 tables and on a 10×
+  * generated variant (tools/gen_sf.py — 10× base rows AND, because
+  * every changelog here is a deterministic %-filter edit script over
+  * those tables, 10× changelog volume), with the streaming replays
+  * stretched to 2× the tick count (graft.state.ticks=6 → the fold
+  * chains cross ≥3 compaction checkpoints under applyTick's
+  * CompactEvery=2). Three gates, in the ScaleDocsCheck discipline:
+  *
+  *   1. wall-ratio per query (min-of-2) ≤ a committed ceiling — the
+  *      O(batch)-per-tick claims of Ivm/JoinViewMaintenance/TableStore
+  *      measured, not just spec'd;
+  *   2. plan-flip audit of the final read plan (a CartesianProduct or
+  *      new BroadcastNestedLoopJoin at 10× stats = a keyed probe
+  *      silently degenerating);
+  *   3. the SkippingIvmSpec planned-file assertion promoted to 10×
+  *      volume: a narrow-key delta probe against a range-clustered
+  *      40-file base must plan ≤3 files at BOTH scales (file-skipping
+  *      effectiveness is scale-invariant by construction — the gate
+  *      proves the min/max boxes, not luck).
+  *
+  * Usage: tools/run.sh graft.ScaleStateCheck [smallDir largeDir [out]]
+  * Writes the JSON report to `out` (default BENCH_SF1_STATE.json) and
+  * exits nonzero on any flip / ratio-gate / probe-gate failure.
+  */
+object ScaleStateCheck {
+
+  /** The state-maintenance queries under audit: snapshot/compaction/
+    * SCD2/delete-vector/CDC-diff/WAP/restore/partition-evolution/CAS
+    * lakehouse surface (s*), the batch IVM delta rules (i*), and the
+    * continuous maintenance loops (st*).
+    */
+  private val Queries = Seq(
+    "s17_compaction", "s18_scd2_history", "s21_delete_vectors",
+    "s24_snapshot_changes", "s26_write_audit_publish", "s27_merge_full",
+    "s28_snapshot_restore", "s29_partition_evolution", "s30_optimistic_merge",
+    "i3_cdc_apply", "i4_join_view_ivm", "i5_minmax_ivm",
+    "i6_distinct_ivm", "i7_topk_ivm",
+    "st12_stream_cdc_apply", "st15_stream_join_ivm",
+    "st16_stream_components", "st17_stream_topk")
+
+  /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
+    * the family's cost anatomy: every query is (scan + maintain +
+    * publish) where maintenance is O(changes) and publishes are
+    * O(batch), so at 10× volume on fixed local[32] parallelism the
+    * wall should grow well under 10× (BENCH_SF1 measured 1.61× for
+    * pure compute; state queries add write amplification, so the
+    * default ceiling is 4× — measured family worst 2.31×). Streaming replays additionally DOUBLE
+    * their tick count here — per-tick scheduling floor (measured ~1 s
+    * per tick, IVM_TICK_COSTS.md) scales with ticks, not data, hence
+    * their own 5× ceiling (measured worst 2.86×).
+    */
+  private val DefaultMaxRatio = 4.0
+  private val MaxRatio: Map[String, Double] = Map(
+    // 2× ticks → ~2× scheduling floor on top of the data term
+    "st12_stream_cdc_apply" -> 5.0,
+    "st15_stream_join_ivm" -> 5.0,
+    "st16_stream_components" -> 5.0,
+    "st17_stream_topk" -> 5.0)
+
+  private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  private def counts(p: String): Map[String, Int] =
+    Ops.map(op => op -> op.r.findAllIn(p).size).toMap
+
+  /** SkippingIvmSpec's planning gate at bench volume: orders
+    * range-clustered on o_orderkey into 40 files, delta touching a
+    * ~1% key range → the IVM base probe must plan ≤3 of 40 files
+    * (one ~2.5% box, two if the range straddles a boundary, +1
+    * slack for an uneven range split). Returns (planned, total,
+    * probeRows, baseRows).
+    */
+  private def skippingProbe(spark: SparkSession, dir: String)
+      : (Int, Int, Long, Long) = {
+    import graft.operators.SkippingIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale_probe")
+    val basePath = tmp.resolve("base").toString
+    val o = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    o.repartitionByRange(40, col("o_orderkey")).write.parquet(basePath)
+    SkippingIndex.build(spark, basePath, Seq("o_orderkey"))
+    val baseRows = spark.read.parquet(basePath).count()
+    val maxKey = o.agg(max("o_orderkey")).head().getLong(0)
+    // a narrow contiguous key slice (~1% of the key space) — the
+    // daily-partition-shaped delta a CDC feed actually delivers
+    val lo = maxKey / 2
+    val hi = lo + math.max(maxKey / 100, 1L)
+    val delta = o.filter(col("o_orderkey").between(lo, hi))
+      .withColumn("_change_type", lit("delete"))
+    val probe = SkippingIndex.probeForDelta(spark, basePath, delta,
+      Seq("o_orderkey"))
+    val planned = probe.inputFiles.length
+    val total = spark.read.parquet(basePath).inputFiles.length
+    (planned, total, probe.count(), baseRows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val large = args.lift(1).getOrElse("/tmp/sf1")
+    val out = args.lift(2).getOrElse("BENCH_SF1_STATE.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def time(name: String, dir: String, ticks: Int)
+        : (Double, Map[String, Int]) = {
+      sys.props("graft.state.ticks") = ticks.toString
+      var plan = ""
+      val secs = (0 until 2).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df.queryExecution.executedPlan.toString()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (secs, counts(plan))
+    }
+
+    // absorb codegen / scan-service / streaming-machinery startup per
+    // dir (s17 warms the store paths; st12 warms the micro-batch
+    // planner + state machinery)
+    time("s17_compaction", small, 3); time("st12_stream_cdc_apply", small, 3)
+    time("s17_compaction", large, 6); time("st12_stream_cdc_apply", large, 6)
+
+    var flips = 0
+    var ratioFails = 0
+    var (totS, totL) = (0.0, 0.0)
+    val rows = Queries.map { n =>
+      val (ts, cs) = time(n, small, 3)
+      val (tl, cl) = time(n, large, 6)
+      val flip = Ops.exists(op => cl(op) > cs(op))
+      if (flip) flips += 1
+      totS += ts; totL += tl
+      val ratio = if (ts > 0) tl / ts else 0.0
+      val ceiling = MaxRatio.getOrElse(n, DefaultMaxRatio)
+      val ratioFail = ratio > ceiling
+      if (ratioFail) ratioFails += 1
+      println(f"""{"query":"$n","small_sec":$ts%.4f,"large_sec":$tl%.4f,"ratio":$ratio%.2f,"max":$ceiling%.1f,"flip":$flip,"ratio_fail":$ratioFail}""")
+      (n, ts, tl, ratio, flip, ceiling)
+    }
+
+    // gate 3: the skipping-probe planning assertion at both volumes
+    val (pS, tS2, prS, brS) = skippingProbe(spark, small)
+    val (pL, tL2, prL, brL) = skippingProbe(spark, large)
+    val probeFail = pS > 3 || pL > 3
+    println(s"skipping probe: small planned $pS/$tS2 files ($prS of $brS rows), " +
+      s"large planned $pL/$tL2 files ($prL of $brL rows), fail=$probeFail")
+
+    val worst = rows.maxBy(_._4)
+    val json =
+      f"""{
+         | "metric": "state_scale_headroom",
+         | "data_ratio": "10x rows (orders 150k -> 1.5M, lineitem 600k -> 6M, events 100k -> 1M; tools/gen_sf.py seed 4242) AND 2x ticks on the streaming replays (graft.state.ticks 3 -> 6, fold chains across >=3 CompactEvery=2 checkpoints)",
+         | "total_sf0.1_sec": ${totS}%.4f,
+         | "total_sf1_sec": ${totL}%.4f,
+         | "wall_ratio": ${totL / totS}%.2f,
+         | "protocol": "min-of-2, local[32], per-dir warmup (store + streaming machinery)",
+         | "plan_audit": "ScaleStateCheck sf0.1(3 ticks) vs 10x(6 ticks): ${Queries.size} queries, $flips flips (CartesianProduct or new BroadcastNestedLoopJoin), $ratioFails wall-ratio gate failures (default <=${DefaultMaxRatio}%.0fx, st* <=5x)",
+         | "skipping_probe": {"small_planned": $pS, "small_files": $tS2, "small_probe_rows": $prS, "large_planned": $pL, "large_files": $tL2, "large_probe_rows": $prL, "large_base_rows": $brL, "gate": "planned <= 3 of 40 at both scales", "fail": $probeFail},
+         | "worst_query": {"name": "${worst._1}", "ratio": ${worst._4}%.2f},
+         | "queries": {
+         |${rows.map(r => f""" "${r._1}": {"sf0.1_sec": ${r._2}%.4f, "sf1_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f, "max_ratio": ${r._6}%.1f}""").mkString(",\n")}
+         | }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"wrote $out (flips=$flips, ratioFails=$ratioFails, " +
+      s"probeFail=$probeFail, wall ${f"${totL / totS}%.2f"}x for 10x data)")
+    spark.stop()
+    if (flips > 0 || ratioFails > 0 || probeFail) sys.exit(1)
+  }
+}

@@ -52,6 +52,20 @@ object EventStream {
     restageFileStream(spark, events.schema, stageDir)
   }
 
+  /** Tick-count knob for scale audits: `graft.state.ticks` (system
+    * property, or GRAFT_STATE_TICKS env) replays the same changelog
+    * over that many micro-batches instead of a query's default —
+    * tick-split invariance (IvmJoinSpec et al.) makes the maintained
+    * result identical under any split, so only the per-tick cost
+    * profile changes. ScaleStateCheck sets it to double the tick
+    * count at 10× data, stretching the fold chains across ≥2
+    * compaction checkpoints.
+    */
+  def ticks(default: Int): Int =
+    sys.props.get("graft.state.ticks")
+      .orElse(sys.env.get("GRAFT_STATE_TICKS"))
+      .map(_.toInt).getOrElse(default)
+
   /** Re-attach a one-file-per-micro-batch reader to an ALREADY-staged
     * dir — the crash-recovery replay shape (fresh checkpoint, same
     * files, same batch order) st9 uses to prove its ledger.

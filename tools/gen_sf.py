@@ -159,3 +159,25 @@ write("embeddings", pa.table({
     "embedding": pa.array([v.astype(np.float32) for v in vecs],
                           type=pa.list_(pa.float32())),
     "label": pa.array(vlabels)}))
+
+# -------------------------------------------------------------- events
+# events stream table mirroring the driver's shape (same schema,
+# domains and distributions, different seed): N = 1M*sf rows over the
+# SAME fixed 30-day Jan-2024 window (scaling raises event density, the
+# way a busier stream actually scales), uniform event types, user_id
+# in [0, 15000*sf), value ~ Exp(mean 50) rounded to cents, props a
+# tiny JSON with k in [0, 100).
+N_EV = int(1_000_000 * sf)
+N_USERS = max(int(15_000 * sf), 1)
+ev_ts = np.sort(rng.integers(0, 30 * DAY_US, N_EV))
+T_EV0 = np.datetime64("2024-01-01", "us").astype("int64")
+write("events", pa.table({
+    "event_id": pa.array(np.arange(N_EV, dtype=np.int64)),
+    "ts": pa.array((T_EV0 + ev_ts).astype("datetime64[us]")),
+    "user_id": pa.array(rng.integers(0, N_USERS, N_EV)),
+    "event_type": pa.array(np.array(
+        ["click", "view", "purchase", "signup", "error"])[
+        rng.integers(0, 5, N_EV)]),
+    "value": np.round(rng.exponential(50.0, N_EV), 2),
+    "props": pa.array(["{\"k\": %d}" % k for k in
+                       rng.integers(0, 100, N_EV)])}))
