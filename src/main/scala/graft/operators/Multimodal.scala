@@ -8,17 +8,27 @@ import org.apache.spark.sql.functions._
   * featurizer — the Spark-side plumbing (schema, batching, partition
   * shape) a real image/audio pipeline needs.
   *
-  * The actual media *decode* is the only non-real piece: no codec
-  * libraries exist in this environment, so [[decodeStub]] is a
-  * clearly-marked deterministic stand-in (byte histogram). Swapping it
-  * for a JPEG/PNG decoder changes nothing outside that one function —
-  * the Dataset schema, the mapPartitions batch shape, and the
-  * downstream aggregation contract all stay as they are.
+  * The IMAGE path is real end-to-end: [[imageTable]] packs each doc's
+  * bytes into an 8-bit grayscale raster and encodes genuine PNG files
+  * (JDK `javax.imageio`, zero extra dependencies) into the binary
+  * column; [[decodeGrayPng]] is the reference codec that decodes them
+  * back to pixel samples, and m1/m3/m5 compute their features from
+  * those DECODED samples. PNG is lossless over 8-bit gray, which is
+  * exactly what lets the DuckDB oracle state the post-decode features
+  * in closed form over the source text — the gate proves the codec
+  * round trip, not just the plumbing. The audio/video seams
+  * ([[windowEnergy]], [[sampleFrames]]) remain DECLARED deterministic
+  * stand-ins (no audio/video codec ships with the JDK): their
+  * flatMap/window shapes are the contract, a demuxer replaces only
+  * the byte-read.
   *
   * Scale notes: the binary payload never passes through a shuffle (the
   * featurizer runs map-side against the scan); only the small feature
   * vector flows on. Partition sizing is the scan's
   * `maxPartitionBytes`, which is the right knob for fat binary rows.
+  * Codec contexts (ImageIO readers) are JVM-wide; the in-memory
+  * stream cache is disabled once per executor so decode never touches
+  * local disk.
   */
 object Multimodal {
 
@@ -50,10 +60,110 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode ??? — stands in for the real codec: deterministic
-    * 16-bin byte histogram + mean byte value. A real implementation
-    * would decode `payload` per `media_type` and emit pixel/sample
-    * features; it replaces ONLY this function body.
+  // ------------------------------------------------- real image codec
+
+  final case class ImageRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, n_bytes: Int, img_width: Int, img_height: Int)
+
+  /** ImageIO's default decode path spools through a disk-backed cache
+    * file per stream; executors decoding millions of small images must
+    * not pay a temp-file create/delete each — disable once per JVM.
+    */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pack `bytes` row-major into a `width`-wide 8-bit grayscale raster
+    * (last row zero-padded) and encode a genuine PNG via
+    * `javax.imageio` — real magic bytes, real zlib filtering, readable
+    * by any PNG decoder. Raster samples are written directly (no
+    * colorspace conversion), so an 8-bit value round-trips bit-exact:
+    * PNG gray8 is lossless, the invariant the oracles rest on.
+    */
+  def encodeGrayPng(bytes: Array[Byte], width: Int): Array[Byte] = {
+    imageIoInit
+    val h = math.max((bytes.length + width - 1) / width, 1)
+    val img = new java.awt.image.BufferedImage(width, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // TYPE_BYTE_GRAY backs onto a byte[] raster — bulk-copy the
+    // payload into it instead of a per-pixel setSample loop
+    val raster = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(bytes, 0, raster, 0, bytes.length)
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    if (!javax.imageio.ImageIO.write(img, "png", out))
+      sys.error("no PNG writer available")
+    out.toByteArray
+  }
+
+  /** Reference image decode — the real codec behind the seam: parse
+    * the PNG (header → dimensions, IDAT → samples) via `javax.imageio`
+    * and return (width, height, row-major 8-bit samples). Features
+    * downstream derive from these decoded samples, not from byte
+    * offsets into the container.
+    */
+  def decodeGrayPng(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    if (img == null) sys.error("undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val samples = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        samples(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, samples)
+  }
+
+  /** The image fixture: one REAL PNG per document — the sanitized text
+    * bytes packed as a 64-wide grayscale raster (a 64-byte frame ==
+    * one pixel row) and PNG-encoded per partition. `n_bytes` records
+    * the pre-padding length so consumers can trim the zero-padded
+    * tail row after decode.
+    */
+  def imageTable(spark: SparkSession, sfDir: String,
+      width: Int = 64): Dataset[ImageRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val png = encodeGrayPng(r.payload, width)
+        val h = math.max((r.payload.length + width - 1) / width, 1)
+        ImageRow(r.doc_id, png, "image/png", r.payload.length, width, h)
+      }
+    }
+  }
+
+  /** Media rows whose payloads went through the REAL codec round trip:
+    * PNG-encoded by [[imageTable]], decoded back to pixel samples
+    * here, pad trimmed by the stored pre-padding length. Downstream
+    * operators (featurizer, resize, frame hashing) consume these
+    * DECODED samples — byte-for-byte the source content because gray8
+    * PNG is lossless, which is what keeps the text-stated oracles
+    * exact. Metadata width/height are re-derived from the trimmed
+    * length exactly as [[mediaTable]] derives them, so the downstream
+    * schema contract is unchanged.
+    */
+  def decodedImageMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    imageTable(spark, sfDir).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, samples) = decodeGrayPng(r.payload)
+        require(w == r.img_width && h == r.img_height,
+          s"decoded ${w}x$h != encoded ${r.img_width}x${r.img_height} for doc ${r.doc_id}")
+        val trimmed = java.util.Arrays.copyOfRange(samples, 0, r.n_bytes)
+        MediaRow(r.doc_id, trimmed, "image/png-decoded",
+          trimmed.length % 64 + 1, trimmed.length % 48 + 1)
+      }
+    }
+  }
+
+  /** Deterministic 16-bin sample histogram + mean — computed over the
+    * DECODED pixel samples on the m1 path (see [[decodedImageMedia]]);
+    * also serves raw byte streams on the declared non-image seams.
     */
   def decodeStub(payload: Array[Byte]): (Array[Long], Double) = {
     val hist = new Array[Long](16)
@@ -82,8 +192,12 @@ object Multimodal {
     }
   }
 
+  /** m1's feature path: REAL codec round trip (PNG encode → ImageIO
+    * decode) feeding the per-partition featurizer — the features are
+    * functions of decoded pixel samples.
+    */
   def features(spark: SparkSession, sfDir: String): DataFrame =
-    extractFeatures(mediaTable(spark, sfDir)).toDF()
+    extractFeatures(decodedImageMedia(spark, sfDir)).toDF()
 
   // ---------------------------------------------------------- resize
 

@@ -3,9 +3,14 @@ package graft.queries
 import graft.operators.Multimodal
 import graft.functions.XSql.{Duck => SqlDuck}
 
-/** Multimodal featurization as a catalog query. The payload is ASCII
-  * text bytes (see [[Multimodal.mediaTable]]), so the oracle can state
-  * the stub-decode result exactly in SQL: byte == codepoint.
+/** Multimodal featurization as catalog queries. The image family
+  * (m1/m3/m5/m8) runs a REAL codec round trip: each doc's sanitized
+  * ASCII bytes are packed into a genuine PNG ([[Multimodal.imageTable]],
+  * `javax.imageio`) and the features are computed from the DECODED
+  * pixel samples — gray8 PNG is lossless, so sample == byte ==
+  * codepoint and the oracle states the post-decode result exactly in
+  * SQL over the source text. m2/m4/m6/m7 exercise the raw binary
+  * plumbing and the declared audio/video stand-in seams.
   */
 object MultimodalOps {
 
@@ -19,7 +24,7 @@ object MultimodalOps {
 
   val all: Seq[Q] = Seq(
     Q("m1_media_features",
-      "binary media column -> mapPartitions featurizer (stub decode)",
+      "real PNG media column -> ImageIO decode -> mapPartitions featurizer over pixel samples",
       {
         implicit val dl: SqlDuck.type = SqlDuck
         val chars = dl.chars("text")
@@ -90,7 +95,7 @@ object MultimodalOps {
     // decode as m2 (payload == sanitized ASCII bytes), so the oracle
     // states the identical frames via substr arithmetic.
     Q("m5_media_near_dup",
-      "media near-dup pairs: >= 2 shared 64-byte frame hashes (equi-join, never all-pairs)",
+      "image near-dup pairs: >= 2 shared decoded-pixel-row hashes (equi-join, never all-pairs)",
       {
         implicit val dl: SqlDuck.type = SqlDuck
         val frame = "substr(text, cast(i_ * 64 + 1 as bigint), 64)"
@@ -113,9 +118,12 @@ object MultimodalOps {
       // DISTINCT fingerprints per doc BEFORE the join: n_shared counts
       // shared distinct frames (the stated semantics), and a frame
       // repeated within a doc (padding, black frames) cannot inflate
-      // the pair's agg input nA x nB-fold
+      // the pair's agg input nA x nB-fold.
+      // decodedImageMedia: each 64-byte frame is one decoded PIXEL ROW
+      // of the doc's real PNG (imageTable packs 64-wide rasters), so
+      // the near-dup tier compares decoded image content
       val h = Multimodal.sampleFramesNative(
-        Multimodal.mediaTable(s, d), frameBytes = 64, stride = 1)
+        Multimodal.decodedImageMedia(s, d), frameBytes = 64, stride = 1)
         .select(col("doc_id"),
           expr("graft_char_hash(decode(frame, 'UTF-8'))").as("fh"))
         .distinct()
@@ -170,7 +178,7 @@ object MultimodalOps {
     // list comprehension over substr and hashes it — so the resized
     // BYTES are compared, not just lengths.
     Q("m3_resize",
-      "media resize stub: every-3rd-byte decimation, content-hashed",
+      "decoded-image resize: every-3rd decoded PNG sample kept, content-hashed",
       {
         implicit val dl: SqlDuck.type = SqlDuck
         val resized =
@@ -184,7 +192,9 @@ object MultimodalOps {
       }) { (s, d) =>
       import org.apache.spark.sql.functions._
       graft.functions.GraftFunctions.register(s)
-      val resized = Multimodal.resize(Multimodal.mediaTable(s, d), factor = 3)
+      // decodedImageMedia: the payload went through the REAL PNG
+      // round trip; the decimation below samples decoded pixels
+      val resized = Multimodal.resize(Multimodal.decodedImageMedia(s, d), factor = 3)
       resized.toDF()
         .select(col("doc_id"),
           expr("cast(length(payload) as bigint)").as("n_bytes"),
@@ -317,6 +327,44 @@ object MultimodalOps {
             "array_join(transform(array_sort(collect_list(" +
               "struct(pos, idx, tag))), s_ -> s_.tag), '')"))
             .as("pattern_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // The decode path itself as a gate: geometry comes from the REAL
+    // PNG header (ImageIO parses IHDR), the mean from the decoded
+    // raster INCLUDING the zero-padded tail row — a quantity that
+    // exists only in the image domain, so a byte-offset shortcut that
+    // skipped the codec could not produce it. The oracle restates the
+    // geometry rule (64-wide raster, ceil(len/64) rows, min 1) and
+    // the padded mean in closed form over the source text; equality
+    // proves the encode→decode round trip is lossless and the decoded
+    // dimensions are the encoded ones.
+    Q("m8_image_decode",
+      "real PNG decode: IHDR geometry + zero-padded raster mean from decoded samples",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val sum = dl.foldL(dl.xform(dl.chars("text"), "c_", dl.codepoint("c_")),
+          0, "a_", "x_", "a_ + x_")
+        s"""WITH $SrcCte,
+           |g AS (SELECT doc_id, text,
+           |        greatest(cast(ceil(length(text) / 64.0) as bigint), 1) AS h
+           |      FROM src)
+           |SELECT doc_id, cast(64 as bigint) AS img_width, h AS img_height,
+           |  cast($sum as double) / cast(64 * h as double) AS padded_mean
+           |FROM g ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      Multimodal.imageTable(s, d).mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, samples) = Multimodal.decodeGrayPng(r.payload)
+          var sum = 0L
+          var i = 0
+          while (i < samples.length) { sum += samples(i) & 0xff; i += 1 }
+          (r.doc_id, w.toLong, h.toLong, sum.toDouble / samples.length)
+        }
+      }.toDF("doc_id", "img_width", "img_height", "padded_mean")
         .orderBy("doc_id")
     }
   )

@@ -2,12 +2,51 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: schema/partition shape is real, decode is a
-  * deterministic stub (no codec libs in this environment).
+/** Multimodal plumbing + the REAL image codec path: imageTable emits
+  * genuine PNGs (javax.imageio), decodedImageMedia round-trips them to
+  * pixel samples; the audio/video seams remain declared deterministic
+  * stand-ins.
   */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+
+  test("imageTable emits genuine PNGs: magic bytes, IHDR geometry, 64-wide raster") {
+    val imgs = Multimodal.imageTable(spark, "/root/testdata/sf0.001")
+      .filter(_.doc_id < 20L).collect()
+    assert(imgs.nonEmpty)
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    imgs.foreach { r =>
+      assert(r.payload.take(8).sameElements(pngMagic),
+        s"doc ${r.doc_id}: payload is not a PNG")
+      assert(r.img_width == 64)
+      assert(r.img_height == math.max((r.n_bytes + 63) / 64, 1))
+      // an independent decoder agrees with the stored geometry
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth == r.img_width && img.getHeight == r.img_height)
+    }
+  }
+
+  test("PNG round trip is lossless: decoded samples == source bytes") {
+    val src = media.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    val decoded = Multimodal.decodedImageMedia(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(decoded.length == src.size)
+    decoded.foreach { r =>
+      assert(r.payload.toSeq == src(r.doc_id),
+        s"doc ${r.doc_id}: decode(encode(bytes)) != bytes")
+    }
+  }
+
+  test("encodeGrayPng pads the tail row with zeros; decode sees them") {
+    val bytes = "hello-multimodal-png".getBytes("UTF-8") // 20 bytes
+    val png = Multimodal.encodeGrayPng(bytes, 16)
+    val (w, h, samples) = Multimodal.decodeGrayPng(png)
+    assert(w == 16 && h == 2)
+    assert(samples.take(20).toSeq == bytes.toSeq)
+    assert(samples.drop(20).forall(_ == 0))
+  }
 
   test("features: histogram sums to byte count, mean in range") {
     val f = Multimodal.extractFeatures(media).head()
