@@ -343,6 +343,44 @@ object Similarity {
       .limit(10)
   }
 
+  /** Once-per-(JVM, dataset) PUBLISHED IVF index — the serving
+    * discipline the k10 cost anatomy promises: train coarse centroids
+    * ONCE, assign every vector once, publish centroids + posting
+    * lists (vector, norm, list id) as versioned TableStore tables,
+    * and answer every subsequent query by READING them. The game-
+    * neighbors precompute pattern (reference
+    * definitions/game_neighbors.sqlx:16) applied to ANN: index built
+    * once, queried forever. At 100 TB the lists table is partitioned
+    * by `cid` so a probe is a partition read; the publish is the
+    * one-off build cost every vector store pays.
+    *
+    * Determinism contract: [[graft.operators.KMeans.trainLocal]] is
+    * bit-deterministic for a given corpus, so a query answered from
+    * the published index equals one answered from a fresh build —
+    * which is exactly what lets k20's DuckDB oracle (which has no
+    * store) retrain the same centroids and agree.
+    */
+  private val publishedIvf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def publishedIvfIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    publishedIvf.computeIfAbsent(d, _ => {
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{KMeans, TableStore}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf_published").toString
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val cents = KMeans.trainLocal(e, 4, LloydRounds)
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      TableStore.publishVersion(s, s"$root/centroids", cents,
+        note = "ivf-centroids")
+      TableStore.publishVersion(s, s"$root/lists",
+        KMeans.withAssign(n, cents), note = "ivf-lists")
+      root
+    })
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -1193,6 +1231,105 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // PUBLISHED-index ANN serving — closes the amortization the k10
+    // cost anatomy only asserted: k10/k3/k16 retrain inside every
+    // query because catalog queries are self-contained; HERE the
+    // trained centroids and posting lists are published ONCE per
+    // dataset as versioned TableStore tables (publishedIvfIndex) and
+    // the query answers a 16-vector batch by READING them — no
+    // training aggregate, no embeddings re-scan (the lists carry
+    // vector + norm), just two index-table reads, a broadcast probe
+    // pick, and per-query top-10 rerank, audited k10-style against
+    // per-query brute-force truth. PublishedIndexSpec proves the
+    // second invocation performs zero publishes and scans only the
+    // index tables. At scale: lists partitioned by cid → each query
+    // reads 2 partitions; the 16-query batch shares one probe scan.
+    Q("k20_published_index",
+      "ANN from a PUBLISHED IVF index (read-only query path): per-query recall@10 vs brute force",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val dist = s"1.0 - ${XSql.cosineFromNorms(
+          XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")}"
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |qs AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 16),
+           |truth AS (SELECT qid, vec_id FROM (
+           |    SELECT q.qid, n.vec_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY $dist, n.vec_id) AS rn
+           |    FROM n, qs q WHERE n.vec_id != q.qid) WHERE rn <= 10),
+           |pick AS (SELECT qid, cid FROM (
+           |    SELECT q.qid, c.cid,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY ${XSql.dist2("q.qv", "c.cv")}, c.cid) AS rn
+           |    FROM c1 c, qs q) WHERE rn <= 2),
+           |ann AS (SELECT qid, vec_id FROM (
+           |    SELECT p.qid, n.vec_id,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY $dist, n.vec_id) AS rn
+           |    FROM n JOIN a2 ON n.vec_id = a2.vec_id
+           |         JOIN pick p ON a2.cid = p.cid
+           |         JOIN qs q ON q.qid = p.qid
+           |    WHERE n.vec_id != p.qid) WHERE rn <= 10),
+           |ov AS (SELECT qid, count(*) AS n_overlap
+           |       FROM truth JOIN ann USING (qid, vec_id) GROUP BY qid)
+           |SELECT qs.qid, cast(10 as bigint) AS n_truth,
+           |  (SELECT count(*) FROM ann a WHERE a.qid = qs.qid) AS n_ann,
+           |  coalesce(ov.n_overlap, 0) AS n_overlap,
+           |  cast(coalesce(ov.n_overlap, 0) as double) / 10.0 AS recall_at_10
+           |FROM qs LEFT JOIN ov ON qs.qid = ov.qid
+           |ORDER BY qs.qid""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.TableStore
+      val root = publishedIvfIndex(s, d)
+      // the ENTIRE query surface below reads the two published tables
+      // — vectors and norms come from the lists, never from a fresh
+      // embeddings scan, and nothing below trains anything
+      val cents = TableStore.readVersion(s, s"$root/centroids")
+      val lists = TableStore.readVersion(s, s"$root/lists")
+      val qs = lists.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2"))
+      val dist = (lit(1.0) - expr(XSql.cosineFromNorms(
+        XSql.dot("v", "qv"), "n2", "qn2"))).as("dist")
+      def top10(in: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+        in.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("qid", "vec_id")
+      }
+      val truth = top10(lists.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dist))
+      val pickW = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+      val pick = cents.crossJoin(broadcast(qs))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") <= 2)
+        .select("qid", "cid")
+      // probe: equi-join the posting lists on the picked (qid, cid)
+      // pairs — at scale a 2-partition read per query, never a scan
+      val ann = top10(lists.join(broadcast(pick), Seq("cid"))
+        .join(broadcast(qs), Seq("qid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), dist))
+      val ov = truth.join(ann, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      val nAnn = ann.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+      qs.select("qid")
+        .join(nAnn, Seq("qid"), "left")
+        .join(ov, Seq("qid"), "left")
+        .select(col("qid"), lit(10L).as("n_truth"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0)
+            .as("recall_at_10"))
+        .orderBy("qid")
+    },
+
+    // ---------------------------------------------------------------
     // Filtered vector search — ANN under a metadata predicate (the
     // RAG shape: "nearest documents WHERE lang = 'de'"). The
     // discipline being gated is PRE-filtering: the predicate prunes
@@ -1465,6 +1602,112 @@ object Similarity {
         .groupBy("base_cid", "full_cid")
         .agg(count(lit(1)).as("n"))
         .orderBy("base_cid", "full_cid")
+    },
+
+    // ---------------------------------------------------------------
+    // The retrain DECISION — k19's contingency report closed into the
+    // policy loop it exists for: drift = 1 - (Σ per-base-cluster
+    // majority overlap)/n (renumbering-agnostic — a relabeled but
+    // identical clustering scores 0), and the rebuild flag
+    // (drift ≥ 5%) DRIVES which serving path the query takes: rebuild
+    // → a fresh full-trained index (k3's build path); keep → the
+    // frozen base-trained centroids k16 keeps absorbing into. Only
+    // the CHOSEN path's probe plan executes (the decision is one
+    // bounded k×k driver collect); the oracle recomputes both
+    // clusterings, the same drift scalar, and CASE-selects the same
+    // path — so the gate covers the decision arithmetic AND the
+    // selected path's result. This is the index-ops control loop at
+    // 100 TB: monitor cheap (two broadcast argmin passes), rebuild
+    // expensive (full retrain) only when the monitor trips.
+    Q("k21_retrain_policy",
+      "retrain decision: k19 drift >= 5% selects rebuild-full vs absorb-frozen, chosen path's top-10",
+      {
+        implicit val dl: Dialect = SqlDuck
+        def assignCte(name: String, cents: String): String =
+          s"""$name AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+             |    FROM e, $cents c) WHERE rn = 1)""".stripMargin
+        def pathCtes(tag: String, cents: String, assign: String): String =
+          s"""${tag}pick AS (SELECT c.cid FROM $cents c, q
+             |  ORDER BY ${XSql.dist2("q.qv", "c.cv")}, c.cid LIMIT 2),
+             |${tag}top AS (SELECT n.vec_id,
+             |    1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+             |  FROM n JOIN $assign a ON n.vec_id = a.vec_id, q
+             |  WHERE a.cid IN (SELECT cid FROM ${tag}pick) AND n.vec_id != 0
+             |  ORDER BY dist, n.vec_id LIMIT 10)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |eb AS (SELECT vec_id, v FROM e WHERE vec_id % 3 != 2),
+           |${lloydCtes(4, p = "b", src = "eb")},
+           |${lloydCtes(4, p = "f", src = "e")},
+           |${assignCte("asb", "bc1")},
+           |${assignCte("asf", "fc1")},
+           |cont AS (SELECT asb.cid AS base_cid, asf.cid AS full_cid, count(*) AS n
+           |         FROM asb JOIN asf ON asb.vec_id = asf.vec_id GROUP BY 1, 2),
+           |dr AS (SELECT 1.0 - cast(sum(mx) as double) / cast(sum(tot) as double) AS drift
+           |       FROM (SELECT base_cid, max(n) AS mx, sum(n) AS tot
+           |             FROM cont GROUP BY base_cid)),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |${pathCtes("f", "fc1", "asf")},
+           |${pathCtes("b", "bc1", "asb")}
+           |SELECT t.vec_id, t.dist,
+           |  (SELECT drift FROM dr) AS drift_frac,
+           |  (SELECT drift FROM dr) >= 0.05 AS rebuild,
+           |  CASE WHEN (SELECT drift FROM dr) >= 0.05 THEN 'rebuild-full'
+           |       ELSE 'absorb-frozen' END AS path
+           |FROM (
+           |  SELECT * FROM ftop WHERE (SELECT drift FROM dr) >= 0.05
+           |  UNION ALL
+           |  SELECT * FROM btop WHERE (SELECT drift FROM dr) < 0.05) t
+           |ORDER BY t.dist, t.vec_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.KMeans
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .select("vec_id", "v")
+      val base = e.filter(col("vec_id") % 3 =!= 2)
+      val cb = KMeans.trainLocal(base, 4, LloydRounds)
+      val cf = KMeans.trainLocal(e, 4, LloydRounds)
+      val ab = KMeans.withAssign(e, cb)
+        .select(col("vec_id"), col("cid").as("base_cid"))
+      val af = KMeans.withAssign(e, cf)
+        .select(col("vec_id"), col("cid").as("full_cid"))
+      // the decision scalar: one k×k contingency, majority overlap per
+      // base cluster — BOUNDED driver collect (≤ k rows), the monitor
+      // read an index-ops controller performs once per build window
+      val perBase = ab.join(af, "vec_id")
+        .groupBy("base_cid", "full_cid")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("base_cid")
+        .agg(max("n").as("mx"), sum("n").as("tot"))
+        .agg(sum("mx").as("mx"), sum("tot").as("tot"))
+        .head()
+      val drift = 1.0 - perBase.getLong(0).toDouble / perBase.getLong(1).toDouble
+      val rebuild = drift >= 0.05
+      // ONLY the chosen path's plan is built and executed
+      val cents = if (rebuild) cf else cb
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val q = n.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cents.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select("cid")
+      KMeans.withAssign(n, cents)
+        .join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("dist"),
+          lit(drift).as("drift_frac"), lit(rebuild).as("rebuild"),
+          lit(if (rebuild) "rebuild-full" else "absorb-frozen").as("path"))
+        .orderBy(col("dist"), col("vec_id"))
     }
   )
 }

@@ -1,0 +1,60 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.operators.TableStore
+import graft.queries.Similarity
+
+/** k20's serving contract: the published IVF index is built ONCE per
+  * dataset, and the query path is read-only against it — no training,
+  * no re-publish, no embeddings re-scan.
+  */
+class PublishedIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def k20 = graft.SparkEntry.queries("k20_published_index")
+
+  test("second invocation publishes nothing and reads only the index tables") {
+    val first = k20(spark, dir).collect()
+    val root = Similarity.publishedIvfIndex(spark, dir)
+    val centVs = TableStore.committedVersions(spark, s"$root/centroids")
+    val listVs = TableStore.committedVersions(spark, s"$root/lists")
+    assert(centVs.nonEmpty && listVs.nonEmpty)
+
+    val df2 = k20(spark, dir)
+    val second = df2.collect()
+    // read-only: no new versions appeared
+    assert(TableStore.committedVersions(spark, s"$root/centroids") == centVs,
+      "second query re-published centroids")
+    assert(TableStore.committedVersions(spark, s"$root/lists") == listVs,
+      "second query re-published lists")
+    // deterministic: the read-path answer equals the build-path answer
+    assert(second.toSeq == first.toSeq)
+
+    // every file the plan scans lives under the index root — the
+    // query never re-reads embeddings.parquet (vectors + norms come
+    // from the published lists)
+    val scanned = df2.inputFiles.toSeq
+    assert(scanned.nonEmpty)
+    val outside = scanned.filterNot(_.contains("graft_ivf_published"))
+    assert(outside.isEmpty,
+      s"read-only query path scanned non-index files: ${outside.take(3)}")
+    // and no training shape appears in the executed plan (trainLocal
+    // is a driver-side build step that must not run here)
+    val plan = df2.queryExecution.executedPlan.toString()
+    assert(!plan.contains("embeddings.parquet"))
+  }
+
+  test("per-query recall from the published index is sane (batch of 16)") {
+    val rows = k20(spark, dir).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall_at_10")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_truth") == 10L)
+    }
+    // 2-probe IVF over 4 lists must beat random guessing on average
+    val mean = rows.map(_.getAs[Double]("recall_at_10")).sum / rows.length
+    assert(mean >= 0.5, s"mean recall@10 $mean — index probably broken")
+  }
+}
