@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, DoubleType, LongType, TimestampType}
 
 /** Optimizer rule: rewrite a pure *band* theta join
   *
@@ -16,6 +16,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * residual filter. Any value within ±w of `a.x` falls in one of the
   * three neighbouring buckets, so the rewrite is semantics-preserving
   * for any w > 0.
+  *
+  * Covers numeric/decimal widths AND timestamp bands
+  * (`b.ts BETWEEN a.ts - INTERVAL h AND a.ts + INTERVAL h`): a
+  * day-time interval is a microsecond count, so the timestamp case is
+  * the same floor-divide bucketing over `unix_micros(ts)` — strictly
+  * monotone, hence the same endpoint-bucket completeness proof. The
+  * analyzer rewrites `ts - INTERVAL w` to
+  * `TimestampAddInterval(ts, -w)` (DatetimeSub's replacement, with
+  * the negation constant-folded earlier in the same fixed-point
+  * batch), so one pattern serves both BETWEEN directions.
   *
   * Why (SURVEY §4 "Custom Catalyst work" item 2, §7.4 trap 7): without
   * an equi conjunct Spark can only plan a band join as
@@ -60,18 +70,39 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case Cast(inner, _, _, _) => litVal(inner)
       case _ => None
     }
+    // a day-time interval literal's value IS its microsecond count;
+    // UnaryMinus survives until ConstantFolding's next fixed-point
+    // pass, so match through it rather than waiting a batch iteration
+    def ivMicros(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+      case UnaryMinus(inner, _) => ivMicros(inner).map(v => -v)
+      case Cast(inner, _, _, _) => ivMicros(inner)
+      case _ => None
+    }
     // lower: probe >= anchor - w   /   upper: probe <= anchor + w
     val lowers = conjuncts.collect {
       case GreaterThanOrEqual(p, sub @ Subtract(a, w, _)) if litVal(w).isDefined =>
         (p, a, litVal(w).get, sub: Expression)
       case LessThanOrEqual(sub @ Subtract(a, w, _), p) if litVal(w).isDefined =>
         (p, a, litVal(w).get, sub: Expression)
+      case GreaterThanOrEqual(p, ta @ TimestampAddInterval(a, w, _))
+          if ivMicros(w).exists(_ < 0) =>
+        (p, a, -ivMicros(w).get.toDouble, ta: Expression)
+      case LessThanOrEqual(ta @ TimestampAddInterval(a, w, _), p)
+          if ivMicros(w).exists(_ < 0) =>
+        (p, a, -ivMicros(w).get.toDouble, ta: Expression)
     }
     val uppers = conjuncts.collect {
       case LessThanOrEqual(p, add @ Add(a, w, _)) if litVal(w).isDefined =>
         (p, a, litVal(w).get, add: Expression)
       case GreaterThanOrEqual(add @ Add(a, w, _), p) if litVal(w).isDefined =>
         (p, a, litVal(w).get, add: Expression)
+      case LessThanOrEqual(p, ta @ TimestampAddInterval(a, w, _))
+          if ivMicros(w).exists(_ > 0) =>
+        (p, a, ivMicros(w).get.toDouble, ta: Expression)
+      case GreaterThanOrEqual(ta @ TimestampAddInterval(a, w, _), p)
+          if ivMicros(w).exists(_ > 0) =>
+        (p, a, ivMicros(w).get.toDouble, ta: Expression)
     }
     (for {
       (p1, a1, w1, lo) <- lowers
@@ -90,8 +121,17 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  private def bucketOf(x: Expression, w: Double): Expression =
-    Floor(Divide(Cast(x, DoubleType), Literal(w, DoubleType)))
+  /** Bucket id: floor(x / w). Timestamps bucket over unix_micros
+    * (matching the interval width's microsecond unit) — exact in
+    * double space for any epoch below 2^53 µs (~year 2255).
+    */
+  private def bucketOf(x: Expression, w: Double): Expression = {
+    val numeric = x.dataType match {
+      case TimestampType => Cast(UnixMicros(x), DoubleType)
+      case _ => Cast(x, DoubleType)
+    }
+    Floor(Divide(numeric, Literal(w, DoubleType)))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)

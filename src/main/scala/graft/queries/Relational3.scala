@@ -514,6 +514,38 @@ object Relational3 {
     },
 
     // ---------------------------------------------------------------
+    // j15's manual grid, automated: a symmetric TIMESTAMP band join
+    // written naively (BETWEEN ± INTERVAL, no equi conjunct) and
+    // planned by BandJoinRewrite's timestamp extension — the rule
+    // buckets both sides at the interval width over unix_micros and
+    // joins on the bucket, so the plan is a shuffled equi-join whose
+    // cost is the band density, never the O(n·m) nested loop the
+    // naive predicate would otherwise force. BandJoinRewriteSpec pins
+    // the plan shape (Generate explode, no BNLJ/cartesian) and the
+    // exact-boundary completeness.
+    Q("j15b_time_band_auto",
+      "naive +/-30min timestamp band join auto-rewritten to a time-bucket equi-join",
+      """SELECT a.event_id, count(*) AS n_close
+        |FROM events a JOIN events b
+        |  ON b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts + INTERVAL 30 MINUTE
+        |WHERE a.event_type = 'error' AND b.event_type = 'purchase'
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) { (s, d) =>
+      if (!s.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+      val b = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("b_ts"))
+      a.join(b, col("b_ts") >= col("a_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+        .groupBy(col("a_id").as("event_id"))
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
     // Column profiling — the data-quality scan every landed table
     // gets before it is trusted: per column, null count, exact
     // distinct count, min/max. The engine computes ALL columns in ONE

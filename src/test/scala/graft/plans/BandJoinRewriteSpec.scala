@@ -71,6 +71,68 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("timestamp bands fire the rule; boundary timestamps survive") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      import spark.implicits._
+      // timestamps spaced EXACTLY 30 min apart — every adjacent pair
+      // sits precisely on the ±30 min band edge, the adversarial case
+      // for the unix_micros bucketing
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ts = (0 until 40).map(i =>
+        (new java.sql.Timestamp(t0 + i * 30L * 60 * 1000), i.toLong))
+      val df0 = ts.toDF("ts", "id")
+      val a = df0.select(col("ts").as("a_ts"), col("id").as("a_id"))
+      val b = df0.select(col("ts").as("b_ts"), col("id").as("b_id"))
+      val j = a.join(b,
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES") &&
+          col("b_id") =!= col("a_id"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("Generate explode"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // each element pairs with its immediate neighbours only
+      val expected = (for {
+        (_, i1) <- ts; (_, i2) <- ts
+        if i1 != i2 && math.abs(i1 - i2) <= 1
+      } yield 1).size
+      assert(j.count() == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
+  test("SQL INTERVAL BETWEEN form fires the timestamp rewrite") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      ev.createOrReplaceTempView("bjr_events")
+      val df = spark.sql(
+        """SELECT a.event_id, b.event_id AS b_id FROM bjr_events a JOIN bjr_events b
+          |  ON b.ts BETWEEN a.ts - INTERVAL 10 MINUTES AND a.ts + INTERVAL 10 MINUTES
+          | AND b.event_id != a.event_id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("Generate explode"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      // ground truth: the same join WITHOUT the rule attached
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+      val naive = spark.sql(
+        """SELECT a.event_id, b.event_id AS b_id FROM bjr_events a JOIN bjr_events b
+          |  ON b.ts BETWEEN a.ts - INTERVAL 10 MINUTES AND a.ts + INTERVAL 10 MINUTES
+          | AND b.event_id != a.event_id""".stripMargin)
+      assert(df.count() == naive.count())
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
   test("joins with an equi conjunct are left untouched") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BandJoinRewrite
