@@ -84,6 +84,49 @@ object StreamingOps {
     }
   }
 
+  /** Multi-writer form of [[applyBatchExactlyOnce]]: the SAME
+    * exactly-once discipline (commit-note probe → skip redelivered
+    * batches) but committing through the CAS path
+    * ([[graft.operators.TableStore.publishWithRetry]]) so TWO
+    * independent streaming publishers can advance ONE table
+    * concurrently — the two-ingest-jobs-one-table reality of a
+    * production lakehouse. A stale writer's publish conflicts on the
+    * version marker, re-reads the advanced state, and re-merges its
+    * OWN batch delta on top, so neither writer's update can be lost;
+    * the per-(writer, batch) note makes redelivery after a crash
+    * between the publish and the stream checkpoint a no-op, exactly
+    * as in the single-writer path. StreamingExactlyOnceSpec races two
+    * live foreachBatch streams through this and proves both
+    * properties.
+    */
+  private[graft] def applyBatchExactlyOnceCas(
+      s: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      writer: String, id: Long): Unit = {
+    import graft.operators.TableStore
+    val note = s"$writer-batch:$id"
+    val applied = TableStore.committedVersions(s, path)
+      .exists(v => TableStore.versionNote(s, path, v).contains(note))
+    if (!applied) {
+      TableStore.publishWithRetry(s, path, note) { cur =>
+        val delta = userDelta(batch)
+        cur match {
+          case None => delta
+          case Some(c) => TableStore.readVersion(s, path, Some(c))
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        }
+      }
+      // keep-last-2 retention is CAS-safe for the same reason as the
+      // claim path: the probe reads only markers (kept forever) and
+      // each attempt reads only the then-current version
+      TableStore.currentVersion(s, path).foreach(v =>
+        TableStore.dropVersionsBelow(s, path, keepFrom = v - 1))
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------

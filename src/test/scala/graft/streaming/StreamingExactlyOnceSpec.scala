@@ -81,4 +81,66 @@ class StreamingExactlyOnceSpec extends SparkSpec {
     assert(notes.count(_ == "batch:0") == 1)
     assert(notes.count(_ == "batch:1") == 1)
   }
+
+  /** TWO live foreachBatch publishers racing into ONE table through
+    * the CAS commit path (applyBatchExactlyOnceCas) — the
+    * two-ingest-jobs-one-table shape. Gates: (1) no lost update — the
+    * final state equals the combined aggregate of both streams even
+    * though stale writers conflict and retry mid-race; (2)
+    * exactly-once survives the conflict-retry path — a full
+    * fresh-checkpoint replay of one stream re-delivers every batch
+    * and changes nothing.
+    */
+  test("two racing streaming publishers: no lost update, replay is a no-op") {
+    import graft.streaming.EventStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_eo_race")
+    val path = tmp.resolve("t").toString
+
+    // overlapping user ids so the merged rows genuinely combine both
+    // writers' contributions
+    val ev1 = events(1L -> 10.0, 2L -> 5.0, 3L -> 2.0, 1L -> 1.0)
+    val ev2 = events(2L -> 7.0, 3L -> 4.0, 4L -> 9.0, 2L -> 3.0)
+    val stage1 = tmp.resolve("stage1").toString
+    val stage2 = tmp.resolve("stage2").toString
+
+    def run(writer: String, stage: String, df: org.apache.spark.sql.DataFrame,
+        ckpt: String): Unit =
+      EventStream.runForeachBatch(spark,
+        EventStream.restageFileStream(spark, df.schema, stage),
+        Some(ckpt)) { (batch, bid) =>
+        graft.queries.StreamingOps.applyBatchExactlyOnceCas(
+          spark, path, batch, writer, bid)
+      }
+
+    // stage 3 files each -> 3 micro-batches per writer
+    ev1.repartition(3).write.parquet(stage1)
+    ev2.repartition(3).write.parquet(stage2)
+
+    val t1 = new Thread(() =>
+      run("w1", stage1, ev1, tmp.resolve("ckpt1").toString))
+    val t2 = new Thread(() =>
+      run("w2", stage2, ev2, tmp.resolve("ckpt2").toString))
+    var failure: Option[Throwable] = None
+    val h: Thread.UncaughtExceptionHandler = (_, e) => failure = Some(e)
+    t1.setUncaughtExceptionHandler(h); t2.setUncaughtExceptionHandler(h)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    failure.foreach(throw _)
+
+    val want = Map(
+      1L -> (2L, 11.0), 2L -> (3L, 15.0), 3L -> (2L, 6.0), 4L -> (1L, 9.0))
+    assert(state(path) == want)
+    // every (writer, batch) committed exactly once despite the race
+    val notes = TableStore.committedVersions(spark, path)
+      .flatMap(v => TableStore.versionNote(spark, path, v))
+    for (w <- Seq("w1", "w2"); b <- 0 until 3)
+      assert(notes.count(_ == s"$w-batch:$b") == 1,
+        s"$w batch $b: ${notes.mkString(", ")}")
+
+    // full replay of writer 1 (fresh checkpoint, same staged files):
+    // every batch redelivers, every one must be skipped
+    val vBefore = TableStore.currentVersion(spark, path)
+    run("w1", stage1, ev1, tmp.resolve("ckpt1b").toString)
+    assert(state(path) == want)
+    assert(TableStore.currentVersion(spark, path) == vBefore)
+  }
 }
