@@ -156,22 +156,39 @@ object JoinViewMaintenance {
       // bases still sit at tick B-1 here (they publish after the view).
       // `_mult` stays attached: joinViewDelta weights its base probes
       // by it, so a duplicate base row folded to one `_mult=k` row
-      // still derives k view rows per matching delta row. Each fold
-      // read is SEMI-FILTERED by the opposing delta's keys before the
-      // probe: the inner join drops non-matching rows anyway, and the
-      // broadcast semi join pushes below the fold's groupBy
-      // (PushDownLeftSemiAntiJoin — join keys are grouping keys), so
-      // a long fold chain shuffles O(matching rows), not O(state);
-      // with a keyed file layout the same predicate prunes the scan.
-      val aPrev0 = TableStore.readFolded(spark, aPath)
-      val bPrev0 = TableStore.readFolded(spark, bPath)
+      // still derives k view rows per matching delta row. The probes
+      // read the RAW signed chain (readFoldedUnion), not the folded
+      // state: joinViewDelta's probe terms are linear in the base
+      // multiplicities and it ends in a groupBy-sum over the view
+      // columns, so probing each signed chain row and summing equals
+      // probing the folded row (Σ of products == product with the Σ —
+      // bilinearity), while the per-tick fold shuffle readFolded
+      // would pay on multi-version chains disappears (round-10 st15
+      // stage fusion; the same algebra st15's final aggregate already
+      // rides). Each chain read is SEMI-FILTERED by the opposing
+      // delta's keys before the probe — pushed to the version scans
+      // (no groupBy above them now), so a long chain shuffles
+      // O(matching rows), not O(state); with a keyed file layout the
+      // same predicate prunes the scan.
+      val aPrev0 = TableStore.readFoldedUnion(spark, aPath)
+      val bPrev0 = TableStore.readFoldedUnion(spark, bPath)
       // no .distinct() on the build side: LeftSemi deduplicates by
       // construction, and the distinct would cost a 2-stage aggregate
-      // per tick for a build set that is already batch-sized
-      def keyFilter(base: DataFrame, d: DataFrame): DataFrame =
-        base.join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
-      val aPrev = keyFilter(aPrev0, dB)
-      val bPrev = keyFilter(bPrev0, dA)
+      // per tick for a build set that is already batch-sized.
+      // The semi-filter is SKIPPED on a bare-snapshot chain (the tick
+      // right after a compaction): on one scan the probe's inner join
+      // drops non-matching rows for free and the extra semi stages
+      // cost more than they save (measured on i4) — the filter pays
+      // off only when it prunes a multi-version union.
+      def chainLen(p: String): Int = {
+        val committed = TableStore.committedVersions(spark, p)
+        committed.count(_ >= TableStore.foldAnchor(spark, p, committed.last))
+      }
+      def keyFilter(base: DataFrame, p: String, d: DataFrame): DataFrame =
+        if (chainLen(p) <= 1) base
+        else base.join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
+      val aPrev = keyFilter(aPrev0, aPath, dB)
+      val bPrev = keyFilter(bPrev0, bPath, dA)
       val viewCols = (aPrev0.columns ++ bPrev0.columns).distinct
         .filterNot(_ == "_mult").toSeq
       val dView = Ivm.joinViewDelta(aPrev, bPrev, dA, dB, keys, viewCols)
