@@ -155,7 +155,13 @@ object Plans {
     "i7_topk_ivm" ->
       "TOP-K IVM: inserts fold as pure array expressions; a delete hitting the stored top-k rescans ONLY its group via a broadcast semi probe; the rescan's rank<=k pushes a partial WindowGroupLimit — O(changes ∪ evicted-group rows), never O(base).",
     "t35_quality_gate" ->
-      "Quality rule bundle: six integer-exact rules + reason bitmask inside ONE row-local projection — zero exchange before the presentation sort; a free rider on the ingest scan.")
+      "Quality rule bundle: six integer-exact rules + reason bitmask inside ONE row-local projection — zero exchange before the presentation sort; a free rider on the ingest scan.",
+    "j15b_time_band_auto" ->
+      "Timestamp band join rewritten by BandJoinRewrite's interval extension: Generate + unix_micros time-bucket equi-join, residual BETWEEN re-check — no BroadcastNestedLoopJoin at any width.",
+    "k20_published_index" ->
+      "Published-index ANN serving: centroids + posting lists READ from versioned tables (no training aggregate anywhere in the plan); the 16-query batch probes via one broadcast (qid, cid) equi-join — at scale 2 partition reads per query.",
+    "k21_retrain_policy" ->
+      "Retrain decision: the k19 contingency collapses to one bounded driver scalar that SELECTS the plan — only the chosen path's broadcast-argmin + 2-probe query appears; the monitor costs two argmin passes, the rebuild is paid only when tripped.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry
