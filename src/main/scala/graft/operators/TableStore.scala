@@ -844,6 +844,24 @@ object TableStore {
     publishVersion(spark, path, canon, note)
   }
 
+  /** Snapshot publish for frames the CALLER proves are already
+    * canonical (one row per distinct data tuple; implicit `_mult` 1)
+    * — skips [[publishFoldSnapshot]]'s canonicalizing groupBy, which
+    * on a per-tick view publish is a full-state shuffle bought for
+    * nothing when the producing plan ends in a groupBy over exactly
+    * the data columns (e.g. [[graft.operators.Ivm.applyDeltaTopK]]:
+    * one row per group by construction — IvmTopKSpec pins it). The
+    * read-side invariant is identical: single-snapshot reads stay
+    * filter-only exact. A caller that cannot PROVE distinctness must
+    * use [[publishFoldSnapshot]].
+    */
+  def publishFoldSnapshotDistinct(spark: SparkSession, path: String,
+      df: DataFrame, note: String = ""): Long = {
+    require(!df.columns.contains("_mult"),
+      "publishFoldSnapshotDistinct: caller passes data columns only")
+    publishVersion(spark, path, df.withColumn("_mult", lit(1L)), note)
+  }
+
   def isFoldDelta(spark: SparkSession, path: String, v: Long): Boolean =
     versionNote(spark, path, v).exists(_.startsWith(FoldDeltaPrefix))
 

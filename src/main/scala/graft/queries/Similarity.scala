@@ -381,6 +381,47 @@ object Similarity {
       root
     })
 
+  /** The published index's MAINTENANCE lifecycle (k22): centroids
+    * trained on the BASE corpus only and frozen; the posting lists
+    * live as a FOLD TABLE whose v0 snapshot is the base assignments
+    * and whose absorb step publishes the new batch's assignments as
+    * an O(batch) fold delta — the k16 frozen-centroid absorption
+    * composed with the k20 publish-once/read-forever serving store.
+    * At 100 TB: a daily embedding batch costs one assignment pass +
+    * one delta write, never a list rewrite; readers fold
+    * anchor ⊎ deltas exactly like every other fold table, and
+    * compaction applies on the operator's schedule.
+    */
+  private val publishedIvfIncr =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def publishedIvfIndexIncremental(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    publishedIvfIncr.computeIfAbsent(d, _ => {
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{KMeans, TableStore}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivf_incr").toString
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val base = n.filter(col("vec_id") % 3 =!= 2)
+      val batch = n.filter(col("vec_id") % 3 === 2)
+      // train ONCE on the base corpus; the batch never touches training
+      val cents = KMeans.trainLocal(
+        base.select("vec_id", "v"), 4, LloydRounds)
+      TableStore.publishVersion(s, s"$root/centroids", cents,
+        note = "ivf-centroids-frozen")
+      TableStore.publishFoldSnapshot(s, s"$root/lists",
+        KMeans.withAssign(base, cents), note = "build")
+      // the absorb tick: assign ONLY the batch under the frozen
+      // centroids and publish the rows as a fold delta — O(batch)
+      TableStore.publishFoldDelta(s, s"$root/lists",
+        KMeans.withAssign(batch, cents).withColumn("_mult", lit(1L)),
+        note = "absorb:1")
+      root
+    })
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -1327,6 +1368,64 @@ object Similarity {
           (coalesce(col("n_overlap"), lit(0L)).cast("double") / 10.0)
             .as("recall_at_10"))
         .orderBy("qid")
+    },
+
+    // ---------------------------------------------------------------
+    // The published index's MAINTENANCE tick — k16's frozen-centroid
+    // absorption composed with k20's publish-once serving store: the
+    // posting lists are a FOLD TABLE (v0 = base assignments, absorb =
+    // one O(batch) fold delta of the new batch assigned under the
+    // frozen published centroids), and the query READS the folded
+    // lists — no retraining, no list rewrite, no base re-assignment.
+    // The oracle bulk-assigns the full corpus under the base-trained
+    // centroids (k16's invariant: append-indexed == bulk-indexed), so
+    // the green row proves the fold-published absorb path serves
+    // exactly the bulk-built index. PublishedIndexSpec additionally
+    // meters the absorb write: exactly one delta version, row count
+    // == batch size.
+    Q("k22_published_absorb",
+      "published IVF absorb tick: O(batch) fold-delta publish under frozen centroids == bulk-built index",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |eo AS (SELECT vec_id, v FROM e WHERE vec_id % 3 != 2),
+           |${lloydCtes(4, src = "eo")},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |af AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM e, c1 c) WHERE rn = 1),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2)
+           |SELECT n.vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n JOIN af ON n.vec_id = af.vec_id, q
+           |WHERE af.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.TableStore
+      val root = publishedIvfIndexIncremental(s, d)
+      // read-only query path over the published store: centroids +
+      // the FOLDED lists (anchor snapshot ⊎ absorb delta)
+      val cents = TableStore.readVersion(s, s"$root/centroids")
+      val lists = TableStore.readFolded(s, s"$root/lists").drop("_mult")
+      val q = lists.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cents.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select("cid")
+      lists.join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     },
 
     // ---------------------------------------------------------------

@@ -465,7 +465,10 @@ object StreamingOps {
           .select((-col("o_orderkey")).as("o_orderkey"),
             col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       TableStore.publishFoldSnapshot(s, basePath, o, "tick=-1")
-      TableStore.publishFoldSnapshot(s, viewPath, Ivm.aggregateTopK(o,
+      // aggregateTopK ends in a groupBy over the view's key — one row
+      // per group by construction, so the distinct publish skips the
+      // canonicalizing shuffle (same contract as topKTick's publishes)
+      TableStore.publishFoldSnapshotDistinct(s, viewPath, Ivm.aggregateTopK(o,
         Seq("o_custkey"), "o_totalprice", "o_orderkey", 3), "tick=-1")
       val changes = TableStore.diffKeyed(o, edited, Seq("o_orderkey"))
       val stream = EventStream.stagedFileStream(s, changes,

@@ -265,7 +265,12 @@ object JoinViewMaintenance {
         baseDelta(slice), note(batchId)): Unit
     if (tickVersion(spark, viewPath, batchId).isEmpty) {
       val newBase = TableStore.readFolded(spark, basePath).drop("_mult")
-      TableStore.publishFoldSnapshot(spark, viewPath,
+      // Distinct publish: applyDeltaTopK emits ONE row per group by
+      // construction (incr from a per-group full-outer merge,
+      // rescanned from a groupBy, groups disjoint — IvmTopKSpec), so
+      // the canonicalizing groupBy of publishFoldSnapshot would be a
+      // per-tick full-view shuffle bought for nothing
+      TableStore.publishFoldSnapshotDistinct(spark, viewPath,
         graft.operators.Ivm.applyDeltaTopK(
           TableStore.readFolded(spark, viewPath).drop("_mult"),
           slice, newBase, keys, valueCol, idCol, k),

@@ -105,8 +105,15 @@ class IvmTopKSpec extends SparkSpec {
         base(after: _*), Seq("g"), "v", "id", K)
       val recomputed = Ivm.aggregateTopK(base(after: _*), Seq("g"), "v", "id", K)
       val (got, want) = (viewSet(maintained), viewSet(recomputed))
-      Prop(got == want) :|
-        s"got=$got want=$want before=$before after=$after"
+      // ONE row per group, always — the canonical-by-construction
+      // contract TableStore.publishFoldSnapshotDistinct relies on
+      // (topKTick publishes the maintained frame without a
+      // canonicalizing groupBy)
+      val rows = maintained.collect()
+      val oneRowPerGroup = rows.length ==
+        rows.map(_.getAs[Long]("g")).distinct.length
+      Prop(got == want && oneRowPerGroup) :|
+        s"got=$got want=$want oneRowPerGroup=$oneRowPerGroup before=$before after=$after"
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)

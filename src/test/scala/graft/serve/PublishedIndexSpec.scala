@@ -45,6 +45,29 @@ class PublishedIndexSpec extends SparkSpec {
     assert(!plan.contains("embeddings.parquet"))
   }
 
+  test("k22 absorb tick: exactly one O(batch) fold delta, read path folds it in") {
+    import org.apache.spark.sql.functions._
+    // building the index runs the absorb tick once
+    graft.SparkEntry.queries("k22_published_absorb")(spark, dir).collect()
+    val root = Similarity.publishedIvfIndexIncremental(spark, dir)
+    val lists = s"$root/lists"
+    val versions = TableStore.committedVersions(spark, lists)
+    val deltas = versions.filter(v => TableStore.isFoldDelta(spark, lists, v))
+    assert(deltas.length == 1, s"expected 1 absorb delta, got $deltas")
+    // the absorb wrote O(batch): exactly the batch's rows, never the base
+    val batchSize = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 3 === 2).count()
+    val deltaRows = TableStore.readVersion(spark, lists, Some(deltas.head)).count()
+    assert(deltaRows == batchSize, s"delta $deltaRows rows != batch $batchSize")
+    // the folded read serves base + batch
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(TableStore.readFolded(spark, lists).count() == total)
+    // re-invocation publishes nothing (read-only query path)
+    graft.SparkEntry.queries("k22_published_absorb")(spark, dir).collect()
+    assert(TableStore.committedVersions(spark, lists) == versions)
+  }
+
   test("per-query recall from the published index is sane (batch of 16)") {
     val rows = k20(spark, dir).collect()
     assert(rows.length == 16)
