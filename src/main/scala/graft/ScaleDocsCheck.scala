@@ -37,7 +37,13 @@ object ScaleDocsCheck {
     "c12_semantic_decontamination", "c13_quality_classifier",
     "c14_k_anonymity", "c16_unimax_allocation", "c17_doremi_weights",
     "k1_knn_brute", "k2_ann_lsh", "k3_ann_ivf", "k6_quantized_knn",
-    "k9_kmeans_lloyd")
+    "k9_kmeans_lloyd",
+    // round 10: the real-PNG codec family (per-row encode+decode —
+    // linear by construction, the gate proves the plumbing stays
+    // map-side) and the published-index read paths (build amortized
+    // once per JVM; min-of-2 measures the read-only query)
+    "m1_media_features", "m3_resize", "m5_media_near_dup",
+    "m8_image_decode", "k20_published_index", "k22_published_absorb")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't
