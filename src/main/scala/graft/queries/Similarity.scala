@@ -1429,6 +1429,86 @@ object Similarity {
     },
 
     // ---------------------------------------------------------------
+    // k22's absorb tick in the CONTINUOUS loop — the freshly-indexed
+    // vector store a streaming embedding feed keeps warm: new vectors
+    // arrive as micro-batches, each tick assigns ONLY its slice under
+    // the frozen published centroids and publishes the rows as one
+    // O(batch) fold delta (tick-note guarded, so redelivery skips —
+    // the st17/applyTick WAL discipline on the index's posting
+    // lists). The query then reads the folded lists; the oracle
+    // bulk-assigns the full corpus under the base-trained centroids,
+    // so the green row proves stream-of-absorbs == bulk-built at any
+    // batch split. At 100 TB: per-tick cost is the batch's argmin
+    // pass + one delta write; compaction folds the chain on the
+    // operator's cadence, and queries stay 2 partition reads.
+    Q("st18_stream_ann_ingest",
+      "embedding stream absorbed into the published IVF index tick by tick == bulk-built index",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |eo AS (SELECT vec_id, v FROM e WHERE vec_id % 3 != 2),
+           |${lloydCtes(4, src = "eo")},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |af AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM e, c1 c) WHERE rn = 1),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2)
+           |SELECT n.vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n JOIN af ON n.vec_id = af.vec_id, q
+           |WHERE af.cid IN (SELECT cid FROM pick) AND n.vec_id != 0
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{KMeans, TableStore}
+      import graft.streaming.{EventStream, JoinViewMaintenance}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st18")
+      val lists = tmp.resolve("lists").toString
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val base = n.filter(col("vec_id") % 3 =!= 2)
+      val batch = n.filter(col("vec_id") % 3 === 2)
+      // build once: frozen centroids + the base posting lists as the
+      // fold anchor
+      val cents = KMeans.trainLocal(base.select("vec_id", "v"), 4, LloydRounds)
+      TableStore.publishFoldSnapshot(s, lists,
+        KMeans.withAssign(base, cents), note = "tick=-1")
+      // the embedding feed: the new batch replayed as micro-batches
+      val stream = EventStream.stagedFileStream(s, batch,
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        // tick-guarded O(batch) absorb: assignment is pointwise, so
+        // any slice split composes to the bulk assignment
+        if (JoinViewMaintenance.tickVersion(s, lists, bid).isEmpty)
+          TableStore.publishFoldDelta(s, lists,
+            KMeans.withAssign(slice, cents).withColumn("_mult", lit(1L)),
+            s"tick=$bid"): Unit
+      }
+      // the serving read: folded lists, 2-probe, exact rerank
+      val folded = TableStore.readFolded(s, lists).drop("_mult")
+      val q = folded.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cents.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select("cid")
+      folded.join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // ---------------------------------------------------------------
     // Filtered vector search — ANN under a metadata predicate (the
     // RAG shape: "nearest documents WHERE lang = 'de'"). The
     // discipline being gated is PRE-filtering: the predicate prunes
