@@ -72,6 +72,19 @@ object Multimodal {
   private lazy val imageIoInit: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Codec-context reuse — the "reuse codec contexts per partition"
+    * promise made real: `ImageIO.write`/`read` convenience methods
+    * run a service-provider SEARCH per call; at millions of small
+    * images per executor that search dominates the actual codec work.
+    * One writer/reader per thread, re-targeted per image.
+    */
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
   /** Pack `bytes` row-major into a `width`-wide 8-bit grayscale raster
     * (last row zero-padded) and encode a genuine PNG via
     * `javax.imageio` — real magic bytes, real zlib filtering, readable
@@ -90,8 +103,11 @@ object Multimodal {
       .asInstanceOf[java.awt.image.DataBufferByte].getData
     System.arraycopy(bytes, 0, raster, 0, bytes.length)
     val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-    if (!javax.imageio.ImageIO.write(img, "png", out))
-      sys.error("no PNG writer available")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    val w = pngWriter.get()
+    w.setOutput(ios)
+    w.write(img)
+    ios.flush()
     out.toByteArray
   }
 
@@ -103,20 +119,34 @@ object Multimodal {
     */
   def decodeGrayPng(png: Array[Byte]): (Int, Int, Array[Byte]) = {
     imageIoInit
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png))
+    val r = pngReader.get()
+    r.setInput(iis)
+    val img = r.read(0)
     if (img == null) sys.error("undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)
-    val samples = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        samples(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
-        x += 1
-      }
-      y += 1
+    // fast path: gray8 decodes to a contiguous TYPE_BYTE_GRAY raster —
+    // lift the sample array in one copy instead of w*h getSample calls
+    val raster = img.getRaster
+    (img.getType, raster.getDataBuffer) match {
+      case (java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+            b: java.awt.image.DataBufferByte)
+          if b.getData.length == w * h && b.getOffset == 0 =>
+        (w, h, b.getData.clone())
+      case _ =>
+        val samples = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            samples(y * w + x) = raster.getSample(x, y, 0).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, samples)
     }
-    (w, h, samples)
   }
 
   /** The image fixture: one REAL PNG per document — the sanitized text
@@ -128,7 +158,16 @@ object Multimodal {
   def imageTable(spark: SparkSession, sfDir: String,
       width: Int = 64): Dataset[ImageRow] = {
     import spark.implicits._
-    mediaTable(spark, sfDir).mapPartitions { rows =>
+    // codec work is CPU-bound, not IO-bound: Spark's file packing
+    // (maxPartitionBytes/openCost) happily coalesces a few MB of
+    // small text into one partition, which serializes the per-row
+    // encode onto one core. Spread the encode across the executor
+    // slots explicitly — the shuffled payload is tiny next to the
+    // codec CPU it unlocks (measured at 10x docs: the m-family was
+    // single-core-bound before this).
+    mediaTable(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
       rows.map { r =>
         val png = encodeGrayPng(r.payload, width)
         val h = math.max((r.payload.length + width - 1) / width, 1)
