@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * those DECODED samples. PNG is lossless over 8-bit gray, which is
   * exactly what lets the DuckDB oracle state the post-decode features
   * in closed form over the source text — the gate proves the codec
-  * round trip, not just the plumbing. The audio/video seams
-  * ([[windowEnergy]], [[sampleFrames]]) remain DECLARED deterministic
-  * stand-ins (no audio/video codec ships with the JDK): their
-  * flatMap/window shapes are the contract, a demuxer replaces only
-  * the byte-read.
+  * round trip, not just the plumbing. The AUDIO path is real too:
+  * [[encodePcmWav]]/[[decodePcmWav]] run genuine RIFF/WAVE files
+  * through `javax.sound.sampled` (m4's windowed energy sums DECODED
+  * PCM samples). Only the VIDEO seam ([[sampleFrames]]) remains a
+  * DECLARED deterministic stand-in — the JDK ships no demuxer; its
+  * flatMap shape is the contract, a demuxer replaces only the
+  * byte-read.
   *
   * Scale notes: the binary payload never passes through a shuffle (the
   * featurizer runs map-side against the scan); only the small feature
@@ -149,6 +151,58 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- real audio codec
+
+  /** Encode `bytes` as a genuine RIFF/WAVE file: unsigned 8-bit PCM,
+    * mono, 8 kHz — real magic bytes, real chunk layout, readable by
+    * any WAV decoder. PCM is uncompressed, so the sample stream
+    * round-trips bit-exact (the audio analogue of gray8 PNG's
+    * losslessness — what lets the oracle state post-decode energies
+    * over the source text).
+    */
+  def encodePcmWav(bytes: Array[Byte]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Reference audio decode — parse the WAV container through
+    * `javax.sound.sampled` (header → format, data chunk → PCM frames)
+    * and return the unsigned 8-bit sample stream. Rejects payloads
+    * that are not the fixture's 8-bit mono PCM instead of silently
+    * reinterpreting them.
+    */
+  def decodePcmWav(wav: Array[Byte]): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      s"unsupported audio format: $fmt")
+    in.readAllBytes()
+  }
+
+  /** Media rows whose payloads went through the REAL audio round trip:
+    * WAV-encoded, decoded back to PCM samples via the JDK's audio
+    * framework. Codec work spreads like [[imageTable]]'s.
+    */
+  def decodedAudioMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val samples = decodePcmWav(encodePcmWav(r.payload))
+          MediaRow(r.doc_id, samples, "audio/wav-decoded",
+            samples.length % 64 + 1, samples.length % 48 + 1)
+        }
+      }
+  }
+
   /** The image fixture: one REAL PNG per document — the sanitized text
     * bytes packed as a 64-wide grayscale raster (a 64-byte frame ==
     * one pixel row) and PNG-encoded per partition. `n_bytes` records
@@ -268,13 +322,12 @@ object Multimodal {
 
   final case class AudioWindow(doc_id: Long, win_idx: Int, sum_sq: Long)
 
-  /** STUB audio decode ??? — treats payload bytes as unsigned 8-bit
-    * PCM samples and emits the exact integer energy (Σ sample²) of
-    * each full `winBytes` window. A real audio path decodes the
-    * container to PCM first and replaces only that read; the windowed
-    * flatMap shape, the exact-integer energy (floats would make the
-    * result partial-order-dependent), and the one-row-per-window
-    * contract stay.
+  /** Windowed energy over unsigned 8-bit PCM samples: the exact
+    * integer energy (Σ sample²) of each full `winBytes` window. On
+    * the m4 path the incoming rows are [[decodedAudioMedia]]'s REAL
+    * WAV-decoded sample streams; the exact-integer energy (floats
+    * would make the result partial-order-dependent) and the
+    * one-row-per-window contract are the operator's invariants.
     */
   def windowEnergy(media: Dataset[MediaRow], winBytes: Int): Dataset[AudioWindow] = {
     import media.sparkSession.implicits._

@@ -144,7 +144,7 @@ object MultimodalOps {
     // exact, so the cross-engine contract holds bit-for-bit; RMS is a
     // fixed two-op IEEE derivation from it.
     Q("m4_audio_energy",
-      "audio windowed RMS energy over the binary payload (stub PCM decode)",
+      "audio windowed RMS energy over REAL WAV payloads (javax.sound PCM decode)",
       {
         implicit val dl: SqlDuck.type = SqlDuck
         val win = "substr(text, win_idx * 50 + 1, 50)"
@@ -163,7 +163,11 @@ object MultimodalOps {
       }) { (s, d) =>
       import org.apache.spark.sql.functions._
       import s.implicits._
-      Multimodal.windowEnergy(Multimodal.mediaTable(s, d), winBytes = 50)
+      // decodedAudioMedia: the payload went through the REAL WAV
+      // round trip (RIFF encode -> javax.sound PCM decode); the
+      // windowed energy below sums DECODED samples — PCM is
+      // uncompressed, so the text-stated oracle stays exact
+      Multimodal.windowEnergy(Multimodal.decodedAudioMedia(s, d), winBytes = 50)
         .toDF()
         .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
           col("sum_sq"),

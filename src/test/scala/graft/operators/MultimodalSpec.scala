@@ -39,6 +39,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodePcmWav emits genuine RIFF/WAVE; PCM round trip is lossless") {
+    val bytes = "real-audio-codec-check".getBytes("UTF-8")
+    val wav = Multimodal.encodePcmWav(bytes)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // an independent decode agrees on format and samples
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleSizeInBits == 8 && in.getFormat.getChannels == 1)
+    assert(Multimodal.decodePcmWav(wav).toSeq == bytes.toSeq)
+  }
+
+  test("decodedAudioMedia round-trips every payload through the WAV codec") {
+    val src = media.collect().map(r => r.doc_id -> r.payload.toSeq).toMap
+    val decoded = Multimodal.decodedAudioMedia(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(decoded.length == src.size)
+    decoded.foreach(r => assert(r.payload.toSeq == src(r.doc_id)))
+  }
+
   test("encodeGrayPng pads the tail row with zeros; decode sees them") {
     val bytes = "hello-multimodal-png".getBytes("UTF-8") // 20 bytes
     val png = Multimodal.encodeGrayPng(bytes, 16)
