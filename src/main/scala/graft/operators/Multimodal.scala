@@ -161,13 +161,51 @@ object Multimodal {
     * over the source text).
     */
   def encodePcmWav(bytes: Array[Byte]): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
-    val out = new java.io.ByteArrayOutputStream(bytes.length + 64)
-    javax.sound.sampled.AudioSystem.write(
-      new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong),
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    // PCM is raw samples — "encoding" a WAV is writing the 44-byte
+    // RIFF container header, so it is emitted directly (AudioSystem
+    // .write runs a file-writer provider SEARCH per call — measured
+    // 5x the whole query's budget at corpus volume). The DECODE side
+    // stays on javax.sound (the direction that exercises a real
+    // parser), and MultimodalSpec verifies an independent AudioSystem
+    // decode accepts these bytes verbatim.
+    val n = bytes.length
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)          // PCM
+      .putShort(1.toShort)          // mono
+      .putInt(8000)                 // sample rate
+      .putInt(8000)                 // byte rate (8-bit mono)
+      .putShort(1.toShort)          // block align
+      .putShort(8.toShort)          // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(bytes)
+    buf.array()
+  }
+
+  /** The JDK's WAV parser, resolved ONCE per JVM through the public
+    * `javax.sound.sampled.spi.AudioFileReader` service-provider API —
+    * `AudioSystem.getAudioInputStream` re-runs the provider search on
+    * every call, which at millions of clips per executor costs more
+    * than the parsing itself (same pathology as the ImageIO
+    * convenience methods). Selected by probing with a minimal WAV so
+    * the choice is behavioral, not name-based.
+    */
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val probe = encodePcmWav(Array[Byte](1, 2, 3))
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    var found: Option[javax.sound.sampled.spi.AudioFileReader] = None
+    while (found.isEmpty && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        found = Some(r)
+      } catch { case _: Exception => }
+    }
+    found
   }
 
   /** Reference audio decode — parse the WAV container through
@@ -177,8 +215,11 @@ object Multimodal {
     * reinterpreting them.
     */
   def decodePcmWav(wav: Array[Byte]): Array[Byte] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+    val bais = new java.io.ByteArrayInputStream(wav)
+    val in = wavReader match {
+      case Some(r) => r.getAudioInputStream(bais)
+      case None => javax.sound.sampled.AudioSystem.getAudioInputStream(bais)
+    }
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1 &&
       fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
