@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   * round trip, not just the plumbing. The AUDIO path is real too:
   * [[encodePcmWav]]/[[decodePcmWav]] run genuine RIFF/WAVE files
   * through `javax.sound.sampled` (m4's windowed energy sums DECODED
-  * PCM samples). Only the VIDEO seam ([[sampleFrames]]) remains a
-  * DECLARED deterministic stand-in — the JDK ships no demuxer; its
-  * flatMap shape is the contract, a demuxer replaces only the
-  * byte-read.
+  * PCM samples). RESIZE is a real decode → point-sample rescale →
+  * re-encode round trip ([[resizeImage]]). The VIDEO path demuxes a
+  * length-prefixed container of real PNG frames ([[sampleMpngFrames]]
+  * — the JDK ships no demuxer for a published video format, so the
+  * container is specified in-code, MJPEG-in-AVI-style; the length
+  * walk, the skip-without-read of unsampled frames, and the per-frame
+  * `javax.imageio` decode are all real). [[sampleFrames]] remains as
+  * the raw byte-slicing plumbing twin (m2).
   *
   * Scale notes: the binary payload never passes through a shuffle (the
   * featurizer runs map-side against the scan); only the small feature
@@ -335,26 +339,40 @@ object Multimodal {
 
   // ---------------------------------------------------------- resize
 
-  final case class ResizedMedia(doc_id: Long, payload: Array[Byte],
-      width: Int, height: Int)
-
-  /** STUB resize ??? — downsamples the payload by keeping every n-th
-    * byte (a real implementation decodes, rescales pixels, re-encodes;
-    * it replaces only this body — the schema and partition shape are
-    * the contract).
+  /** REAL image resize: decode the PNG, nearest-neighbor downscale the
+    * raster by an integer `factor` (output pixel (x, y) = input pixel
+    * (x·f, y·f) — the standard point-sampling kernel, chosen over area
+    * averaging because its output is an exact function of input
+    * samples, which is what lets the DuckDB oracle state the resized
+    * image in closed form), and RE-ENCODE the result as a genuine PNG.
+    * Output geometry is ceil(w/f) × ceil(h/f), so every input pixel
+    * grid line that starts a stride cell is represented and a 1×1
+    * image survives any factor.
+    *
+    * Scale shape: pure per-row codec CPU — no shuffle; the payload
+    * shrinks ~f² so the downstream scan reads less than the input.
     */
-  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
-    val out = new Array[Byte]((payload.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
-    out
-  }
-
-  def resize(media: Dataset[MediaRow], factor: Int): Dataset[ResizedMedia] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r => ResizedMedia(r.doc_id,
-      resizeStub(r.payload, factor),
-      math.max(r.width / factor, 1), math.max(r.height / factor, 1))))
+  def resizeImage(images: Dataset[ImageRow], factor: Int): Dataset[ImageRow] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    import images.sparkSession.implicits._
+    images.mapPartitions(_.map { r =>
+      val (w, h, samples) = decodeGrayPng(r.payload)
+      val ow = (w + factor - 1) / factor
+      val oh = (h + factor - 1) / factor
+      val out = new Array[Byte](ow * oh)
+      var y = 0
+      while (y < oh) {
+        val srcRow = y * factor * w
+        var x = 0
+        while (x < ow) {
+          out(y * ow + x) = samples(srcRow + x * factor)
+          x += 1
+        }
+        y += 1
+      }
+      ImageRow(r.doc_id, encodeGrayPng(out, ow), "image/png",
+        ow * oh, ow, oh)
+    })
   }
 
   // ----------------------------------------------------- frame sample
@@ -392,9 +410,12 @@ object Multimodal {
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame sampling ??? — treats the payload as fixed-size
-    * "frames" and emits every `stride`-th one (a real video path
-    * demuxes; same flatMap shape, one row per sampled frame).
+  /** Raw fixed-width frame slicing — the byte-plumbing twin of the
+    * real container path: treats the payload as fixed-size "frames"
+    * and emits every `stride`-th one. The REAL video demux (length
+    * walk + selective PNG decode) lives in [[sampleMpngFrames]] /
+    * [[videoTable]]; this form serves payloads that genuinely are
+    * contiguous fixed-size records (m2).
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int,
       stride: Int): Dataset[Frame] = {
@@ -430,4 +451,89 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame"))
+
+  // ------------------------------------- real video container (M-PNG)
+
+  /** The video container: the JDK ships no demuxer for any published
+    * video format, so the format itself is specified here — a
+    * length-prefixed concatenation of REAL PNG frames (the same design
+    * as MJPEG-in-AVI: a trivial container over a real still codec).
+    * Layout, all integers big-endian:
+    *
+    *   "gMPV"  u32 frameCount  ( u32 frameLen  frameBytes[frameLen] )*
+    *
+    * What is REAL about this path is the demux work itself: the frame
+    * walk reads each length word and SKIPS non-sampled frame bodies in
+    * O(1) without touching their bytes — the property that makes
+    * stride sampling at 100 TB read a fraction of the corpus — and the
+    * sampled frames decode through the same `javax.imageio` codec as
+    * the image family. MultimodalSpec proves the skip property by
+    * corrupting a non-sampled frame and demuxing past it.
+    */
+  val MpngMagic: Array[Byte] = "gMPV".getBytes("US-ASCII")
+
+  final case class VideoRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, n_frames: Int)
+
+  def encodeMpng(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.iterator.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.put(MpngMagic).putInt(frames.length)
+    frames.foreach(f => buf.putInt(f.length).put(f))
+    buf.array()
+  }
+
+  /** Container header parse only — O(1), no frame IO. */
+  def mpngFrameCount(payload: Array[Byte]): Int = {
+    require(payload.length >= 8 &&
+      payload(0) == MpngMagic(0) && payload(1) == MpngMagic(1) &&
+      payload(2) == MpngMagic(2) && payload(3) == MpngMagic(3),
+      "not an M-PNG container (bad magic)")
+    java.nio.ByteBuffer.wrap(payload, 4, 4).getInt
+  }
+
+  /** Demux every `stride`-th frame: walk the length words, slice the
+    * sampled frame bodies, and skip the rest by arithmetic — a skipped
+    * frame's bytes are never read, let alone decoded. Truncated
+    * containers fail loudly (a silent short read would surface as a
+    * missing-frame wrong answer downstream).
+    */
+  def sampleMpngFrames(payload: Array[Byte],
+      stride: Int): Iterator[(Int, Array[Byte])] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val n = mpngFrameCount(payload)
+    var off = 8
+    (0 until n).iterator.flatMap { i =>
+      require(off + 4 <= payload.length,
+        s"truncated M-PNG container: frame $i length word at $off past end")
+      val len = java.nio.ByteBuffer.wrap(payload, off, 4).getInt
+      require(len >= 0 && off + 4 + len <= payload.length,
+        s"truncated M-PNG container: frame $i body ($len bytes at $off) past end")
+      val start = off + 4
+      off = start + len
+      if (i % stride == 0)
+        Some(i -> java.util.Arrays.copyOfRange(payload, start, start + len))
+      else None
+    }
+  }
+
+  /** The video fixture: one M-PNG container per document — the
+    * sanitized text split into `frameBytes`-byte chunks, each chunk
+    * packed as its own genuine `frameWidth`-wide gray8 PNG frame (the
+    * last chunk may be short; its final raster row zero-pads exactly
+    * like [[imageTable]]). Codec work spreads like [[imageTable]]'s.
+    */
+  def videoTable(spark: SparkSession, sfDir: String, frameBytes: Int = 64,
+      frameWidth: Int = 8): Dataset[VideoRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = r.payload.grouped(frameBytes)
+            .map(chunk => encodeGrayPng(chunk, frameWidth)).toSeq
+          VideoRow(r.doc_id, encodeMpng(frames), "video/x-mpng", frames.length)
+        }
+      }
+  }
 }

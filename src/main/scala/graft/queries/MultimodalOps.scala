@@ -9,8 +9,10 @@ import graft.functions.XSql.{Duck => SqlDuck}
   * `javax.imageio`) and the features are computed from the DECODED
   * pixel samples — gray8 PNG is lossless, so sample == byte ==
   * codepoint and the oracle states the post-decode result exactly in
-  * SQL over the source text. m2/m4/m6/m7 exercise the raw binary
-  * plumbing and the declared audio/video stand-in seams.
+  * SQL over the source text. m4 decodes real RIFF/WAVE audio
+  * (`javax.sound.sampled`), m9 demuxes the M-PNG video container and
+  * decodes its sampled frames, m3 re-encodes and re-decodes its
+  * resized rasters; m2/m6/m7 exercise the raw binary plumbing.
   */
 object MultimodalOps {
 
@@ -177,33 +179,103 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
-    // Resize as a gate query: keep every 3rd byte (the stub's
-    // decimation). Oracle rebuilds the same byte subsequence with a
-    // list comprehension over substr and hashes it — so the resized
-    // BYTES are compared, not just lengths.
+    // REAL 2-D image resize as a gate query: decode the doc's PNG,
+    // nearest-neighbor 3x downscale the 64-wide raster (out(y,x) =
+    // in(3y,3x) over the zero-padded input), re-encode as PNG, then
+    // DECODE THE RESIZED PNG AGAIN and gate its IHDR geometry plus an
+    // exact sum and rolling hash of the decoded samples. The oracle
+    // states the point-sampled raster in closed form over the source
+    // text (gray8 PNG is lossless both ways), so equality proves the
+    // full decode -> rescale -> re-encode -> decode chain.
     Q("m3_resize",
-      "decoded-image resize: every-3rd decoded PNG sample kept, content-hashed",
+      "real image resize: decode -> 3x point-sample downscale -> PNG re-encode, gated on re-decoded samples",
       {
         implicit val dl: SqlDuck.type = SqlDuck
-        val resized =
-          "array_to_string(list_transform(range(0, cast(ceil(length(text) / 3.0) as bigint)), " +
-            "i_ -> substr(text, cast(i_ * 3 + 1 as bigint), 1)), '')"
+        // input sample (r_, c_) = codepoint(text[r_*64 + c_ + 1]) below
+        // length, else the pad zero; output index i_ maps to input
+        // (3*(i_ // 22), 3*(i_ % 22)) -> flat 192*(i_ // 22) + 3*(i_ % 22)
+        val srcIdx = "(i_ // 22) * 192 + (i_ % 22) * 3"
+        val vals = s"list_transform(range(0, 22 * oh), i_ -> " +
+          s"CASE WHEN $srcIdx < length(text) " +
+          s"THEN cast(unicode(substr(text, cast($srcIdx + 1 as bigint), 1)) as bigint) " +
+          s"ELSE cast(0 as bigint) END)"
+        val sum = dl.foldL("vals", 0, "a_", "x_", "a_ + x_")
+        val hash = dl.foldL("vals", 0, "a_", "x_", "(a_ * 1000003 + x_) % 2147483647")
         s"""WITH $SrcCte,
-           |r AS (SELECT doc_id, $resized AS resized FROM src)
-           |SELECT doc_id, cast(length(resized) as bigint) AS n_bytes,
-           |  ${graft.functions.XSql.charHash("resized")} AS resized_hash
-           |FROM r ORDER BY doc_id""".stripMargin
+           |g AS (SELECT doc_id, text,
+           |        greatest(cast(ceil(length(text) / 64.0) as bigint), 1) AS h
+           |      FROM src),
+           |r AS (SELECT doc_id, text, cast(ceil(h / 3.0) as bigint) AS oh FROM g),
+           |v AS (SELECT doc_id, oh, $vals AS vals FROM r)
+           |SELECT doc_id, cast(22 as bigint) AS rw, oh AS rh,
+           |  cast($sum as bigint) AS sample_sum,
+           |  cast($hash as bigint) AS sample_hash
+           |FROM v ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      import org.apache.spark.sql.functions._
-      graft.functions.GraftFunctions.register(s)
-      // decodedImageMedia: the payload went through the REAL PNG
-      // round trip; the decimation below samples decoded pixels
-      val resized = Multimodal.resize(Multimodal.decodedImageMedia(s, d), factor = 3)
-      resized.toDF()
-        .select(col("doc_id"),
-          expr("cast(length(payload) as bigint)").as("n_bytes"),
-          expr("graft_char_hash(decode(payload, 'UTF-8'))").as("resized_hash"))
+      import s.implicits._
+      Multimodal.resizeImage(Multimodal.imageTable(s, d), factor = 3)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val (w, h, samples) = Multimodal.decodeGrayPng(r.payload)
+            var sum = 0L
+            var hash = 0L
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i) & 0xff
+              sum += v
+              hash = (hash * 1000003L + v) % 2147483647L
+              i += 1
+            }
+            (r.doc_id, w.toLong, h.toLong, sum, hash)
+          }
+        }.toDF("doc_id", "rw", "rh", "sample_sum", "sample_hash")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // REAL video-container demux as a gate query: each doc's text is
+    // packed as an M-PNG container (length-prefixed real PNG frames,
+    // 64 text bytes -> one 8-wide frame); the engine reads the frame
+    // count from the container HEADER, length-walks to every 2nd
+    // frame WITHOUT reading skipped frame bodies, and PNG-decodes only
+    // the sampled frames — geometry from each frame's real IHDR, the
+    // sample sum from its decoded raster (pad rows are zeros, so the
+    // sum equals the chunk's codepoint sum and the oracle states it
+    // exactly). Scale shape: demux is per-row CPU with no shuffle,
+    // and stride sampling reads O(sampled frames) bytes, not O(video).
+    Q("m9_video_demux",
+      "M-PNG video demux: header frame count, every 2nd frame length-walked out and PNG-decoded",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val sum = dl.foldL(dl.xform(dl.chars("chunk"), "c_", dl.codepoint("c_")),
+          0, "a_", "x_", "a_ + x_")
+        s"""WITH $SrcCte,
+           |f AS (SELECT doc_id, text,
+           |        cast(ceil(length(text) / 64.0) as bigint) AS nf
+           |      FROM src),
+           |s_ AS (SELECT doc_id, nf, text,
+           |         unnest(list_filter(range(0, nf), i_ -> i_ % 2 = 0)) AS frame_idx
+           |       FROM f),
+           |c AS (SELECT doc_id, nf, frame_idx,
+           |        substr(text, cast(frame_idx * 64 + 1 as bigint), 64) AS chunk
+           |      FROM s_)
+           |SELECT doc_id, nf AS n_frames, frame_idx,
+           |  cast(8 as bigint) AS frame_w,
+           |  cast(ceil(length(chunk) / 8.0) as bigint) AS frame_h,
+           |  cast($sum as bigint) AS sample_sum
+           |FROM c ORDER BY doc_id, frame_idx""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Multimodal.videoTable(s, d).flatMap { v =>
+        Multimodal.sampleMpngFrames(v.payload, stride = 2).map { case (idx, png) =>
+          val (w, h, samples) = Multimodal.decodeGrayPng(png)
+          var sum = 0L
+          var i = 0
+          while (i < samples.length) { sum += samples(i) & 0xff; i += 1 }
+          (v.doc_id, v.n_frames.toLong, idx.toLong, w.toLong, h.toLong, sum)
+        }
+      }.toDF("doc_id", "n_frames", "frame_idx", "frame_w", "frame_h", "sample_sum")
+        .orderBy("doc_id", "frame_idx")
     },
 
     // ---------------------------------------------------------------

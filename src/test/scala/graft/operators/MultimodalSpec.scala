@@ -2,10 +2,12 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** Multimodal plumbing + the REAL image codec path: imageTable emits
+/** Multimodal plumbing + the REAL codec paths: imageTable emits
   * genuine PNGs (javax.imageio), decodedImageMedia round-trips them to
-  * pixel samples; the audio/video seams remain declared deterministic
-  * stand-ins.
+  * pixel samples, encodePcmWav/decodePcmWav run real RIFF/WAVE audio,
+  * resizeImage re-encodes its downscaled rasters, and the M-PNG video
+  * container length-walks real PNG frames with skip-without-read
+  * demux.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -74,11 +76,81 @@ class MultimodalSpec extends SparkSpec {
     assert(f.mean_byte > 0 && f.mean_byte < 256)
   }
 
-  test("resize shrinks payload and dimensions") {
-    val before = media.head()
-    val after = Multimodal.resize(media, 4).filter(_.doc_id == before.doc_id).head()
-    assert(after.payload.length == (before.payload.length + 3) / 4)
-    assert(after.width == math.max(before.width / 4, 1))
+  test("resizeImage: real decode -> point-sample -> re-encode; samples match hand decimation") {
+    val imgs = Multimodal.imageTable(spark, "/root/testdata/sf0.001")
+    val before = imgs.filter(_.n_bytes > 200).head()
+    val after = Multimodal.resizeImage(imgs, 3)
+      .filter(_.doc_id == before.doc_id).head()
+    val (w, h, samples) = Multimodal.decodeGrayPng(before.payload)
+    val (ow, oh) = ((w + 2) / 3, (h + 2) / 3)
+    assert(after.img_width == ow && after.img_height == oh)
+    // the resized payload is itself a genuine PNG an independent
+    // decoder accepts, and its samples are exactly in(3y, 3x)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(after.payload))
+    assert(img.getWidth == ow && img.getHeight == oh)
+    val (_, _, rs) = Multimodal.decodeGrayPng(after.payload)
+    val expect = Array.tabulate(ow * oh)(i =>
+      samples((i / ow) * 3 * w + (i % ow) * 3))
+    assert(rs.toSeq == expect.toSeq)
+  }
+
+  test("M-PNG container: encode -> frame count + full demux round-trips the frames") {
+    val frames = Seq("alpha", "beta-frame", "g").map(s =>
+      Multimodal.encodeGrayPng(s.getBytes("US-ASCII"), 4))
+    val container = Multimodal.encodeMpng(frames)
+    assert(container.take(4).sameElements(Multimodal.MpngMagic))
+    assert(Multimodal.mpngFrameCount(container) == 3)
+    val out = Multimodal.sampleMpngFrames(container, 1).toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2))
+    assert(out.map(_._2.toSeq) == frames.map(_.toSeq))
+  }
+
+  test("M-PNG demux skips non-sampled frame BODIES: corrupting one is invisible at stride 2") {
+    val frames = (0 until 4).map(i =>
+      Multimodal.encodeGrayPng(s"frame-$i-payload".getBytes("US-ASCII"), 4))
+    val container = Multimodal.encodeMpng(frames)
+    // corrupt every byte of frame 1's body (a non-sampled frame at
+    // stride 2): offset = 8 (header) + 4 (len word) + frame0 + 4
+    val f1Start = 8 + 4 + frames(0).length + 4
+    (f1Start until f1Start + frames(1).length)
+      .foreach(i => container(i) = 0x7f.toByte)
+    val sampled = Multimodal.sampleMpngFrames(container, 2).toSeq
+    assert(sampled.map(_._1) == Seq(0, 2))
+    // sampled frames still decode — the skipped body was never read
+    sampled.foreach { case (_, png) => Multimodal.decodeGrayPng(png) }
+  }
+
+  test("M-PNG demux fails loudly on truncation and bad magic") {
+    val container = Multimodal.encodeMpng(Seq(
+      Multimodal.encodeGrayPng("0123456789".getBytes("US-ASCII"), 4)))
+    val truncated = container.take(container.length - 3).toArray
+    intercept[IllegalArgumentException](
+      Multimodal.sampleMpngFrames(truncated, 1).toSeq)
+    intercept[IllegalArgumentException](
+      Multimodal.mpngFrameCount("nope".getBytes("US-ASCII") ++ container.drop(4)))
+  }
+
+  test("videoTable: one real PNG frame per 64-byte chunk, header count matches") {
+    val vids = Multimodal.videoTable(spark, "/root/testdata/sf0.001")
+      .filter(_.doc_id < 5L).collect()
+    val src = media.filter(_.doc_id < 5L).collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    assert(vids.nonEmpty)
+    vids.foreach { v =>
+      val bytes = src(v.doc_id)
+      assert(v.n_frames == (bytes.length + 63) / 64)
+      assert(Multimodal.mpngFrameCount(v.payload) == v.n_frames)
+      val decodedFrames = Multimodal.sampleMpngFrames(v.payload, 1)
+        .map { case (i, png) => i -> Multimodal.decodeGrayPng(png) }.toMap
+      bytes.grouped(64).zipWithIndex.foreach { case (chunk, i) =>
+        val (w, h, samples) = decodedFrames(i)
+        assert(w == 8)
+        assert(h == math.max((chunk.length + 7) / 8, 1))
+        assert(samples.take(chunk.length).toSeq == chunk.toSeq)
+        assert(samples.drop(chunk.length).forall(_ == 0))
+      }
+    }
   }
 
   test("frame sampling emits every stride-th fixed-size frame") {
