@@ -161,7 +161,9 @@ object Plans {
     "k20_published_index" ->
       "Published-index ANN serving: centroids + posting lists READ from versioned tables (no training aggregate anywhere in the plan); the 16-query batch probes via one broadcast (qid, cid) equi-join — at scale 2 partition reads per query.",
     "k21_retrain_policy" ->
-      "Retrain decision: the k19 contingency collapses to one bounded driver scalar that SELECTS the plan — only the chosen path's broadcast-argmin + 2-probe query appears; the monitor costs two argmin passes, the rebuild is paid only when tripped.")
+      "Retrain decision: the k19 contingency collapses to one bounded driver scalar that SELECTS the plan — only the chosen path's broadcast-argmin + 2-probe query appears; the monitor costs two argmin passes, the rebuild is paid only when tripped.",
+    "s31_mv_rewrite" ->
+      "MV routing: the base-table aggregate's optimized plan scans ONLY the |groups|-row view (MvRewrite rollup + filter pushdown); the base relation does not appear — a table scan became a view lookup.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

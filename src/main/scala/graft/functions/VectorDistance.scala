@@ -233,5 +233,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[CharPolyHash].getName, "graft_char_hash"),
       (children: Seq[Expression]) => CharPolyHash(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectOptimizerRule(session => new graft.plans.MvRewrite(session))
   }
 }

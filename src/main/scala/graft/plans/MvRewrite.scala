@@ -1,0 +1,257 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+/** Registry of published summary views for [[MvRewrite]] — the
+  * warehouse's materialized-view catalog (the reference precomputes
+  * `game_neighbors` and serves reads from the precompute,
+  * `definitions/game_neighbors.sqlx:16`; BigQuery/Snowflake generalize
+  * that into transparent MV routing, re-expressed here as a Catalyst
+  * rule over the versioned [[graft.operators.TableStore]]).
+  *
+  * An entry maps ONE committed base version's data directory to the
+  * view that aggregates exactly that version. Keying by the version
+  * dir is the freshness guard: a query over any other version (newer
+  * publish, older pin) misses the registry and falls back to the base
+  * scan, so the rewrite can never serve stale or future data. Views
+  * are kept current by the IVM machinery ([[graft.operators.Ivm]]
+  * `applyDelta` — O(changes) per publish, gated by `i3`), after which
+  * [[register]] re-points the new version at the new view: maintenance
+  * at write time, routing at read time, never an O(table) recompute on
+  * either path.
+  */
+object MvCatalog {
+
+  /** @param sumCols base column -> view decimal-sum column; sound only
+    *                for the exact-decimal sum pattern (see
+    *                [[MvRewrite]] soundness notes)
+    */
+  final case class MvDef(
+      baseDir: String,
+      viewPath: String,
+      groupCols: Seq[String],
+      sumCols: Map[String, String],
+      minCols: Map[String, String],
+      maxCols: Map[String, String])
+
+  private val defs = new ConcurrentHashMap[String, MvDef]()
+
+  private[plans] def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Root data dirs of the file relations a DataFrame reads. */
+  private def rootDirs(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(p => normalize(p.toString))
+        case _ => Nil
+      }
+    }.flatten
+
+  /** Register `viewPath` (the [[graft.operators.Ivm.aggregate]] /
+    * `aggregateWithExtrema` shape: `groupCols..., n, sum_<c>...,
+    * min_<c>..., max_<c>...`) as covering version `version` of the
+    * TableStore at `basePath`. The covered data dir is resolved
+    * through `readVersion`, so CAS-pointer commits key correctly.
+    */
+  def register(spark: SparkSession, basePath: String, version: Long,
+      viewPath: String, groupCols: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
+    val base = graft.operators.TableStore.readVersion(spark, basePath, Some(version))
+    val dirs = rootDirs(base)
+    require(dirs.size == 1,
+      s"MV base must read exactly one data dir, got: $dirs")
+    defs.put(dirs.head, MvDef(dirs.head, viewPath, groupCols,
+      sumCols.map(c => c -> s"sum_$c").toMap,
+      minCols.map(c => c -> s"min_$c").toMap,
+      maxCols.map(c => c -> s"max_$c").toMap))
+  }
+
+  def lookup(dir: String): Option[MvDef] = Option(defs.get(dir))
+  def isEmpty: Boolean = defs.isEmpty
+  def clear(): Unit = defs.clear()
+}
+
+/** Optimizer rule: route an aggregate over a registered base-table
+  * version to its published summary view —
+  *
+  *   `Aggregate(G, aggs, [Filter(p)] [Project] Scan(base@v))`
+  *     ==>  `Aggregate(G, aggs', [Filter(p')] Scan(view))`
+  *
+  * when the view groups by `K ⊇ G` (G = K is the direct hit; G ⊂ K is
+  * the classic summary-table ROLLUP derivation — re-aggregating the
+  * view's partial groups) and every aggregate is derivable from the
+  * view columns:
+  *
+  *   - `count(1)`/`count(*)`       -> `coalesce(sum(n), 0)` — the
+  *     coalesce keeps the global-grouping-over-empty-table case
+  *     returning 0, as count does
+  *   - `sum(cast(c as decimal(30,2)))` -> `sum(sum_c)` — ONLY the
+  *     exact-decimal house pattern ([[graft.queries.dsum]]) rewrites:
+  *     decimal partial sums reassociate exactly, so view-then-total
+  *     equals direct-total to the bit. A plain `sum(double)` must NOT
+  *     route (float addition order would change the low bits — the
+  *     rewrite would alter results), so it is left untouched.
+  *   - `min(c)` / `max(c)`         -> `min(min_c)` / `max(max_c)`
+  *     when the view stores extrema (min of group minima == min)
+  *
+  * A residual filter may sit between the aggregate and the scan iff it
+  * is deterministic and references only view GROUPING columns: all
+  * base rows of one view group share those values, so filtering the
+  * view's group rows partitions base rows identically (a predicate on
+  * a non-grouping column would need row-level data the view no longer
+  * has — no rewrite). Grouping attrs keep their `exprId`s through
+  * re-aliasing and every rewritten aggregate preserves its result
+  * type, so parent operators (HAVING filters, sorts, projections)
+  * resolve unchanged.
+  *
+  * The 100 TB story: the base scan this removes is the whole table;
+  * the view is |groups| rows. Freshness is version-exact by
+  * construction (see [[MvCatalog]]) and the view itself is maintained
+  * incrementally, so the end-to-end cost of "publish a batch, query
+  * the aggregate" is O(changes) + O(groups touched) — never O(table).
+  * `s31_mv_rewrite` / `s32_mv_maintain_requery` gate the semantics
+  * against the DuckDB oracle (with an in-query guard that fails loudly
+  * if the plan did NOT route through the view); `MvRewriteSpec` pins
+  * the plan shape and the refusal cases.
+  *
+  * Registered via [[graft.functions.GraftExtensions]]
+  * (`injectOptimizerRule`) — runs inside the operator-optimization
+  * fixed point, so the spliced view subtree is itself column-pruned
+  * and filter-pushed by the surrounding batch.
+  */
+object MvRewrite {
+  /** Idempotently install the rule on a session that was not built
+    * with `spark.sql.extensions` (the catalog-query path — same
+    * discipline as [[BandJoinRewrite]]'s installs).
+    */
+  def ensure(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new MvRewrite(spark)
+}
+
+class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty) plan
+    else plan.transformDown {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+
+  @tailrec
+  private def peel(p: LogicalPlan, cond: Option[Expression])
+      : Option[(LogicalRelation, Option[Expression])] = p match {
+    case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+      Some((lr, cond))
+    case proj: Project
+        if proj.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(proj.child, cond)
+    case f: Filter if f.condition.deterministic =>
+      peel(f.child, Some(cond.map(And(_, f.condition)).getOrElse(f.condition)))
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = {
+    for {
+      (lr, cond) <- peel(agg.child, None)
+      fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+      dirs = fsRel.location.rootPaths.map(p => MvCatalog.normalize(p.toString))
+      dir <- if (dirs.size == 1) Some(dirs.head) else None
+      mv <- MvCatalog.lookup(dir)
+      groupNames <- groupingNames(agg, mv)
+      if cond.forall(c => c.references.forall(a =>
+        mv.groupCols.contains(a.name)))
+      rewritten <- build(agg, cond, mv, groupNames)
+    } yield rewritten
+  }
+
+  /** Query grouping must be plain attributes covered by the view's
+    * grouping key (equality or rollup).
+    */
+  private def groupingNames(agg: Aggregate, mv: MvCatalog.MvDef)
+      : Option[Set[String]] = {
+    val attrs = agg.groupingExpressions.map {
+      case a: AttributeReference if mv.groupCols.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    if (attrs.forall(_.isDefined)) Some(attrs.flatten.toSet) else None
+  }
+
+  private def build(agg: Aggregate, cond: Option[Expression],
+      mv: MvCatalog.MvDef, groupNames: Set[String]): Option[Aggregate] = {
+    // fresh exprIds per splice: two rewrites in one plan must not share
+    val viewPlan = session.read.parquet(mv.viewPath).queryExecution.analyzed
+    val vAttr: Map[String, AttributeReference] =
+      viewPlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
+    // the view must actually carry every column the mapping promises
+    if (!mv.groupCols.forall(vAttr.contains) || !vAttr.contains("n") ||
+      !(mv.sumCols.values ++ mv.minCols.values ++ mv.maxCols.values)
+        .forall(vAttr.contains)) return None
+
+    def mapAgg(ae: AggregateExpression): Option[Expression] = ae match {
+      case AggregateExpression(f, Complete, false, None, _) => f match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(KnownNotNull(Coalesce(Seq(
+            ae.copy(aggregateFunction = new Sum(vAttr("n"))),
+            Literal(0L)))))
+        case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
+            if dt.precision == 30 && dt.scale == 2 &&
+              mv.sumCols.contains(a.name) =>
+          Some(ae.copy(aggregateFunction = new Sum(vAttr(mv.sumCols(a.name)))))
+        case Min(a: AttributeReference) if mv.minCols.contains(a.name) =>
+          Some(ae.copy(aggregateFunction = Min(vAttr(mv.minCols(a.name)))))
+        case Max(a: AttributeReference) if mv.maxCols.contains(a.name) =>
+          Some(ae.copy(aggregateFunction = Max(vAttr(mv.maxCols(a.name)))))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    def mapExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression => mapAgg(ae)
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Some(vAttr(a.name))
+      case a: AttributeReference => None // non-grouping base ref
+      case _ =>
+        val kids = e.children.map(mapExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(e.withNewChildren(kids.map(_.get)))
+    }
+
+    val mapped = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Some(Alias(vAttr(a.name), a.name)(exprId = a.exprId))
+      case al: Alias =>
+        mapExpr(al.child).map(nc =>
+          Alias(nc, al.name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val newAggExprs = mapped.map(_.get)
+    // result types must be bit-compatible or the rewrite is unsound
+    if (agg.output.map(_.dataType) != newAggExprs.map(_.dataType)) return None
+
+    val child = cond match {
+      case Some(c) =>
+        Filter(c.transform { case a: AttributeReference => vAttr(a.name) },
+          viewPlan)
+      case None => viewPlan
+    }
+    val newGrouping = agg.groupingExpressions.map {
+      case a: AttributeReference => vAttr(a.name)
+    }
+    Some(Aggregate(newGrouping, newAggExprs, child))
+  }
+}

@@ -1338,6 +1338,137 @@ object Sinks {
         .select(col("seg"), col("n"),
           lit(nCommits).cast("int").as("n_commits"))
         .orderBy("seg")
+    },
+
+    // ---------------------------------------------------------------
+    // S31 — transparent materialized-view routing (MvRewrite): a
+    // summary view of the published base is registered, and an
+    // aggregate query written AGAINST THE BASE — with a residual
+    // filter on a grouping column and a ROLLUP to a coarser key —
+    // is rewritten by the optimizer to read the |groups|-row view
+    // instead of the table. The in-query guard fails loudly if the
+    // plan still scans the base, so a silently-dead rule cannot stay
+    // green; the oracle states the aggregate over the source table,
+    // so a green row proves the routed answer is the true answer.
+    // At 100 TB this is the difference between a dashboard query
+    // costing a table scan and costing a view lookup.
+    Q("s31_mv_rewrite",
+      "aggregate on the base table transparently routed to its materialized view (rollup + filter pushdown)",
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |FROM orders WHERE o_orderstatus <> 'P'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      import graft.plans.{MvCatalog, MvRewrite}
+      MvRewrite.ensure(s)
+      val basePath = scratch("s31_base")
+      val viewPath = scratch("s31_view")
+      val base = t(s, d, "orders")
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+      val v1 = TableStore.publishVersion(s, basePath, base, note = "base")
+      TableStore.overwrite(Ivm.aggregateWithExtrema(
+        TableStore.readVersion(s, basePath, Some(v1)),
+        Seq("o_custkey", "o_orderstatus"), Seq("o_totalprice"),
+        Seq("o_totalprice"), Seq("o_totalprice")), viewPath)
+      MvCatalog.register(s, basePath, v1, viewPath,
+        Seq("o_custkey", "o_orderstatus"), Seq("o_totalprice"),
+        Seq("o_totalprice"), Seq("o_totalprice"))
+      val out = TableStore.readVersion(s, basePath, Some(v1))
+        .filter(col("o_orderstatus") =!= "P")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .orderBy("o_custkey")
+      requireRouted(out, viewPath, basePath, "s31")
+      out
+    },
+
+    // ---------------------------------------------------------------
+    // S32 — maintain-then-requery: the MV lifecycle end-to-end. The
+    // base advances a version (deletes + group-moving updates +
+    // inserts); the view is brought current by the O(changes) IVM
+    // fold (applyDelta over the snapshot changelog — never a
+    // recompute), re-registered for the new version, and the SAME
+    // base-table aggregate now routes to the MAINTAINED view. The
+    // oracle recomputes from the edited table, so a green row proves
+    // maintained-view routing == recompute; the guard proves the
+    // answer came through the view. Write-time O(Δ) maintenance +
+    // read-time O(groups) routing is the 100 TB serving shape.
+    Q("s32_mv_maintain_requery",
+      "IVM-maintained view re-registered after a publish; base aggregate routes to the maintained view",
+      s"""WITH a2 AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 17 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT -o_orderkey, o_custkey, o_totalprice + 1000
+         |  FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      import graft.plans.{MvCatalog, MvRewrite}
+      MvRewrite.ensure(s)
+      val basePath = scratch("s32_base")
+      val viewPath1 = scratch("s32_view1")
+      val viewPath2 = scratch("s32_view2")
+      val base = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // the i4 edit script: deletes, group-moving updates, inserts on
+      // collision-free negated keys
+      val edited = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
+          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
+      val v1 = TableStore.publishVersion(s, basePath, base, note = "base")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(s, basePath, Some(v1)),
+        Seq("o_custkey"), Seq("o_totalprice")), viewPath1)
+      MvCatalog.register(s, basePath, v1, viewPath1,
+        Seq("o_custkey"), Seq("o_totalprice"))
+      // base advances; the O(changes) fold brings the view current
+      val v2 = TableStore.publishVersion(s, basePath, edited, note = "edit")
+      val changes = TableStore.changesBetween(s, basePath, v1, v2,
+        Seq("o_orderkey"))
+      TableStore.overwrite(Ivm.applyDelta(TableStore.read(s, viewPath1),
+        changes, Seq("o_custkey"), Seq("o_totalprice")), viewPath2)
+      MvCatalog.register(s, basePath, v2, viewPath2,
+        Seq("o_custkey"), Seq("o_totalprice"))
+      val out = TableStore.readVersion(s, basePath, Some(v2))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
+      requireRouted(out, viewPath2, basePath, "s32")
+      out
     }
   )
+
+  /** Loud in-query proof that [[graft.plans.MvRewrite]] actually
+    * routed the aggregate: the optimized plan must scan the view and
+    * must NOT scan the base — a dead rule turns the gate row red
+    * instead of silently degrading to a table scan.
+    */
+  private def requireRouted(df: org.apache.spark.sql.DataFrame,
+      viewPath: String, basePath: String, tag: String): Unit = {
+    val dirs = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten
+    require(dirs.exists(_.startsWith(viewPath)),
+      s"$tag: MV rewrite did not fire — scans: $dirs")
+    require(!dirs.exists(_.startsWith(basePath)),
+      s"$tag: base table still scanned alongside the view: $dirs")
+  }
 }

@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Ivm, TableStore}
+import graft.queries.dsum
+
+/** [[MvRewrite]] — the plan-shape and refusal contracts the oracle
+  * rows (s31/s32) cannot see: the rewritten plan must actually READ
+  * the view (not the base), rollup/filter derivations must equal the
+  * base recompute, and every unsound shape (plain double sum,
+  * non-grouping filter, other version, unregistered table) must be
+  * left untouched.
+  */
+class MvRewriteSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def scratch(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$name").toFile
+    dir.deleteOnExit()
+    s"${dir.getAbsolutePath}/t"
+  }
+
+  // the OPTIMIZED logical plan is where the rewrite lands (AQE hides
+  // physical children behind AdaptiveSparkPlanExec until execution)
+  private def scannedDirs(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten
+
+  /** base: (k1, k2, v double) with a NULL-free double column. */
+  private def mkBase(): DataFrame =
+    Seq(
+      ("a", 1, 10.0), ("a", 1, 2.5), ("a", 2, 7.25),
+      ("b", 1, 1.0), ("b", 2, 100.0), ("b", 2, 0.75), ("c", 3, 4.0))
+      .toDF("k1", "k2", "v")
+
+  private def setup(): (String, String, Long) = {
+    MvRewrite.ensure(spark)
+    MvCatalog.clear()
+    val basePath = scratch("mv_base")
+    val viewPath = scratch("mv_view")
+    val v = TableStore.publishVersion(spark, basePath, mkBase(), note = "base")
+    TableStore.overwrite(
+      Ivm.aggregateWithExtrema(TableStore.readVersion(spark, basePath, Some(v)),
+        Seq("k1", "k2"), Seq("v"), Seq("v"), Seq("v")), viewPath)
+    MvCatalog.register(spark, basePath, v, viewPath,
+      Seq("k1", "k2"), Seq("v"), Seq("v"), Seq("v"))
+    (basePath, viewPath, v)
+  }
+
+  private def baseAgg(basePath: String, v: Long): DataFrame =
+    TableStore.readVersion(spark, basePath, Some(v))
+      .groupBy("k1")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"),
+        min("v").as("lo"), max("v").as("hi"))
+
+  test("exact + rollup aggregate routes to the view and matches recompute") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      val routed = baseAgg(basePath, v)
+      val dirs = scannedDirs(routed)
+      assert(dirs.exists(_.startsWith(viewPath)),
+        s"expected a view scan in $dirs")
+      assert(!dirs.exists(_.contains("v=")), s"base scan survived: $dirs")
+      // semantics: equal to the unrouted recompute
+      MvCatalog.clear()
+      val direct = baseAgg(basePath, v)
+      assert(scannedDirs(direct).forall(_.startsWith(basePath)))
+      assert(routed.orderBy("k1").collect().toSeq ==
+        direct.orderBy("k1").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
+  test("grouping-column filter pushes onto the view") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      val routed = TableStore.readVersion(spark, basePath, Some(v))
+        .filter(col("k2") =!= 3)
+        .groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      assert(scannedDirs(routed).exists(_.startsWith(viewPath)))
+      MvCatalog.clear()
+      val direct = TableStore.readVersion(spark, basePath, Some(v))
+        .filter(col("k2") =!= 3)
+        .groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      assert(routed.orderBy("k1", "k2").collect().toSeq ==
+        direct.orderBy("k1", "k2").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
+  test("global (no grouping) aggregate routes; empty-table count stays 0") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      val routed = TableStore.readVersion(spark, basePath, Some(v))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      assert(scannedDirs(routed).exists(_.startsWith(viewPath)))
+      val Array(row) = routed.collect()
+      assert(row.getLong(0) == 7L)
+      // empty base + empty view: count must still return one 0 row
+      val emptyBase = scratch("mv_base_e")
+      val emptyView = scratch("mv_view_e")
+      val ev = TableStore.publishVersion(spark, emptyBase,
+        mkBase().filter(lit(false)), note = "empty")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(spark, emptyBase, Some(ev)),
+        Seq("k1", "k2"), Seq("v")), emptyView)
+      MvCatalog.register(spark, emptyBase, ev, emptyView, Seq("k1", "k2"), Seq("v"))
+      val g = TableStore.readVersion(spark, emptyBase, Some(ev))
+        .agg(count(lit(1)).as("n_rows"))
+      assert(scannedDirs(g).exists(_.startsWith(emptyView)))
+      assert(g.collect().head.getLong(0) == 0L)
+    } finally MvCatalog.clear()
+  }
+
+  test("refusals: double sum, non-grouping filter, stale version, unregistered") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      // plain double sum would change float addition order -> no route
+      val doubleSum = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(sum("v").as("total"))
+      assert(!scannedDirs(doubleSum).exists(_.startsWith(viewPath)))
+      // filter on a non-grouping column needs row-level data -> no route
+      val rowFilter = TableStore.readVersion(spark, basePath, Some(v))
+        .filter(col("v") > 2.0)
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(!scannedDirs(rowFilter).exists(_.startsWith(viewPath)))
+      // a LATER version is not covered -> no route (freshness guard)
+      val v2 = TableStore.publishVersion(spark, basePath,
+        mkBase().filter(col("k1") =!= "c"), note = "edit")
+      val stale = TableStore.readVersion(spark, basePath, Some(v2))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(!scannedDirs(stale).exists(_.startsWith(viewPath)))
+      // the PINNED covered version still routes after the new publish
+      val pinned = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(scannedDirs(pinned).exists(_.startsWith(viewPath)))
+      // an unregistered table is untouched
+      val otherPath = scratch("mv_other")
+      val ov = TableStore.publishVersion(spark, otherPath, mkBase(), note = "x")
+      val other = TableStore.readVersion(spark, otherPath, Some(ov))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(!scannedDirs(other).exists(_.startsWith(viewPath)))
+    } finally MvCatalog.clear()
+  }
+
+  test("downstream HAVING/sort over the routed aggregate still resolves") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      val routed = baseAgg(basePath, v)
+        .filter(col("n_rows") > 1).orderBy(desc("total"))
+      assert(scannedDirs(routed).exists(_.startsWith(viewPath)))
+      val rows = routed.collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("b", "a"))
+    } finally MvCatalog.clear()
+  }
+}
