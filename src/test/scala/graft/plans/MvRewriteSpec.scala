@@ -153,6 +153,37 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("SQL-path aggregate over the base version dir routes identically") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      // the SQL front door resolves parquet.`dir` to the same
+      // LogicalRelation shape, so the rule must be API-agnostic
+      val baseDir = MvCatalog.synchronized {
+        // resolve the covered data dir the way register did
+        TableStore.readVersion(spark, basePath, Some(v))
+          .queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation.asInstanceOf[
+                org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                .location.rootPaths.head.toUri.getPath
+          }.head
+      }
+      val routed = spark.sql(
+        s"""SELECT k1, count(*) AS n_rows,
+           |  cast(sum(cast(v as decimal(30,2))) as double) AS total
+           |FROM parquet.`$baseDir` GROUP BY k1""".stripMargin)
+      assert(scannedDirs(routed).exists(_.startsWith(viewPath)),
+        routed.queryExecution.optimizedPlan.toString)
+      MvCatalog.clear()
+      val direct = spark.sql(
+        s"""SELECT k1, count(*) AS n_rows,
+           |  cast(sum(cast(v as decimal(30,2))) as double) AS total
+           |FROM parquet.`$baseDir` GROUP BY k1""".stripMargin)
+      assert(routed.orderBy("k1").collect().toSeq ==
+        direct.orderBy("k1").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
   test("downstream HAVING/sort over the routed aggregate still resolves") {
     val (basePath, viewPath, v) = setup()
     try {
