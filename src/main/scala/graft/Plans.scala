@@ -163,7 +163,9 @@ object Plans {
     "k21_retrain_policy" ->
       "Retrain decision: the k19 contingency collapses to one bounded driver scalar that SELECTS the plan — only the chosen path's broadcast-argmin + 2-probe query appears; the monitor costs two argmin passes, the rebuild is paid only when tripped.",
     "s31_mv_rewrite" ->
-      "MV routing: the base-table aggregate's optimized plan scans ONLY the |groups|-row view (MvRewrite rollup + filter pushdown); the base relation does not appear — a table scan became a view lookup.")
+      "MV routing: the base-table aggregate's optimized plan scans ONLY the |groups|-row view (MvRewrite rollup + filter pushdown); the base relation does not appear — a table scan became a view lookup.",
+    "s33_join_mv_rewrite" ->
+      "Join-MV routing: the two-table equi-join plans as ONE scan of the denormalized view (side filter hoisted above it) — no join operator, no exchange, neither base relation in the plan.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

@@ -79,8 +79,54 @@ object MvCatalog {
   }
 
   def lookup(dir: String): Option[MvDef] = Option(defs.get(dir))
-  def isEmpty: Boolean = defs.isEmpty
-  def clear(): Unit = defs.clear()
+
+  /** A materialized JOIN view: the raw (multiset-exact) inner
+    * equi-join of two covered base versions, stored expanded — the
+    * denormalization MV. Keyed by BOTH sides' version data dirs, so
+    * freshness is version-exact on both tables at once.
+    *
+    * @param keys join key column names (shared by both sides; all
+    *             other column names must be disjoint — enforced at
+    *             [[registerJoin]])
+    */
+  final case class JoinDef(dirLeft: String, dirRight: String,
+      viewPath: String, keys: Set[String])
+
+  private val joinDefs = new ConcurrentHashMap[(String, String), JoinDef]()
+
+  private def oneDir(spark: SparkSession, basePath: String,
+      version: Long): String = {
+    val dirs = rootDirs(
+      graft.operators.TableStore.readVersion(spark, basePath, Some(version)))
+    require(dirs.size == 1,
+      s"MV base must read exactly one data dir, got: $dirs")
+    dirs.head
+  }
+
+  /** Register `viewPath` (the expanded `A JOIN B USING keys` result —
+    * key columns once, then both sides' payloads) as covering
+    * (`basePathA`@`versionA`) ⋈ (`basePathB`@`versionB`).
+    */
+  def registerJoin(spark: SparkSession,
+      basePathA: String, versionA: Long,
+      basePathB: String, versionB: Long,
+      viewPath: String, keys: Seq[String]): Unit = {
+    val a = graft.operators.TableStore.readVersion(spark, basePathA, Some(versionA))
+    val b = graft.operators.TableStore.readVersion(spark, basePathB, Some(versionB))
+    val shared = (a.columns.toSet & b.columns.toSet) -- keys
+    require(shared.isEmpty,
+      s"non-key column names must be disjoint across the join MV's sides: $shared")
+    val dirA = oneDir(spark, basePathA, versionA)
+    val dirB = oneDir(spark, basePathB, versionB)
+    joinDefs.put((dirA, dirB), JoinDef(dirA, dirB, viewPath, keys.toSet))
+  }
+
+  def lookupJoin(dirLeft: String, dirRight: String): Option[JoinDef] =
+    Option(joinDefs.get((dirLeft, dirRight)))
+      .orElse(Option(joinDefs.get((dirRight, dirLeft))))
+
+  def isEmpty: Boolean = defs.isEmpty && joinDefs.isEmpty
+  def clear(): Unit = { defs.clear(); joinDefs.clear() }
 }
 
 /** Optimizer rule: route an aggregate over a registered base-table
@@ -148,6 +194,12 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     if (MvCatalog.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate => rewrite(agg).getOrElse(agg)
+      // the optimizer's usual shape is Project over Join (column
+      // pruning / USING-dedup) — matching it keeps the view scan
+      // pruned to the projected columns
+      case p @ Project(plist, j: Join) =>
+        rewriteJoin(j, Some(plist)).getOrElse(p)
+      case j: Join => rewriteJoin(j, None).getOrElse(j)
     }
 
   @tailrec
@@ -161,6 +213,111 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case f: Filter if f.condition.deterministic =>
       peel(f.child, Some(cond.map(And(_, f.condition)).getOrElse(f.condition)))
     case _ => None
+  }
+
+  /** Route `[Project] (A@v ⋈_keys B@w)` to the registered expanded
+    * join view. Soundness:
+    *
+    *   - INNER joins only, condition EXACTLY the registered key
+    *     equalities (an extra theta conjunct would need row pairs the
+    *     view pre-filtered away — refuse);
+    *   - side filters below the join hoist above the view:
+    *     `σ_p(A) ⋈ B = σ_p(A ⋈ B)` for inner joins because p
+    *     references one side's columns, which survive expansion;
+    *   - both sides' relations must match their covered version dirs
+    *     (two-table freshness guard, same keying as the aggregate
+    *     path);
+    *   - every replaced output attribute re-aliases a view column
+    *     under its ORIGINAL exprId — the USING-dedup'd key, both
+    *     sides' payloads, and computed projections all resolve
+    *     unchanged upstream. The duplicated key attr of the raw Join
+    *     output (a.k, b.k) maps both names to the one view key column,
+    *     exact because the inner equi-join guarantees equality.
+    */
+  private def rewriteJoin(j: Join, plist: Option[Seq[NamedExpression]])
+      : Option[LogicalPlan] = {
+    if (j.joinType != org.apache.spark.sql.catalyst.plans.Inner) return None
+    val cond = j.condition.getOrElse(return None)
+    for {
+      (relL, condL) <- peel(j.left, None)
+      (relR, condR) <- peel(j.right, None)
+      dirL <- singleDir(relL)
+      dirR <- singleDir(relR)
+      jd <- MvCatalog.lookupJoin(dirL, dirR)
+      equated <- keyEqualities(cond, j.left, j.right)
+      if equated == jd.keys
+      out <- buildJoin(j, plist, condL, condR, jd)
+    } yield out
+  }
+
+  /** The names equated by a pure conjunction of cross-side
+    * `EqualTo(attr, attr)` conjuncts with matching names — None if any
+    * conjunct is anything else.
+    */
+  private def keyEqualities(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[Set[String]] = {
+    val conjuncts = splitConjuncts(cond)
+    val names = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name &&
+            ((left.outputSet.contains(a) && right.outputSet.contains(b)) ||
+              (left.outputSet.contains(b) && right.outputSet.contains(a))) =>
+        Some(a.name)
+      case _ => None
+    }
+    if (names.forall(_.isDefined)) Some(names.flatten.toSet) else None
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def singleDir(lr: LogicalRelation): Option[String] = {
+    val dirs = lr.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(p => MvCatalog.normalize(p.toString))
+    if (dirs.size == 1) Some(dirs.head) else None
+  }
+
+  private def buildJoin(j: Join, plist: Option[Seq[NamedExpression]],
+      condL: Option[Expression], condR: Option[Expression],
+      jd: MvCatalog.JoinDef): Option[LogicalPlan] = {
+    val viewPlan = session.read.parquet(jd.viewPath).queryExecution.analyzed
+    val vAttr: Map[String, AttributeReference] =
+      viewPlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
+
+    def mapped(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference =>
+        vAttr.get(a.name).filter(_.dataType == a.dataType)
+      case _ =>
+        val kids = e.children.map(mapped)
+        if (kids.exists(_.isEmpty)) None
+        else Some(e.withNewChildren(kids.map(_.get)))
+    }
+
+    val hoisted = Seq(condL, condR).flatten
+    val hoistedMapped = hoisted.map(mapped)
+    if (hoistedMapped.exists(_.isEmpty)) return None
+    val child = hoistedMapped.flatten
+      .reduceOption(And)
+      .map(Filter(_, viewPlan))
+      .getOrElse(viewPlan)
+
+    val outExprs: Seq[NamedExpression] =
+      plist.getOrElse(j.output.map(a => a: NamedExpression))
+    val mappedOut = outExprs.map {
+      case a: AttributeReference =>
+        mapped(a).map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al: Alias =>
+        mapped(al.child).map(nc =>
+          Alias(nc, al.name)(exprId = al.exprId, qualifier = al.qualifier))
+      case _ => None
+    }
+    if (mappedOut.exists(_.isEmpty)) return None
+    val newOut = mappedOut.map(_.get)
+    val origOut = plist.map(_.map(_.toAttribute)).getOrElse(j.output)
+    if (origOut.map(_.dataType) != newOut.map(_.dataType)) return None
+    Some(Project(newOut, child))
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = {

@@ -1448,6 +1448,63 @@ object Sinks {
         .orderBy("o_custkey")
       requireRouted(out, viewPath2, basePath, "s32")
       out
+    },
+
+    // ---------------------------------------------------------------
+    // S33 — JOIN-MV routing: the denormalization half of MvRewrite.
+    // The expanded orders ⋈ per-order-lineitem-rollup join is
+    // materialized once; a query that joins the BASE versions — with
+    // a customer filter below the join — routes to the single
+    // pre-joined view (filter hoisted above it, sound for inner
+    // equi-joins), and the aggregate above resolves over the mapped
+    // columns unchanged. The guard fails the row if EITHER base is
+    // still scanned. At 100 TB this replaces the fact-to-fact shuffle
+    // join (the warehouse's most expensive recurring operation) with
+    // one clustered scan of the denormalized view.
+    Q("s33_join_mv_rewrite",
+      "inner equi-join of covered base versions routed to the materialized join view (side filter hoisted)",
+      s"""WITH b AS (
+         |  SELECT l_orderkey AS o_orderkey, count(*) AS n_lines,
+         |    cast(${dsumSql("l_extendedprice")} as decimal(30,2)) AS rev
+         |  FROM lineitem GROUP BY 1)
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  cast(sum(rev) as double) AS revenue
+         |FROM orders JOIN b USING (o_orderkey)
+         |WHERE o_custkey % 10 = 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.plans.{MvCatalog, MvRewrite}
+      import org.apache.spark.sql.types.DecimalType
+      MvRewrite.ensure(s)
+      val aPath = scratch("s33_a")
+      val bPath = scratch("s33_b")
+      val viewPath = scratch("s33_view")
+      val a = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val b = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast(DecimalType(30, 2)))
+            .cast(DecimalType(30, 2)).as("rev"))
+      val va = TableStore.publishVersion(s, aPath, a, note = "a")
+      val vb = TableStore.publishVersion(s, bPath, b, note = "b")
+      TableStore.overwrite(
+        TableStore.readVersion(s, aPath, Some(va))
+          .join(TableStore.readVersion(s, bPath, Some(vb)), Seq("o_orderkey")),
+        viewPath)
+      MvCatalog.registerJoin(s, aPath, va, bPath, vb, viewPath,
+        Seq("o_orderkey"))
+      val out = TableStore.readVersion(s, aPath, Some(va))
+        .filter(col("o_custkey") % 10 === 3)
+        .join(TableStore.readVersion(s, bPath, Some(vb)), Seq("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("o_custkey")
+      requireRouted(out, viewPath, aPath, "s33")
+      requireRouted(out, viewPath, bPath, "s33")
+      out
     }
   )
 

@@ -184,6 +184,84 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  private def setupJoin(): (String, String, String, Long, Long) = {
+    MvRewrite.ensure(spark)
+    MvCatalog.clear()
+    val aPath = scratch("jmv_a")
+    val bPath = scratch("jmv_b")
+    val viewPath = scratch("jmv_view")
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0), (3L, "x", 31.0))
+      .toDF("k", "tag", "va")
+    val b = Seq((1L, 100L), (2L, 200L), (2L, 201L), (4L, 400L))
+      .toDF("k", "vb")
+    val va = TableStore.publishVersion(spark, aPath, a, note = "a")
+    val vb = TableStore.publishVersion(spark, bPath, b, note = "b")
+    TableStore.overwrite(
+      TableStore.readVersion(spark, aPath, Some(va))
+        .join(TableStore.readVersion(spark, bPath, Some(vb)), Seq("k")),
+      viewPath)
+    MvCatalog.registerJoin(spark, aPath, va, bPath, vb, viewPath, Seq("k"))
+    (aPath, bPath, viewPath, va, vb)
+  }
+
+  test("inner equi-join of covered versions routes to the join view") {
+    val (aPath, bPath, viewPath, va, vb) = setupJoin()
+    try {
+      def q(): DataFrame =
+        TableStore.readVersion(spark, aPath, Some(va))
+          .filter(col("tag") === "y")
+          .join(TableStore.readVersion(spark, bPath, Some(vb)), Seq("k"))
+          .select(col("k"), col("va"), col("vb"))
+      val routed = q()
+      val dirs = scannedDirs(routed)
+      assert(dirs.exists(_.startsWith(viewPath)), s"no view scan: $dirs")
+      assert(dirs.size == 1, s"base scan survived: $dirs")
+      MvCatalog.clear()
+      val direct = q()
+      // multiset equality incl. the duplicate-key fanout rows
+      assert(routed.orderBy("k", "va", "vb").collect().toSeq ==
+        direct.orderBy("k", "va", "vb").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
+  test("aggregate above the routed join still resolves and matches") {
+    val (aPath, bPath, viewPath, va, vb) = setupJoin()
+    try {
+      def q(): DataFrame =
+        TableStore.readVersion(spark, aPath, Some(va))
+          .join(TableStore.readVersion(spark, bPath, Some(vb)), Seq("k"))
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n"), dsum(col("va")).as("sa"))
+      val routed = q()
+      assert(scannedDirs(routed).exists(_.startsWith(viewPath)))
+      MvCatalog.clear()
+      val direct = q()
+      assert(routed.orderBy("tag").collect().toSeq ==
+        direct.orderBy("tag").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
+  test("join refusals: outer join, extra theta conjunct, uncovered version") {
+    val (aPath, bPath, viewPath, va, vb) = setupJoin()
+    try {
+      val aV = TableStore.readVersion(spark, aPath, Some(va))
+      val bV = TableStore.readVersion(spark, bPath, Some(vb))
+      // left outer must not route (the view lost unmatched left rows)
+      val outer = aV.join(bV, Seq("k"), "left_outer")
+      assert(!scannedDirs(outer).exists(_.startsWith(viewPath)))
+      assert(outer.count() == 5) // 3 matched + k=3 twice unmatched
+      // an extra non-key conjunct must not route
+      val theta = aV.join(bV, aV("k") === bV("k") && aV("va") < bV("vb"))
+      assert(!scannedDirs(theta).exists(_.startsWith(viewPath)))
+      // a later version of one side must not route
+      val va2 = TableStore.publishVersion(spark, aPath,
+        aV.filter(col("k") =!= 1), note = "edit")
+      val stale = TableStore.readVersion(spark, aPath, Some(va2))
+        .join(bV, Seq("k"))
+      assert(!scannedDirs(stale).exists(_.startsWith(viewPath)))
+    } finally MvCatalog.clear()
+  }
+
   test("downstream HAVING/sort over the routed aggregate still resolves") {
     val (basePath, viewPath, v) = setup()
     try {
