@@ -43,7 +43,7 @@ object ScaleStateCheck {
     "s28_snapshot_restore", "s29_partition_evolution", "s30_optimistic_merge",
     "s31_mv_rewrite", "s32_mv_maintain_requery", "s33_join_mv_rewrite",
     "i3_cdc_apply", "i4_join_view_ivm", "i5_minmax_ivm",
-    "i6_distinct_ivm", "i7_topk_ivm",
+    "i6_distinct_ivm", "i7_topk_ivm", "i8_sketch_ivm",
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
     "st16_stream_components", "st17_stream_topk")
 

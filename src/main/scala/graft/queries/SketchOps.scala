@@ -151,5 +151,68 @@ object SketchOps {
         .select(top("user_id"), col("exact_n"), col("cms_ok"),
           col("merge_exact"))
         .orderBy(desc("exact_n"), top("user_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // I8 — mergeable-sketch fold table: the IVM story for APPROXIMATE
+    // aggregates. COUNT(DISTINCT) is the canonical non-self-
+    // maintainable aggregate; i6 maintains it exactly with O(distinct
+    // pairs) auxiliary state, but at 100 TB the lakehouse answer for
+    // insert-only feeds is a fixed-KB DataSketches HLL per group,
+    // absorbed per batch by register-max UNION — commutative and
+    // associative, so ANY batch split folds to the SAME registers as
+    // one bulk pass (gated as strict equality below, not just a bound:
+    // fold == bulk == compacted). Each absorb publishes one
+    // O(groups)-row sketch version onto a fold chain; compaction
+    // unions the chain into one snapshot and re-anchors (Delta
+    // checkpoint discipline with sketch-merge as the fold operator,
+    // where publishFoldDelta's is signed addition). The shuffle
+    // carries few-KB registers, never user ids; the view is
+    // O(groups · KB) regardless of corpus size.
+    Q("i8_sketch_ivm",
+      "HLL sketch fold table: batch-absorbed distinct view == bulk sketch == compacted read, within 5% of exact",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |       true AS fold_eq_bulk, true AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val path = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_i8").toFile
+        dir.deleteOnExit()
+        s"${dir.getAbsolutePath}/t"
+      }
+      val ev = t(s, d, "events").select("event_id", "event_type", "user_id")
+      // three deterministic batches = three fold-chain versions of
+      // per-group sketches (the absorb tick: one O(groups) publish)
+      (0L until 3L).foreach { b =>
+        TableStore.publishVersion(s, path,
+          ev.filter(col("event_id") % 3 === b)
+            .groupBy("event_type")
+            .agg(expr("hll_sketch_agg(user_id, 12)").as("sk")),
+          note = s"batch=$b")
+      }
+      // chain read: union the versions, merge registers per group
+      val chain = TableStore.committedVersions(s, path)
+        .map(v => TableStore.readVersion(s, path, Some(v)))
+        .reduce(_ unionByName _)
+      val folded = chain.groupBy("event_type")
+        .agg(expr("hll_union_agg(sk)").as("sk"))
+      // compaction: the merged chain republished as one snapshot
+      TableStore.publishVersion(s, path, folded, note = "compact")
+      val compactRead = TableStore.readVersion(s, path)
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("est_compact"))
+      val foldEst = folded
+        .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est_fold"))
+      val bulk = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_bulk"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+      bulk.join(foldEst, Seq("event_type"))
+        .join(compactRead, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          (col("est_fold") === col("est_bulk") &&
+            col("est_compact") === col("est_fold")).as("fold_eq_bulk"),
+          (abs(col("est_fold") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("hll_ok"))
+        .orderBy("event_type")
     })
 }
