@@ -43,7 +43,7 @@ object ScaleDocsCheck {
     // map-side) and the published-index read paths (build amortized
     // once per JVM; min-of-2 measures the read-only query)
     "m1_media_features", "m3_resize", "m5_media_near_dup",
-    "m8_image_decode", "m9_video_demux",
+    "m8_image_decode", "m9_video_demux", "m10_audio_resample",
     "k20_published_index", "k22_published_absorb")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was

@@ -231,6 +231,49 @@ object Multimodal {
     in.readAllBytes()
   }
 
+  /** The audio fixture: one REAL WAV file per document (the sanitized
+    * text bytes as the unsigned 8-bit PCM stream) — the stored form a
+    * clip corpus actually ships. Codec work spreads like
+    * [[imageTable]]'s.
+    */
+  def wavTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(r =>
+        MediaRow(r.doc_id, encodePcmWav(r.payload), "audio/wav",
+          r.width, r.height)))
+  }
+
+  /** REAL audio resample: decode the WAV, keep every `factor`-th PCM
+    * sample (integer-factor point decimation — the audio twin of
+    * [[resizeImage]]'s kernel: output sample i = input sample i·f, an
+    * exact function of input samples, which is what lets the oracle
+    * state the resampled stream in closed form), and RE-ENCODE a
+    * genuine WAV. Output length is ceil(n/f). A production resampler
+    * low-pass filters before decimating; the codec path being
+    * exercised — container parse, sample-domain transform, container
+    * re-emit — is identical, only the kernel body differs.
+    *
+    * Scale shape: pure per-row codec CPU, no shuffle; the payload
+    * shrinks ~f so downstream reads less than the input.
+    */
+  def resampleWav(wav: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"resample factor must be >= 1, got $factor")
+    val in = decodePcmWav(wav)
+    val out = new Array[Byte]((in.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = in(i * factor); i += 1 }
+    encodePcmWav(out)
+  }
+
+  def resampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r =>
+      MediaRow(r.doc_id, resampleWav(r.payload, factor), r.media_type,
+        r.width, r.height)))
+  }
+
   /** Media rows whose payloads went through the REAL audio round trip:
     * WAV-encoded, decoded back to PCM samples via the JDK's audio
     * framework. Codec work spreads like [[imageTable]]'s.

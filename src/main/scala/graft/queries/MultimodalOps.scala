@@ -279,6 +279,55 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
+    // REAL audio resample as a gate query — the audio twin of m3:
+    // each doc's WAV (real RIFF container over its text bytes as
+    // 8-bit PCM) is decoded, 3x point-decimated (output sample i =
+    // input sample 3i), RE-encoded as a genuine WAV, then DECODED
+    // AGAIN and gated on the re-decoded stream: sample count, exact
+    // sum, rolling hash. PCM is uncompressed, so the oracle states
+    // the decimated stream in closed form over the source text, and
+    // equality proves the full parse -> transform -> re-emit -> parse
+    // chain.
+    Q("m10_audio_resample",
+      "real audio resample: WAV decode -> 3x decimate -> WAV re-encode, gated on re-decoded PCM",
+      {
+        implicit val dl: SqlDuck.type = SqlDuck
+        val idx = "i_ * 3"
+        val vals = s"list_transform(range(0, cast(ceil(length(text) / 3.0) as bigint)), i_ -> " +
+          s"cast(unicode(substr(text, cast($idx + 1 as bigint), 1)) as bigint))"
+        val sum = dl.foldL("vals", 0, "a_", "x_", "a_ + x_")
+        val hash = dl.foldL("vals", 0, "a_", "x_", "(a_ * 1000003 + x_) % 2147483647")
+        s"""WITH $SrcCte,
+           |v AS (SELECT doc_id,
+           |        cast(ceil(length(text) / 3.0) as bigint) AS n_samples,
+           |        $vals AS vals
+           |      FROM src)
+           |SELECT doc_id, n_samples,
+           |  cast($sum as bigint) AS sample_sum,
+           |  cast($hash as bigint) AS sample_hash
+           |FROM v ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import s.implicits._
+      Multimodal.resampleAudio(Multimodal.wavTable(s, d), factor = 3)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val pcm = Multimodal.decodePcmWav(r.payload)
+            var sum = 0L
+            var hash = 0L
+            var i = 0
+            while (i < pcm.length) {
+              val v = pcm(i) & 0xff
+              sum += v
+              hash = (hash * 1000003L + v) % 2147483647L
+              i += 1
+            }
+            (r.doc_id, pcm.length.toLong, sum, hash)
+          }
+        }.toDF("doc_id", "n_samples", "sample_sum", "sample_hash")
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
     // Inference batch packing — the multimodal twin of t12's context
     // packing: media items are packed greedily (deterministic doc_id
     // order) into 4096-BYTE inference batches per modality, the step

@@ -214,5 +214,59 @@ object SketchOps {
           (abs(col("est_fold") - col("exact_distinct"))
             <= col("exact_distinct") * 0.05).as("hll_ok"))
         .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // ST19 — i8's absorb in the CONTINUOUS loop (what st18 is to k22):
+    // a live event feed keeps a per-group distinct-count sketch view
+    // warm. Each micro-batch aggregates ONLY its slice to fixed-KB
+    // HLL registers and publishes them as one tick-note-guarded
+    // O(groups) version onto the chain (the applyTick WAL discipline
+    // — redelivery skips); the serving read merges the chain by
+    // register-max union. Union is commutative+associative, so
+    // stream-of-absorbs == one bulk pass over the full corpus at ANY
+    // micro-batch split — gated as strict estimate equality, plus the
+    // 5% bound vs exact. Per-tick cost is the slice's aggregate + one
+    // registers-only write, never a re-read of history.
+    Q("st19_stream_sketch",
+      "event stream absorbed into the HLL distinct view tick by tick == bulk sketch, within 5% of exact",
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |       true AS fold_eq_bulk, true AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      import graft.streaming.{EventStream, JoinViewMaintenance}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st19")
+      val path = tmp.resolve("sketches").toString
+      val ev = t(s, d, "events").select("event_id", "event_type", "user_id")
+      def sketch(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      // anchor: the pre-existing corpus, one snapshot
+      val base = ev.filter(col("event_id") % 3 =!= 2)
+      TableStore.publishVersion(s, path, sketch(base), note = "tick=-1")
+      // the live feed: the remaining slice replayed as micro-batches
+      val stream = EventStream.stagedFileStream(s,
+        ev.filter(col("event_id") % 3 === 2),
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        if (JoinViewMaintenance.tickVersion(s, path, bid).isEmpty)
+          TableStore.publishVersion(s, path, sketch(slice),
+            note = s"tick=$bid"): Unit
+      }
+      // serving read: merge the whole chain's registers per group
+      val folded = TableStore.committedVersions(s, path)
+        .map(v => TableStore.readVersion(s, path, Some(v)))
+        .reduce(_ unionByName _)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_fold"))
+      val bulk = ev.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_bulk"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+      bulk.join(folded, Seq("event_type"))
+        .select(col("event_type"), col("exact_distinct"),
+          (col("est_fold") === col("est_bulk")).as("fold_eq_bulk"),
+          (abs(col("est_fold") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05).as("hll_ok"))
+        .orderBy("event_type")
     })
 }
