@@ -52,7 +52,13 @@ object ScaleDocsCheck {
     * exactly this bound (round 8 measured 13× at the old fixed
     * width).
     */
-  private val MaxRatio = Map("c12_semantic_decontamination" -> 4.0)
+  private val MaxRatio = Map(
+    "c12_semantic_decontamination" -> 4.0,
+    // per-frame codec CPU scales with total chunks; measured 4.21×
+    // at 10× docs (sub-linear vs 10× frame work on fixed slots) —
+    // the ceiling catches a slot-serialization regression, the
+    // family's one measured codec pathology
+    "m9_video_demux" -> 6.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
