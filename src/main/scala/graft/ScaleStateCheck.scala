@@ -45,7 +45,8 @@ object ScaleStateCheck {
     "i3_cdc_apply", "i4_join_view_ivm", "i5_minmax_ivm",
     "i6_distinct_ivm", "i7_topk_ivm", "i8_sketch_ivm",
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
-    "st16_stream_components", "st17_stream_topk")
+    "st16_stream_components", "st17_stream_topk",
+    "st20_stream_mv_routing")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -64,7 +65,8 @@ object ScaleStateCheck {
     "st12_stream_cdc_apply" -> 5.0,
     "st15_stream_join_ivm" -> 5.0,
     "st16_stream_components" -> 5.0,
-    "st17_stream_topk" -> 5.0)
+    "st17_stream_topk" -> 5.0,
+    "st20_stream_mv_routing" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -186,6 +186,26 @@ object MvRewrite {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[MvRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new MvRewrite(spark)
+
+  /** Loud in-query proof that the rule actually routed: the optimized
+    * plan must scan under `viewPath` and must NOT scan under any
+    * `forbidden` root — a silently-dead rule turns the gate row red
+    * instead of degrading to a table scan.
+    */
+  def assertRouted(df: DataFrame, viewPath: String,
+      forbidden: Seq[String], tag: String): Unit = {
+    val dirs = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(p => MvCatalog.normalize(p.toString))
+        case _ => Nil
+      }
+    }.flatten
+    require(dirs.exists(_.startsWith(viewPath)),
+      s"$tag: MV rewrite did not fire — scans: $dirs")
+    forbidden.foreach(b => require(!dirs.exists(_.startsWith(b)),
+      s"$tag: base table still scanned alongside the view: $dirs"))
+  }
 }
 
 class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {

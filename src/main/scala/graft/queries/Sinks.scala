@@ -1514,18 +1514,6 @@ object Sinks {
     * instead of silently degrading to a table scan.
     */
   private def requireRouted(df: org.apache.spark.sql.DataFrame,
-      viewPath: String, basePath: String, tag: String): Unit = {
-    val dirs = df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.map(_.toUri.getPath)
-          case _ => Nil
-        }
-    }.flatten
-    require(dirs.exists(_.startsWith(viewPath)),
-      s"$tag: MV rewrite did not fire — scans: $dirs")
-    require(!dirs.exists(_.startsWith(basePath)),
-      s"$tag: base table still scanned alongside the view: $dirs")
-  }
+      viewPath: String, basePath: String, tag: String): Unit =
+    graft.plans.MvRewrite.assertRouted(df, viewPath, Seq(basePath), tag)
 }

@@ -1012,6 +1012,78 @@ object StreamingOps {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // ST20 — the full MV triangle in the continuous loop: a live feed
+    // keeps BOTH the base table and its summary view current, and the
+    // final aggregate query is answered by the OPTIMIZER routing to
+    // the maintained view (s31/s32's MvRewrite, fed by st-loop
+    // maintenance). Per tick, tick-note guarded on both stores so
+    // redelivery skips: (1) the slice lands on the base's fold chain
+    // as one O(batch) delta; (2) the view advances by applyDelta over
+    // the slice-as-inserts changelog — one O(groups-touched) publish,
+    // never a recompute. After the stream, compaction folds the base
+    // chain into ONE queryable snapshot (the operator-cadence rewrite
+    // every log-structured store does anyway), the view is registered
+    // as covering exactly that snapshot, and the base-table aggregate
+    // — written against the BASE — routes to the view (loud in-plan
+    // guard). Write-time O(batch) ingest + O(changes) maintenance,
+    // read-time O(groups) routing: the serving architecture at 100 TB.
+    Q("st20_stream_mv_routing",
+      "stream-maintained base + view; the base aggregate routes to the view the stream kept current",
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      import graft.plans.{MvCatalog, MvRewrite}
+      MvRewrite.ensure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st20")
+      val basePath = tmp.resolve("base").toString
+      val viewPath = tmp.resolve("view").toString
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val anchor = o.filter(col("o_orderkey") % 3 =!= 2)
+      // v0: base anchor snapshot + the view materialized from it
+      TableStore.publishFoldSnapshot(s, basePath, anchor, note = "tick=-1")
+      TableStore.publishVersion(s, viewPath,
+        Ivm.aggregate(anchor, Seq("o_custkey"), Seq("o_totalprice")),
+        note = "tick=-1")
+      // the feed: remaining orders as micro-batches; each tick lands
+      // the slice on the base chain AND folds it into the view
+      val stream = EventStream.stagedFileStream(s,
+        o.filter(col("o_orderkey") % 3 === 2),
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        val sl = slice.localCheckpoint()
+        if (JoinViewMaintenance.tickVersion(s, basePath, bid).isEmpty)
+          TableStore.publishFoldDelta(s, basePath,
+            sl.withColumn("_mult", lit(1L)), s"tick=$bid"): Unit
+        if (JoinViewMaintenance.tickVersion(s, viewPath, bid).isEmpty)
+          TableStore.publishVersion(s, viewPath,
+            Ivm.applyDelta(TableStore.readVersion(s, viewPath),
+              sl.withColumn("_change_type", lit("insert")),
+              Seq("o_custkey"), Seq("o_totalprice")),
+            note = s"tick=$bid"): Unit
+      }
+      // compaction: the base chain folded into one queryable snapshot
+      val compactV = TableStore.publishFoldSnapshot(s, basePath,
+        TableStore.readFolded(s, basePath).drop("_mult"), note = "compact")
+      // register the MAINTAINED view where it lives: its latest
+      // committed version's data dir (plain publishes use v=N)
+      val finalViewDir =
+        s"$viewPath/v=${TableStore.committedVersions(s, viewPath).last}"
+      MvCatalog.register(s, basePath, compactV, finalViewDir,
+        Seq("o_custkey"), Seq("o_totalprice"))
+      val q = TableStore.readVersion(s, basePath, Some(compactV))
+        .drop("_mult")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
+      MvRewrite.assertRouted(q, finalViewDir, Seq(basePath), "st20")
+      q
     }
   )
 }
