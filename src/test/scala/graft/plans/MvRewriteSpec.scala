@@ -262,6 +262,28 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("two routed aggregates in ONE plan get independent splices") {
+    val (basePath, viewPath, v) = setup()
+    try {
+      // union + self-join of routed aggregates: each splice must take
+      // fresh exprIds or the shared-lineage join is ambiguous
+      val a1 = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      val a2 = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(dsum(col("v")).as("total"))
+      val joined = a1.join(a2, Seq("k1")).orderBy("k1")
+      val dirs = scannedDirs(joined)
+      assert(dirs.count(_.startsWith(viewPath)) == 2, s"dirs: $dirs")
+      val rows = joined.collect()
+      assert(rows.length == 3)
+      val unioned = a1.unionByName(a1).groupBy("k1")
+        .agg(sum("n_rows").as("n2"))
+      assert(scannedDirs(unioned).count(_.startsWith(viewPath)) == 2)
+      assert(unioned.orderBy("k1").collect().map(_.getLong(1)).toSeq ==
+        Seq(6L, 6L, 2L))
+    } finally MvCatalog.clear()
+  }
+
   test("downstream HAVING/sort over the routed aggregate still resolves") {
     val (basePath, viewPath, v) = setup()
     try {
