@@ -1056,16 +1056,28 @@ object StreamingOps {
         tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
       EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val sl = slice.localCheckpoint()
-        if (JoinViewMaintenance.tickVersion(s, basePath, bid).isEmpty)
-          TableStore.publishFoldDelta(s, basePath,
-            sl.withColumn("_mult", lit(1L)), s"tick=$bid"): Unit
-        if (JoinViewMaintenance.tickVersion(s, viewPath, bid).isEmpty)
-          TableStore.publishVersion(s, viewPath,
-            Ivm.applyDelta(TableStore.readVersion(s, viewPath),
-              sl.withColumn("_change_type", lit("insert")),
-              Seq("o_custkey"), Seq("o_totalprice")),
-            note = s"tick=$bid"): Unit
+        // the base delta and the view advance touch DISJOINT stores —
+        // publish both in parallel (the tick commits when both notes
+        // land; either alone redelivers idempotently via its guard)
+        Seq(
+          Future {
+            if (JoinViewMaintenance.tickVersion(s, basePath, bid).isEmpty)
+              TableStore.publishFoldDelta(s, basePath,
+                sl.withColumn("_mult", lit(1L)), s"tick=$bid"): Unit
+          },
+          Future {
+            if (JoinViewMaintenance.tickVersion(s, viewPath, bid).isEmpty)
+              TableStore.publishVersion(s, viewPath,
+                Ivm.applyDelta(TableStore.readVersion(s, viewPath),
+                  sl.withColumn("_change_type", lit("insert")),
+                  Seq("o_custkey"), Seq("o_totalprice")),
+                note = s"tick=$bid"): Unit
+          }
+        ).foreach(Await.result(_, Duration.Inf))
       }
       // compaction: the base chain folded into one queryable snapshot
       val compactV = TableStore.publishFoldSnapshot(s, basePath,
