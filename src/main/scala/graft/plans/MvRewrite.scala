@@ -44,7 +44,10 @@ object MvCatalog {
       minCols: Map[String, String],
       maxCols: Map[String, String])
 
-  private val defs = new ConcurrentHashMap[String, MvDef]()
+  // several views may cover one base version (a fine-grained rollup
+  // source plus coarser pre-rollups); lookup returns all of them and
+  // the rule picks the coarsest that covers the query
+  private val defs = new ConcurrentHashMap[String, List[MvDef]]()
 
   private[plans] def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -72,13 +75,20 @@ object MvCatalog {
     val dirs = rootDirs(base)
     require(dirs.size == 1,
       s"MV base must read exactly one data dir, got: $dirs")
-    defs.put(dirs.head, MvDef(dirs.head, viewPath, groupCols,
+    val d = MvDef(dirs.head, viewPath, groupCols,
       sumCols.map(c => c -> s"sum_$c").toMap,
       minCols.map(c => c -> s"min_$c").toMap,
-      maxCols.map(c => c -> s"max_$c").toMap))
+      maxCols.map(c => c -> s"max_$c").toMap)
+    defs.merge(dirs.head, List(d),
+      (old, add) => add ::: old.filterNot(_.viewPath == d.viewPath))
   }
 
-  def lookup(dir: String): Option[MvDef] = Option(defs.get(dir))
+  /** All views covering `dir`, COARSEST first (fewest grouping
+    * columns = fewest rows under any dimension cardinality — the
+    * cost-based preference when several candidates cover a query).
+    */
+  def lookup(dir: String): Seq[MvDef] =
+    Option(defs.get(dir)).getOrElse(Nil).sortBy(_.groupCols.size)
 
   /** A materialized JOIN view: the raw (multiset-exact) inner
     * equi-join of two covered base versions, stored expanded — the
@@ -340,19 +350,18 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     Some(Project(newOut, child))
   }
 
-  private def rewrite(agg: Aggregate): Option[Aggregate] = {
-    for {
-      (lr, cond) <- peel(agg.child, None)
-      fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
-      dirs = fsRel.location.rootPaths.map(p => MvCatalog.normalize(p.toString))
-      dir <- if (dirs.size == 1) Some(dirs.head) else None
-      mv <- MvCatalog.lookup(dir)
-      groupNames <- groupingNames(agg, mv)
-      if cond.forall(c => c.references.forall(a =>
-        mv.groupCols.contains(a.name)))
-      rewritten <- build(agg, cond, mv, groupNames)
-    } yield rewritten
-  }
+  private def rewrite(agg: Aggregate): Option[Aggregate] =
+    peel(agg.child, None).flatMap { case (lr, cond) =>
+      singleDir(lr).flatMap { dir =>
+        // coarsest covering candidate wins (lookup pre-sorts)
+        MvCatalog.lookup(dir).view.flatMap { mv =>
+          groupingNames(agg, mv)
+            .filter(_ => cond.forall(c => c.references.forall(a =>
+              mv.groupCols.contains(a.name))))
+            .flatMap(gn => build(agg, cond, mv, gn))
+        }.headOption
+      }
+    }
 
   /** Query grouping must be plain attributes covered by the view's
     * grouping key (equality or rollup).

@@ -262,6 +262,43 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("multiple candidate views: coarsest covering view wins, fine covers the rest") {
+    val (basePath, fineView, v) = setup()
+    try {
+      // also register a COARSER pre-rollup (by k1 only) on the same version
+      val coarseView = scratch("mv_view_coarse")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(spark, basePath, Some(v)),
+        Seq("k1"), Seq("v")), coarseView)
+      MvCatalog.register(spark, basePath, v, coarseView, Seq("k1"), Seq("v"))
+      // a k1-grouped query must route to the COARSE view...
+      val byK1 = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      val d1 = scannedDirs(byK1)
+      assert(d1.exists(_.startsWith(coarseView)) &&
+        !d1.exists(_.startsWith(fineView)), s"dirs: $d1")
+      // ...a (k1,k2) query only the fine view covers
+      val byBoth = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1", "k2").agg(count(lit(1)).as("n_rows"))
+      val d2 = scannedDirs(byBoth)
+      assert(d2.exists(_.startsWith(fineView)) &&
+        !d2.exists(_.startsWith(coarseView)), s"dirs: $d2")
+      // ...and a min() query routes FINE even when grouped by k1 only
+      // (the coarse view stores no extrema)
+      val withMin = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(min("v").as("lo"))
+      val d3 = scannedDirs(withMin)
+      assert(d3.exists(_.startsWith(fineView)) &&
+        !d3.exists(_.startsWith(coarseView)), s"dirs: $d3")
+      // values agree with the direct recompute in every case
+      MvCatalog.clear()
+      val direct = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      assert(byK1.orderBy("k1").collect().toSeq ==
+        direct.orderBy("k1").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
   test("two routed aggregates in ONE plan get independent splices") {
     val (basePath, viewPath, v) = setup()
     try {
