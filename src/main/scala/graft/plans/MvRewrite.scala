@@ -137,6 +137,51 @@ object MvCatalog {
 
   def isEmpty: Boolean = defs.isEmpty && joinDefs.isEmpty
   def clear(): Unit = { defs.clear(); joinDefs.clear() }
+
+  // ------------------------------------------------------ persistence
+
+  /** One catalog row per registered view, both kinds flattened (the
+    * on-disk registry a warehouse keeps beside its tables — the
+    * routing catalog must survive the process that built it).
+    */
+  private case class CatRow(kind: String, dirLeft: String, dirRight: String,
+      viewPath: String, groupCols: Seq[String], sumCols: Map[String, String],
+      minCols: Map[String, String], maxCols: Map[String, String],
+      keys: Seq[String])
+
+  /** Persist the registry as one small parquet table (overwrite —
+    * the catalog is a snapshot, not a log).
+    */
+  def save(spark: SparkSession, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val aggRows = defs.values.asScala.flatten.map(d =>
+      CatRow("agg", d.baseDir, "", d.viewPath, d.groupCols, d.sumCols,
+        d.minCols, d.maxCols, Nil)).toSeq
+    val joinRows = joinDefs.values.asScala.map(j =>
+      CatRow("join", j.dirLeft, j.dirRight, j.viewPath, Nil, Map.empty,
+        Map.empty, Map.empty, j.keys.toSeq)).toSeq
+    graft.operators.TableStore.overwrite(
+      (aggRows ++ joinRows).toDF(), path)
+  }
+
+  /** Load a saved registry, REPLACING the in-memory one (a restart,
+    * not a merge). Registered dirs are stored normalized, so routing
+    * resumes exactly where the saving process left it.
+    */
+  def load(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).as[CatRow].collect()
+    clear()
+    rows.foreach {
+      case CatRow("agg", dir, _, vp, g, su, mi, ma, _) =>
+        defs.merge(dir, List(MvDef(dir, vp, g, su, mi, ma)),
+          (old, add) => add ::: old.filterNot(_.viewPath == vp))
+      case CatRow("join", dl, dr, vp, _, _, _, _, k) =>
+        joinDefs.put((dl, dr), JoinDef(dl, dr, vp, k.toSet)): Unit
+      case other => sys.error(s"unknown MV catalog row kind: ${other.kind}")
+    }
+  }
 }
 
 /** Optimizer rule: route an aggregate over a registered base-table

@@ -262,6 +262,43 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("catalog save/load: routing resumes after a registry restart") {
+    val (basePath, viewPath, v) = setup()
+    val (aPath, bPath, jView, va, vb) = {
+      // a join MV alongside the agg MV, both in one saved catalog
+      val aPath = scratch("cat_a"); val bPath = scratch("cat_b")
+      val jView = scratch("cat_jview")
+      val a = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "va")
+      val b = Seq((1L, 7L), (2L, 8L)).toDF("k", "vb")
+      val va = TableStore.publishVersion(spark, aPath, a, note = "a")
+      val vb = TableStore.publishVersion(spark, bPath, b, note = "b")
+      TableStore.overwrite(
+        TableStore.readVersion(spark, aPath, Some(va))
+          .join(TableStore.readVersion(spark, bPath, Some(vb)), Seq("k")), jView)
+      MvCatalog.registerJoin(spark, aPath, va, bPath, vb, jView, Seq("k"))
+      (aPath, bPath, jView, va, vb)
+    }
+    try {
+      val catPath = scratch("mv_catalog")
+      MvCatalog.save(spark, catPath)
+      MvCatalog.clear()
+      // registry empty: no routing
+      val cold = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(!scannedDirs(cold).exists(_.startsWith(viewPath)))
+      // restart: load the saved catalog, both kinds route again
+      MvCatalog.load(spark, catPath)
+      val warm = TableStore.readVersion(spark, basePath, Some(v))
+        .groupBy("k1").agg(count(lit(1)).as("n_rows"))
+      assert(scannedDirs(warm).exists(_.startsWith(viewPath)))
+      val joined = TableStore.readVersion(spark, aPath, Some(va))
+        .join(TableStore.readVersion(spark, bPath, Some(vb)), Seq("k"))
+        .select("k", "va", "vb")
+      assert(scannedDirs(joined).exists(_.startsWith(jView)))
+      assert(joined.orderBy("k").collect().map(_.getLong(2)).toSeq == Seq(7L, 8L))
+    } finally MvCatalog.clear()
+  }
+
   test("multiple candidate views: coarsest covering view wins, fine covers the rest") {
     val (basePath, fineView, v) = setup()
     try {
