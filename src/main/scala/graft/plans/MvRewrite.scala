@@ -35,6 +35,14 @@ object MvCatalog {
   /** @param sumCols base column -> view decimal-sum column; sound only
     *                for the exact-decimal sum pattern (see
     *                [[MvRewrite]] soundness notes)
+    * @param predicate SQL text of the base predicate this view
+    *                  aggregated under (a PARTIAL view: `agg(σ_p
+    *                  base)`); None = the full base. A query routes
+    *                  only if its own filter CONTAINS p — every
+    *                  predicate conjunct of the view must match a
+    *                  query conjunct semantically, and only the
+    *                  leftover conjuncts (which must sit on grouping
+    *                  columns) survive as the view-side residual.
     */
   final case class MvDef(
       baseDir: String,
@@ -42,7 +50,8 @@ object MvCatalog {
       groupCols: Seq[String],
       sumCols: Map[String, String],
       minCols: Map[String, String],
-      maxCols: Map[String, String])
+      maxCols: Map[String, String],
+      predicate: Option[String] = None)
 
   // several views may cover one base version (a fine-grained rollup
   // source plus coarser pre-rollups); lookup returns all of them and
@@ -70,7 +79,8 @@ object MvCatalog {
     */
   def register(spark: SparkSession, basePath: String, version: Long,
       viewPath: String, groupCols: Seq[String], sumCols: Seq[String],
-      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit = {
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+      predicate: Option[String] = None): Unit = {
     val base = graft.operators.TableStore.readVersion(spark, basePath, Some(version))
     val dirs = rootDirs(base)
     require(dirs.size == 1,
@@ -78,7 +88,8 @@ object MvCatalog {
     val d = MvDef(dirs.head, viewPath, groupCols,
       sumCols.map(c => c -> s"sum_$c").toMap,
       minCols.map(c => c -> s"min_$c").toMap,
-      maxCols.map(c => c -> s"max_$c").toMap)
+      maxCols.map(c => c -> s"max_$c").toMap,
+      predicate)
     defs.merge(dirs.head, List(d),
       (old, add) => add ::: old.filterNot(_.viewPath == d.viewPath))
   }
@@ -140,29 +151,47 @@ object MvCatalog {
 
   // ------------------------------------------------------ persistence
 
-  /** One catalog row per registered view, both kinds flattened (the
-    * on-disk registry a warehouse keeps beside its tables — the
-    * routing catalog must survive the process that built it).
+  /** The catalog's one-table schema: one row per registered view,
+    * both kinds flattened — the on-disk registry a warehouse keeps
+    * beside its tables. Maps serialize as "k=v" entry arrays (plain
+    * Row IO: the registry is tiny and schema-stable).
     */
-  private case class CatRow(kind: String, dirLeft: String, dirRight: String,
-      viewPath: String, groupCols: Seq[String], sumCols: Map[String, String],
-      minCols: Map[String, String], maxCols: Map[String, String],
-      keys: Seq[String])
+  private val CatSchema = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("dir_left", StringType, nullable = false),
+    StructField("dir_right", StringType, nullable = false),
+    StructField("view_path", StringType, nullable = false),
+    StructField("group_cols", ArrayType(StringType), nullable = false),
+    StructField("sum_cols", ArrayType(StringType), nullable = false),
+    StructField("min_cols", ArrayType(StringType), nullable = false),
+    StructField("max_cols", ArrayType(StringType), nullable = false),
+    StructField("keys", ArrayType(StringType), nullable = false),
+    StructField("pred", StringType, nullable = false)))
+
+  private def packMap(m: Map[String, String]): Seq[String] =
+    m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+  private def unpackMap(s: Seq[String]): Map[String, String] =
+    s.map { e =>
+      val i = e.indexOf('=')
+      e.substring(0, i) -> e.substring(i + 1)
+    }.toMap
 
   /** Persist the registry as one small parquet table (overwrite —
     * the catalog is a snapshot, not a log).
     */
   def save(spark: SparkSession, path: String): Unit = {
     import scala.jdk.CollectionConverters._
-    import spark.implicits._
+    import org.apache.spark.sql.Row
     val aggRows = defs.values.asScala.flatten.map(d =>
-      CatRow("agg", d.baseDir, "", d.viewPath, d.groupCols, d.sumCols,
-        d.minCols, d.maxCols, Nil)).toSeq
+      Row("agg", d.baseDir, "", d.viewPath, d.groupCols, packMap(d.sumCols),
+        packMap(d.minCols), packMap(d.maxCols), Seq.empty[String],
+        d.predicate.getOrElse(""))).toSeq
     val joinRows = joinDefs.values.asScala.map(j =>
-      CatRow("join", j.dirLeft, j.dirRight, j.viewPath, Nil, Map.empty,
-        Map.empty, Map.empty, j.keys.toSeq)).toSeq
+      Row("join", j.dirLeft, j.dirRight, j.viewPath, Seq.empty[String],
+        Seq.empty[String], Seq.empty[String], Seq.empty[String],
+        j.keys.toSeq, "")).toSeq
     graft.operators.TableStore.overwrite(
-      (aggRows ++ joinRows).toDF(), path)
+      spark.createDataFrame((aggRows ++ joinRows).asJava, CatSchema), path)
   }
 
   /** Load a saved registry, REPLACING the in-memory one (a restart,
@@ -170,16 +199,24 @@ object MvCatalog {
     * resumes exactly where the saving process left it.
     */
   def load(spark: SparkSession, path: String): Unit = {
-    import spark.implicits._
-    val rows = spark.read.parquet(path).as[CatRow].collect()
+    val rows = spark.read.parquet(path).collect()
     clear()
-    rows.foreach {
-      case CatRow("agg", dir, _, vp, g, su, mi, ma, _) =>
-        defs.merge(dir, List(MvDef(dir, vp, g, su, mi, ma)),
-          (old, add) => add ::: old.filterNot(_.viewPath == vp))
-      case CatRow("join", dl, dr, vp, _, _, _, _, k) =>
-        joinDefs.put((dl, dr), JoinDef(dl, dr, vp, k.toSet)): Unit
-      case other => sys.error(s"unknown MV catalog row kind: ${other.kind}")
+    rows.foreach { r =>
+      def strs(i: Int): Seq[String] = r.getSeq[String](i)
+      r.getString(0) match {
+        case "agg" =>
+          val vp = r.getString(3)
+          defs.merge(r.getString(1),
+            List(MvDef(r.getString(1), vp, strs(4), unpackMap(strs(5)),
+              unpackMap(strs(6)), unpackMap(strs(7)),
+              Option(r.getString(9)).filter(_.nonEmpty))),
+            (old, add) => add ::: old.filterNot(_.viewPath == vp))
+        case "join" =>
+          joinDefs.put((r.getString(1), r.getString(2)),
+            JoinDef(r.getString(1), r.getString(2), r.getString(3),
+              strs(8).toSet)): Unit
+        case other => sys.error(s"unknown MV catalog row kind: $other")
+      }
     }
   }
 }
@@ -400,13 +437,74 @@ class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       singleDir(lr).flatMap { dir =>
         // coarsest covering candidate wins (lookup pre-sorts)
         MvCatalog.lookup(dir).view.flatMap { mv =>
-          groupingNames(agg, mv)
-            .filter(_ => cond.forall(c => c.references.forall(a =>
-              mv.groupCols.contains(a.name))))
-            .flatMap(gn => build(agg, cond, mv, gn))
+          groupingNames(agg, mv).flatMap { gn =>
+            residualAfter(cond, mv, lr).flatMap { residual =>
+              if (residual.forall(c => c.references.forall(a =>
+                mv.groupCols.contains(a.name))))
+                build(agg, residual, mv, gn)
+              else None
+            }
+          }
         }.headOption
       }
     }
+
+  /** PARTIAL-view containment: a view registered over `σ_p(base)`
+    * serves a query iff the query's own filter CONTAINS p — every
+    * predicate conjunct matches a query conjunct semantically
+    * (resolved against the same relation attributes, compared
+    * canonicalized) — and returns the LEFTOVER query conjuncts as the
+    * view-side residual. Inferred `IsNotNull(a)` leftovers are
+    * dropped when a matched null-rejecting comparison already
+    * constrains `a` (the optimizer adds them FROM that conjunct, and
+    * every σ_p row satisfies it). A full view (no predicate) passes
+    * the whole filter through unchanged.
+    */
+  private def residualAfter(cond: Option[Expression], mv: MvCatalog.MvDef,
+      lr: LogicalRelation): Option[Option[Expression]] = mv.predicate match {
+    case None => Some(cond)
+    case Some(pSql) =>
+      val attrByName = lr.output.map(a => a.name -> a).toMap
+      val parsed =
+        try session.sessionState.sqlParser.parseExpression(pSql)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      var resolvable = true
+      val resolved = parsed.transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          attrByName.get(u.nameParts.last) match {
+            case Some(a) => a
+            case None => resolvable = false; u
+          }
+      }
+      if (!resolvable) return None
+      val pcs = splitConjuncts(resolved)
+      var remaining = cond.map(splitConjuncts).getOrElse(Nil)
+      val matched = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      val allFound = pcs.forall { pc =>
+        remaining.indexWhere(_.semanticEquals(pc)) match {
+          case -1 => false
+          case i =>
+            matched += remaining(i)
+            remaining = remaining.patch(i, Nil, 1)
+            true
+        }
+      }
+      if (!allFound) None
+      else {
+        def nullRejecting(e: Expression, a: AttributeReference): Boolean =
+          e match {
+            case Not(inner) => nullRejecting(inner, a)
+            case b: BinaryComparison => b.references.contains(a)
+            case _ => false
+          }
+        val kept = remaining.filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            matched.exists(m => nullRejecting(m, a))
+          case _ => false
+        }
+        Some(kept.reduceOption(And))
+      }
+  }
 
   /** Query grouping must be plain attributes covered by the view's
     * grouping key (equality or rollup).

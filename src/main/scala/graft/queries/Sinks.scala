@@ -1505,6 +1505,50 @@ object Sinks {
       requireRouted(out, viewPath, aPath, "s33")
       requireRouted(out, viewPath, bPath, "s33")
       out
+    },
+
+    // ---------------------------------------------------------------
+    // S34 — PARTIAL materialized view: the view aggregates only
+    // σ(o_orderstatus = 'O') of the base (the "open orders" rollup a
+    // dashboard actually materializes — a fraction of the table), and
+    // a query whose own WHERE contains that predicate routes to it:
+    // the rule matches the view predicate's conjuncts against the
+    // query's semantically (the optimizer's inferred IsNotNull rides
+    // along and is dropped as implied by the matched null-rejecting
+    // comparison), leaving only grouping-column residuals for the
+    // view side. A query WITHOUT the predicate refuses (the partial
+    // view lost those rows) — MvRewriteSpec pins the refusals; the
+    // oracle here proves the routed answer. At 100 TB partial views
+    // are how hot-slice dashboards avoid paying for the cold 95%.
+    Q("s34_partial_mv",
+      "partial MV (open orders only): query containing the view predicate routes, others refuse",
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'O'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.Ivm
+      import graft.plans.{MvCatalog, MvRewrite}
+      MvRewrite.ensure(s)
+      val basePath = scratch("s34_base")
+      val viewPath = scratch("s34_view")
+      val base = t(s, d, "orders")
+        .select("o_custkey", "o_orderstatus", "o_totalprice")
+      val v1 = TableStore.publishVersion(s, basePath, base, note = "base")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(s, basePath, Some(v1))
+          .filter(col("o_orderstatus") === "O"),
+        Seq("o_custkey"), Seq("o_totalprice")), viewPath)
+      MvCatalog.register(s, basePath, v1, viewPath,
+        Seq("o_custkey"), Seq("o_totalprice"),
+        predicate = Some("o_orderstatus = 'O'"))
+      val out = TableStore.readVersion(s, basePath, Some(v1))
+        .filter(col("o_orderstatus") === "O")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
+      requireRouted(out, viewPath, basePath, "s34")
+      out
     }
   )
 

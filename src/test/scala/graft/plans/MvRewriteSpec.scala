@@ -262,6 +262,46 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("partial view: routes only when the query filter contains the predicate") {
+    val (basePath, fullView, v) = setup()
+    try {
+      // a PARTIAL view over k2 <> 3 rows, grouped by k1
+      val partView = scratch("mv_view_part")
+      TableStore.overwrite(Ivm.aggregate(
+        TableStore.readVersion(spark, basePath, Some(v)).filter(col("k2") =!= 3),
+        Seq("k1"), Seq("v")), partView)
+      MvCatalog.clear()
+      MvCatalog.register(spark, basePath, v, partView, Seq("k1"), Seq("v"),
+        predicate = Some("k2 <> 3"))
+      def q(extra: DataFrame => DataFrame): DataFrame =
+        extra(TableStore.readVersion(spark, basePath, Some(v)))
+          .groupBy("k1")
+          .agg(count(lit(1)).as("n_rows"), dsum(col("v")).as("total"))
+      // same predicate -> routes (inferred IsNotNull(k2) dropped as
+      // implied by the matched null-rejecting conjunct)
+      val hit = q(_.filter(col("k2") =!= 3))
+      assert(scannedDirs(hit).exists(_.startsWith(partView)),
+        hit.queryExecution.optimizedPlan.toString)
+      // predicate + an extra grouping-col residual -> routes
+      val hit2 = q(_.filter(col("k2") =!= 3 && col("k1") =!= "c"))
+      assert(scannedDirs(hit2).exists(_.startsWith(partView)))
+      // NO filter -> must not serve from the partial view
+      val miss = q(identity)
+      assert(!scannedDirs(miss).exists(_.startsWith(partView)))
+      // a DIFFERENT row filter -> no route
+      val miss2 = q(_.filter(col("k2") =!= 2))
+      assert(!scannedDirs(miss2).exists(_.startsWith(partView)))
+      // values equal the direct recompute
+      MvCatalog.clear()
+      val direct = q(_.filter(col("k2") =!= 3))
+      assert(hit.orderBy("k1").collect().toSeq ==
+        direct.orderBy("k1").collect().toSeq)
+      val direct2 = q(_.filter(col("k2") =!= 3 && col("k1") =!= "c"))
+      assert(hit2.orderBy("k1").collect().toSeq ==
+        direct2.orderBy("k1").collect().toSeq)
+    } finally MvCatalog.clear()
+  }
+
   test("catalog save/load: routing resumes after a registry restart") {
     val (basePath, viewPath, v) = setup()
     val (aPath, bPath, jView, va, vb) = {
