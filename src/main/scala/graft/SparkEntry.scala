@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.RegistryOps.all ++
       graft.queries.ModelOps.all ++
       graft.queries.ModelOps2.all ++
-      graft.queries.SketchOps.all
+      graft.queries.SketchOps.all ++
+      graft.queries.GovernanceOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,279 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.TableStore
+
+/** Data-governance and serving-index operators — the platform layer a
+  * training-data warehouse grows once tables become products: an
+  * inverted text index served from storage (t37), incremental index
+  * maintenance through the signed fold log (i9), population-stability
+  * drift between published snapshots (a23), and the GDPR
+  * right-to-be-forgotten cascade across a derivation chain (c18).
+  *
+  * Reference anchor: the warehouse's precompute-then-serve discipline
+  * (definitions/game_neighbors.sqlx:16 — build once, serve forever)
+  * and its versioned-snapshot reproducibility story, extended to the
+  * index/observability/deletion surfaces a 100 TB corpus needs.
+  *
+  * Cross-engine determinism: tokenization is the repo-standard
+  * whitespace split (t1's discipline), all counts are integers, and
+  * every double expression is a fixed sequence of single IEEE ops
+  * emitted identically for both engines, rounded before comparison.
+  */
+object GovernanceOps {
+
+  private def scratch(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_$name").toFile
+    dir.deleteOnExit()
+    s"${dir.getAbsolutePath}/t"
+  }
+
+  /** Distinct (doc_id, term) postings of a documents frame — the
+    * inverted-index row type. `array_distinct` makes per-doc terms
+    * unique at the source, so document frequency is a plain count
+    * downstream and fold-log retractions cancel exactly one posting
+    * per (doc, term).
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Oracle-side postings: one row per (doc_id, term), empties dropped. */
+  private def postingsSql(where: String): String =
+    s"""SELECT DISTINCT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents $where) WHERE term <> ''""".stripMargin
+
+  /** Fixed conjunctive query terms, as a retrieval bench pins them
+    * ("dup" is the selective term; the others bound the intersection).
+    */
+  private val QTerms = Seq("dup", "vector", "key")
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------------------
+    // T37 — inverted index, served from storage. The postings table
+    // (term → doc) is built in ONE pass over the corpus and written
+    // PARTITIONED by the term's first letter; a conjunctive query
+    // then reads ONLY the partitions holding its terms (directory
+    // pruning — the scan never touches the other 25/26ths of the
+    // index) and intersects postings with one keyed aggregate:
+    // HAVING count = |terms|. Cost is O(Σ postings of the query
+    // terms), never O(corpus) — the difference between a search
+    // serving tier and a table scan at 100 TB. The oracle IS the
+    // table scan, so the gate proves index == scan.
+    Q("t37_inverted_index",
+      "conjunctive term query answered from a term-partitioned postings index",
+      s"""SELECT doc_id FROM documents
+         |WHERE list_contains(string_split(lower(text), ' '), 'dup')
+         |  AND list_contains(string_split(lower(text), ' '), 'vector')
+         |  AND list_contains(string_split(lower(text), ' '), 'key')
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val path = scratch("t37_postings")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      // index build: tb (first letter) is the partition column; at
+      // corpus scale the same layout holds with hash buckets
+      postingsOf(docs)
+        .withColumn("tb", substring(col("term"), 1, 1))
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      val firstLetters = QTerms.map(_.substring(0, 1)).distinct
+      val hits = s.read.parquet(path)
+        .filter(col("tb").isin(firstLetters: _*) &&
+          col("term").isin(QTerms: _*))
+      // postings are distinct per (doc, term) by construction, so the
+      // intersection is a count — no distinct aggregate needed
+      hits.groupBy("doc_id")
+        .agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === QTerms.size)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // I9 — incremental index maintenance: the postings table as a
+    // SIGNED fold log. The anchor snapshot indexes the initial
+    // corpus; a crawl batch appends its postings as a +1 delta; a
+    // takedown batch retracts its postings as a -1 delta. Document
+    // frequency is then ONE aggregate over the raw signed chain
+    // (readFoldedUnion — retracted postings net to zero inside the
+    // sum, so no state-wide pre-merge is paid). Each tick writes
+    // O(batch postings); the index is never rebuilt. The oracle
+    // recomputes df from the final corpus from scratch — proving
+    // fold-maintained == rebuilt.
+    Q("i9_postings_ivm",
+      "document-frequency index maintained by signed fold deltas == full rebuild",
+      s"""WITH p AS (${postingsSql("WHERE doc_id % 7 <> 0")})
+         |SELECT term, count(*) AS df FROM p
+         |GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+      val path = scratch("i9_postings")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val anchor = docs.filter(col("doc_id") % 5 =!= 0)
+      val crawl = docs.filter(col("doc_id") % 5 === 0)
+      val takedown = docs.filter(col("doc_id") % 7 === 0)
+      // postings are distinct per (doc, term): the snapshot fast path
+      // applies without a canonicalizing shuffle
+      TableStore.publishFoldSnapshotDistinct(s, path, postingsOf(anchor),
+        note = "anchor")
+      TableStore.publishFoldDelta(s, path,
+        postingsOf(crawl).withColumn("_mult", lit(1L)), note = "crawl")
+      TableStore.publishFoldDelta(s, path,
+        postingsOf(takedown).withColumn("_mult", lit(-1L)), note = "takedown")
+      // df over the raw signed chain: one aggregate, no pre-fold
+      TableStore.readFoldedUnion(s, path)
+        .groupBy("term")
+        .agg(sum(col("_mult")).as("df"))
+        .filter(col("df") > 0)
+        .orderBy("term")
+    },
+
+    // ---------------------------------------------------------------
+    // A23 — population-stability drift between two PUBLISHED
+    // snapshots of a table: the observability check every feature
+    // pipeline runs before a model retrains on a new corpus version.
+    // PSI over 12 fixed price bins with Laplace smoothing (so a bin
+    // present in only one version contributes a finite term). Both
+    // versions come from the snapshot store — the monitor reads
+    // table history, it never re-derives the old state. Per-bin
+    // contributions round to 6 dp, and the total folds the ROUNDED
+    // decimals, so the output is order-independent and bit-identical
+    // across engines (ln may differ in the last ulp; rounding
+    // absorbs it).
+    Q("a23_psi_drift",
+      "PSI feature drift between two published table versions, 12 fixed bins",
+      """WITH v1 AS (SELECT o_totalprice AS p FROM orders),
+        |v2 AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.5
+        |               ELSE o_totalprice END AS p FROM orders),
+        |bins AS (SELECT unnest(range(0, 12)) AS bin),
+        |c1 AS (SELECT least(cast(floor(p / 50000.0) as bigint), 11) AS bin,
+        |         count(*) AS n1 FROM v1 GROUP BY 1),
+        |c2 AS (SELECT least(cast(floor(p / 50000.0) as bigint), 11) AS bin,
+        |         count(*) AS n2 FROM v2 GROUP BY 1),
+        |tot AS (SELECT (SELECT cast(count(*) as double) + 6.0 FROM v1) AS d1,
+        |               (SELECT cast(count(*) as double) + 6.0 FROM v2) AS d2),
+        |j AS (SELECT cast(bins.bin as bigint) AS bin,
+        |        coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2, d1, d2
+        |      FROM bins CROSS JOIN tot
+        |      LEFT JOIN c1 ON c1.bin = bins.bin
+        |      LEFT JOIN c2 ON c2.bin = bins.bin),
+        |k AS (SELECT bin, n1, n2,
+        |        cast(round(((cast(n2 as double) + 0.5) / d2
+        |                    - (cast(n1 as double) + 0.5) / d1)
+        |          * ln(((cast(n2 as double) + 0.5) / d2)
+        |               / ((cast(n1 as double) + 0.5) / d1)), 6)
+        |          as decimal(18,6)) AS contrib
+        |      FROM j)
+        |SELECT bin, n1, n2, cast(contrib as double) AS contrib,
+        |  cast((SELECT sum(contrib) FROM k) as double) AS psi
+        |FROM k ORDER BY bin""".stripMargin) { (s, d) =>
+      val basePath = scratch("a23_snap")
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val v1 = TableStore.publishVersion(s, basePath, o, note = "v1")
+      val v2 = TableStore.publishVersion(s, basePath,
+        o.withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.5)
+            .otherwise(col("o_totalprice"))), note = "v2")
+      def binned(v: Long, n: String): DataFrame =
+        TableStore.readVersion(s, basePath, Some(v))
+          .select(least(floor(col("o_totalprice") / 50000.0).cast("bigint"),
+            lit(11L)).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as(n))
+      def denom(v: Long, n: String): DataFrame =
+        TableStore.readVersion(s, basePath, Some(v))
+          .agg((count(lit(1)).cast("double") + 6.0).as(n))
+      val bins = s.range(0, 12).select(col("id").as("bin"))
+      val j = bins
+        .crossJoin(broadcast(denom(v1, "d1")))
+        .crossJoin(broadcast(denom(v2, "d2")))
+        .join(broadcast(binned(v1, "n1")), Seq("bin"), "left")
+        .join(broadcast(binned(v2, "n2")), Seq("bin"), "left")
+        .na.fill(0L, Seq("n1", "n2"))
+      val p1 = (col("n1").cast("double") + 0.5) / col("d1")
+      val p2 = (col("n2").cast("double") + 0.5) / col("d2")
+      val k = j.select(col("bin"), col("n1"), col("n2"),
+        round((p2 - p1) * log(p2 / p1), 6).cast("decimal(18,6)").as("contrib"))
+      val psi = k.agg(sum(col("contrib")).as("psi_d"))
+      k.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n1"), col("n2"),
+          col("contrib").cast("double").as("contrib"),
+          col("psi_d").cast("double").as("psi"))
+        .orderBy("bin")
+    },
+
+    // ---------------------------------------------------------------
+    // C18 — right-to-be-forgotten CASCADE: one forget request flows
+    // through the whole derivation chain at O(matching keys) per
+    // table, never a rewrite. Documents take tombstones
+    // (deleteWhere); the chunk table — a derived product keyed by the
+    // same doc_id — takes the same tombstone keys; the postings
+    // INDEX retracts the forgotten docs' rows as a signed -1 fold
+    // delta. The output reads every tier back through its LIVE path
+    // (anti-join tombstones / signed fold) and proves (a) the
+    // forgotten ids are gone everywhere, (b) everything else is
+    // intact — the oracle recomputes each tier from scratch on the
+    // filtered corpus. At 100 TB this is the deletion architecture:
+    // tombstones + index retraction now, applyDeletes folded into
+    // scheduled maintenance later.
+    Q("c18_cascade_forget",
+      "GDPR cascade: tombstoned docs, chunk table, and postings index all forget",
+      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 11 <> 3),
+         |w AS (SELECT doc_id,
+         |        len(list_filter(string_split(lower(text), ' '), w_ -> w_ != '')) AS nw
+         |      FROM live)
+         |SELECT 'chunks_live' AS metric,
+         |  cast(sum((nw + 19) // 20) as bigint) AS value FROM w
+         |UNION ALL
+         |SELECT 'df_dup_live', count(*) FROM live
+         |WHERE list_contains(string_split(lower(text), ' '), 'dup')
+         |UNION ALL
+         |SELECT 'docs_live', count(*) FROM live
+         |UNION ALL
+         |SELECT 'forgotten_remaining', 0
+         |ORDER BY metric""".stripMargin) { (s, d) =>
+      val docsPath = scratch("c18_docs")
+      val chunksPath = scratch("c18_chunks")
+      val postPath = scratch("c18_postings")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      TableStore.overwrite(docs, docsPath)
+      // derived chunk table: fixed 20-token chunks (count shape only —
+      // chunk text itself would carry the same doc_id key)
+      val chunks = docs
+        .select(col("doc_id"),
+          size(filter(split(lower(col("text")), " "),
+            w => w =!= "")).as("nw"))
+        .filter(col("nw") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), expr("(nw + 19) div 20"))).as("chunk_idx"))
+      TableStore.overwrite(chunks, chunksPath)
+      // derived postings index as a fold table
+      TableStore.publishFoldSnapshotDistinct(s, postPath, postingsOf(docs),
+        note = "full")
+      // ---- the forget request cascades ----
+      val forgetPred = col("doc_id") % 11 === 3
+      TableStore.deleteWhere(s, docsPath, Seq("doc_id"), forgetPred)
+      TableStore.deleteWhere(s, chunksPath, Seq("doc_id"), forgetPred)
+      TableStore.publishFoldDelta(s, postPath,
+        postingsOf(docs.filter(forgetPred)).withColumn("_mult", lit(-1L)),
+        note = "forget")
+      // ---- read every tier back through its live path ----
+      val docsLive = TableStore.readLive(s, docsPath, Seq("doc_id"))
+      val chunksLive = TableStore.readLive(s, chunksPath, Seq("doc_id"))
+      val dfDup = TableStore.readFoldedUnion(s, postPath)
+        .filter(col("term") === "dup")
+        .agg(coalesce(sum(col("_mult")), lit(0L)).as("value"))
+        .select(lit("df_dup_live").as("metric"), col("value"))
+      val m1 = chunksLive.agg(count(lit(1)).as("value"))
+        .select(lit("chunks_live").as("metric"), col("value"))
+      val m3 = docsLive.agg(count(lit(1)).as("value"))
+        .select(lit("docs_live").as("metric"), col("value"))
+      val m4 = docsLive.filter(forgetPred).agg(count(lit(1)).as("value"))
+        .select(lit("forgotten_remaining").as("metric"), col("value"))
+      m1.unionByName(dfDup).unionByName(m3).unionByName(m4)
+        .orderBy("metric")
+    }
+  )
+}
