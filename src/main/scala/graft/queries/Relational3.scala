@@ -819,6 +819,47 @@ object Relational3 {
             .cast(DoubleType).as("hour_sum"),
           count(lit(1)).over(w).as("n_last_hour"))
         .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Point-in-VARIABLE-interval join — the IP-to-geo / value-to-tier
+    // lookup shape: each customer owns a price band (±2% around
+    // their exact mean order price — width varies per row, so j5's
+    // fixed-width band bucketing cannot apply), and the query counts
+    // the orders landing inside each band. Scale form: the interval
+    // side explodes to the 8192-wide grid cells it covers (≤3 per
+    // band here; bounded by band/cell width generally), the point
+    // side maps to exactly ONE cell — so unlike j15's interval×
+    // interval grid there are no duplicate candidate pairs and no
+    // dedup pass. One equi-join on the cell + exact re-check; never
+    // a nested loop (PlanSpec gates it). The oracle is DuckDB's
+    // native BETWEEN range join (IEJoin), so the gate proves the
+    // grid decomposition complete at exact band boundaries.
+    Q("j18_point_in_range",
+      "per-customer variable price band vs all orders: grid-cell point-in-interval join",
+      s"""WITH b AS (
+         |  SELECT o_custkey AS cid,
+         |    ${davgSql("o_totalprice")} * 0.98 AS lo,
+         |    ${davgSql("o_totalprice")} * 1.02 AS hi
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT b.cid AS o_custkey, count(*) AS n_peer
+         |FROM b JOIN orders o ON o.o_totalprice BETWEEN b.lo AND b.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      val bands = o.groupBy("o_custkey")
+        .agg(davg(col("o_totalprice")).as("av"))
+        .select(col("o_custkey").as("cid"),
+          (col("av") * 0.98).as("lo"), (col("av") * 1.02).as("hi"))
+      val bandCells = bands.select(col("cid"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / 8192.0).cast("long"),
+          floor(col("hi") / 8192.0).cast("long"))).as("cell"))
+      val pointCells = o.select(col("o_totalprice").as("p"),
+        floor(col("o_totalprice") / 8192.0).cast("long").as("cell"))
+      bandCells.join(pointCells, Seq("cell"))
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy(col("cid").as("o_custkey"))
+        .agg(count(lit(1)).as("n_peer"))
+        .orderBy("o_custkey")
     }
   )
 }

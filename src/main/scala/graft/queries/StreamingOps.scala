@@ -1096,6 +1096,76 @@ object StreamingOps {
         .orderBy("o_custkey")
       MvRewrite.assertRouted(q, finalViewDir, Seq(basePath), "st20")
       q
+    },
+
+    // ---------------------------------------------------------------
+    // ST21 — streaming + BACKFILL reconciliation (the kappa-
+    // architecture claim, proved): a live stream maintains a
+    // per-(day, user) aggregate view tick by tick; afterwards an
+    // upstream CORRECTION arrives for the oldest days (click events
+    // re-valued), and the backfill job repairs the view by publishing
+    // ONE signed preimage/postimage fold delta for the affected slice
+    // — it never replays the stream and never rewrites the view. The
+    // oracle recomputes the aggregate from the corrected corpus from
+    // scratch, so the gate proves stream-then-backfill == batch over
+    // corrected data. At 100 TB this is the nightly-fix discipline:
+    // the stream's state is a fold log, so a correction is just one
+    // more delta in the algebra, O(affected rows) — not a pipeline
+    // re-run. Same tick=<bid> WAL guards as st20, so a redelivered
+    // micro-batch cannot double-fold.
+    Q("st21_stream_backfill",
+      "streamed aggregate view + signed backfill correction == batch recompute over corrected corpus",
+      s"""WITH cutoff AS (
+         |  SELECT min(cast(ts as date)) + 3 AS cd FROM events),
+         |c AS (
+         |  SELECT cast(ts as date) AS day, user_id,
+         |    CASE WHEN event_type = 'click'
+         |           AND cast(ts as date) < (SELECT cd FROM cutoff)
+         |         THEN value + 10.0 ELSE value END AS value
+         |  FROM events)
+         |SELECT day, user_id, count(*) AS n,
+         |  ${dsumSql("value")} AS total
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st21")
+      val viewPath = tmp.resolve("view").toString
+      val keys = Seq("day", "user_id")
+      val ev = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          col("value"), col("event_type"))
+      // v0: an empty full-snapshot anchor in the aggregate-fold shape
+      TableStore.publishVersion(s, viewPath,
+        Ivm.aggregate(ev.limit(0), keys, Seq("value")), note = "tick=-1")
+      // ---- the live stream: 3 ticks of O(batch) partial aggregates
+      val stream = EventStream.stagedFileStream(s, ev,
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        if (JoinViewMaintenance.tickVersion(s, viewPath, bid).isEmpty)
+          TableStore.publishFoldDelta(s, viewPath,
+            Ivm.aggDelta(slice.withColumn("_change_type", lit("insert")),
+              keys, Seq("value")),
+            s"tick=$bid"): Unit
+      }
+      // ---- the correction lands: click events in the first 3 days
+      // were undervalued by 10.0. The backfill is ONE signed delta —
+      // preimage retracts what the stream folded, postimage lands the
+      // corrected values. O(affected rows), no replay, no rewrite.
+      val cutoff = ev.agg(date_add(min(col("day")), 3).as("cd"))
+      val affected = ev.crossJoin(broadcast(cutoff))
+        .filter(col("event_type") === "click" && col("day") < col("cd"))
+        .select("day", "user_id", "value")
+      val backfill = affected
+        .withColumn("_change_type", lit("update_preimage"))
+        .unionByName(affected
+          .withColumn("value", col("value") + 10.0)
+          .withColumn("_change_type", lit("update_postimage")))
+      TableStore.publishFoldDelta(s, viewPath,
+        Ivm.aggDelta(backfill, keys, Seq("value")), note = "backfill")
+      TableStore.readFoldedAgg(s, viewPath, keys, Seq("value"))
+        .select(col("day"), col("user_id"), col("n"),
+          col("sum_value").cast("double").as("total"))
+        .orderBy("day", "user_id")
     }
   )
 }
