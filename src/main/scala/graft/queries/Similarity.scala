@@ -1887,6 +1887,82 @@ object Similarity {
           lit(drift).as("drift_frac"), lit(rebuild).as("rebuild"),
           lit(if (rebuild) "rebuild-full" else "absorb-frozen").as("path"))
         .orderBy(col("dist"), col("vec_id"))
+    },
+
+    // ---------------------------------------------------------------
+    // K23 — deletion flowing INTO the published ANN index (c18's
+    // GDPR cascade reaching the vector store): the forget set's
+    // posting-list rows are retracted with ONE signed -1 fold delta —
+    // re-assigned under the FROZEN centroids, so the retraction rows
+    // are bit-identical to what the build inserted and the multiset
+    // nets to zero. No retraining, no list rewrite, O(forgotten)
+    // write. The query then serves top-10 from the folded lists; the
+    // oracle builds the index fresh over the RETAINED corpus under
+    // the same (full-corpus-trained, frozen) centroids — proving a
+    // forgotten vector can never be returned and everything else
+    // ranks exactly as a from-scratch index would. At 100 TB this is
+    // the only affordable shape: a right-to-be-forgotten request
+    // must not rebuild a billion-vector index.
+    Q("k23_index_forget",
+      "signed retraction of forgotten vectors from the published IVF index == fresh index over retained corpus",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |${lloydCtes(4)},
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |af AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${XSql.dist2("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM e, c1 c) WHERE rn = 1),
+           |pick AS (SELECT c1.cid FROM c1, q
+           |  ORDER BY ${XSql.dist2("q.qv", "c1.cv")}, c1.cid LIMIT 2)
+           |SELECT n.vec_id,
+           |       1.0 - ${XSql.cosineFromNorms(XSql.dot("n.v", "q.qv"), "n.n2", "q.qn2")} AS dist
+           |FROM n JOIN af ON n.vec_id = af.vec_id, q
+           |WHERE af.cid IN (SELECT cid FROM pick)
+           |  AND n.vec_id != 0 AND n.vec_id % 10 != 7
+           |ORDER BY dist, n.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{KMeans, TableStore}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_k23").toString
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      // the index predates the forget request: trained and built on
+      // the FULL corpus, centroids frozen at publish
+      val cents = KMeans.trainLocal(e, 4, LloydRounds)
+      TableStore.publishVersion(s, s"$root/centroids", cents,
+        note = "ivf-centroids-frozen")
+      TableStore.publishFoldSnapshot(s, s"$root/lists",
+        KMeans.withAssign(n, cents), note = "build")
+      // the forget request: re-derive the forgotten rows under the
+      // frozen centroids (bit-identical to the inserted rows) and
+      // retract them with one signed delta
+      TableStore.publishFoldDelta(s, s"$root/lists",
+        KMeans.withAssign(n.filter(col("vec_id") % 10 === 7), cents)
+          .withColumn("_mult", lit(-1L)),
+        note = "forget")
+      // read-only serving path over the folded (post-forget) lists
+      val lists = TableStore.readFolded(s, s"$root/lists").drop("_mult")
+      val cr = TableStore.readVersion(s, s"$root/centroids")
+      val q = lists.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      val pick = cr.crossJoin(broadcast(q))
+        .withColumn("d2", expr(XSql.dist2("qv", "cv")))
+        .orderBy(col("d2"), col("cid")).limit(2)
+        .select("cid")
+      lists.join(broadcast(pick), Seq("cid"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     }
   )
 }
