@@ -676,6 +676,94 @@ object TableStore {
     spark.read.parquet(vDir)
   }
 
+  // ------------------------------------------------------- branches
+
+  /** Named BRANCHES over the snapshot store — the Nessie / Iceberg-
+    * branch workflow: fork a line of development from a committed
+    * parent version WITHOUT copying data, write candidate versions on
+    * the branch, and promote back with a compare-and-swap merge.
+    *
+    * A branch is a directory holding one metadata marker
+    * (`_branch_base`: parent path + the base version it forked from)
+    * plus the branch's own committed versions. The fork writes ONLY
+    * the marker — zero-copy at any table size; a branch with no local
+    * versions reads through to `parent@base` (still zero-copy).
+    *
+    * The merge IS [[publishVersionIf]] with `expected = base`: it can
+    * only land as the parent's `base + 1`, so if the parent advanced
+    * after the fork — another branch merged first, or an ingest
+    * published — the marker create loses and the caller gets
+    * [[ConcurrentVersionException]] to rebase and retry. Two sibling
+    * branches racing their merges therefore serialize exactly like
+    * two CAS writers (s30): one wins, one rebases; a lost update is
+    * impossible by construction. On this local store the promote
+    * writes the branch state once; a manifest-based format flips
+    * pointers instead — call sites identical.
+    */
+  private def branchMetaPath(branchPath: String): String =
+    s"$branchPath/_branch_base"
+
+  /** Fork `branchPath` from `parentPath` at `from` (default: the
+    * parent's current version). Writes one marker file; O(1) at any
+    * table size. Fails if the branch already exists.
+    */
+  def branchCreate(spark: SparkSession, parentPath: String,
+      branchPath: String, from: Option[Long] = None): Long = {
+    val base = from.orElse(currentVersion(spark, parentPath)).getOrElse(
+      sys.error(s"branchCreate: no published version at $parentPath"))
+    require(committedVersions(spark, parentPath).contains(base),
+      s"branchCreate: parent version $base is not committed at $parentPath")
+    val f = fs(spark, branchPath)
+    val dir = new Path(branchPath)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    if (!createExclusive(f, new Path(branchMetaPath(branchPath)),
+        s"parent=$parentPath;base=$base".getBytes("UTF-8")))
+      sys.error(s"branchCreate: branch already exists at $branchPath")
+    base
+  }
+
+  /** The branch's (parent path, base version) provenance. */
+  def branchBase(spark: SparkSession, branchPath: String): (String, Long) = {
+    val p = new Path(branchMetaPath(branchPath))
+    val f = fs(spark, branchPath)
+    require(f.exists(p), s"branchBase: $branchPath is not a branch")
+    val in = f.open(p)
+    val content = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    content.split(";") match {
+      case Array(par, b) if par.startsWith("parent=") && b.startsWith("base=") =>
+        (par.stripPrefix("parent="), b.stripPrefix("base=").trim.toLong)
+      case _ => sys.error(s"branchBase: malformed branch marker: $content")
+    }
+  }
+
+  /** The branch's current state: its latest local version, or the
+    * parent's base version if nothing was written on the branch yet.
+    */
+  def readBranch(spark: SparkSession, branchPath: String): DataFrame = {
+    val (parent, base) = branchBase(spark, branchPath)
+    if (committedVersions(spark, branchPath).isEmpty)
+      readVersion(spark, parent, Some(base))
+    else readVersion(spark, branchPath)
+  }
+
+  /** Promote the branch state back to the parent as `base + 1` via
+    * CAS. Throws [[ConcurrentVersionException]] if the parent
+    * advanced since the fork — the caller re-forks from the new tip
+    * (rebase) and retries, exactly the optimistic-merge loop.
+    */
+  def branchMerge(spark: SparkSession, branchPath: String,
+      note: String = ""): Long = {
+    val (parent, base) = branchBase(spark, branchPath)
+    val tag = if (note.isEmpty) s"merge:${new Path(branchPath).getName}"
+      else note
+    publishVersionIf(spark, parent, readBranch(spark, branchPath),
+      tag, Some(base))
+  }
+
   /** Row-level changelog between two committed versions — the
     * `table_changes` / CDF read of a lakehouse format, computed from
     * the snapshots themselves: one row per inserted or deleted key and

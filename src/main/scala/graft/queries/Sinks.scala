@@ -1549,6 +1549,64 @@ object Sinks {
         .orderBy("o_custkey")
       requireRouted(out, viewPath, basePath, "s34")
       out
+    },
+
+    // ---------------------------------------------------------------
+    // S35 — BRANCH / merge workflow (Nessie / Iceberg branches): the
+    // ingest batch lands on a zero-copy branch forked from main's
+    // tip, gets audited there (the s26 expectation: only plausible
+    // prices pass), and PROMOTES via a compare-and-swap merge that
+    // can only land as base+1 — so a sibling branch forked from the
+    // same tip loses its merge with ConcurrentVersionException and
+    // must rebase, never silently clobbering main (the s30 CAS
+    // discipline applied to whole branches). The query proves both
+    // halves: main's final state == base ∪ audited batch (the
+    // oracle), and the sibling's conflict was actually raised (the
+    // zz_conflict_detected row is emitted only from the catch).
+    // At 100 TB the fork writes ONE marker file and an unwritten
+    // branch reads through to parent@base — branching is free at any
+    // table size; only the promote writes data (a manifest store
+    // flips pointers instead, call sites identical).
+    Q("s35_branch_merge",
+      "WAP on a zero-copy branch: audited batch merges by CAS, sibling branch conflicts",
+      """SELECT o_orderstatus AS status, count(*) AS n FROM (
+        |  SELECT o_orderstatus FROM orders WHERE o_orderkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders
+        |  WHERE o_orderkey % 4 = 1 AND o_totalprice < 400000)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT 'zz_conflict_detected', 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val mainPath = scratch("s35_main")
+      val b1 = scratch("s35_audit")
+      val b2 = scratch("s35_sibling")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TableStore.publishVersion(s, mainPath,
+        o.filter(col("o_orderkey") % 4 =!= 1), note = "base")
+      // both branches fork the SAME tip — zero-copy, one marker each
+      TableStore.branchCreate(s, mainPath, b1)
+      TableStore.branchCreate(s, mainPath, b2)
+      // the audited ingest lands on branch 1: candidate batch joins
+      // the branch state only after passing the expectation
+      val clean = o.filter(col("o_orderkey") % 4 === 1 &&
+        col("o_totalprice") < 400000)
+      TableStore.publishVersion(s, b1,
+        TableStore.readBranch(s, b1).unionByName(clean), note = "audited")
+      TableStore.branchMerge(s, b1)
+      // the sibling (stale) branch now loses its merge — the CAS can
+      // only land as base+1 and main is already there
+      val conflicted =
+        try { TableStore.branchMerge(s, b2); false }
+        catch { case _: TableStore.ConcurrentVersionException => true }
+      val conflictRow = s.range(if (conflicted) 1 else 0)
+        .select(lit("zz_conflict_detected").as("status"), lit(1L).as("n"))
+      TableStore.readVersion(s, mainPath)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(conflictRow)
+        .orderBy("status")
     }
   )
 
