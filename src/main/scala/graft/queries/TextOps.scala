@@ -883,6 +883,69 @@ object TextOps {
           expr(s"md5(${fimText})").as("fim_md5"),
           expr(s"CASE WHEN ${fimRoundtrip} THEN 1 ELSE 0 END").as("roundtrip_ok"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // T38 — PERPLEXITY filtering (the CCNet / LLaMA-pipeline quality
+    // gate t28's classifier approximates): train an add-1-smoothed
+    // bigram LM on the corpus in ONE aggregate pass, score every doc
+    // by its per-bigram perplexity under that LM, and flag the
+    // high-ppl tail for removal. Scale shape: the LM (bigram +
+    // context counts) is vocabulary-sized — in practice a broadcast
+    // table, so scoring is a map-side join over the bigram stream,
+    // never a corpus-sized shuffle; the per-doc fold sums DECIMALS of
+    // 9-dp-rounded log-probs, so the score is order-independent and
+    // bit-identical across engines (the repo's determinism rule for
+    // anything summed in IEEE).
+    Q("t38_perplexity_filter",
+      "bigram-LM perplexity per doc (add-1 smoothing), high-ppl tail flagged",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        s"""WITH w AS (SELECT doc_id, $w AS w FROM documents),
+           |ix AS (SELECT doc_id, w, unnest(${dl.seq0(s"${dl.arrSize("w")} - 1")}) AS i_ FROM w),
+           |bg AS (SELECT doc_id, ${dl.idx("w", "i_")} AS w1,
+           |         ${dl.idx("w", "i_ + 1")} AS w2 FROM ix),
+           |cu AS (SELECT w1, count(*) AS nctx FROM bg GROUP BY 1),
+           |cb AS (SELECT w1, w2, count(*) AS nbg FROM bg GROUP BY 1, 2),
+           |vs AS (SELECT count(DISTINCT w2) AS v FROM bg),
+           |lp AS (SELECT bg.doc_id,
+           |         cast(round(ln(cast(nbg + 1 as double)
+           |           / cast(nctx + v as double)), 9) as decimal(20,9)) AS lp
+           |       FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vs),
+           |p AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+           |      FROM lp GROUP BY 1)
+           |SELECT doc_id, n_bigrams,
+           |  round(exp(-(cast(slp as double) / cast(n_bigrams as double))), 6) AS ppl,
+           |  round(exp(-(cast(slp as double) / cast(n_bigrams as double))), 6) > 60.0 AS drop_hi
+           |FROM p ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val bg = t(s, d, "documents")
+        .select(col("doc_id"), expr(XSql.words("text")).as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(dl.seq0(s"${dl.arrSize("w")} - 1"))).as("i_"))
+        .select(col("doc_id"), expr(dl.idx("w", "i_")).as("w1"),
+          expr(dl.idx("w", "i_ + 1")).as("w2"))
+      val cu = bg.groupBy("w1").agg(count(lit(1)).as("nctx"))
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nbg"))
+      val vs = bg.agg(countDistinct(col("w2")).as("v"))
+      // the LM is vocab-sized: broadcast it into the scoring stream
+      val lp = bg
+        .join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(cu), Seq("w1"))
+        .crossJoin(broadcast(vs))
+        .select(col("doc_id"),
+          round(log((col("nbg") + 1).cast("double")
+            / (col("nctx") + col("v")).cast("double")), 9)
+            .cast("decimal(20,9)").as("lp"))
+      val ppl = round(exp(-(col("slp").cast("double")
+        / col("n_bigrams").cast("double"))), 6)
+      lp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(col("doc_id"), col("n_bigrams"), ppl.as("ppl"),
+          (ppl > 60.0).as("drop_hi"))
+        .orderBy("doc_id")
     }
   )
 
