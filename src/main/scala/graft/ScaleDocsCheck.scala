@@ -44,7 +44,13 @@ object ScaleDocsCheck {
     // once per JVM; min-of-2 measures the read-only query)
     "m1_media_features", "m3_resize", "m5_media_near_dup",
     "m8_image_decode", "m9_video_demux", "m10_audio_resample",
-    "k20_published_index", "k22_published_absorb")
+    "k20_published_index", "k22_published_absorb",
+    // round 10b: the governance/serving surface (postings index
+    // build+query, signed index maintenance, forget cascade, LM
+    // scoring, index deletion) — all linear or index-pruned by
+    // construction; the gate holds them to it
+    "t37_inverted_index", "i9_postings_ivm", "c18_cascade_forget",
+    "t38_perplexity_filter", "k23_index_forget")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't

@@ -197,10 +197,7 @@ object EventStream {
     */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
-    try {
+    withStreamConfs(spark) {
       val q = streamed.writeStream
         .format("memory")
         .queryName(name)
@@ -208,7 +205,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    }
     spark.table(name)
   }
 
@@ -219,18 +216,8 @@ object EventStream {
     */
   def runForeachBatch(spark: SparkSession, streamed: DataFrame,
       checkpoint: Option[String] = None)(
-      fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit = {
-    val key = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key)
-    val prevAqe = spark.conf.get(aqeKey)
-    spark.conf.set(key, "4")
-    // micro-batch maintenance plans are small, repeated shapes: AQE's
-    // per-exchange replanning buys nothing on them and charges a
-    // scheduling round-trip per stage per tick — measurable when a
-    // tick is a handful of sub-second jobs
-    spark.conf.set(aqeKey, "false")
-    try {
+      fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit =
+    withStreamConfs(spark) {
       val base = streamed.writeStream
         .foreachBatch(fn)
         .trigger(Trigger.AvailableNow())
@@ -241,9 +228,46 @@ object EventStream {
       val q = checkpoint.fold(base)(c => base.option("checkpointLocation", c))
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set(key, prev)
-      spark.conf.set(aqeKey, prevAqe)
+    }
+
+  /** The micro-batch session confs, applied REFERENCE-COUNTED: the
+    * first concurrent stream run saves the true previous values and
+    * applies the stream settings; the last one out restores. A plain
+    * save/set/restore per call is wrong the moment two streams
+    * overlap on one session (the multi-writer race test does exactly
+    * that): the second entrant would snapshot the FIRST's temporary
+    * values as its "previous" state and restore them after the first
+    * already put the real ones back — leaking `aqe=false` into the
+    * shared session for the rest of the JVM (observed as
+    * order-dependent PlanSpec flakes).
+    *
+    * The confs themselves: stateful operators pin 4 shuffle
+    * partitions (state-store snapshot+commit I/O is per partition per
+    * micro-batch; these replays hold a few MB of state), and AQE is
+    * off because micro-batch maintenance plans are small repeated
+    * shapes where per-exchange replanning only charges a scheduling
+    * round-trip per stage per tick.
+    */
+  private val StreamConfs =
+    Map("spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+  private val streamConfLock = new Object
+  private var streamConfDepth = 0
+  private var streamConfSaved: Map[String, String] = Map.empty
+
+  private def withStreamConfs[A](spark: SparkSession)(body: => A): A = {
+    streamConfLock.synchronized {
+      if (streamConfDepth == 0) {
+        streamConfSaved = StreamConfs.keys.map(k => k -> spark.conf.get(k)).toMap
+        StreamConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      }
+      streamConfDepth += 1
+    }
+    try body
+    finally streamConfLock.synchronized {
+      streamConfDepth -= 1
+      if (streamConfDepth == 0)
+        streamConfSaved.foreach { case (k, v) => spark.conf.set(k, v) }
     }
   }
 }

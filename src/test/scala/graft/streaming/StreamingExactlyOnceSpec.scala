@@ -93,6 +93,14 @@ class StreamingExactlyOnceSpec extends SparkSpec {
     */
   test("two racing streaming publishers: no lost update, replay is a no-op") {
     import graft.streaming.EventStream
+    // regression tripwire for the conf-leak this race once caused:
+    // overlapping runForeachBatch calls must leave the session's AQE
+    // and shuffle-partition confs exactly as they found them (the
+    // refcounted save/restore in EventStream.withStreamConfs; a plain
+    // per-call save/restore leaks the first caller's temporary values)
+    val confKeys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.shuffle.partitions")
+    val confBefore = confKeys.map(k => k -> spark.conf.get(k)).toMap
     val tmp = java.nio.file.Files.createTempDirectory("graft_eo_race")
     val path = tmp.resolve("t").toString
 
@@ -142,5 +150,8 @@ class StreamingExactlyOnceSpec extends SparkSpec {
     run("w1", stage1, ev1, tmp.resolve("ckpt1b").toString)
     assert(state(path) == want)
     assert(TableStore.currentVersion(spark, path) == vBefore)
+    val confAfter = confKeys.map(k => k -> spark.conf.get(k)).toMap
+    assert(confAfter == confBefore,
+      s"racing streams leaked session confs: $confBefore -> $confAfter")
   }
 }
