@@ -491,6 +491,110 @@ object MultimodalOps {
         }
       }.toDF("doc_id", "img_width", "img_height", "padded_mean")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // M11 — PERCEPTUAL-hash near-dup (aHash) over REAL decoded
+    // rasters: each image's 64-bit average-hash samples an 8×8 grid
+    // of the decoded PNG (bit = sampled pixel above the raster mean),
+    // packed as two 32-bit words so neither engine's bigint shift
+    // overflows. Candidates come from 4×16-bit Hamming LSH bands —
+    // by pigeonhole, any pair within Hamming ≤3 shares at least one
+    // intact band, so the banded equi-join + exact re-check is
+    // EXACTLY the ≤3-Hamming pair set the oracle computes all-pairs
+    // (never all-pairs on the Spark side). The corpus is doubled with
+    // a perturbed twin per doc ('a'→' ' — a real pixel-level edit
+    // that decodes differently), so the result contains both
+    // surviving twins and natural background pairs. At 100 TB this is
+    // image dedup as LAION/DataComp run it: hash once per image,
+    // band-bucket join, verify within buckets.
+    Q("m11_phash_near_dup",
+      "aHash from decoded PNG rasters; Hamming<=3 pairs via 4x16-bit LSH bands == all-pairs truth",
+      {
+        val dl = SqlDuck
+        // the aHash closed form over the source text (pixel ==
+        // codepoint; indices beyond length are PNG zero-pad)
+        def word(lo: Int, hi: Int) = {
+          val pix = s"(CASE WHEN (((k_//8) * h) // 8) * 64 + (k_%8)*8 + 1 <= length(text) " +
+            s"THEN ${dl.codepoint(s"substr(text, cast((((k_//8) * h) // 8) * 64 + (k_%8)*8 + 1 as bigint), 1)")} ELSE 0 END)"
+          dl.foldL(dl.xform(s"range($lo, $hi)", "k_",
+            s"CASE WHEN $pix > mean THEN ${dl.shiftLeft1(s"cast(k_ - $lo as int)")} ELSE cast(0 as bigint) END"),
+            0, "a_", "x_", "a_ + x_")
+        }
+        s"""WITH $SrcCte,
+           |u AS (
+           |  SELECT doc_id, text FROM src
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, replace(text, 'a', ' ') FROM src),
+           |g AS (SELECT doc_id, text,
+           |        greatest(cast(ceil(length(text) / 64.0) as bigint), 1) AS h,
+           |        ${dl.foldL(dl.xform(dl.chars("text"), "c_", dl.codepoint("c_")), 0, "a_", "x_", "a_ + x_")} AS s
+           |      FROM u),
+           |m AS (SELECT doc_id, text, h,
+           |        cast(s as double) / cast(64*h as double) AS mean FROM g),
+           |hsh AS (SELECT doc_id, ${word(0, 32)} AS h1, ${word(32, 64)} AS h2 FROM m)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  cast(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) as bigint) AS hamming
+           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.operators.Multimodal.MediaRow
+      val media = Multimodal.mediaTable(s, d)
+      val twins = media.map(r => MediaRow(r.doc_id + 1000000,
+        r.payload.map(b => if (b == 'a'.toByte) ' '.toByte else b),
+        r.media_type, r.width, r.height))
+      // REAL codec round trip per image, then the 8x8 grid aHash over
+      // the decoded (zero-padded) raster
+      val hashes = media.union(twins)
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val png = Multimodal.encodeGrayPng(r.payload, 64)
+            val (_, h, samples) = Multimodal.decodeGrayPng(png)
+            var sum = 0L
+            var i = 0
+            while (i < samples.length) { sum += samples(i) & 0xff; i += 1 }
+            val mean = sum.toDouble / (64.0 * h)
+            var h1 = 0L
+            var h2 = 0L
+            var k = 0
+            while (k < 64) {
+              val idx = ((k / 8) * h / 8) * 64 + (k % 8) * 8
+              val pix = samples(idx) & 0xff
+              if (pix > mean) {
+                if (k < 32) h1 |= 1L << k else h2 |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            (r.doc_id, h1, h2)
+          }
+        }.toDF("doc_id", "ah1", "ah2")
+      // 4 bands of 16 bits: complete for Hamming <= 3 by pigeonhole
+      val bands = hashes.select(col("doc_id"), col("ah1"), col("ah2"),
+        explode(expr(
+          "array(named_struct('bi', 0, 'bv', ah1 % 65536)," +
+            " named_struct('bi', 1, 'bv', ah1 div 65536)," +
+            " named_struct('bi', 2, 'bv', ah2 % 65536)," +
+            " named_struct('bi', 3, 'bv', ah2 div 65536))")).as("b"))
+        .select(col("doc_id"), col("ah1"), col("ah2"),
+          col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val aS = bands.select(col("doc_id").as("doc_a"), col("ah1").as("a1"),
+        col("ah2").as("a2"), col("bi"), col("bv"))
+      val bS = bands.select(col("doc_id").as("doc_b"), col("ah1").as("b1"),
+        col("ah2").as("b2"), col("bi"), col("bv"))
+      aS.join(bS, Seq("bi", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "a1", "a2", "b1", "b2")
+        .distinct()
+        .withColumn("hamming",
+          expr("bit_count(a1 ^ b1) + bit_count(a2 ^ b2)").cast("bigint"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
