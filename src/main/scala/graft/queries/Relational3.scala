@@ -823,38 +823,55 @@ object Relational3 {
 
     // ---------------------------------------------------------------
     // Point-in-VARIABLE-interval join — the IP-to-geo / value-to-tier
-    // lookup shape: each customer owns a price band (±2% around
-    // their exact mean order price — width varies per row, so j5's
+    // lookup shape: each customer owns a price band around their
+    // exact mean order price (centers vary per row, so j5's
     // fixed-width band bucketing cannot apply), and the query counts
-    // the orders landing inside each band. Scale form: the interval
-    // side explodes to the 8192-wide grid cells it covers (≤3 per
-    // band here; bounded by band/cell width generally), the point
-    // side maps to exactly ONE cell — so unlike j15's interval×
-    // interval grid there are no duplicate candidate pairs and no
-    // dedup pass. One equi-join on the cell + exact re-check; never
-    // a nested loop (PlanSpec gates it). The oracle is DuckDB's
-    // native BETWEEN range join (IEJoin), so the gate proves the
-    // grid decomposition complete at exact band boundaries.
+    // the orders landing inside each band. The band HALF-WIDTH is
+    // density-derived — (price range) × 500 / |orders| — the c12
+    // occupancy-capping discipline: expected in-band orders per
+    // customer is then a CONSTANT (~1000) at any corpus size, so
+    // total candidate and result mass stay O(n), where a fixed
+    // fraction of a fixed price range would make both quadratic
+    // (measured: 19× wall at 10× before the cap; the state-audit
+    // ratio gate caught it). Scale form: the interval side explodes
+    // to the grid cells it covers (cell width == half-width → ≤3
+    // each), the point side maps to exactly ONE cell — so unlike
+    // j15's interval×interval grid there are no duplicate candidate
+    // pairs and no dedup pass. One equi-join on the cell + exact
+    // re-check; never a nested loop (GovernanceSpec gates it). The
+    // oracle is DuckDB's native BETWEEN range join (IEJoin), so the
+    // gate proves the grid decomposition complete at exact band
+    // boundaries.
     Q("j18_point_in_range",
-      "per-customer variable price band vs all orders: grid-cell point-in-interval join",
-      s"""WITH b AS (
+      "per-customer price band vs all orders: density-capped grid-cell point-in-interval join",
+      s"""WITH w AS (
+         |  SELECT (max(o_totalprice) - min(o_totalprice)) * 500.0
+         |           / cast(count(*) as double) AS half
+         |  FROM orders),
+         |b AS (
          |  SELECT o_custkey AS cid,
-         |    ${davgSql("o_totalprice")} * 0.98 AS lo,
-         |    ${davgSql("o_totalprice")} * 1.02 AS hi
+         |    ${davgSql("o_totalprice")} AS av
          |  FROM orders GROUP BY o_custkey)
          |SELECT b.cid AS o_custkey, count(*) AS n_peer
-         |FROM b JOIN orders o ON o.o_totalprice BETWEEN b.lo AND b.hi
+         |FROM b CROSS JOIN w
+         |JOIN orders o
+         |  ON o.o_totalprice BETWEEN b.av - w.half AND b.av + w.half
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val o = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      val w = o.agg(((max(col("o_totalprice")) - min(col("o_totalprice")))
+        * 500.0 / count(lit(1)).cast("double")).as("half"))
       val bands = o.groupBy("o_custkey")
         .agg(davg(col("o_totalprice")).as("av"))
+        .crossJoin(broadcast(w))
         .select(col("o_custkey").as("cid"),
-          (col("av") * 0.98).as("lo"), (col("av") * 1.02).as("hi"))
+          (col("av") - col("half")).as("lo"),
+          (col("av") + col("half")).as("hi"), col("half"))
       val bandCells = bands.select(col("cid"), col("lo"), col("hi"),
-        explode(sequence(floor(col("lo") / 8192.0).cast("long"),
-          floor(col("hi") / 8192.0).cast("long"))).as("cell"))
-      val pointCells = o.select(col("o_totalprice").as("p"),
-        floor(col("o_totalprice") / 8192.0).cast("long").as("cell"))
+        explode(sequence(floor(col("lo") / col("half")).cast("long"),
+          floor(col("hi") / col("half")).cast("long"))).as("cell"))
+      val pointCells = o.crossJoin(broadcast(w))
+        .select(col("o_totalprice").as("p"),
+          floor(col("o_totalprice") / col("half")).cast("long").as("cell"))
       bandCells.join(pointCells, Seq("cell"))
         .filter(col("p") >= col("lo") && col("p") <= col("hi"))
         .groupBy(col("cid").as("o_custkey"))
