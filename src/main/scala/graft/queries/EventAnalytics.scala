@@ -369,6 +369,53 @@ object EventAnalytics {
           coalesce(col("total"), lit(0.0)).as("total"),
           col("c").isNull.as("filled"))
         .orderBy("day", "event_type")
+    },
+
+    // ---------------------------------------------------------------
+    // E9 — rolling distinct users (DAU + trailing-7-day WAU): the
+    // engagement board every product warehouse serves. COUNT DISTINCT
+    // cannot ride a running window frame, and the naive day-grid ×
+    // events BETWEEN join is O(days · corpus). The scale form inverts
+    // it: each (user, active-day) pair explodes to the ≤7 FORWARD
+    // days it counts toward — O(7 · active-pairs), linear at any
+    // history length — then one distinct-count per (day, window).
+    // Trailing days beyond the observed range are clipped so the
+    // board covers exactly the observed days (both engines state the
+    // same clip). At extreme scale the distinct swaps for a20's
+    // mergeable HLL partials per day; the shape is identical.
+    Q("e9_rolling_active_users",
+      "per-day DAU + trailing-7-day WAU via forward-day explode, never day x corpus",
+      """WITH au AS (SELECT DISTINCT cast(ts as date) AS d, user_id FROM events),
+        |bounds AS (SELECT min(cast(ts as date)) AS lo, max(cast(ts as date)) AS hi
+        |           FROM events),
+        |contrib AS (
+        |  SELECT unnest(range(0, 7)) AS k, d, user_id FROM au),
+        |w AS (
+        |  SELECT d + cast(k as int) AS day, user_id
+        |  FROM contrib CROSS JOIN bounds
+        |  WHERE d + cast(k as int) <= hi),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau7 FROM w GROUP BY 1),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM au GROUP BY 1)
+        |SELECT day, coalesce(dau, 0) AS dau, wau7
+        |FROM wau LEFT JOIN dau USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+      val au = ev.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val bounds = ev.agg(max(to_date(col("ts"))).as("hi"))
+      val w = au.select(col("d"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .crossJoin(broadcast(bounds))
+        .select(date_add(col("d"), col("k")).as("day"), col("user_id"),
+          col("hi"))
+        .filter(col("day") <= col("hi"))
+      val wau = w.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("wau7"))
+      val dau = au.groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau7"))
+        .orderBy("day")
     }
   )
 }

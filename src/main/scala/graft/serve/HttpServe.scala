@@ -47,6 +47,17 @@ final class HttpServe(readers: Readers, port: Int = 0) {
           (405, err("method not allowed"))
         else path match {
           case "/health" => (200, """{"status":"ok"}""")
+          // conjunctive term search over the postings index (t37's
+          // serving form): /search?q=dup+vector → docs with ALL terms
+          case "/search" =>
+            val terms = query(ex).getOrElse("q", "")
+              .split("\\s+").toSeq.filter(_.nonEmpty)
+            if (terms.isEmpty) (400, err("missing or empty q parameter"))
+            else if (!readers.hasSearch) (404, err("search index not configured"))
+            else {
+              val ids = readers.search(terms)
+              (200, s"""{"terms":${js(terms.map(_.toLowerCase(java.util.Locale.ROOT)))},"doc_ids":${js(ids)}}""")
+            }
           // ids beyond Long range (e.g. 20+ digits) are simply ids no
           // game can have — 404, not a NumberFormatException → 500
           case SimilarRe(id) =>

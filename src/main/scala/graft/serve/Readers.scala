@@ -20,13 +20,15 @@ import graft.functions.GraftFunctions
   * `RANGE_BUCKET` analogue, see game_profile.sqlx:6-17).
   */
 final class Readers(spark: SparkSession, profiles: DataFrame,
-    neighbors: DataFrame, embeddings: DataFrame) {
+    neighbors: DataFrame, embeddings: DataFrame,
+    postings: Option[DataFrame] = None) {
 
   GraftFunctions.register(spark)
 
   private val prof = profiles.cache()
   private val neigh = neighbors.cache()
   private val emb = embeddings.cache()
+  private val post = postings.map(_.cache())
 
   val AllowedMetrics: Set[String] = Set("COSINE", "EUCLIDEAN", "DOT_PRODUCT")
 
@@ -75,10 +77,32 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
     * plans already derived from the frames stay valid (they just read
     * the source again).
     */
+  /** Conjunctive term search — t37's inverted index as a serving
+    * route: read ONLY the query terms' postings (the `tb` prefix
+    * filter prunes to the terms' partitions when the index is the
+    * stored partitioned table) and intersect with one keyed count.
+    * Bounded collect: at most `limit` doc ids.
+    */
+  def search(terms: Seq[String], limit: Int = 20): Seq[Long] = {
+    val p = post.getOrElse(sys.error("search index not configured"))
+    val t = terms.map(_.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    if (t.isEmpty) Seq.empty
+    else p.filter(col("tb").isin(t.map(_.substring(0, 1)).distinct: _*) &&
+        col("term").isin(t: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === t.size)
+      .orderBy("doc_id").limit(limit)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  def hasSearch: Boolean = post.nonEmpty
+
   def close(): Unit = {
     prof.unpersist()
     neigh.unpersist()
-    emb.unpersist(): Unit
+    emb.unpersist()
+    post.foreach(_.unpersist()): Unit
   }
 }
 
@@ -89,7 +113,14 @@ object Readers {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("v", expr("transform(embedding, x_ -> double(x_))"))
       .select("vec_id", "label", "v")
+    // the t37 postings shape (distinct per (doc, term), prefix-keyed);
+    // in production this is the stored term-partitioned index table
+    val postings = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      .filter(col("term") =!= "")
+      .withColumn("tb", substring(col("term"), 1, 1))
     new Readers(spark, emb.select("vec_id", "label"),
-      Neighbors.precompute(emb, k), emb)
+      Neighbors.precompute(emb, k), emb, Some(postings))
   }
 }

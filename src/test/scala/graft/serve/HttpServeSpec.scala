@@ -46,6 +46,23 @@ class HttpServeSpec extends SparkSpec {
       assert(c4 == 404 && missing.contains("not found"), s"$c4 $missing")
 
       assert(get(port, "/nope")._1 == 404)
+
+      // conjunctive search over the postings index: every returned doc
+      // must actually contain BOTH terms (cross-checked against the
+      // corpus scan), and the result equals the scan exactly
+      val (c5, hits) = get(port, "/search?q=dup+vector")
+      assert(c5 == 200, hits)
+      val ids = "\\d+".r.findAllIn(
+        hits.substring(hits.indexOf("doc_ids"))).map(_.toLong).toSeq
+      val docs = TestSpark.spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+        .where("array_contains(w, 'dup') AND array_contains(w, 'vector')")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == docs.take(20), s"served $ids vs scan $docs")
+
+      val (c6, noq) = get(port, "/search?q=")
+      assert(c6 == 400 && noq.contains("missing"), s"$c6 $noq")
     } finally {
       srv.stop()
       readers.close()
