@@ -156,6 +156,95 @@ object RetrievalOps {
         .filter(col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------
+    // I10 — incremental BM25: the ranking half of the search-index
+    // family (postings t37, maintenance i9, serving /search) kept
+    // CURRENT without rescanning the corpus. Two maintained states:
+    // the per-doc tf table (rows add/retract with the corpus — a
+    // signed fold, O(batch) per tick) and the GLOBAL ranking stats
+    // (nd, Σdl, per-term dfs) as a fold chain of ONE-ROW signed
+    // deltas — each tick's stats delta is a single aggregate over
+    // ONLY the batch, and the serving read sums the chain (a
+    // KB-sized scan at any corpus size). Scoring then broadcasts the
+    // folded stats into the folded tf rows — exactly t8's plan shape
+    // — and the oracle recomputes BM25 from the final corpus from
+    // scratch: incremental stats == rescanned stats, to the bit
+    // (integer counters; the same fixed IEEE expression on top).
+    Q("i10_bm25_ivm",
+      "BM25 from incrementally-maintained stats (add + retract ticks) == full recompute",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val w = XSql.words("text")
+        val tfs = Terms.zipWithIndex.map { case (t_, i) =>
+          s"${dl.arrSize(dl.filt("w", "x_", s"x_ = '$t_'"))} AS tf$i"
+        }.mkString(", ")
+        val dfs = Terms.indices.map(i =>
+          s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+        s"""WITH tf AS (
+           |  SELECT doc_id, ${dl.arrSize("w")} AS dl, $tfs
+           |  FROM (SELECT doc_id, $w AS w FROM documents
+           |        WHERE doc_id % 7 <> 0)),
+           |stats AS (
+           |  SELECT count(*) AS nd, sum(dl) AS sdl, $dfs FROM tf),
+           |scored AS (
+           |  SELECT doc_id,
+           |    round(${Terms.indices.map(i => bm25Term(s"tf$i", s"df$i")).mkString("(", "\n + ", ")")}, 6) AS score
+           |  FROM (SELECT tf.*, stats.*,
+           |          cast(sdl as double) / cast(nd as double) AS avgdl
+           |        FROM tf CROSS JOIN stats))
+           |SELECT doc_id, score FROM scored
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_i10")
+      val tfPath = s"$tmp/tf"
+      val statsPath = s"$tmp/stats"
+      val w = XSql.words("text")
+      def tfOf(docs: org.apache.spark.sql.DataFrame) = docs
+        .selectExpr("doc_id", s"$w AS w")
+        .selectExpr(Seq("doc_id", s"${dl.arrSize("w")} AS dl") ++
+          Terms.zipWithIndex.map { case (t_, i) =>
+            s"${dl.arrSize(dl.filt("w", "x_", s"x_ = '$t_'"))} AS tf$i"
+          }: _*)
+      def statsOf(tf: org.apache.spark.sql.DataFrame, sign: Int) = tf.selectExpr(
+        Seq(s"count(*) * $sign AS nd", s"coalesce(sum(dl), 0) * $sign AS sdl") ++
+          Terms.indices.map(i =>
+            s"coalesce(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END), 0) * $sign AS df$i"): _*)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val anchor = tfOf(docs.filter(col("doc_id") % 5 =!= 0))
+      val crawl = tfOf(docs.filter(col("doc_id") % 5 === 0))
+      val takedown = tfOf(docs.filter(col("doc_id") % 7 === 0))
+      // build: tf rows + the one-row stats aggregate of the anchor
+      TableStore.publishFoldSnapshotDistinct(s, tfPath, anchor, "anchor")
+      TableStore.publishFoldSnapshot(s, statsPath, statsOf(anchor, 1), "anchor")
+      // crawl tick: O(batch) tf rows + ONE stats row
+      TableStore.publishFoldDelta(s, tfPath,
+        crawl.withColumn("_mult", lit(1L)), "crawl")
+      TableStore.publishFoldDelta(s, statsPath,
+        statsOf(crawl, 1).withColumn("_mult", lit(1L)), "crawl")
+      // takedown tick: signed retraction, same O(batch)
+      TableStore.publishFoldDelta(s, tfPath,
+        takedown.withColumn("_mult", lit(-1L)), "takedown")
+      TableStore.publishFoldDelta(s, statsPath,
+        statsOf(takedown, -1).withColumn("_mult", lit(1L)), "takedown")
+      // ---- the serving read: fold the KB-sized stats chain, fold the
+      // tf rows, broadcast stats into the scoring map — t8's plan
+      val stats = TableStore.readFoldedUnion(s, statsPath)
+        .agg(sum(col("nd")).as("nd"),
+          (sum(col("sdl")).as("sdl") +:
+            Terms.indices.map(i => sum(col(s"df$i")).as(s"df$i"))): _*)
+      val tfLive = TableStore.readFoldedUnion(s, tfPath)
+        .groupBy("doc_id", (Seq("dl") ++ Terms.indices.map(i => s"tf$i")): _*)
+        .agg(sum(col("_mult")).as("_m")).filter(col("_m") > 0)
+      tfLive.crossJoin(broadcast(stats))
+        .withColumn("avgdl", expr("cast(sdl as double) / cast(nd as double)"))
+        .selectExpr("doc_id",
+          s"round(${Terms.indices.map(i => bm25Term(s"tf$i", s"df$i")).mkString("(", "\n + ", ")")}, 6) AS score")
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }
