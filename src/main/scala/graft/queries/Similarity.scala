@@ -422,6 +422,47 @@ object Similarity {
       root
     })
 
+  /** The COMPRESSION half of the published index (k24): PQ codebooks,
+    * per-vector codes, and the rerank vector table published once per
+    * dataset. A query then builds only its own 1-row distance table
+    * and probes the STORED codes — the corpus is never re-encoded and
+    * nothing retrains, which is the missing piece between k11 (PQ in
+    * query) and k20 (published IVF): at 100 TB the codes table is
+    * ~64× smaller than the vectors and the ADC scan touches only it,
+    * with the full vectors read for the top-`PqRerank` rerank rows
+    * alone.
+    */
+  private val publishedPq =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def publishedPqIndex(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    publishedPq.computeIfAbsent(d, _ => {
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.{KMeans, TableStore}
+      val sub = PqSubDims
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pq_published").toString
+      val e = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
+      val n = e.withColumn("n2", expr(XSql.norm2("v")))
+      val en = n.filter(col("n2") > 0)
+        .withColumn("nrm", sqrt(col("n2")))
+        .select(col("vec_id"),
+          expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("v"))
+      val eAll = en.select(col("vec_id"), posexplode(
+          array((0 until PqSub).map(i =>
+            expr(s"slice(v, ${i * sub + 1}, $sub)")): _*)))
+        .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
+      val cents = KMeans.trainLocalMulti(eAll, PqCodes, LloydRounds)
+      val codes = KMeans.assignMulti(eAll, cents)
+      TableStore.publishVersion(s, s"$root/codebooks", cents,
+        note = "pq-codebooks")
+      TableStore.publishVersion(s, s"$root/codes", codes, note = "pq-codes")
+      TableStore.publishVersion(s, s"$root/vectors", n, note = "rerank-vectors")
+      root
+    })
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -1963,6 +2004,76 @@ object Similarity {
             .as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // K24 — ADC from the PUBLISHED compression artifacts: k11's PQ
+    // pipeline with training AND encoding hoisted out of the query.
+    // Codebooks, per-vector codes, and the rerank vectors are stored
+    // tables (publishedPqIndex); the query builds its 1-row distance
+    // table from the stored codebooks, ranks candidates by probing
+    // the STORED codes (the ~64×-smaller table — the only corpus-
+    // sized scan), and reads full vectors for the top-50 rerank rows
+    // alone. The oracle re-derives the whole pipeline from scratch
+    // (training is deterministic), so the green row proves
+    // stored-codes ADC == retrain-and-reencode ADC exactly.
+    // PublishedIndexSpec proves the second invocation performs zero
+    // publishes and scans only the index tables.
+    Q("k24_published_pq",
+      "PQ ADC from published codebooks + stored codes (read-only): exact top-10 after rerank",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val (subCtes, codeJoins, adcSum) = pqCtes()
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |q AS (SELECT v AS qv, n2 AS qn2 FROM n WHERE vec_id = 0),
+           |$subCtes,
+           |adc AS (
+           |  SELECT e.vec_id,
+           |    $adcSum AS ad2
+           |  FROM e
+           |  $codeJoins
+           |  WHERE e.vec_id != 0
+           |  ORDER BY ad2, e.vec_id LIMIT $PqRerank)
+           |SELECT adc.vec_id,
+           |  1.0 - ${XSql.cosineFromNorms(XSql.dot("f.v", "q.qv"), "f.n2", "q.qn2")} AS dist
+           |FROM adc JOIN n f ON adc.vec_id = f.vec_id, q
+           |ORDER BY dist, adc.vec_id LIMIT 10""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      import graft.operators.TableStore
+      val sub = PqSubDims
+      val root = publishedPqIndex(s, d)
+      // the ENTIRE query surface below reads the three published
+      // tables; nothing below trains or encodes
+      val cb = TableStore.readVersion(s, s"$root/codebooks")
+      val codes = TableStore.readVersion(s, s"$root/codes")
+      val vecs = TableStore.readVersion(s, s"$root/vectors")
+      val qRow = vecs.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("n2").as("qn2"))
+      // normalized query slices (1 row × PqSub) from the stored vector
+      val qsl = vecs.filter(col("vec_id") === 0)
+        .withColumn("nrm", sqrt(col("n2")))
+        .select(expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("nv"))
+        .select(posexplode(array((0 until PqSub).map(i =>
+          expr(s"slice(nv, ${i * sub + 1}, $sub)")): _*)))
+        .withColumnsRenamed(Map("pos" -> "grp", "col" -> "qv"))
+      val dt = cb.join(broadcast(qsl), Seq("grp"))
+        .select(col("grp"), col("cid"),
+          expr(XSql.dist2("qv", "cv")).as("dterm"))
+      // sorted fold in grp order — bit-identical to the oracle's
+      // left-associated t0 + t1 + ... sum
+      val adc = codes.join(broadcast(dt), Seq("grp", "cid"))
+        .filter(col("vec_id") =!= 0)
+        .groupBy("vec_id")
+        .agg(expr("aggregate(array_sort(collect_list(struct(grp, dterm))), " +
+          "cast(0 as double), (a_, s_) -> a_ + s_.dterm)").as("ad2"))
+        .orderBy(col("ad2"), col("vec_id")).limit(PqRerank)
+      adc.join(vecs, "vec_id").crossJoin(broadcast(qRow))
+        .select(col("vec_id"),
+          (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
+            .as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
     }
   )
 }

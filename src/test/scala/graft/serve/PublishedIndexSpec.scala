@@ -80,4 +80,30 @@ class PublishedIndexSpec extends SparkSpec {
     val mean = rows.map(_.getAs[Double]("recall_at_10")).sum / rows.length
     assert(mean >= 0.5, s"mean recall@10 $mean — index probably broken")
   }
+
+  test("k24: PQ serving is read-only against the published compression artifacts") {
+    val k24 = graft.SparkEntry.queries("k24_published_pq")
+    val first = k24(spark, dir).collect()
+    val root = Similarity.publishedPqIndex(spark, dir)
+    val vs = Seq("codebooks", "codes", "vectors")
+      .map(t => t -> TableStore.committedVersions(spark, s"$root/$t")).toMap
+    vs.values.foreach(v => assert(v.nonEmpty))
+
+    val df2 = k24(spark, dir)
+    val second = df2.collect()
+    // read-only: no table advanced, and the answer is deterministic
+    vs.foreach { case (t, v) =>
+      assert(TableStore.committedVersions(spark, s"$root/$t") == v,
+        s"second query re-published $t")
+    }
+    assert(second.toSeq == first.toSeq)
+    // every scanned file lives under the index root — the corpus is
+    // never re-read and never re-encoded
+    val outside = df2.inputFiles.toSeq
+      .filterNot(_.contains("graft_pq_published"))
+    assert(outside.isEmpty,
+      s"PQ serving scanned non-index files: ${outside.take(3)}")
+    assert(!df2.queryExecution.executedPlan.toString()
+      .contains("embeddings.parquet"))
+  }
 }
