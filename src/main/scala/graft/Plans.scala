@@ -165,7 +165,19 @@ object Plans {
     "s31_mv_rewrite" ->
       "MV routing: the base-table aggregate's optimized plan scans ONLY the |groups|-row view (MvRewrite rollup + filter pushdown); the base relation does not appear — a table scan became a view lookup.",
     "s33_join_mv_rewrite" ->
-      "Join-MV routing: the two-table equi-join plans as ONE scan of the denormalized view (side filter hoisted above it) — no join operator, no exchange, neither base relation in the plan.")
+      "Join-MV routing: the two-table equi-join plans as ONE scan of the denormalized view (side filter hoisted above it) — no join operator, no exchange, neither base relation in the plan.",
+    "t37_inverted_index" ->
+      "Inverted-index serving: the conjunctive query's scan carries a PartitionFilters entry on the term-prefix column — only the query terms' directories are listed; the intersection is one keyed count, O(Σ query-term postings), never O(corpus).",
+    "j18_point_in_range" ->
+      "Point-in-variable-interval join: density-capped band half-width (range × 500 / n) keeps expected matches per customer constant at any corpus size; intervals explode to ≤3 grid cells, points map to ONE — an equi-join on the cell, no nested loop, no dedup pass.",
+    "st21_stream_backfill" ->
+      "Streaming + backfill reconciliation: the correction is ONE signed preimage/postimage fold delta onto the stream-maintained chain — O(affected rows); the read folds anchor ⊎ deltas, no replay, no rewrite.",
+    "i10_bm25_ivm" ->
+      "Incremental BM25: global ranking stats fold as ONE-ROW signed deltas per tick (each tick aggregates only its batch); the serving read sums a KB-sized chain and broadcasts it into the folded tf rows — t8's scoring plan with the corpus rescan deleted.",
+    "k24_published_pq" ->
+      "PQ serving from published artifacts: the ADC scan touches only the stored codes table (~64× smaller than vectors) against a broadcast 1-row distance table; full vectors are read for the top-50 rerank rows alone — no training, no re-encode anywhere in the plan.",
+    "m11_phash_near_dup" ->
+      "Median-balanced perceptual hash: one codec pass emits per-image sample arrays, thresholds broadcast as one 64-array, the hash is a native fold; candidates block on (16-bit band, geometry) — balanced bits keep buckets sparse where own-mean aHash was measured 4× denser.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry
