@@ -274,6 +274,74 @@ object GovernanceOps {
         .select(lit("forgotten_remaining").as("metric"), col("value"))
       m1.unionByName(dfDup).unionByName(m3).unionByName(m4)
         .orderBy("metric")
+    },
+
+    // ---------------------------------------------------------------
+    // C20 — corpus RELEASE NOTES from the CDC read: the per-language
+    // added/removed/changed counts and token deltas between two
+    // PUBLISHED corpus versions, derived from ONE snapshot diff
+    // (TableStore.changesBetween — a single key-partitioned join,
+    // O(changes) output) instead of re-aggregating either corpus.
+    // The oracle recomputes the same figures by set algebra over the
+    // raw table, so the green row proves diff-derived release notes
+    // == ground truth. This is the datasheet a training-corpus
+    // version bump ships with: what entered, what left, what was
+    // edited, and how the token budget moved — per language, without
+    // a corpus scan at serving time.
+    Q("c20_corpus_release_diff",
+      "per-language release notes (added/removed/changed + token deltas) from one snapshot diff",
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |v1 AS (SELECT * FROM d WHERE doc_id % 3 <> 1),
+        |v2 AS (SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text
+        |       FROM d WHERE doc_id % 5 <> 0),
+        |added AS (SELECT v2.* FROM v2 LEFT JOIN v1 ON v1.doc_id = v2.doc_id
+        |          WHERE v1.doc_id IS NULL),
+        |removed AS (SELECT v1.* FROM v1 LEFT JOIN v2 ON v2.doc_id = v1.doc_id
+        |            WHERE v2.doc_id IS NULL),
+        |chg AS (SELECT v1.doc_id, v1.lang, v1.text AS pre_text,
+        |               v2.text AS post_text
+        |        FROM v1 JOIN v2 ON v1.doc_id = v2.doc_id
+        |        WHERE v1.text <> v2.text OR v1.lang <> v2.lang),
+        |m AS (
+        |  SELECT lang, 1 AS a, 0 AS r, 0 AS c,
+        |    len(list_filter(string_split(text, ' '), w_ -> w_ != '')) AS ti,
+        |    0 AS to_ FROM added
+        |  UNION ALL
+        |  SELECT lang, 0, 1, 0, 0,
+        |    len(list_filter(string_split(text, ' '), w_ -> w_ != ''))
+        |  FROM removed
+        |  UNION ALL
+        |  SELECT lang, 0, 0, 1,
+        |    len(list_filter(string_split(post_text, ' '), w_ -> w_ != '')),
+        |    len(list_filter(string_split(pre_text, ' '), w_ -> w_ != ''))
+        |  FROM chg)
+        |SELECT lang, cast(sum(a) as bigint) AS n_added,
+        |  cast(sum(r) as bigint) AS n_removed,
+        |  cast(sum(c) as bigint) AS n_changed,
+        |  cast(sum(ti) as bigint) AS tok_in,
+        |  cast(sum(to_) as bigint) AS tok_out
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val path = scratch("c20_corpus")
+      val docs = t(s, d, "documents").select("doc_id", "lang", "text")
+      val v1 = TableStore.publishVersion(s, path,
+        docs.filter(col("doc_id") % 3 =!= 1), note = "release-1")
+      val v2 = TableStore.publishVersion(s, path,
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            upper(col("text"))).otherwise(col("text"))), note = "release-2")
+      val ch = TableStore.changesBetween(s, path, v1, v2, Seq("doc_id"))
+      val tok = size(filter(split(col("text"), " "), w => w =!= ""))
+      val ct = col("_change_type")
+      ch.groupBy("lang").agg(
+          sum(when(ct === "insert", 1L).otherwise(0L)).as("n_added"),
+          sum(when(ct === "delete", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(ct === "update_postimage", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(ct.isin("insert", "update_postimage"), tok)
+            .otherwise(0L)).as("tok_in"),
+          sum(when(ct.isin("delete", "update_preimage"), tok)
+            .otherwise(0L)).as("tok_out"))
+        .orderBy("lang")
     }
   )
 }

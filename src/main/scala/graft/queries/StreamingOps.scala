@@ -1166,6 +1166,98 @@ object StreamingOps {
         .select(col("day"), col("user_id"), col("n"),
           col("sum_value").cast("double").as("total"))
         .orderBy("day", "user_id")
+    },
+
+    // ---------------------------------------------------------------
+    // ST22 — streaming drift monitor: a23's PSI computed CONTINUOUSLY
+    // against a pinned reference snapshot. The reference distribution
+    // (12 fixed price bins over the even-keyed orders) is published
+    // once; the live feed (odd-keyed orders) streams in micro-batches
+    // and each tick folds ONLY its slice's bin counts onto a fold
+    // chain (O(bins) per tick — the monitor's state is 12 rows at any
+    // corpus size). The final read folds the chain and computes PSI
+    // vs the reference with the a23 arithmetic (Laplace smoothing,
+    // 6-dp-rounded contributions folded as decimals). The oracle
+    // computes the same PSI from the raw tables — proving the
+    // stream-maintained histogram IS the batch histogram, and the
+    // monitor never rescans the feed. At 100 TB this is how feature
+    // drift pages an on-call before a bad retrain, not after.
+    Q("st22_stream_drift_monitor",
+      "streaming PSI vs a pinned reference: per-tick O(bins) histogram folds == batch",
+      """WITH v1 AS (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 2 = 1),
+        |bins AS (SELECT unnest(range(0, 12)) AS bin),
+        |c1 AS (SELECT least(cast(floor(p / 50000.0) as bigint), 11) AS bin,
+        |         count(*) AS n1 FROM v1 GROUP BY 1),
+        |c2 AS (SELECT least(cast(floor(p / 50000.0) as bigint), 11) AS bin,
+        |         count(*) AS n2 FROM v2 GROUP BY 1),
+        |tot AS (SELECT (SELECT cast(count(*) as double) + 6.0 FROM v1) AS d1,
+        |               (SELECT cast(count(*) as double) + 6.0 FROM v2) AS d2),
+        |j AS (SELECT cast(bins.bin as bigint) AS bin,
+        |        coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2, d1, d2
+        |      FROM bins CROSS JOIN tot
+        |      LEFT JOIN c1 ON c1.bin = bins.bin
+        |      LEFT JOIN c2 ON c2.bin = bins.bin),
+        |k AS (SELECT bin, n1, n2,
+        |        cast(round(((cast(n2 as double) + 0.5) / d2
+        |                    - (cast(n1 as double) + 0.5) / d1)
+        |          * ln(((cast(n2 as double) + 0.5) / d2)
+        |               / ((cast(n1 as double) + 0.5) / d1)), 6)
+        |          as decimal(18,6)) AS contrib
+        |      FROM j)
+        |SELECT bin, n1, n2, cast(contrib as double) AS contrib,
+        |  cast((SELECT sum(contrib) FROM k) as double) AS psi
+        |FROM k ORDER BY bin""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st22")
+      val refPath = tmp.resolve("ref").toString
+      val histPath = tmp.resolve("hist").toString
+      val o = t(s, d, "orders").select("o_orderkey", "o_totalprice")
+      def binned(df: org.apache.spark.sql.DataFrame) =
+        df.select(least(floor(col("o_totalprice") / 50000.0).cast("bigint"),
+          lit(11L)).as("bin"), col("o_totalprice").as("value"))
+      // the pinned reference histogram, published once
+      TableStore.publishVersion(s, refPath,
+        binned(o.filter(col("o_orderkey") % 2 === 0))
+          .groupBy("bin").agg(count(lit(1)).as("n1")), note = "reference")
+      // the live feed: odd orders over 3 ticks; each tick folds ONLY
+      // its slice's bin counts — 12-row state at any corpus size
+      TableStore.publishVersion(s, histPath,
+        Ivm.aggregate(binned(o.filter(col("o_orderkey") % 2 === 1)).limit(0),
+          Seq("bin"), Nil), note = "tick=-1")
+      val stream = EventStream.stagedFileStream(s,
+        binned(o.filter(col("o_orderkey") % 2 === 1)),
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        if (JoinViewMaintenance.tickVersion(s, histPath, bid).isEmpty)
+          TableStore.publishFoldDelta(s, histPath,
+            Ivm.aggDelta(slice.withColumn("_change_type", lit("insert")),
+              Seq("bin"), Nil),
+            s"tick=$bid"): Unit
+      }
+      // ---- the monitor read: fold the 12-row chain, PSI vs reference
+      val live = TableStore.readFoldedAgg(s, histPath, Seq("bin"), Nil)
+        .select(col("bin"), col("n").as("n2"))
+      val ref = TableStore.readVersion(s, refPath)
+      val d1 = ref.agg((sum(col("n1")).cast("double") + 6.0).as("d1"))
+      val d2 = live.agg((sum(col("n2")).cast("double") + 6.0).as("d2"))
+      val bins = s.range(0, 12).select(col("id").as("bin"))
+      val j = bins
+        .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+        .join(broadcast(ref), Seq("bin"), "left")
+        .join(broadcast(live), Seq("bin"), "left")
+        .na.fill(0L, Seq("n1", "n2"))
+      val p1 = (col("n1").cast("double") + 0.5) / col("d1")
+      val p2 = (col("n2").cast("double") + 0.5) / col("d2")
+      val k = j.select(col("bin"), col("n1"), col("n2"),
+        round((p2 - p1) * log(p2 / p1), 6).cast("decimal(18,6)").as("contrib"))
+      val psi = k.agg(sum(col("contrib")).as("psi_d"))
+      k.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n1"), col("n2"),
+          col("contrib").cast("double").as("contrib"),
+          col("psi_d").cast("double").as("psi"))
+        .orderBy("bin")
     }
   )
 }
