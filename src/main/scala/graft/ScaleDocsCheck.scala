@@ -51,7 +51,8 @@ object ScaleDocsCheck {
     // construction; the gate holds them to it
     "t37_inverted_index", "i9_postings_ivm", "c18_cascade_forget",
     "t38_perplexity_filter", "k23_index_forget",
-    "i10_bm25_ivm", "k24_published_pq", "m11_phash_near_dup")
+    "i10_bm25_ivm", "k24_published_pq", "m11_phash_near_dup",
+    "c20_corpus_release_diff")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't

@@ -48,7 +48,8 @@ object ScaleStateCheck {
     "i6_distinct_ivm", "i7_topk_ivm", "i8_sketch_ivm",
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
     "st16_stream_components", "st17_stream_topk",
-    "st20_stream_mv_routing", "st21_stream_backfill")
+    "st20_stream_mv_routing", "st21_stream_backfill",
+    "st22_stream_drift_monitor")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -69,7 +70,8 @@ object ScaleStateCheck {
     "st16_stream_components" -> 5.0,
     "st17_stream_topk" -> 5.0,
     "st20_stream_mv_routing" -> 5.0,
-    "st21_stream_backfill" -> 5.0)
+    "st21_stream_backfill" -> 5.0,
+    "st22_stream_drift_monitor" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -42,7 +42,13 @@ class GovernanceSpec extends SparkSpec {
     val df = SparkEntry.queries("j18_point_in_range")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join itself is a hash join on the grid cell; the
+    // only BNLJs are the HINTED 1-row broadcast cross joins carrying
+    // the density-derived half-width scalar (the k19/e1 convention:
+    // one row, zero movement)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n$p")
   }
 
   test("signed postings retraction zeroes a doc's terms and filter drops them") {
