@@ -764,6 +764,48 @@ object TableStore {
       tag, Some(base))
   }
 
+  // --------------------------------------------- publication sets
+
+  /** Multi-table CONSISTENT snapshots — the "publication set" a
+    * training run actually needs: documents, derived features, and
+    * the index must be pinned TOGETHER, because pinning each table
+    * independently can capture table A's Tuesday with table B's
+    * Monday (B derived from an A the reader no longer sees). The
+    * manifest is itself a versioned table whose rows are
+    * (table_name, table_path, pinned_version); publishing it is ONE
+    * atomic marker creation, so the set becomes visible all-or-
+    * nothing — the Iceberg/Nessie multi-table-transaction discipline
+    * on the same marker substrate. Readers resolve tables THROUGH a
+    * manifest version and always see a mutually consistent set, no
+    * matter how far any member table has advanced since.
+    */
+  def publishManifest(spark: SparkSession, manifestPath: String,
+      pins: Seq[(String, String, Long)], note: String = ""): Long = {
+    pins.foreach { case (name, p, v) =>
+      require(committedVersions(spark, p).contains(v),
+        s"publishManifest: $name pins uncommitted version $v at $p")
+    }
+    import spark.implicits._
+    publishVersion(spark, manifestPath,
+      pins.toDF("table_name", "table_path", "pinned_version"), note)
+  }
+
+  /** Read one member table at the version a manifest pins — the only
+    * table-resolution path a reproducible run uses. The manifest row
+    * is a bounded 1-row lookup; the data read is a normal pinned
+    * [[readVersion]].
+    */
+  def readPinned(spark: SparkSession, manifestPath: String, table: String,
+      manifestVersion: Option[Long] = None): DataFrame = {
+    val row = readVersion(spark, manifestPath, manifestVersion)
+      .filter(col("table_name") === table)
+      .select("table_path", "pinned_version")
+      .collect()
+    require(row.length == 1,
+      s"readPinned: manifest at $manifestPath has ${row.length} rows for $table")
+    readVersion(spark, row.head.getString(0), Some(row.head.getLong(1)))
+  }
+
   /** Row-level changelog between two committed versions — the
     * `table_changes` / CDF read of a lakehouse format, computed from
     * the snapshots themselves: one row per inserted or deleted key and

@@ -1607,6 +1607,65 @@ object Sinks {
         .agg(count(lit(1)).as("n"))
         .unionByName(conflictRow)
         .orderBy("status")
+    },
+
+    // ---------------------------------------------------------------
+    // S37 — multi-table CONSISTENT snapshot (publication set): orders
+    // v1 and its per-order lineitem rollup — DERIVED from exactly
+    // that version — are pinned together by ONE atomic manifest
+    // publish. The fact table then ADVANCES (new orders land, the
+    // rollup hasn't caught up), and the query reads BOTH tables
+    // through the manifest: the join is complete (every pinned order
+    // has its rollup row) even though latest-vs-latest would be
+    // inconsistent — if the read resolved the fact table to its
+    // current version, the oracle row would go red (counts off by
+    // the unrolled orders). This is the Iceberg/Nessie multi-table
+    // transaction discipline: a training run pins corpus + features
+    // + index as a SET, all-or-nothing, forever reproducible.
+    Q("s37_manifest_read",
+      "publication set: two tables pinned by one atomic manifest stay mutually consistent after one advances",
+      s"""WITH o1 AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <> 1),
+         |r1 AS (
+         |  SELECT l_orderkey AS o_orderkey, count(*) AS n_lines,
+         |    ${dsumSql("l_extendedprice")} AS rev
+         |  FROM lineitem JOIN o1 ON l_orderkey = o1.o_orderkey
+         |  GROUP BY 1)
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  cast(sum(cast(rev as decimal(30,2))) as double) AS revenue
+         |FROM o1 JOIN r1 USING (o_orderkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ordPath = scratch("s37_orders")
+      val rollPath = scratch("s37_rollup")
+      val maniPath = scratch("s37_manifest")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val o1 = o.filter(col("o_orderkey") % 3 =!= 1)
+      val vO = TableStore.publishVersion(s, ordPath, o1, note = "facts-v1")
+      // the rollup is DERIVED from exactly orders@v1
+      val r1 = t(s, d, "lineitem")
+        .join(TableStore.readVersion(s, ordPath, Some(vO))
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("rev"))
+      val vR = TableStore.publishVersion(s, rollPath, r1, note = "rollup-of-v1")
+      // ONE atomic publish commits the consistent SET
+      TableStore.publishManifest(s, maniPath, Seq(
+        ("orders", ordPath, vO), ("rollup", rollPath, vR)), note = "set-1")
+      // the fact table advances; the rollup has not caught up — a
+      // latest-vs-latest read would now be inconsistent
+      TableStore.publishVersion(s, ordPath, o, note = "facts-v2"): Unit
+      // resolve BOTH tables through the manifest
+      TableStore.readPinned(s, maniPath, "orders")
+        .join(TableStore.readPinned(s, maniPath, "rollup"), Seq("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          sum(col("rev").cast("decimal(30,2)")).cast("double").as("revenue"))
+        .orderBy("o_custkey")
     }
   )
 
