@@ -42,8 +42,8 @@ object ScaleStateCheck {
     "s24_snapshot_changes", "s26_write_audit_publish", "s27_merge_full",
     "s28_snapshot_restore", "s29_partition_evolution", "s30_optimistic_merge",
     "s31_mv_rewrite", "s32_mv_maintain_requery", "s33_join_mv_rewrite",
-    "s34_partial_mv", "s35_branch_merge", "a23_psi_drift",
-    "j18_point_in_range",
+    "s34_partial_mv", "s35_branch_merge", "s37_manifest_read",
+    "a23_psi_drift", "j18_point_in_range",
     "i3_cdc_apply", "i4_join_view_ivm", "i5_minmax_ivm",
     "i6_distinct_ivm", "i7_topk_ivm", "i8_sketch_ivm",
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
