@@ -49,7 +49,7 @@ object ScaleStateCheck {
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
     "st16_stream_components", "st17_stream_topk",
     "st20_stream_mv_routing", "st21_stream_backfill",
-    "st22_stream_drift_monitor")
+    "st22_stream_drift_monitor", "st23_stream_atomic_ticks")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -71,7 +71,8 @@ object ScaleStateCheck {
     "st17_stream_topk" -> 5.0,
     "st20_stream_mv_routing" -> 5.0,
     "st21_stream_backfill" -> 5.0,
-    "st22_stream_drift_monitor" -> 5.0)
+    "st22_stream_drift_monitor" -> 5.0,
+    "st23_stream_atomic_ticks" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

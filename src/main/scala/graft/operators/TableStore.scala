@@ -806,6 +806,24 @@ object TableStore {
     readVersion(spark, row.head.getString(0), Some(row.head.getLong(1)))
   }
 
+  /** [[readPinned]] for a FOLD-TABLE member: the manifest pins a chain
+    * version (usually the tick's delta), and the member's logical
+    * state at that pin is the fold up to it — anchor ⊎ deltas ≤ pin.
+    * A plain [[readPinned]] of a fold table would return one delta's
+    * rows, which is never the table. Resolution stays a 1-row lookup;
+    * the data read is a normal [[readFolded]].
+    */
+  def readPinnedFolded(spark: SparkSession, manifestPath: String,
+      table: String, manifestVersion: Option[Long] = None): DataFrame = {
+    val row = readVersion(spark, manifestPath, manifestVersion)
+      .filter(col("table_name") === table)
+      .select("table_path", "pinned_version")
+      .collect()
+    require(row.length == 1,
+      s"readPinnedFolded: manifest at $manifestPath has ${row.length} rows for $table")
+    readFolded(spark, row.head.getString(0), Some(row.head.getLong(1)))
+  }
+
   /** Row-level changelog between two committed versions — the
     * `table_changes` / CDF read of a lakehouse format, computed from
     * the snapshots themselves: one row per inserted or deleted key and

@@ -1666,6 +1666,172 @@ object Sinks {
           dsum(col("o_totalprice")).as("total"),
           sum(col("rev").cast("decimal(30,2)")).cast("double").as("revenue"))
         .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // JSONL corpus ingest — the interchange format a training-corpus
+    // pipeline actually receives (one JSON object per line; schema
+    // DECLARED, never inferred — inference is a second full pass over
+    // 100 TB before the first useful byte). Three producer realities
+    // land in ONE splittable line scan:
+    //   - well-formed lines project under the declared schema;
+    //   - drifted lines (a field missing, an unknown extra field)
+    //     null-fill / drop the difference — additive producer drift
+    //     must never block ingest (the s14 discipline at parse time);
+    //   - malformed lines are captured in _corrupt_record and
+    //     QUARANTINED with a count — never silently dropped, never
+    //     failing the batch (the s26 WAP discipline at the parse
+    //     layer; mode=PERMISSIVE, where FAILFAST would poison a
+    //     1000-executor job for one bad line).
+    // The quarantine count and the per-language stats come out of the
+    // same map-side-combinable aggregate — no second read.
+    Q("s38_jsonl_ingest",
+      "declared-schema JSONL scan: drift null-fills, malformed lines quarantine, one pass",
+      """SELECT lang AS bucket, count(*) AS n,
+        |  sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS chars,
+        |  sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_drifted
+        |FROM documents GROUP BY 1
+        |UNION ALL SELECT '_corrupt', 7, NULL, 0
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.StructType
+      val dir = scratch("s38")
+      val docs = t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      // producer 1: well-formed JSONL
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .write.mode("append").json(dir)
+      // producer 2 (drifted): n_chars and source missing, an unknown
+      // extra field present — built as raw lines, not via the writer
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"lang\":\""), col("lang"),
+          lit("\",\"extra_field\":\"v2-producer\"}")).as("value"))
+        .write.mode("append").text(dir)
+      // producer 3 (broken): 7 deterministic malformed lines
+      import s.implicits._
+      (1 to 7).map(i => s"{broken line $i").toDF("value")
+        .coalesce(1).write.mode("append").text(dir)
+      val schema = StructType.fromDDL("doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, _corrupt_record STRING")
+      val raw = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir)
+      raw.groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("lang")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("_corrupt_record").isNull && col("source").isNull, 1L)
+            .otherwise(0L)).as("n_drifted"))
+        .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // CSV ingest — s38's twin for the OTHER interchange reality
+    // (exports, spreadsheets, legacy feeds): header handling, quoted
+    // fields carrying the delimiter and the quote char themselves
+    // (the `tag` column embeds both, so writer quoting + reader
+    // unquoting must round-trip exactly — the length sum would go red
+    // on any mangling), declared schema (no inference pass), and
+    // type-invalid rows captured in _corrupt_record and counted,
+    // never dropped and never failing the batch. Single splittable
+    // pass; no multiLine mode (which would force whole-file parsing
+    // at 100 TB — records with embedded newlines belong in JSONL or
+    // parquet, not CSV).
+    Q("s39_csv_ingest",
+      "declared-schema CSV scan: header, quoted delimiter/quote round-trip, corrupt-row quarantine",
+      s"""SELECT o_orderstatus AS bucket, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  sum(length(o_orderpriority || ',"' || o_orderstatus || '"'))
+         |    AS tag_chars
+         |FROM orders GROUP BY 1
+         |UNION ALL SELECT '_corrupt', 5, CAST(NULL AS DOUBLE), NULL
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.StructType
+      val dir = scratch("s39")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          concat(col("o_orderpriority"), lit(",\""),
+            col("o_orderstatus"), lit("\"")).as("tag"))
+        .write.mode("append").option("header", "true").csv(dir)
+      // a producer's broken export: header line (skipped like every
+      // file's first line under header=true), then rows whose values
+      // fail their declared types — the condition that actually
+      // trips _corrupt_record (token-count drift merely null-fills /
+      // truncates under PERMISSIVE, by design: ragged rows are the
+      // CSV twin of s38's additive field drift)
+      import s.implicits._
+      (Seq("o_orderkey,o_orderstatus,o_totalprice,tag") ++
+        (1 to 5).map(i => s"$i,X,not-a-price-$i,t"))
+        .toDF("value").coalesce(1).write.mode("append").text(dir)
+      val schema = StructType.fromDDL("o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, tag STRING, " +
+        "_corrupt_record STRING")
+      val raw = s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+      raw.groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("o_orderstatus")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          // PERMISSIVE keeps each corrupt row's successfully-parsed
+          // fields alongside _corrupt_record; the clean-row stats
+          // must not absorb them
+          sum(when(col("_corrupt_record").isNull, length(col("tag"))))
+            .as("tag_chars"))
+        .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // XML file ingest — the reference's ACTUAL wire format (the BGG
+    // XMLAPI2 the fetch pipeline stages; T1-T8 parse its payloads
+    // row-by-row driver-side) as a first-class DISTRIBUTED file scan:
+    // Spark 4's native XML source splits on the declared rowTag, so a
+    // directory of staged API responses is one parallel scan, not a
+    // driver loop. Exercised: attributes (`_id`, `_lang`), a nested
+    // element, and OPTIONAL elements null-filling under the declared
+    // schema (the additive-drift discipline, XML edition — a fetch
+    // across API versions never blocks ingest). Schema declared, not
+    // inferred: XML inference is a second full pass at 100 TB.
+    Q("s40_xml_ingest",
+      "native XML rowTag scan over staged API-style payloads: attributes, nesting, optional-element null-fill",
+      """SELECT lang AS bucket, count(*) AS n,
+        |  sum(CASE WHEN doc_id % 7 != 0 THEN n_chars END) AS chars,
+        |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_missing
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.StructType
+      val dir = scratch("s40")
+      val docs = t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      // staged API responses: each file is one well-formed response
+      // document (root element wrapping its batch of <doc> records —
+      // the shape a paged-API fetch actually stages); docs with
+      // doc_id % 7 == 0 come from a producer that omits <chars> —
+      // the optional element the schema must null-fill
+      import s.implicits._
+      docs.select(concat(
+          lit("<doc id=\""), col("doc_id"),
+          lit("\" lang=\""), col("lang"), lit("\">"),
+          lit("<src>"), col("source"), lit("</src>"),
+          when(col("doc_id") % 7 =!= 0,
+            concat(lit("<chars>"), col("n_chars"), lit("</chars>")))
+            .otherwise(lit("")),
+          lit("</doc>")).as("value")).as[String]
+        .mapPartitions(it => Iterator("<docs>" + it.mkString + "</docs>"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType.fromDDL(
+        "_id BIGINT, _lang STRING, src STRING, chars BIGINT")
+      s.read.schema(schema)
+        .option("rowTag", "doc")
+        .xml(dir)
+        .groupBy(col("_lang").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("chars")).as("chars"),
+          sum(when(col("chars").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy("bucket")
     }
   )
 

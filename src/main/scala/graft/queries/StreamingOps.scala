@@ -1258,6 +1258,72 @@ object StreamingOps {
           col("contrib").cast("double").as("contrib"),
           col("psi_d").cast("double").as("psi"))
         .orderBy("bin")
+    },
+
+    // ---------------------------------------------------------------
+    // ST23 — ATOMIC multi-table ticks: st20 advances its base and
+    // view with INDEPENDENT per-table guards, so a reader between the
+    // two publishes can see a tick half-applied. Here each tick's
+    // publishes become visible as a SET: the tick lands the base fold
+    // delta and the view version first (guarded, idempotent), then
+    // commits ONE manifest version pinning both — the s37
+    // publication-set discipline as the stream's commit protocol. A
+    // crash between member publishes and the manifest leaves the tick
+    // INVISIBLE to manifest readers (redelivery re-runs its guarded
+    // members as no-ops and re-commits the manifest); a reader always
+    // resolves base + view through the LAST manifest and sees a
+    // consistent pair. The query reads both tables through the final
+    // manifest, checks view == aggregate(base) IN-QUERY (the
+    // consistency the protocol guarantees), and the oracle recomputes
+    // from the raw table.
+    Q("st23_stream_atomic_ticks",
+      "each tick commits base+view as one atomic manifest: reader-visible state always consistent",
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  0 AS n_inconsistent
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.{Ivm, TableStore}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st23")
+      val basePath = tmp.resolve("base").toString
+      val viewPath = tmp.resolve("view").toString
+      val maniPath = tmp.resolve("manifest").toString
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val anchor = o.filter(col("o_orderkey") % 3 =!= 2)
+      val vB0 = TableStore.publishFoldSnapshot(s, basePath, anchor, "tick=-1")
+      val vV0 = TableStore.publishVersion(s, viewPath,
+        Ivm.aggregate(anchor, Seq("o_custkey"), Seq("o_totalprice")),
+        note = "tick=-1")
+      TableStore.publishManifest(s, maniPath, Seq(
+        ("base", basePath, vB0), ("view", viewPath, vV0)), note = "tick=-1")
+      val stream = EventStream.stagedFileStream(s,
+        o.filter(col("o_orderkey") % 3 === 2),
+        tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        JoinViewMaintenance.manifestTick(s, maniPath, basePath, viewPath,
+          slice.localCheckpoint().withColumn("_change_type", lit("insert")),
+          bid, Seq("o_custkey"), Seq("o_totalprice"))
+      }
+      // the reader's path: resolve BOTH tables through the manifest
+      // (the base is a fold table, so its pin resolves fold-aware)
+      val base = TableStore.readPinnedFolded(s, maniPath, "base").drop("_mult")
+      val view = TableStore.readPinned(s, maniPath, "view")
+      val recomputed = base.groupBy("o_custkey")
+        .agg(count(lit(1)).as("rn"),
+          sum(col("o_totalprice").cast("decimal(30,2)")).as("rt"))
+      // in-query consistency gate: the pinned view must equal the
+      // pinned base's aggregate, row for row
+      view.join(recomputed, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_o_totalprice"), lit(0).cast("decimal(30,2)"))
+            .cast("double").as("total"),
+          when(col("n") <=> col("rn") &&
+            col("sum_o_totalprice") <=> col("rt"), 0L)
+            .otherwise(1L).as("n_inconsistent"))
+        .filter(col("n_orders") > 0 || col("n_inconsistent") > 0)
+        .orderBy("o_custkey")
     }
   )
 }

@@ -277,4 +277,42 @@ object JoinViewMaintenance {
         note(batchId)): Unit
     }
   }
+
+  /** st23's tick — ATOMIC multi-table advancement: land the base fold
+    * delta and the maintained aggregate view (each tick-note guarded,
+    * so redelivery re-runs them as no-ops), then commit the PAIR as
+    * ONE manifest version pinning both — the s37 publication-set
+    * discipline as the stream's cross-table commit protocol. A reader
+    * resolving base and view THROUGH the manifest never observes a
+    * half-applied tick: member publishes are invisible until the
+    * manifest lands, and a crash between them leaves the previous
+    * manifest — a consistent pair — current; the redelivered tick
+    * skips the committed members and re-commits the manifest.
+    *
+    * `slice` is a changelog ([[baseDelta]] signs it for the base;
+    * [[Ivm.applyDelta]] folds it into the view). `afterMembers` runs
+    * between the member publishes and the manifest commit — the crash
+    * window specs inject into. This tick does not compact, so a
+    * member's tick proof is always the tick's own version (the
+    * checkpoint-subsumption arm of [[tickVersion]] never fires here —
+    * a compacting variant would have to pin the checkpoint pair
+    * atomically instead).
+    */
+  def manifestTick(spark: SparkSession, maniPath: String, basePath: String,
+      viewPath: String, slice: DataFrame, batchId: Long, keys: Seq[String],
+      sumCols: Seq[String], afterMembers: () => Unit = () => ()): Unit = {
+    val vB = tickVersion(spark, basePath, batchId)
+      .getOrElse(TableStore.publishFoldDelta(spark, basePath,
+        baseDelta(slice), note(batchId)))
+    val vV = tickVersion(spark, viewPath, batchId)
+      .getOrElse(TableStore.publishVersion(spark, viewPath,
+        Ivm.applyDelta(TableStore.readVersion(spark, viewPath), slice,
+          keys, sumCols),
+        note = note(batchId)))
+    afterMembers()
+    if (tickVersion(spark, maniPath, batchId).isEmpty)
+      TableStore.publishManifest(spark, maniPath, Seq(
+        ("base", basePath, vB), ("view", viewPath, vV)),
+        note = note(batchId)): Unit
+  }
 }

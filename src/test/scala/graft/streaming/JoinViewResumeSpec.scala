@@ -279,4 +279,69 @@ class JoinViewResumeSpec extends SparkSpec {
         .exists(_.endsWith("tick=1")))
     assert(tick1 == 1, s"base has $tick1 tick=1 publishes")
   }
+
+  /** st23's tick (manifestTick): the crash window BETWEEN the member
+    * publishes and the manifest commit. The members land (guarded),
+    * the manifest does not — a manifest reader still resolves the
+    * PREVIOUS tick's pair, which is consistent (view == aggregate of
+    * the pinned base); the half-applied tick is invisible. Redelivery
+    * re-runs the members as no-ops (no new base/view versions) and
+    * commits the manifest, rolling the tick forward atomically.
+    */
+  test("manifestTick: crash before manifest commit leaves tick invisible; redelivery rolls forward") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft_manifest_tick")
+    val basePath = tmp.resolve("base").toString
+    val viewPath = tmp.resolve("view").toString
+    val maniPath = tmp.resolve("mani").toString
+
+    def baseSet(df: DataFrame) = df.select(col("g"), col("x"))
+      .as[(Long, Double)].collect().toSet
+    def viewSet(df: DataFrame) = df
+      .select(col("g"), col("n"), col("sum_x").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    val base0 = Seq((1L, 10.0), (2L, 20.0)).toDF("g", "x")
+    val vB0 = TableStore.publishFoldSnapshot(spark, basePath, base0, "tick=-1")
+    val vV0 = TableStore.publishVersion(spark, viewPath,
+      Ivm.aggregate(base0, Seq("g"), Seq("x")), "tick=-1")
+    TableStore.publishManifest(spark, maniPath, Seq(
+      ("base", basePath, vB0), ("view", viewPath, vV0)), "tick=-1")
+
+    // tick 0: crash AFTER both member publishes, BEFORE the manifest
+    val slice0 = Seq((1L, 5.0, "insert"), (3L, 7.0, "insert"))
+      .toDF("g", "x", "_change_type")
+    val ex = intercept[RuntimeException] {
+      JoinViewMaintenance.manifestTick(spark, maniPath, basePath, viewPath,
+        slice0, 0L, Seq("g"), Seq("x"),
+        afterMembers = () => sys.error("injected crash before manifest"))
+    }
+    assert(ex.getMessage.contains("injected crash"), ex.getMessage)
+    // the crash really is in the window: members committed, manifest not
+    assert(JoinViewMaintenance.tickVersion(spark, basePath, 0L).isDefined)
+    assert(JoinViewMaintenance.tickVersion(spark, viewPath, 0L).isDefined)
+    assert(JoinViewMaintenance.tickVersion(spark, maniPath, 0L).isEmpty)
+    // a manifest reader sees the PREVIOUS pair — consistent, no tick-0
+    assert(baseSet(TableStore.readPinnedFolded(spark, maniPath, "base")
+      .drop("_mult")) == baseSet(base0))
+    assert(viewSet(TableStore.readPinned(spark, maniPath, "view")) ==
+      viewSet(Ivm.aggregate(base0, Seq("g"), Seq("x"))))
+
+    // redelivery: members skip (no new versions), manifest commits
+    val baseVs = TableStore.committedVersions(spark, basePath)
+    val viewVs = TableStore.committedVersions(spark, viewPath)
+    JoinViewMaintenance.manifestTick(spark, maniPath, basePath, viewPath,
+      slice0, 0L, Seq("g"), Seq("x"))
+    assert(TableStore.committedVersions(spark, basePath) == baseVs,
+      "redelivered tick republished the base")
+    assert(TableStore.committedVersions(spark, viewPath) == viewVs,
+      "redelivered tick republished the view")
+    assert(JoinViewMaintenance.tickVersion(spark, maniPath, 0L).isDefined)
+    // and the manifest reader now resolves the tick-0 pair, consistent
+    val base1 = base0.unionByName(slice0.drop("_change_type"))
+    assert(baseSet(TableStore.readPinnedFolded(spark, maniPath, "base")
+      .drop("_mult")) == baseSet(base1))
+    assert(viewSet(TableStore.readPinned(spark, maniPath, "view")) ==
+      viewSet(Ivm.aggregate(base1, Seq("g"), Seq("x"))))
+  }
 }
