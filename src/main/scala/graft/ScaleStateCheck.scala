@@ -49,7 +49,8 @@ object ScaleStateCheck {
     "st12_stream_cdc_apply", "st15_stream_join_ivm",
     "st16_stream_components", "st17_stream_topk",
     "st20_stream_mv_routing", "st21_stream_backfill",
-    "st22_stream_drift_monitor", "st23_stream_atomic_ticks")
+    "st22_stream_drift_monitor", "st23_stream_atomic_ticks",
+    "st24_stream_jsonl_ingest")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -72,7 +73,8 @@ object ScaleStateCheck {
     "st20_stream_mv_routing" -> 5.0,
     "st21_stream_backfill" -> 5.0,
     "st22_stream_drift_monitor" -> 5.0,
-    "st23_stream_atomic_ticks" -> 5.0)
+    "st23_stream_atomic_ticks" -> 5.0,
+    "st24_stream_jsonl_ingest" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

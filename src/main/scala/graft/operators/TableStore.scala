@@ -806,6 +806,36 @@ object TableStore {
     readVersion(spark, row.head.getString(0), Some(row.head.getLong(1)))
   }
 
+  /** The table's version ledger as a queryable DataFrame — Delta's
+    * DESCRIBE HISTORY / Iceberg's `table$snapshots`: one row per
+    * committed version with its raw commit note, its kind (snapshot
+    * vs fold delta, from the note's [[FoldDeltaPrefix]] convention),
+    * and the row count OF that version's data (for a fold delta:
+    * the delta's own rows, not the folded state). Marker resolution
+    * is O(versions) driver-side; the counts union every version's
+    * scan into ONE distributed job — at 100 TB an operator bounds
+    * the version range before asking for counts.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val versions = committedVersions(spark, path)
+    require(versions.nonEmpty, s"history: no published version at $path")
+    val meta = versions.map { v =>
+      val note = versionNote(spark, path, v).getOrElse("")
+      val kind = if (note.startsWith(FoldDeltaPrefix)) "fold_delta"
+        else "snapshot"
+      (v, note, kind)
+    }.toDF("version", "note", "kind")
+    val counts = versions
+      .map(v => readVersion(spark, path, Some(v))
+        .select(lit(v).as("version")))
+      .reduce(_ unionByName _)
+      .groupBy("version").agg(count(lit(1)).as("n_rows"))
+    meta.join(counts, Seq("version"), "left")
+      .select(col("version"), col("note"), col("kind"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** [[readPinned]] for a FOLD-TABLE member: the manifest pins a chain
     * version (usually the tick's delta), and the member's logical
     * state at that pin is the fold up to it — anchor ⊎ deltas ≤ pin.

@@ -342,6 +342,57 @@ object GovernanceOps {
           sum(when(ct.isin("delete", "update_preimage"), tok)
             .otherwise(0L)).as("tok_out"))
         .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------------
+    // C21 — pseudonymization vault + crypto-erasure. c18's cascade
+    // REWRITES every derived tier per forget request — correct, but
+    // O(matching rows) of write amplification per table per request.
+    // The vault discipline makes forgetting O(1) per subject at ANY
+    // corpus size: at ingest the direct identifier is replaced by a
+    // keyed one-way token (row-local projection — the identifier
+    // never lands in the fact table at all), and the ONLY link back
+    // is a vault table of (token, subject) pairs, O(subjects) small.
+    // A forget request deletes the subject's VAULT row — the fact
+    // table's tokens become permanently anonymous (crypto-erasure:
+    // nothing to re-identify against), with ZERO bytes of the 100 TB
+    // fact table rewritten. The serving read re-identifies through a
+    // broadcast left join against the surviving vault; erased
+    // subjects surface as anonymous cohorts, their aggregate utility
+    // intact. The oracle recomputes both cohorts from the raw table.
+    // (md5 over a peppered key stands in for the keyed HMAC a
+    // production vault uses — identical hex in both engines.)
+    Q("c21_pseudonym_vault",
+      "tokenized facts + O(subjects) vault: forgetting = one vault delete, zero fact rewrite",
+      s"""SELECT CASE WHEN o_custkey % 97 = 0 THEN 'erased'
+         |            ELSE 'identified' END AS status,
+         |  count(*) AS n_orders,
+         |  count(DISTINCT o_custkey) AS n_subjects,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val factsPath = scratch("c21_facts")
+      val vaultPath = scratch("c21_vault")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val token = md5(concat(lit("pepper-v1:"), col("o_custkey")))
+      // ingest: the identifier is tokenized BEFORE landing
+      TableStore.overwrite(o.select(col("o_orderkey"), token.as("token"),
+        col("o_totalprice")), factsPath)
+      TableStore.overwrite(o.select(token.as("token"), col("o_custkey"))
+        .distinct(), vaultPath)
+      // the forget request: O(forgotten subjects) vault deletes —
+      // the fact table is not touched
+      TableStore.deleteWhere(s, vaultPath, Seq("token"),
+        col("o_custkey") % 97 === 0)
+      val facts = TableStore.read(s, factsPath)
+      val vault = TableStore.readLive(s, vaultPath, Seq("token"))
+      facts.join(broadcast(vault), Seq("token"), "left")
+        .groupBy(when(col("o_custkey").isNull, lit("erased"))
+          .otherwise(lit("identified")).as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("token")).as("n_subjects"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("status")
     }
   )
 }

@@ -1832,6 +1832,42 @@ object Sinks {
           sum(col("chars")).as("chars"),
           sum(when(col("chars").isNull, 1L).otherwise(0L)).as("n_missing"))
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // Table HISTORY as a queryable DataFrame — Delta's DESCRIBE
+    // HISTORY / Iceberg's `table$snapshots`: the audit surface an
+    // operator actually debugs from ("what changed, when, how big").
+    // Each history row carries the version, its commit note, its
+    // kind (snapshot vs fold delta — derived from the note's
+    // `delta;` prefix, the store's own convention), and the row
+    // count AT that version. Metadata resolution is O(versions)
+    // marker reads; the counts are per-version scans unioned into
+    // ONE distributed job (at 100 TB an operator bounds this with a
+    // version range — counting every historical snapshot is a choice,
+    // not a default). The fixture drives publish → delete-vector →
+    // append → fold-delta so all kinds appear; the oracle states the
+    // expected ledger algebraically.
+    Q("s41_table_history",
+      "DESCRIBE HISTORY: version ledger (note, kind, row count) as a queryable frame",
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'initial load', 'snapshot',
+        |   (SELECT count(*) FROM customer)),
+        |  (CAST(2 AS BIGINT), 'monthly refresh', 'snapshot',
+        |   (SELECT count(*) FROM customer WHERE c_custkey % 4 <> 2)),
+        |  (CAST(3 AS BIGINT), 'delta;late arrivals', 'fold_delta',
+        |   (SELECT count(*) FROM customer WHERE c_custkey % 4 = 2))
+        |) AS t(version, note, kind, n_rows)
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val path = scratch("s41")
+      val c = t(s, d, "customer").select("c_custkey", "c_name")
+      TableStore.publishVersion(s, path, c, note = "initial load")
+      TableStore.publishVersion(s, path,
+        c.filter(col("c_custkey") % 4 =!= 2), note = "monthly refresh")
+      TableStore.publishFoldDelta(s, path,
+        c.filter(col("c_custkey") % 4 === 2).withColumn("_mult", lit(1L)),
+        note = "late arrivals")
+      TableStore.history(s, path).orderBy("version")
     }
   )
 

@@ -1303,7 +1303,7 @@ object StreamingOps {
         Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
         JoinViewMaintenance.manifestTick(s, maniPath, basePath, viewPath,
           slice.localCheckpoint().withColumn("_change_type", lit("insert")),
-          bid, Seq("o_custkey"), Seq("o_totalprice"))
+          bid, Seq("o_custkey"), Seq("o_totalprice"), compactEvery = 2)
       }
       // the reader's path: resolve BOTH tables through the manifest
       // (the base is a fold table, so its pin resolves fold-aware)
@@ -1324,6 +1324,86 @@ object StreamingOps {
             .otherwise(1L).as("n_inconsistent"))
         .filter(col("n_orders") > 0 || col("n_inconsistent") > 0)
         .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // ST24 — continuous JSONL ingest: s38's parse discipline in the
+    // loop a crawl drop-folder actually drives. A file-source stream
+    // tails the directory under the DECLARED schema (one new file =
+    // one micro-batch); each tick lands its clean rows on the corpus
+    // fold table and its malformed lines on a QUARANTINE fold table —
+    // both publishes tick-note guarded (the applyTick WAL discipline:
+    // redelivery skips), so the corpus is exactly-once no matter how
+    // the file lister batches or redelivers. Drifted producers
+    // null-fill mid-stream without stopping the world — the schema is
+    // a declared constant, never re-inferred per batch. The serving
+    // read folds both tables; the oracle is s38's (stream-of-ingests
+    // == one batch pass).
+    Q("st24_stream_jsonl_ingest",
+      "drop-folder JSONL stream: per-tick guarded corpus + quarantine fold publishes, exactly-once",
+      """SELECT lang AS bucket, count(*) AS n,
+        |  sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS chars,
+        |  sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_drifted
+        |FROM documents GROUP BY 1
+        |UNION ALL SELECT '_corrupt', 7, NULL, 0
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      import org.apache.spark.sql.types.StructType
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st24")
+      val drop = tmp.resolve("drop").toString
+      val corpusPath = tmp.resolve("corpus").toString
+      val quarPath = tmp.resolve("quarantine").toString
+      val docs = t(s, d, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+      import s.implicits._
+      // empty v0 anchors: the fold chains need a snapshot to fold onto
+      TableStore.publishFoldSnapshot(s, corpusPath, docs.limit(0), "tick=-1")
+      TableStore.publishFoldSnapshot(s, quarPath,
+        Seq.empty[String].toDF("line"), "tick=-1")
+      // three producers fill the drop folder (files = micro-batches)
+      docs.filter(col("doc_id") % 10 =!= 0)
+        .repartition(EventStream.ticks(3))
+        .write.mode("append").json(drop)
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(concat(lit("{\"doc_id\":"), col("doc_id"),
+          lit(",\"lang\":\""), col("lang"),
+          lit("\",\"extra_field\":\"v2-producer\"}")).as("value"))
+        .coalesce(1).write.mode("append").text(drop)
+      (1 to 7).map(i => s"{broken line $i").toDF("value")
+        .coalesce(1).write.mode("append").text(drop)
+      val schema = StructType.fromDDL("doc_id BIGINT, lang STRING, " +
+        "source STRING, n_chars BIGINT, _corrupt_record STRING")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(drop)
+      EventStream.runForeachBatch(s, stream,
+        Some(tmp.resolve("ckpt").toString)) { (slice, bid) =>
+        val sl = slice.localCheckpoint()
+        if (JoinViewMaintenance.tickVersion(s, corpusPath, bid).isEmpty)
+          TableStore.publishFoldDelta(s, corpusPath,
+            sl.filter(col("_corrupt_record").isNull)
+              .drop("_corrupt_record").withColumn("_mult", lit(1L)),
+            s"tick=$bid"): Unit
+        if (JoinViewMaintenance.tickVersion(s, quarPath, bid).isEmpty)
+          TableStore.publishFoldDelta(s, quarPath,
+            sl.filter(col("_corrupt_record").isNotNull)
+              .select(col("_corrupt_record").as("line"))
+              .withColumn("_mult", lit(1L)),
+            s"tick=$bid"): Unit
+      }
+      val corpus = TableStore.readFolded(s, corpusPath).drop("_mult")
+      val quarantined = TableStore.readFolded(s, quarPath)
+        .agg(sum(col("_mult")).as("n")).select(
+          lit("_corrupt").as("bucket"), col("n"),
+          lit(null).cast("bigint").as("chars"), lit(0L).as("n_drifted"))
+      corpus.groupBy(col("lang").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_drifted"))
+        .unionByName(quarantined)
+        .orderBy("bucket")
     }
   )
 }

@@ -292,16 +292,25 @@ object JoinViewMaintenance {
     * `slice` is a changelog ([[baseDelta]] signs it for the base;
     * [[Ivm.applyDelta]] folds it into the view). `afterMembers` runs
     * between the member publishes and the manifest commit — the crash
-    * window specs inject into. This tick does not compact, so a
-    * member's tick proof is always the tick's own version (the
-    * checkpoint-subsumption arm of [[tickVersion]] never fires here —
-    * a compacting variant would have to pin the checkpoint pair
-    * atomically instead).
+    * window specs inject into.
+    *
+    * `compactEvery` > 0 checkpoints the base fold chain every Nth tick
+    * (after the members, before the manifest): the checkpoint's folded
+    * state equals the post-tick state, so the manifest pins the
+    * CHECKPOINT version for the base — the pair stays consistent AND
+    * later retention below the checkpoint cannot strand the pin. The
+    * checkpoint's `after=` note is itself the durable tick proof
+    * [[tickVersion]] honors, so a redelivered compaction tick skips
+    * both the member publish and the re-compaction. Retention below a
+    * checkpoint does bound manifest TIME TRAVEL to manifests at or
+    * after it — the standard lakehouse tradeoff (Iceberg's
+    * expire_snapshots invalidates older table snapshots the same way).
     */
   def manifestTick(spark: SparkSession, maniPath: String, basePath: String,
       viewPath: String, slice: DataFrame, batchId: Long, keys: Seq[String],
-      sumCols: Seq[String], afterMembers: () => Unit = () => ()): Unit = {
-    val vB = tickVersion(spark, basePath, batchId)
+      sumCols: Seq[String], compactEvery: Int = 0,
+      afterMembers: () => Unit = () => ()): Unit = {
+    val vB0 = tickVersion(spark, basePath, batchId)
       .getOrElse(TableStore.publishFoldDelta(spark, basePath,
         baseDelta(slice), note(batchId)))
     val vV = tickVersion(spark, viewPath, batchId)
@@ -309,6 +318,17 @@ object JoinViewMaintenance {
         Ivm.applyDelta(TableStore.readVersion(spark, viewPath), slice,
           keys, sumCols),
         note = note(batchId)))
+    val vB =
+      if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1L)) {
+        // guarded like the members: an existing checkpoint covering
+        // this tick is proof the compaction already ran
+        TableStore.committedVersions(spark, basePath).find { v =>
+          TableStore.versionNote(spark, basePath, v)
+            .flatMap(checkpointAfter).exists(_ >= batchId)
+        }.getOrElse(TableStore.publishFoldSnapshot(spark, basePath,
+          TableStore.readFolded(spark, basePath, Some(vB0)),
+          s"checkpoint;after=$batchId"))
+      } else vB0
     afterMembers()
     if (tickVersion(spark, maniPath, batchId).isEmpty)
       TableStore.publishManifest(spark, maniPath, Seq(

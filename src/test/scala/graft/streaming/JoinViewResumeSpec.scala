@@ -343,5 +343,38 @@ class JoinViewResumeSpec extends SparkSpec {
       .drop("_mult")) == baseSet(base1))
     assert(viewSet(TableStore.readPinned(spark, maniPath, "view")) ==
       viewSet(Ivm.aggregate(base1, Seq("g"), Seq("x"))))
+
+    // tick 1 is a COMPACTION tick (compactEvery=2): the manifest must
+    // pin the base's CHECKPOINT version (so retention below it can
+    // never strand the pin), and redelivery must skip the members AND
+    // the re-compaction
+    val slice1 = Seq((2L, 1.0, "insert"), (3L, -2.0, "insert"))
+      .toDF("g", "x", "_change_type")
+    JoinViewMaintenance.manifestTick(spark, maniPath, basePath, viewPath,
+      slice1, 1L, Seq("g"), Seq("x"), compactEvery = 2)
+    val base2 = base1.unionByName(slice1.drop("_change_type"))
+    val pinnedB = TableStore.readVersion(spark, maniPath, None)
+      .filter(col("table_name") === "base")
+      .select("pinned_version").collect().head.getLong(0)
+    assert(TableStore.versionNote(spark, basePath, pinnedB)
+      .exists(_.startsWith("checkpoint;after=1")),
+      s"compaction tick pinned v$pinnedB, not the checkpoint")
+    // retention below the checkpoint: the pinned pair still reads
+    TableStore.dropVersionsBelow(spark, basePath, keepFrom = pinnedB)
+    assert(baseSet(TableStore.readPinnedFolded(spark, maniPath, "base")
+      .drop("_mult")) == baseSet(base2))
+    assert(viewSet(TableStore.readPinned(spark, maniPath, "view")) ==
+      viewSet(Ivm.aggregate(base2, Seq("g"), Seq("x"))))
+    // full redelivery of the compaction tick: nothing republishes
+    val bVs = TableStore.committedVersions(spark, basePath)
+    val vVs = TableStore.committedVersions(spark, viewPath)
+    JoinViewMaintenance.manifestTick(spark, maniPath, basePath, viewPath,
+      slice1, 1L, Seq("g"), Seq("x"), compactEvery = 2)
+    assert(TableStore.committedVersions(spark, basePath) == bVs,
+      "redelivered compaction tick republished the base or re-compacted")
+    assert(TableStore.committedVersions(spark, viewPath) == vVs,
+      "redelivered compaction tick republished the view")
+    assert(baseSet(TableStore.readPinnedFolded(spark, maniPath, "base")
+      .drop("_mult")) == baseSet(base2))
   }
 }
