@@ -30,6 +30,32 @@ object TableLayout {
       .sortWithinPartitions(keyCol)
       .write.partitionBy("load_date").mode("append").parquet(path)
 
+  /** Selective partition overwrite — Delta's `replaceWhere` / Hive's
+    * `INSERT OVERWRITE ... PARTITION`, expressed through Spark's
+    * dynamic partition-overwrite mode: only the day partitions
+    * PRESENT in `df` are replaced; every other partition's files are
+    * left physically untouched (the file-level proof is gated in the
+    * s43 query and TableLayoutSpec). At 100 TB this is the backfill
+    * primitive: a 3-day correction rewrites 3 directories, never the
+    * table. The overwrite-mode conf is scoped to this call and
+    * restored, so surrounding writes keep the session's semantics.
+    */
+  def replaceDays(spark: SparkSession, df: DataFrame, path: String,
+      tsCol: String, keyCol: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      df.withColumn("load_date", to_date(col(tsCol)))
+        .repartition(col("load_date"))
+        .sortWithinPartitions(keyCol)
+        .write.partitionBy("load_date").mode("overwrite").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Range-bucketed layout for key-addressed serving tables. */
   def writeRangeBucketed(df: DataFrame, path: String, keyCol: String,
       bucketSize: Long): Unit =

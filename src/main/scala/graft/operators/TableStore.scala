@@ -607,6 +607,44 @@ object TableStore {
   def currentVersion(spark: SparkSession, path: String): Option[Long] =
     committedVersions(spark, path).lastOption
 
+  /** Monotonically-ADJUSTED commit timestamps, ascending by version:
+    * `(version, commitTimeMs)` where commitTime is the marker file's
+    * modification time bumped to `prev + 1 ms` whenever the raw
+    * clock ties or runs backwards (two publishes inside one
+    * millisecond, clock skew across writers). This is Delta's
+    * timestamp-adjustment rule: version order is the commit order
+    * (markers are create-exclusive), so timestamps must be strictly
+    * increasing along it or TIMESTAMP AS OF would resolve a tie to
+    * the wrong snapshot. O(versions) driver-side metadata reads —
+    * independent of table size.
+    */
+  def commitTimes(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val f = fs(spark, path)
+    var last = Long.MinValue
+    committedVersions(spark, path).map { v =>
+      val raw = f.getFileStatus(new Path(s"$path/_committed_v$v"))
+        .getModificationTime
+      val adj = if (last == Long.MinValue) raw else math.max(raw, last + 1)
+      last = adj
+      (v, adj)
+    }
+  }
+
+  /** TIMESTAMP AS OF: the snapshot live at `tsMs` — the highest
+    * version whose adjusted commit time is ≤ `tsMs`. Fails loudly on
+    * a timestamp predating the first commit (there was no table to
+    * read), like Delta/Iceberg. Resolution is O(versions) metadata;
+    * the read is the same pinned-version scan as [[readVersion]].
+    */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame = {
+    val times = commitTimes(spark, path)
+    require(times.nonEmpty, s"readAsOf: no published version at $path")
+    val eligible = times.takeWhile(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"readAsOf: $tsMs predates the first commit (${times.head._2}) at $path")
+    readVersion(spark, path, Some(eligible.last._1))
+  }
+
   /** Marker-content delimiter separating the caller's note from a
     * CAS commit's data pointer (see [[publishVersionIf]]).
     */

@@ -95,6 +95,62 @@ object GovernanceOps {
     },
 
     // ---------------------------------------------------------------
+    // T40 — PHRASE query over a POSITIONAL postings index. t37's
+    // term-level index answers "docs containing all of {a,b,c}"; a
+    // search tier also needs "docs containing the exact phrase
+    // 'a b c'" — which requires token POSITIONS in the postings.
+    // The index is one pass (doc_id, pos, term), partitioned by first
+    // letter like t37 so the query scan is directory-pruned to the
+    // phrase's terms. Matching is NOT n−1 self-joins (a plan whose
+    // depth grows with phrase length): the tiny (term, offset) phrase
+    // spec broadcasts into the pruned postings scan, each posting
+    // votes for anchor = pos − offset, and ONE keyed aggregate keeps
+    // (doc, anchor) pairs where all |phrase| distinct offsets voted —
+    // an occurrence of the phrase starting at `anchor`. Cost is
+    // O(Σ postings of the phrase terms) with a single shuffle,
+    // independent of phrase length and of corpus size — the Lucene
+    // SpanNear discipline re-expressed as a Spark aggregate. The
+    // oracle recomputes positions with DuckDB's zipped unnest and
+    // adjacency self-joins — proving index == scan.
+    Q("t40_phrase_query",
+      "exact-phrase search from a positional postings index: broadcast (term,offset) spec + one anchor aggregate",
+      """WITH p AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term,
+        |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT DISTINCT a.doc_id FROM p a
+        |JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |WHERE a.term = 'table' AND b.term = 'hash' AND c.term = 'agg'
+        |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val phrase = Seq("table", "hash", "agg")
+      val path = scratch("t40_postings")
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      // positional postings: NOT array_distinct — every occurrence
+      // keeps its position (phrase matching needs duplicates)
+      docs.select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+        .withColumn("tb", substring(col("term"), 1, 1))
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      val spec = phrase.zipWithIndex.map { case (w, i) => (w, i) }
+        .toDF("term", "off")
+      val firstLetters = phrase.map(_.substring(0, 1)).distinct
+      val hits = s.read.parquet(path)
+        .filter(col("tb").isin(firstLetters: _*) &&
+          col("term").isin(phrase: _*))
+      hits.join(broadcast(spec), Seq("term"))
+        .select(col("doc_id"), (col("pos") - col("off")).as("anchor"),
+          col("off"))
+        .groupBy("doc_id", "anchor")
+        .agg(countDistinct(col("off")).as("k"))
+        .filter(col("k") === phrase.size)
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
     // I9 — incremental index maintenance: the postings table as a
     // SIGNED fold log. The anchor snapshot indexes the initial
     // corpus; a crawl batch appends its postings as a +1 delta; a

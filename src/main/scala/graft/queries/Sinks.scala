@@ -1868,6 +1868,96 @@ object Sinks {
         c.filter(col("c_custkey") % 4 === 2).withColumn("_mult", lit(1L)),
         note = "late arrivals")
       TableStore.history(s, path).orderBy("version")
+    },
+
+    // ---------------------------------------------------------------
+    // TIMESTAMP AS OF — time travel by WALL CLOCK, the form an
+    // incident actually arrives in ("what did the table say at
+    // 09:14?"), where s19/s28 pin by version number. Version numbers
+    // are unambiguous; timestamps are not — two commits can land in
+    // the same millisecond and clocks can skew — so the store
+    // ADJUSTS commit times to be strictly increasing along version
+    // order (Delta's timestamp-adjustment rule, TableStore
+    // .commitTimes) and AS OF resolves to the highest version at or
+    // before the asked instant. Resolution is O(versions) metadata
+    // reads; the data scan is the same pinned-version read as s19 —
+    // nothing about the 100 TB table is touched to answer "which
+    // version". The fixture publishes v1 then v2, asks AS OF v1's
+    // commit instant (boundary: AT the commit is ON that version)
+    // and AS OF v2's, and proves each read returns exactly that
+    // version's aggregate; the oracle states both from the raw table.
+    Q("s42_time_travel_ts",
+      "TIMESTAMP AS OF: wall-clock time travel over adjusted, strictly-increasing commit times",
+      s"""SELECT 1 AS pin, o_orderstatus,
+         |  count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 2, o_orderstatus, count(*),
+         |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END")}
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY pin, o_orderstatus""".stripMargin) { (s, d) =>
+      val path = scratch("s42")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v2data = o.withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      TableStore.publishVersion(s, path, o, note = "base")
+      TableStore.publishVersion(s, path, v2data, note = "repriced")
+      val times = TableStore.commitTimes(s, path).toMap
+      def aggAt(tsMs: Long, pin: Int) =
+        TableStore.readAsOf(s, path, tsMs)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(lit(pin).as("pin"), col("o_orderstatus"), col("n"),
+            col("total"))
+      aggAt(times(1L), 1).unionByName(aggAt(times(2L), 2))
+        .orderBy("pin", "o_orderstatus")
+    },
+
+    // ---------------------------------------------------------------
+    // REPLACE WHERE — selective partition overwrite, the backfill
+    // primitive: a correction arrives for a bounded day window and
+    // ONLY those day partitions are rewritten (Spark's dynamic
+    // partition-overwrite; Delta's replaceWhere, Hive's INSERT
+    // OVERWRITE PARTITION). s8 reconciles by KEY through a shuffle;
+    // this reconciles by PARTITION through the directory layout — at
+    // 100 TB a 3-day fix rewrites 3 directories, and the untouched
+    // 362 are not read, not shuffled, not rewritten. The in-query
+    // gate holds the physical claim: an untouched day's file listing
+    // is BYTE-IDENTICAL before and after, while every corrected day's
+    // files were replaced — a silent full-table overwrite turns the
+    // row red even though the contents would match. The oracle states
+    // the merged result (corrected window doubled, rest original).
+    Q("s43_replace_where",
+      "replaceWhere backfill: dynamic partition overwrite rewrites only the corrected day partitions",
+      s"""SELECT cast(ts as date) AS load_date, count(*) AS n,
+         |  ${dsumSql(
+              "CASE WHEN cast(ts as date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' " +
+              "THEN value * 2 ELSE value END")} AS total
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = scratch("s43")
+      val e = t(s, d, "events")
+      graft.operators.TableLayout.writeTimeSeries(e, path, "ts", "user_id")
+      def files(day: String): Set[String] = {
+        val dir = new java.io.File(s"$path/load_date=$day")
+        dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.lastModified}:${f.length}").toSet
+      }
+      val untouchedBefore = files("2024-01-20")
+      val replacedBefore = files("2024-01-11")
+      val corrected = e
+        .filter(col("ts").cast("date").between(lit("2024-01-10"), lit("2024-01-12")))
+        .withColumn("value", col("value") * 2)
+      graft.operators.TableLayout.replaceDays(s, corrected, path, "ts", "user_id")
+      require(files("2024-01-20") == untouchedBefore,
+        "s43: an untouched partition's files changed — the overwrite leaked past the corrected days")
+      require(files("2024-01-11") != replacedBefore,
+        "s43: a corrected partition kept its old files — the overwrite did not land")
+      s.read.parquet(path)
+        .groupBy(col("load_date"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("load_date")
     }
   )
 

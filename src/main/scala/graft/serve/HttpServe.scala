@@ -47,16 +47,22 @@ final class HttpServe(readers: Readers, port: Int = 0) {
           (405, err("method not allowed"))
         else path match {
           case "/health" => (200, """{"status":"ok"}""")
-          // conjunctive term search over the postings index (t37's
-          // serving form): /search?q=dup+vector → docs with ALL terms
+          // search over the positional postings index: default is
+          // conjunctive (t37 — docs with ALL terms, any order);
+          // mode=phrase requires the EXACT adjacent sequence (t40)
           case "/search" =>
-            val terms = query(ex).getOrElse("q", "")
+            val q = query(ex)
+            val terms = q.getOrElse("q", "")
               .split("\\s+").toSeq.filter(_.nonEmpty)
+            val mode = q.getOrElse("mode", "and")
             if (terms.isEmpty) (400, err("missing or empty q parameter"))
             else if (!readers.hasSearch) (404, err("search index not configured"))
+            else if (mode != "and" && mode != "phrase")
+              (400, err(s"unknown mode '$mode' (use and|phrase)"))
             else {
-              val ids = readers.search(terms)
-              (200, s"""{"terms":${js(terms.map(_.toLowerCase(java.util.Locale.ROOT)))},"doc_ids":${js(ids)}}""")
+              val ids = if (mode == "phrase") readers.searchPhrase(terms)
+                        else readers.search(terms)
+              (200, s"""{"terms":${js(terms.map(_.toLowerCase(java.util.Locale.ROOT)))},"mode":"$mode","doc_ids":${js(ids)}}""")
             }
           // ids beyond Long range (e.g. 20+ digits) are simply ids no
           // game can have — 404, not a NumberFormatException → 500

@@ -90,10 +90,38 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
     if (t.isEmpty) Seq.empty
     else p.filter(col("tb").isin(t.map(_.substring(0, 1)).distinct: _*) &&
         col("term").isin(t: _*))
-      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      // postings are positional (duplicates per occurrence) — the
+      // conjunctive intersection counts DISTINCT matched terms
+      .groupBy("doc_id").agg(countDistinct(col("term")).as("nt"))
       .filter(col("nt") === t.size)
       .orderBy("doc_id").limit(limit)
       .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Exact-PHRASE search — t40's anchor aggregate as a serving
+    * route: the (term, offset) phrase spec broadcasts into the
+    * prefix-pruned postings, each posting votes anchor = pos −
+    * offset, and one keyed aggregate keeps docs where some anchor
+    * collected every offset. Word order and adjacency are exact;
+    * plan depth is independent of phrase length. Bounded collect.
+    */
+  def searchPhrase(words: Seq[String], limit: Int = 20): Seq[Long] = {
+    val p = post.getOrElse(sys.error("search index not configured"))
+    val w = words.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    if (w.isEmpty) Seq.empty
+    else {
+      import spark.implicits._
+      val spec = w.zipWithIndex.toDF("term", "off")
+      p.filter(col("tb").isin(w.map(_.substring(0, 1)).distinct: _*) &&
+          col("term").isin(w.distinct: _*))
+        .join(broadcast(spec), Seq("term"))
+        .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
+        .agg(countDistinct(col("off")).as("k"))
+        .filter(col("k") === w.size)
+        .select("doc_id").distinct()
+        .orderBy("doc_id").limit(limit)
+        .collect().map(_.getLong(0)).toSeq
+    }
   }
 
   def hasSearch: Boolean = post.nonEmpty
@@ -113,11 +141,13 @@ object Readers {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("v", expr("transform(embedding, x_ -> double(x_))"))
       .select("vec_id", "label", "v")
-    // the t37 postings shape (distinct per (doc, term), prefix-keyed);
-    // in production this is the stored term-partitioned index table
+    // POSITIONAL postings (t40's index shape — every occurrence keeps
+    // its token position, so the one table serves both conjunctive
+    // AND phrase queries); in production this is the stored
+    // term-partitioned index table
     val postings = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .withColumn("tb", substring(col("term"), 1, 1))
     new Readers(spark, emb.select("vec_id", "label"),

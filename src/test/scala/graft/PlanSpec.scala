@@ -778,4 +778,21 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("t40: phrase match prunes the postings scan by term prefix; spec joins broadcast; one anchor aggregate") {
+    val p = plan("t40_phrase_query")
+    // the postings read lists only the phrase terms' tb= directories
+    assert(p.contains("PartitionFilters") && p.contains("tb#"),
+      "term-prefix directory pruning must reach the postings scan:\n" + p)
+    // the (term, offset) spec rides a broadcast, never a shuffle/BNLJ
+    assert(p.contains("BroadcastHashJoin"),
+      "phrase spec must broadcast into the postings scan:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "phrase matching must not degenerate to a pair join:\n" + p)
+    // matching is anchor aggregation, not a per-word self-join chain:
+    // exactly one join in the whole plan (the spec broadcast)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins <= 2, s"plan depth must not grow with phrase length:\n" + p)
+  }
 }

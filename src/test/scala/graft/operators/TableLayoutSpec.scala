@@ -179,4 +179,34 @@ class TableLayoutSpec extends SparkSpec {
     assert(TestSpark.spark.read.parquet(s"$base/z")
       .select("x", "y").distinct().count() == 64L * 64L)
   }
+
+  test("replaceDays rewrites only the targeted day partitions and restores the overwrite conf") {
+    import TestSpark.spark.implicits._
+    val path = Files.createTempDirectory("graft_layout_rw").toString + "/t"
+    val df = Seq(
+      (1L, "2024-03-01 10:00:00", 1.0), (2L, "2024-03-02 10:00:00", 2.0),
+      (3L, "2024-03-03 10:00:00", 3.0))
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    TableLayout.writeTimeSeries(df, path, "ts", "user_id")
+    def files(day: String): Set[String] = {
+      val dir = new java.io.File(s"$path/load_date=$day")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.lastModified}:${f.length}").toSet
+    }
+    val d1 = files("2024-03-01"); val d3 = files("2024-03-03")
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val before = TestSpark.spark.conf.getOption(confKey)
+    TableLayout.replaceDays(spark,
+      df.filter(col("ts").cast("date") === lit("2024-03-02"))
+        .withColumn("value", col("value") * 10), path, "ts", "user_id")
+    assert(TestSpark.spark.conf.getOption(confKey) == before,
+      "overwrite-mode conf must be restored")
+    assert(files("2024-03-01") == d1 && files("2024-03-03") == d3,
+      "untouched partitions must keep their exact files")
+    val got = TestSpark.spark.read.parquet(path)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 20.0), (3L, 3.0)), got.toString)
+  }
 }

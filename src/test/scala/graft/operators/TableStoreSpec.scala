@@ -682,4 +682,36 @@ class TableStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(got == Set((2L, Some("x"))), s"null-key delta stranded: $got")
   }
+
+  test("commitTimes are strictly increasing even when marker clocks tie or run backwards") {
+    val p = scratch()
+    TableStore.publishVersion(spark, p, kv(1L -> "a"), note = "v1")
+    TableStore.publishVersion(spark, p, kv(1L -> "b"), note = "v2")
+    TableStore.publishVersion(spark, p, kv(1L -> "c"), note = "v3")
+    // force the pathological clock: v2's marker ties v1's, v3's runs BACKWARDS
+    val f = (v: Long) => new java.io.File(s"$p/_committed_v$v")
+    val t1 = f(1).lastModified()
+    assert(f(2).setLastModified(t1))
+    assert(f(3).setLastModified(t1 - 5000))
+    val times = TableStore.commitTimes(spark, p)
+    assert(times.map(_._1) == Seq(1L, 2L, 3L))
+    assert(times.sliding(2).forall { case Seq(a, b) => b._2 > a._2 },
+      s"adjusted commit times must be strictly increasing: $times")
+  }
+
+  test("readAsOf resolves boundaries: at-commit reads that version, before-first fails loudly") {
+    val p = scratch()
+    TableStore.publishVersion(spark, p, kv(1L -> "a"), note = "v1")
+    TableStore.publishVersion(spark, p, kv(1L -> "b"), note = "v2")
+    val times = TableStore.commitTimes(spark, p).toMap
+    def at(ts: Long) = TableStore.readAsOf(spark, p, ts).collect()
+      .map(_.getString(1)).toSeq
+    assert(at(times(1L)) == Seq("a"), "AS OF v1's instant is ON v1")
+    assert(at(times(2L) - 1) == Seq("a"), "just before v2 is still v1")
+    assert(at(times(2L)) == Seq("b"), "AS OF v2's instant is ON v2")
+    assert(at(times(2L) + 60000) == Seq("b"), "after the last commit reads live")
+    val ex = intercept[IllegalArgumentException](
+      TableStore.readAsOf(spark, p, times(1L) - 1))
+    assert(ex.getMessage.contains("predates"))
+  }
 }

@@ -63,6 +63,27 @@ class HttpServeSpec extends SparkSpec {
 
       val (c6, noq) = get(port, "/search?q=")
       assert(c6 == 400 && noq.contains("missing"), s"$c6 $noq")
+
+      // phrase search: exact adjacent sequence only — cross-checked
+      // against a position-aware corpus scan, and strictly narrower
+      // than the conjunctive result for the same terms
+      val (c7, ph) = get(port, "/search?q=the+table&mode=phrase")
+      assert(c7 == 200, ph)
+      val phIds = "\\d+".r.findAllIn(
+        ph.substring(ph.indexOf("doc_ids"))).map(_.toLong).toSeq
+      val phraseScan = TestSpark.spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("doc_id", "split(lower(text), ' ') AS w")
+        .selectExpr("doc_id",
+          "exists(sequence(0, size(w) - 2), " +
+            "i -> w[i] = 'the' AND w[i + 1] = 'table') AS hit")
+        .where("hit").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(phIds == phraseScan.take(20), s"served $phIds vs scan $phraseScan")
+      assert(phraseScan.nonEmpty, "fixture phrase must occur at sf0.001")
+
+      val (c8, badMode) = get(port, "/search?q=a+b&mode=nope")
+      assert(c8 == 400 && badMode.contains("unknown mode"), s"$c8 $badMode")
     } finally {
       srv.stop()
       readers.close()
