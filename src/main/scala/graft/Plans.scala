@@ -177,7 +177,13 @@ object Plans {
     "k24_published_pq" ->
       "PQ serving from published artifacts: the ADC scan touches only the stored codes table (~64× smaller than vectors) against a broadcast 1-row distance table; full vectors are read for the top-50 rerank rows alone — no training, no re-encode anywhere in the plan.",
     "m11_phash_near_dup" ->
-      "Median-balanced perceptual hash: one codec pass emits per-image sample arrays, thresholds broadcast as one 64-array, the hash is a native fold; candidates block on (16-bit band, geometry) — balanced bits keep buckets sparse where own-mean aHash was measured 4× denser.")
+      "Median-balanced perceptual hash: one codec pass emits per-image sample arrays, thresholds broadcast as one 64-array, the hash is a native fold; candidates block on (16-bit band, geometry) — balanced bits keep buckets sparse where own-mean aHash was measured 4× denser.",
+    "s38_jsonl_ingest" ->
+      "Declared-schema JSONL ingest: parse, drift null-fill, quarantine verdict and per-language stats in ONE splittable line scan — a map-side-combinable aggregate over the FileScan json, no inference pass, no second read.",
+    "c21_pseudonym_vault" ->
+      "Pseudonymized serving read: the O(subjects) vault BROADCASTS into the tokenized fact scan (re-identification is a map-side left join); forgetting deleted a vault row, so no plan over the fact table ever changes.",
+    "t40_phrase_query" ->
+      "Phrase search from positional postings: the (term, offset) spec BROADCASTS into the term-prefix-pruned postings scan and matching is ONE anchor aggregate — no per-word self-join chain, plan depth independent of phrase length, cost O(Σ phrase-term postings).")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

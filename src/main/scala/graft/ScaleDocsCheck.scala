@@ -52,7 +52,13 @@ object ScaleDocsCheck {
     "t37_inverted_index", "i9_postings_ivm", "c18_cascade_forget",
     "t38_perplexity_filter", "k23_index_forget",
     "i10_bm25_ivm", "k24_published_pq", "m11_phash_near_dup",
-    "c20_corpus_release_diff")
+    "c20_corpus_release_diff",
+    // round 10c: the ingest-format family — declared-schema line/
+    // record scans plus fixture serialization, linear by construction
+    "s38_jsonl_ingest", "s40_xml_ingest",
+    // round 10d: positional-postings phrase search — index build is
+    // one corpus pass, the query side O(Σ phrase-term postings)
+    "t40_phrase_query")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't
