@@ -1173,20 +1173,73 @@ object TableStore {
   def dropVersionsBelow(spark: SparkSession, path: String, keepFrom: Long): Unit = {
     val f = fs(spark, path)
     val cur = currentVersion(spark, path).getOrElse(return)
+    // tagged versions are retention-exempt: a tag IS a retention
+    // contract (Iceberg's expire_snapshots never expires a tagged
+    // snapshot) — reproducibility pins survive any keepFrom
+    val keep = tags(spark, path).values.toSet + cur
     val statuses = f.listStatus(new Path(path))
     statuses.filter(_.getPath.getName.startsWith("v=")).foreach { st =>
       val v = st.getPath.getName.stripPrefix("v=").toLong
-      if (v < keepFrom && v != cur) f.delete(st.getPath, true): Unit
+      if (v < keepFrom && !keep(v)) f.delete(st.getPath, true): Unit
     }
     // CAS commits keep their data behind marker pointers — reclaim
     // those the same way (markers stay, numbers stay burned)
     committedVersions(spark, path).foreach { v =>
-      if (v < keepFrom && v != cur) {
+      if (v < keepFrom && !keep(v)) {
         val d = versionDataDir(spark, path, v)
         if (d != s"$path/v=$v") f.delete(new Path(d), true): Unit
       }
     }
   }
+
+  // ------------------------------------------------------------ tags
+
+  private val TagNameRe = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Named snapshot TAG — Iceberg's tag / git's tag over the version
+    * history: an immutable, human-meaningful name for one committed
+    * version ("release-2024w03", "train-run-417"), so a
+    * reproducibility contract names a tag instead of a raw number.
+    * A tag is ONE marker file (`_tag_<name>`, bytes = the version) —
+    * O(1) metadata at any table size. Create-exclusive: re-tagging an
+    * existing name fails loudly (tags never move; that is what
+    * branches are for), as does tagging a never-committed version.
+    */
+  def tag(spark: SparkSession, path: String, name: String, version: Long): Unit = {
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"tag name '$name' must match ${TagNameRe.regex}")
+    require(committedVersions(spark, path).contains(version),
+      s"tag '$name': version $version at $path is not committed")
+    val f = fs(spark, path)
+    if (!createExclusive(f, new Path(s"$path/_tag_$name"),
+        version.toString.getBytes("UTF-8")))
+      sys.error(s"tag '$name' already exists at $path — tags are immutable")
+  }
+
+  /** All tags: name → version. O(tags) metadata reads. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Map.empty
+    else f.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_tag_"))
+      .map { n =>
+        val in = f.open(new Path(s"$path/$n"))
+        val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        in.close()
+        n.stripPrefix("_tag_") -> v.toLong
+      }.toMap
+  }
+
+  /** Read the snapshot a tag names — the same pinned scan as
+    * [[readVersion]]; fails loudly on an unknown tag.
+    */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    tags(spark, path).get(name) match {
+      case Some(v) => readVersion(spark, path, Some(v))
+      case None => sys.error(s"readTag: no tag '$name' at $path")
+    }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

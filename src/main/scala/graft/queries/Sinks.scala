@@ -1958,6 +1958,50 @@ object Sinks {
         .groupBy(col("load_date"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy("load_date")
+    },
+
+    // ---------------------------------------------------------------
+    // Snapshot TAGS — Iceberg's tag (git-tag semantics over the
+    // version history): the training run that must be reproducible
+    // forever pins a NAME, not a raw version number, and the tag is
+    // a RETENTION CONTRACT — expire/drop cycles keep every tagged
+    // version's data alive while untagged history is reclaimed
+    // (Iceberg's expire_snapshots never expires a tagged snapshot).
+    // The fixture publishes baseline → intermediate → live, tags only
+    // the baseline, then drops everything below live: the in-query
+    // gates prove the tagged version still READS while the untagged
+    // intermediate's data is GONE (fails loudly) — a retention run
+    // that silently kept everything, or ate the tag, turns the row
+    // red. Tag resolution is O(tags) metadata; the reads are the
+    // same pinned scans as s19. Oracle states both surviving reads.
+    Q("s44_snapshot_tag",
+      "named snapshot tags: immutable version names that survive retention (expire keeps tagged data)",
+      s"""SELECT 'baseline' AS pin, count(*) AS n,
+         |  ${dsumSql("c_acctbal")} AS total FROM customer
+         |UNION ALL
+         |SELECT 'live', count(*), ${dsumSql("c_acctbal")}
+         |FROM customer WHERE c_custkey % 4 <> 1
+         |ORDER BY pin""".stripMargin) { (s, d) =>
+      val path = scratch("s44")
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val v1 = TableStore.publishVersion(s, path, c, note = "baseline")
+      TableStore.tag(s, path, "train-run-417", v1)
+      val v2 = TableStore.publishVersion(s, path,
+        c.filter(col("c_custkey") % 2 === 0), note = "intermediate")
+      val v3 = TableStore.publishVersion(s, path,
+        c.filter(col("c_custkey") % 4 =!= 1), note = "live")
+      TableStore.dropVersionsBelow(s, path, keepFrom = v3)
+      // the untagged intermediate's DATA must be reclaimed…
+      val gone = scala.util.Try(
+        TableStore.readVersion(s, path, Some(v2)).count()).isFailure
+      require(gone, "s44: untagged version survived retention")
+      // …while the tagged baseline still reads by name
+      def agg(df: org.apache.spark.sql.DataFrame, pin: String) =
+        df.agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total"))
+          .select(lit(pin).as("pin"), col("n"), col("total"))
+      agg(TableStore.readTag(s, path, "train-run-417"), "baseline")
+        .unionByName(agg(TableStore.readVersion(s, path), "live"))
+        .orderBy("pin")
     }
   )
 

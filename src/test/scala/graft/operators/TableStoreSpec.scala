@@ -714,4 +714,30 @@ class TableStoreSpec extends SparkSpec {
       TableStore.readAsOf(spark, p, times(1L) - 1))
     assert(ex.getMessage.contains("predates"))
   }
+
+  test("tags are immutable, reject uncommitted versions, and exempt their version from retention") {
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark, p, kv(1L -> "a"))
+    val v2 = TableStore.publishVersion(spark, p, kv(1L -> "b"))
+    val v3 = TableStore.publishVersion(spark, p, kv(1L -> "c"))
+    TableStore.tag(spark, p, "rel-1", v1)
+    // immutable: the name cannot be re-pointed
+    val dup = intercept[RuntimeException](TableStore.tag(spark, p, "rel-1", v2))
+    assert(dup.getMessage.contains("immutable"))
+    // only committed versions are taggable; names are sanitized
+    intercept[IllegalArgumentException](TableStore.tag(spark, p, "rel-2", 99L))
+    intercept[IllegalArgumentException](TableStore.tag(spark, p, "bad/name", v2))
+    assert(TableStore.tags(spark, p) == Map("rel-1" -> v1))
+    // retention reclaims the untagged v2 but keeps the tagged v1
+    TableStore.dropVersionsBelow(spark, p, keepFrom = v3)
+    assert(TableStore.readVersion(spark, p).collect()
+      .map(_.getString(1)).toSeq == Seq("c"))
+    assert(TableStore.readTag(spark, p, "rel-1").collect()
+      .map(_.getString(1)).toSeq == Seq("a"),
+      "tagged version's data must survive retention")
+    assert(intercept[RuntimeException](
+      TableStore.readVersion(spark, p, Some(v2)).count()) != null)
+    assert(intercept[RuntimeException](
+      TableStore.readTag(spark, p, "nope")).getMessage.contains("no tag"))
+  }
 }
