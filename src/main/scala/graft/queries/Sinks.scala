@@ -2002,6 +2002,42 @@ object Sinks {
       agg(TableStore.readTag(s, path, "train-run-417"), "baseline")
         .unionByName(agg(TableStore.readVersion(s, path), "live"))
         .orderBy("pin")
+    },
+
+    // ---------------------------------------------------------------
+    // ORC interchange — the OTHER columnar wire format a warehouse
+    // actually meets (Hive's default; exports from legacy clusters
+    // arrive as ORC files). Spark's native ORC source is a
+    // first-class DISTRIBUTED scan with the same pushdown machinery
+    // as parquet, and the in-query gate PROVES it: the read-back
+    // plan must carry the predicate in the ORC scan's PushedFilters
+    // — silently losing pushdown on a 100 TB ORC export (scanning
+    // everything to filter in Spark) turns the row red even though
+    // the rows would match. Schema is declared on read (inference is
+    // a footer pass per file — fine here, a policy decision at
+    // scale; the declared form documents it). Oracle recomputes from
+    // the parquet source — proving the ORC round trip is lossless.
+    Q("s45_orc_interchange",
+      "ORC round trip: native distributed scan with gated predicate pushdown == parquet source",
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_totalprice > 100000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val path = scratch("s45")
+      t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      val back = s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .orc(path)
+        .filter(col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+      val plan = back.queryExecution.executedPlan.toString()
+      require(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]") ||
+        (plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice")),
+        s"s45: predicate must reach the ORC scan's PushedFilters:\n$plan")
+      back
     }
   )
 
