@@ -123,30 +123,13 @@ object GovernanceOps {
         |JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
         |WHERE a.term = 'table' AND b.term = 'hash' AND c.term = 'agg'
         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
-      import s.implicits._
       val phrase = Seq("table", "hash", "agg")
       val path = scratch("t40_postings")
       val docs = t(s, d, "documents").select("doc_id", "text")
-      // positional postings: NOT array_distinct — every occurrence
-      // keeps its position (phrase matching needs duplicates)
-      docs.select(col("doc_id"),
-          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
-        .filter(col("term") =!= "")
-        .withColumn("tb", substring(col("term"), 1, 1))
+      graft.operators.Postings.positional(docs)
         .write.mode("overwrite").partitionBy("tb").parquet(path)
-      val spec = phrase.zipWithIndex.map { case (w, i) => (w, i) }
-        .toDF("term", "off")
-      val firstLetters = phrase.map(_.substring(0, 1)).distinct
-      val hits = s.read.parquet(path)
-        .filter(col("tb").isin(firstLetters: _*) &&
-          col("term").isin(phrase: _*))
-      hits.join(broadcast(spec), Seq("term"))
-        .select(col("doc_id"), (col("pos") - col("off")).as("anchor"),
-          col("off"))
-        .groupBy("doc_id", "anchor")
-        .agg(countDistinct(col("off")).as("k"))
-        .filter(col("k") === phrase.size)
-        .select("doc_id").distinct()
+      graft.operators.Postings
+        .phraseMatch(s.read.parquet(path), phrase)
         .orderBy("doc_id")
     },
 

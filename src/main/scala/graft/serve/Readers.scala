@@ -109,19 +109,9 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
     val p = post.getOrElse(sys.error("search index not configured"))
     val w = words.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (w.isEmpty) Seq.empty
-    else {
-      import spark.implicits._
-      val spec = w.zipWithIndex.toDF("term", "off")
-      p.filter(col("tb").isin(w.map(_.substring(0, 1)).distinct: _*) &&
-          col("term").isin(w.distinct: _*))
-        .join(broadcast(spec), Seq("term"))
-        .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))
-        .agg(countDistinct(col("off")).as("k"))
-        .filter(col("k") === w.size)
-        .select("doc_id").distinct()
-        .orderBy("doc_id").limit(limit)
-        .collect().map(_.getLong(0)).toSeq
-    }
+    else graft.operators.Postings.phraseMatch(p, w)
+      .orderBy("doc_id").limit(limit)
+      .collect().map(_.getLong(0)).toSeq
   }
 
   def hasSearch: Boolean = post.nonEmpty
@@ -145,11 +135,9 @@ object Readers {
     // its token position, so the one table serves both conjunctive
     // AND phrase queries); in production this is the stored
     // term-partitioned index table
-    val postings = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
-      .filter(col("term") =!= "")
-      .withColumn("tb", substring(col("term"), 1, 1))
+    val postings = graft.operators.Postings.positional(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text"))
     new Readers(spark, emb.select("vec_id", "label"),
       Neighbors.precompute(emb, k), emb, Some(postings))
   }
