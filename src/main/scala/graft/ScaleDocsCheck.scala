@@ -58,7 +58,17 @@ object ScaleDocsCheck {
     "s38_jsonl_ingest", "s40_xml_ingest",
     // round 10d: positional-postings phrase search — index build is
     // one corpus pass, the query side O(Σ phrase-term postings)
-    "t40_phrase_query")
+    "t40_phrase_query",
+    // round 10d widening: the remaining linear-contract corpus/text
+    // policy ops (per-row hash gates, keyed aggregates, per-row
+    // scoring, bounded-window explodes) — all one-scan shapes whose
+    // 100 TB story is exactly "stays linear"; the gate holds them
+    // to it
+    "c6_corpus_mixing", "c8_chunking", "c9_leakage_safe_split",
+    "c10_dsir_selection", "c15_soft_dedup",
+    "t6_hash_split", "t9_stratified_sample", "t12_sequence_packing",
+    "t13_pii_scrub", "t14_repetition", "t28_lm_quality_score",
+    "t29_vocab_coverage", "t33_repetition_runs")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't
@@ -72,7 +82,15 @@ object ScaleDocsCheck {
     // at 10× docs (sub-linear vs 10× frame work on fixed slots) —
     // the ceiling catches a slot-serialization regression, the
     // family's one measured codec pathology
-    "m9_video_demux" -> 6.0)
+    "m9_video_demux" -> 6.0,
+    // per-row CPU work (n-gram LM scoring / image re-encode) is
+    // honestly LINEAR in data: at 10× rows on the same 32 cores the
+    // wall may approach 10× once the small run stops hiding compute
+    // under fixed overhead. Measured 7.37× (t28) and 4.73× (m3) —
+    // ceilings sit just above the linear-CPU measurement so an
+    // accidentally quadratic rewrite still trips the gate
+    "t28_lm_quality_score" -> 9.0,
+    "m3_resize" -> 6.5)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 
