@@ -740,4 +740,20 @@ class TableStoreSpec extends SparkSpec {
     assert(intercept[RuntimeException](
       TableStore.readTag(spark, p, "nope")).getMessage.contains("no tag"))
   }
+
+  test("8 concurrent taggers of one name: exactly one wins, losers fail loudly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark, p, kv(1L -> "a"))
+    val results = (0 until 8).map { _ =>
+      Future(scala.util.Try(TableStore.tag(spark, p, "race", v1)))
+    }.map(Await.result(_, Duration.Inf))
+    assert(results.count(_.isSuccess) == 1,
+      s"create-exclusive must admit exactly one tagger: $results")
+    assert(results.filter(_.isFailure).forall(
+      _.failed.get.getMessage.contains("immutable")))
+    assert(TableStore.tags(spark, p) == Map("race" -> v1))
+  }
 }
