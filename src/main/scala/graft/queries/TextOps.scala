@@ -514,11 +514,23 @@ object TextOps {
           col("text"))
         .select(col("doc_id"),
           expr("substr(text, cast(i + 1 as int), 2)").as("bg"))
-      val model = pos.groupBy("bg").agg(count(lit(1)).as("c"))
-      pos.join(broadcast(model), "bg")
+      // the char-bigram model is VOCABULARY-bounded (alphabet², a few
+      // hundred rows here, ≤64k for full byte pairs at any corpus
+      // size), so it collects to the driver and ships as a map
+      // literal — the CCNet discipline of training the LM once and
+      // broadcasting it. The scoring pass then reads the count with
+      // one map lookup per bigram instead of hash-probing a
+      // broadcast join over every exploded row (the two corpus
+      // passes — model build, scoring — are inherent to the op).
+      val model: Map[String, Long] = pos.groupBy("bg")
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val modelCol = typedLit(model)
+      pos
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
-          dsum(log(col("c").cast("double") + 1.0), 12).as("s"))
+          dsum(log(element_at(modelCol, col("bg")).cast("double") + 1.0),
+            12).as("s"))
         .select(col("doc_id"), col("n_bigrams"),
           round(col("s") / col("n_bigrams").cast("double") * 1000000)
             .cast("long").as("score_e6"))
