@@ -695,6 +695,24 @@ object TableStore {
       case _ => s"$path/v=$v"
     }
 
+  /** The parquet data files of committed version `v` — the unit the
+    * changefeed source plans one InputPartition per (file listing on
+    * the driver, row IO on executors). Fails loudly on uncommitted
+    * versions, exactly like [[readVersion]]: an orphan dir from a
+    * crashed publish is invisible to the feed.
+    */
+  def versionFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
+    require(committedVersions(spark, path).contains(v),
+      s"versionFiles: version $v at $path is not committed")
+    val dir = new Path(versionDataDir(spark, path, v))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
   /** Read a pinned version (reproducible training runs) or the live
     * one. Fails loudly on a version that was never committed (orphan
     * dirs from crashed publishes have no marker) or whose data was

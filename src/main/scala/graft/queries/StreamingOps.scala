@@ -1404,6 +1404,78 @@ object StreamingOps {
           sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_drifted"))
         .unionByName(quarantined)
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // TABLE CHANGEFEED — the store's commit log consumed AS a stream:
+    // st10/st12 stream INTO tables; this is the missing direction
+    // (Delta's `readStream.table(...)`), through a custom DSv2
+    // MicroBatchStream whose OFFSETS are committed version numbers
+    // (sources/TableChangefeedSource). The upstream fold table's
+    // signed rows ARE its CDC events, so a downstream consumer
+    // maintains a per-customer aggregate by folding each micro-batch
+    // — O(batch) per commit, never a rescan of the table, and the
+    // feed is marker-aware (a torn publish is invisible; the spec
+    // proves orphan invisibility + checkpointed resume). The fixture
+    // consumes two real micro-batches (initial replay, then a commit
+    // published WHILE the stream runs) and the in-query gate requires
+    // the downstream chain to hold both ticks; the oracle recomputes
+    // the aggregate from the logical final state — feed-maintained ==
+    // recomputed, the stream/batch equivalence contract.
+    Q("st25_table_changefeed",
+      "commit log as a DSv2 streaming source: downstream aggregate folded from the feed == batch recompute",
+      s"""WITH cur AS (
+         |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_custkey, o_totalprice + 1000 FROM orders WHERE o_orderkey % 13 = 0)
+         |SELECT o_custkey, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM cur GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      import org.apache.spark.sql.types.DecimalType
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st25")
+      val base = tmp.resolve("base").toString
+      val down = tmp.resolve("down").toString
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // upstream commits BEFORE the stream starts: snapshot + a
+      // retraction delta (the initial-replay batch)
+      TableStore.publishFoldSnapshot(s, base, o, "v0")
+      TableStore.publishFoldDelta(s, base,
+        o.filter(col("o_orderkey") % 7 === 0).withColumn("_mult", lit(-1L)),
+        "retract")
+      val feed = s.readStream
+        .format("graft.sources.TableChangefeedSource")
+        .load(base)
+      val q = feed.writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val part = batch.groupBy("o_custkey").agg(
+            sum(col("_mult")).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2)) * col("_mult"))
+              .cast(DecimalType(30, 2)).as("sum_o_totalprice"))
+          if (TableStore.currentVersion(s, down).isEmpty)
+            TableStore.publishVersion(s, down, part, note = s"batch:$bid"): Unit
+          else
+            TableStore.publishFoldDelta(s, down, part, note = s"batch:$bid"): Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // a commit lands WHILE the stream runs — the next poll's batch
+        TableStore.publishFoldDelta(s, base,
+          o.filter(col("o_orderkey") % 13 === 0)
+            .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+              (col("o_totalprice") + 1000).as("o_totalprice"))
+            .withColumn("_mult", lit(1L)),
+          "late-insert")
+        q.processAllAvailable()
+      } finally q.stop()
+      require(TableStore.committedVersions(s, down).size >= 2,
+        "st25: the feed must have produced at least two downstream ticks")
+      TableStore.readFoldedAgg(s, down, Seq("o_custkey"), Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("o_custkey")
     }
   )
 }
