@@ -52,7 +52,8 @@ object ScaleStateCheck {
     "st16_stream_components", "st17_stream_topk",
     "st20_stream_mv_routing", "st21_stream_backfill",
     "st22_stream_drift_monitor", "st23_stream_atomic_ticks",
-    "st24_stream_jsonl_ingest", "st25_table_changefeed")
+    "st24_stream_jsonl_ingest", "st25_table_changefeed",
+    "st26_medallion_chain")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -77,7 +78,8 @@ object ScaleStateCheck {
     "st22_stream_drift_monitor" -> 5.0,
     "st23_stream_atomic_ticks" -> 5.0,
     "st24_stream_jsonl_ingest" -> 5.0,
-    "st25_table_changefeed" -> 5.0)
+    "st25_table_changefeed" -> 5.0,
+    "st26_medallion_chain" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -1476,6 +1476,82 @@ object StreamingOps {
         .select(col("o_custkey"), col("n"),
           col("sum_o_totalprice").cast("double").as("total"))
         .orderBy("o_custkey")
+    },
+
+    // ---------------------------------------------------------------
+    // MEDALLION CHAIN — bronze → silver → gold as CHAINED changefeed
+    // consumers (the DLT / multi-hop lakehouse architecture): silver
+    // streams bronze's commit log and folds the CLEANING filter
+    // through each signed batch (σ commutes with signed union, so
+    // filtering every batch — retractions included — equals filtering
+    // the final state); gold streams SILVER's commit log and folds a
+    // per-status aggregate. Every hop is O(commit bytes): a bronze
+    // correction flows to gold through two bounded micro-batches,
+    // never a rescan of either table — the property that makes a
+    // 100 TB multi-hop pipeline maintainable. Both hops advance
+    // across TWO real micro-batches (initial replay + a bronze
+    // retraction published while both streams run), gated in-query;
+    // the oracle recomputes gold from the logical final bronze state
+    // through the same filter — chained-incremental == end-to-end
+    // recompute.
+    Q("st26_medallion_chain",
+      "bronze->silver->gold chained changefeed consumers == end-to-end batch recompute",
+      s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 5 <> 0 AND o_totalprice > 50000
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      import org.apache.spark.sql.types.DecimalType
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st26")
+      val bronze = tmp.resolve("bronze").toString
+      val silver = tmp.resolve("silver").toString
+      val gold = tmp.resolve("gold").toString
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TableStore.publishFoldSnapshot(s, bronze, o, "v0")
+      def consume(src: String)(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) =
+        s.readStream.format("graft.sources.TableChangefeedSource").load(src)
+          .writeStream
+          .option("checkpointLocation",
+            tmp.resolve(s"ckpt_${new java.io.File(src).getName}").toString)
+          .foreachBatch(sink).start()
+      val qSilver = consume(bronze) { (batch, bid) =>
+        // the cleaning hop: the filter applies to every signed row,
+        // so a retraction of a dirty row is dropped exactly like the
+        // dirty row itself was — silver == σ(bronze) at every tick
+        val clean = batch.filter(col("o_totalprice") > 50000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "_mult")
+        if (TableStore.currentVersion(s, silver).isEmpty)
+          TableStore.publishFoldSnapshot(s, silver, clean, s"batch:$bid"): Unit
+        else TableStore.publishFoldDelta(s, silver, clean, s"batch:$bid"): Unit
+      }
+      qSilver.processAllAvailable()
+      val qGold = consume(silver) { (batch, bid) =>
+        val part = batch.groupBy("o_orderstatus").agg(
+          sum(col("_mult")).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(30, 2)) * col("_mult"))
+            .cast(DecimalType(30, 2)).as("sum_o_totalprice"))
+        if (TableStore.currentVersion(s, gold).isEmpty)
+          TableStore.publishVersion(s, gold, part, note = s"batch:$bid"): Unit
+        else TableStore.publishFoldDelta(s, gold, part, note = s"batch:$bid"): Unit
+      }
+      qGold.processAllAvailable()
+      try {
+        // a correction lands at bronze while BOTH hops run — it must
+        // ripple through silver to gold as two bounded batches
+        TableStore.publishFoldDelta(s, bronze,
+          o.filter(col("o_orderkey") % 5 === 0).withColumn("_mult", lit(-1L)),
+          "retraction")
+        qSilver.processAllAvailable()
+        qGold.processAllAvailable()
+      } finally { qSilver.stop(); qGold.stop() }
+      require(TableStore.committedVersions(s, silver).size >= 2 &&
+        TableStore.committedVersions(s, gold).size >= 2,
+        "st26: both hops must have advanced across >=2 ticks")
+      TableStore.readFoldedAgg(s, gold, Seq("o_orderstatus"), Seq("o_totalprice"))
+        .select(col("o_orderstatus"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -124,33 +124,55 @@ private class ChangefeedTable(path: String, declared: StructType)
   override def schema(): StructType = declared
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangefeedScanBuilder(path, declared)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
+    new ChangefeedScanBuilder(path, declared, maxV)
+  }
 }
 
-private class ChangefeedScanBuilder(path: String, full: StructType)
+private class ChangefeedScanBuilder(path: String, full: StructType,
+    maxVersions: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ChangefeedScan(path, required)
+  override def build(): Scan = new ChangefeedScan(path, required, maxVersions)
 }
 
-private class ChangefeedScan(path: String, required: StructType) extends Scan {
+private class ChangefeedScan(path: String, required: StructType,
+    maxVersions: Option[Long]) extends Scan {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangefeedStream(path, required)
+    new ChangefeedStream(path, required, maxVersions)
 }
 
 private case class VersionOffset(v: Long) extends Offset {
   override def json(): String = s"""{"version":$v}"""
 }
 
-private class ChangefeedStream(path: String, required: StructType)
-    extends MicroBatchStream {
+private class ChangefeedStream(path: String, required: StructType,
+    maxVersions: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = SparkSession.active
+
+  /** `maxVersionsPerTrigger`: bound how many COMMITS one micro-batch
+    * admits — Delta's maxFilesPerTrigger discipline in version units.
+    * This is what makes replaying a long-lived table's history safe
+    * at scale: a 10k-commit backfill proceeds as 10k/m bounded
+    * batches instead of one unbounded initial batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = TableStore.currentVersion(spark, path)
+      .getOrElse(sys.error(s"changefeed: no published version at $path"))
+    val s = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersions.fold(cur)(m => math.min(cur, s + m)))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Everything committed whose data still exists replays from the
     * start; retention-reclaimed prefixes are skipped.

@@ -72,4 +72,29 @@ class ChangefeedSourceSpec extends SparkSpec {
         s"restart must resume from the committed offset, got: $resumed")
     } finally q2.stop()
   }
+
+  test("maxVersionsPerTrigger=1: a multi-commit replay arrives as one batch per version") {
+    import TestSpark.spark.implicits._
+    val tmp = Files.createTempDirectory("graft_changefeed_adm")
+    val path = tmp.resolve("t").toString
+    val v1 = TableStore.publishVersion(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    val v2 = TableStore.publishVersion(spark, path, Seq((2L, "b")).toDF("k", "v"))
+    val v3 = TableStore.publishVersion(spark, path, Seq((3L, "c")).toDF("k", "v"))
+    val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream
+      .format("graft.sources.TableChangefeedSource")
+      .option("maxVersionsPerTrigger", "1")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = batch.select("_version").collect().map(_.getLong(0)).toSet
+        batches.synchronized { if (vs.nonEmpty) batches += vs }: Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.synchronized(batches.toList)
+    assert(got == List(Set(v1), Set(v2), Set(v3)),
+      s"each commit must admit as its own bounded batch: $got")
+  }
 }
