@@ -97,4 +97,37 @@ class ChangefeedSourceSpec extends SparkSpec {
     assert(got == List(Set(v1), Set(v2), Set(v3)),
       s"each commit must admit as its own bounded batch: $got")
   }
+
+  test("additive upstream evolution mid-stream: new columns are invisible, declared columns keep flowing") {
+    import TestSpark.spark.implicits._
+    val tmp = Files.createTempDirectory("graft_changefeed_drift")
+    val path = tmp.resolve("t").toString
+    val v1 = TableStore.publishVersion(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = spark.readStream
+      .format("graft.sources.TableChangefeedSource")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the stream's schema is the DECLARED one from stream start —
+        // a drifted producer must not break a running consumer
+        assert(batch.columns.toSeq == Seq("k", "v", "_version"))
+        val rows = batch.select("_version", "k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        seen.synchronized { seen ++= rows }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the producer evolves additively mid-stream (s14's discipline):
+      // a new column appears in the next commit's files
+      val v2 = TableStore.publishVersion(spark, path,
+        Seq((2L, "b", 99L)).toDF("k", "v", "extra"))
+      q.processAllAvailable()
+      val got = seen.synchronized(seen.toSet)
+      assert(got == Set((v1, 1L, "a"), (v2, 2L, "b")),
+        s"declared columns must keep flowing through the drifted commit: $got")
+    } finally q.stop()
+  }
 }
