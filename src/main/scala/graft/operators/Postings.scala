@@ -43,13 +43,19 @@ object Postings {
     * index it reaches the directory listing).
     */
   def phraseMatch(postings: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phraseMatch: empty phrase")
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      s"phraseMatch: phrase words must be non-empty, got $phrase")
     val w = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val spark = postings.sparkSession
     import spark.implicits._
     val spec = w.zipWithIndex.toDF("term", "off")
+    // CODE-POINT prefix, not substring(0,1): the stored tb column is
+    // Spark's substring (code-point based), and a JVM char slice of a
+    // supplementary-plane word would yield a lone surrogate that
+    // matches no partition
+    def prefix(s: String) = s.substring(0, s.offsetByCodePoints(0, 1))
     postings
-      .filter(col("tb").isin(w.map(_.substring(0, 1)).distinct: _*) &&
+      .filter(col("tb").isin(w.map(prefix).distinct: _*) &&
         col("term").isin(w.distinct: _*))
       .join(broadcast(spec), Seq("term"))
       .groupBy(col("doc_id"), (col("pos") - col("off")).as("anchor"))

@@ -701,8 +701,17 @@ object TableStore {
     * versions, exactly like [[readVersion]]: an orphan dir from a
     * crashed publish is invisible to the feed.
     */
-  def versionFiles(spark: SparkSession, path: String, v: Long): Seq[String] = {
-    require(committedVersions(spark, path).contains(v),
+  def versionFiles(spark: SparkSession, path: String, v: Long): Seq[String] =
+    versionFiles(spark, path, v, committedVersions(spark, path).toSet)
+
+  /** [[versionFiles]] against a caller-provided committed set — the
+    * changefeed lists the markers ONCE per planning round and reuses
+    * the set across every version in the batch range (per-call
+    * re-listing would make planning O(versions²) on a long history).
+    */
+  def versionFiles(spark: SparkSession, path: String, v: Long,
+      committed: Set[Long]): Seq[String] = {
+    require(committed.contains(v),
       s"versionFiles: version $v at $path is not committed")
     val dir = new Path(versionDataDir(spark, path, v))
     val f = fs(spark, path)
@@ -711,6 +720,24 @@ object TableStore {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
       .sorted
+  }
+
+  /** Evidence that UNCOMMITTED version number `v` may still be an
+    * in-flight publish: the newest modification time of its claim
+    * file or its `v=N` data dir, if either exists. A claim file is
+    * created before any data and removed only by its own successful
+    * publish, so a slow claim-based publisher always leaves a trace
+    * here; no trace at all means the number was never claimed (or a
+    * crashed claim was manually cleaned) — dead either way. Used by
+    * the changefeed's stable-frontier rule.
+    */
+  def publishTraceMtime(spark: SparkSession, path: String,
+      v: Long): Option[Long] = {
+    val f = fs(spark, path)
+    Seq(new Path(s"$path/_claim_v$v"), new Path(s"$path/v=$v"))
+      .flatMap(p => scala.util.Try(f.getFileStatus(p).getModificationTime)
+        .toOption)
+      .maxOption
   }
 
   /** Read a pinned version (reproducible training runs) or the live
@@ -1234,7 +1261,14 @@ object TableStore {
       sys.error(s"tag '$name' already exists at $path — tags are immutable")
   }
 
-  /** All tags: name → version. O(tags) metadata reads. */
+  /** All tags: name → version. O(tags) metadata reads. A tag file
+    * whose bytes don't parse is SKIPPED, not fatal: [[tag]] writes
+    * create-then-write, so a reader racing the create (or a crash
+    * between create and write — the caller saw its tag() fail) can
+    * observe an empty file; treating it as "tag not (yet) created"
+    * matches what the writer was told, and keeps one torn file from
+    * turning every [[dropVersionsBelow]] on the table into an error.
+    */
   def tags(spark: SparkSession, path: String): Map[String, Long] = {
     val f = fs(spark, path)
     val p = new Path(path)
@@ -1242,11 +1276,14 @@ object TableStore {
     else f.listStatus(p).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("_tag_"))
-      .map { n =>
+      .flatMap { n =>
         val in = f.open(new Path(s"$path/$n"))
-        val v = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        in.close()
-        n.stripPrefix("_tag_") -> v.toLong
+        val parsed =
+          try scala.util.Try(
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+            .toOption
+          finally in.close()
+        parsed.map(n.stripPrefix("_tag_") -> _)
       }.toMap
   }
 

@@ -1446,6 +1446,13 @@ object StreamingOps {
       val feed = s.readStream
         .format("graft.sources.TableChangefeedSource")
         .load(base)
+      // the exactly-once sink discipline: a redelivered micro-batch
+      // (crash between the publish and the stream checkpoint's
+      // commit) finds its batch note already committed and skips —
+      // without this the retried fold delta would double-apply
+      def committedBatch(path: String, bid: Long): Boolean =
+        TableStore.committedVersions(s, path).exists(v =>
+          TableStore.versionNote(s, path, v).exists(_.endsWith(s"batch:$bid")))
       val q = feed.writeStream
         .option("checkpointLocation", tmp.resolve("ckpt").toString)
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
@@ -1453,7 +1460,8 @@ object StreamingOps {
             sum(col("_mult")).as("n"),
             sum(col("o_totalprice").cast(DecimalType(30, 2)) * col("_mult"))
               .cast(DecimalType(30, 2)).as("sum_o_totalprice"))
-          if (TableStore.currentVersion(s, down).isEmpty)
+          if (committedBatch(down, bid)) ()
+          else if (TableStore.currentVersion(s, down).isEmpty)
             TableStore.publishVersion(s, down, part, note = s"batch:$bid"): Unit
           else
             TableStore.publishFoldDelta(s, down, part, note = s"batch:$bid"): Unit
@@ -1509,34 +1517,45 @@ object StreamingOps {
       val o = t(s, d, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       TableStore.publishFoldSnapshot(s, bronze, o, "v0")
+      // exactly-once per hop: a redelivered micro-batch finds its
+      // batch note committed and skips (no double-fold on retry)
+      def committedBatch(path: String, bid: Long): Boolean =
+        TableStore.committedVersions(s, path).exists(v =>
+          TableStore.versionNote(s, path, v).exists(_.endsWith(s"batch:$bid")))
       def consume(src: String)(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) =
         s.readStream.format("graft.sources.TableChangefeedSource").load(src)
           .writeStream
           .option("checkpointLocation",
             tmp.resolve(s"ckpt_${new java.io.File(src).getName}").toString)
           .foreachBatch(sink).start()
-      val qSilver = consume(bronze) { (batch, bid) =>
-        // the cleaning hop: the filter applies to every signed row,
-        // so a retraction of a dirty row is dropped exactly like the
-        // dirty row itself was — silver == σ(bronze) at every tick
-        val clean = batch.filter(col("o_totalprice") > 50000)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice", "_mult")
-        if (TableStore.currentVersion(s, silver).isEmpty)
-          TableStore.publishFoldSnapshot(s, silver, clean, s"batch:$bid"): Unit
-        else TableStore.publishFoldDelta(s, silver, clean, s"batch:$bid"): Unit
-      }
-      qSilver.processAllAvailable()
-      val qGold = consume(silver) { (batch, bid) =>
-        val part = batch.groupBy("o_orderstatus").agg(
-          sum(col("_mult")).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(30, 2)) * col("_mult"))
-            .cast(DecimalType(30, 2)).as("sum_o_totalprice"))
-        if (TableStore.currentVersion(s, gold).isEmpty)
-          TableStore.publishVersion(s, gold, part, note = s"batch:$bid"): Unit
-        else TableStore.publishFoldDelta(s, gold, part, note = s"batch:$bid"): Unit
-      }
-      qGold.processAllAvailable()
+      // both streams stop in one finally — a failure in either hop's
+      // drain must not leave the other polling for the JVM's life
+      var qSilver: org.apache.spark.sql.streaming.StreamingQuery = null
+      var qGold: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
+        qSilver = consume(bronze) { (batch, bid) =>
+          // the cleaning hop: the filter applies to every signed row,
+          // so a retraction of a dirty row is dropped exactly like the
+          // dirty row itself was — silver == σ(bronze) at every tick
+          val clean = batch.filter(col("o_totalprice") > 50000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "_mult")
+          if (committedBatch(silver, bid)) ()
+          else if (TableStore.currentVersion(s, silver).isEmpty)
+            TableStore.publishFoldSnapshot(s, silver, clean, s"batch:$bid"): Unit
+          else TableStore.publishFoldDelta(s, silver, clean, s"batch:$bid"): Unit
+        }
+        qSilver.processAllAvailable()
+        qGold = consume(silver) { (batch, bid) =>
+          val part = batch.groupBy("o_orderstatus").agg(
+            sum(col("_mult")).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(30, 2)) * col("_mult"))
+              .cast(DecimalType(30, 2)).as("sum_o_totalprice"))
+          if (committedBatch(gold, bid)) ()
+          else if (TableStore.currentVersion(s, gold).isEmpty)
+            TableStore.publishVersion(s, gold, part, note = s"batch:$bid"): Unit
+          else TableStore.publishFoldDelta(s, gold, part, note = s"batch:$bid"): Unit
+        }
+        qGold.processAllAvailable()
         // a correction lands at bronze while BOTH hops run — it must
         // ripple through silver to gold as two bounded batches
         TableStore.publishFoldDelta(s, bronze,
@@ -1544,7 +1563,10 @@ object StreamingOps {
           "retraction")
         qSilver.processAllAvailable()
         qGold.processAllAvailable()
-      } finally { qSilver.stop(); qGold.stop() }
+      } finally {
+        if (qSilver != null) qSilver.stop()
+        if (qGold != null) qGold.stop()
+      }
       require(TableStore.committedVersions(s, silver).size >= 2 &&
         TableStore.committedVersions(s, gold).size >= 2,
         "st26: both hops must have advanced across >=2 ticks")

@@ -101,16 +101,32 @@ object TableChangefeedSource {
       require(f.isPrimitive,
         s"changefeed: unsupported nested column '${f.getName}' at $path")
       val p = f.asPrimitiveType()
+      // the LOGICAL annotation decides the meaning of the physical
+      // bytes — mapping on the physical type alone would hand a
+      // DECIMAL's unscaled long or TIMESTAMP micros to the consumer
+      // as a plain number with no error. Fail loudly on anything but
+      // the plain-number / UTF8-string annotations this reader
+      // actually decodes.
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation
+      val ann = Option(p.getLogicalTypeAnnotation)
+      def plainInt: Boolean = ann.forall {
+        case i: IntLogicalTypeAnnotation => i.isSigned
+        case _ => false
+      }
       val dt = p.getPrimitiveTypeName match {
-        case INT64 => LongType
-        case INT32 => IntegerType
-        case DOUBLE => DoubleType
-        case FLOAT => FloatType
-        case BOOLEAN => BooleanType
-        case BINARY => StringType // fold-table strings (UTF8-annotated)
+        case INT64 if plainInt => LongType
+        case INT32 if plainInt => IntegerType
+        case DOUBLE if ann.isEmpty => DoubleType
+        case FLOAT if ann.isEmpty => FloatType
+        case BOOLEAN if ann.isEmpty => BooleanType
+        case BINARY if ann.contains(
+            LogicalTypeAnnotation.stringType()) => StringType
         case other =>
-          sys.error(s"changefeed: unsupported parquet type $other " +
-            s"for column '${f.getName}' at $path")
+          sys.error(s"changefeed: unsupported parquet type $other" +
+            ann.fold("")(a => s" ($a)") +
+            s" for column '${f.getName}' at $path — supported: plain " +
+            "INT64/INT32/DOUBLE/FLOAT/BOOLEAN and UTF8 strings")
       }
       StructField(f.getName, dt, nullable = true)
     }.toSeq
@@ -128,26 +144,29 @@ private class ChangefeedTable(path: String, declared: StructType)
     val maxV = Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
     maxV.foreach(m => require(m >= 1,
       s"maxVersionsPerTrigger must be >= 1, got $m"))
-    new ChangefeedScanBuilder(path, declared, maxV)
+    val grace = Option(options.get("uncommittedGraceMs")).map(_.toLong)
+      .getOrElse(60000L)
+    new ChangefeedScanBuilder(path, declared, maxV, grace)
   }
 }
 
 private class ChangefeedScanBuilder(path: String, full: StructType,
-    maxVersions: Option[Long])
+    maxVersions: Option[Long], graceMs: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ChangefeedScan(path, required, maxVersions)
+  override def build(): Scan =
+    new ChangefeedScan(path, required, maxVersions, graceMs)
 }
 
 private class ChangefeedScan(path: String, required: StructType,
-    maxVersions: Option[Long]) extends Scan {
+    maxVersions: Option[Long], graceMs: Long) extends Scan {
   override def readSchema(): StructType = required
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ChangefeedStream(path, required, maxVersions)
+    new ChangefeedStream(path, required, maxVersions, graceMs)
 }
 
 private case class VersionOffset(v: Long) extends Offset {
@@ -155,9 +174,38 @@ private case class VersionOffset(v: Long) extends Offset {
 }
 
 private class ChangefeedStream(path: String, required: StructType,
-    maxVersions: Option[Long])
+    maxVersions: Option[Long], graceMs: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = SparkSession.active
+
+  /** The STABLE FRONTIER: the highest version the feed may advance to
+    * without risking a permanent skip. Version numbers here are not
+    * dense (crashed claims burn numbers forever), and a slow
+    * claim-based publisher can hold number N while N+1 commits first
+    * — advancing past N would drop its rows from the feed forever
+    * once its marker lands. The rule, walking up from the consumed
+    * offset: an uncommitted number whose publish trace (claim file or
+    * data dir — [[TableStore.publishTraceMtime]]) is YOUNGER than
+    * `uncommittedGraceMs` is a possibly-in-flight publish → HOLD the
+    * frontier below it; an aged trace or no trace at all is a burned
+    * number → skip past. The same stale-age discipline vacuum applies
+    * to in-flight staging, because it is the same ambiguity. Pure-CAS
+    * tables can't hit the hold (a CAS commit for N only wins after
+    * N−1 committed), so the grace costs nothing there.
+    */
+  private def stableFrontier(from: Long, target: Long,
+      committed: Set[Long]): Long = {
+    val now = System.currentTimeMillis()
+    var v = from + 1
+    while (v <= target) {
+      if (!committed(v) &&
+          TableStore.publishTraceMtime(spark, path, v)
+            .exists(now - _ < graceMs))
+        return v - 1
+      v += 1
+    }
+    target
+  }
 
   /** `maxVersionsPerTrigger`: bound how many COMMITS one micro-batch
     * admits — Delta's maxFilesPerTrigger discipline in version units.
@@ -166,10 +214,12 @@ private class ChangefeedStream(path: String, required: StructType,
     * batches instead of one unbounded initial batch.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = TableStore.currentVersion(spark, path)
-      .getOrElse(sys.error(s"changefeed: no published version at $path"))
+    val committed = TableStore.committedVersions(spark, path)
+    require(committed.nonEmpty, s"changefeed: no published version at $path")
     val s = start.asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersions.fold(cur)(m => math.min(cur, s + m)))
+    val target = maxVersions.fold(committed.last)(m =>
+      math.min(committed.last, s + m))
+    VersionOffset(stableFrontier(s, target, committed.toSet))
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -180,14 +230,18 @@ private class ChangefeedStream(path: String, required: StructType,
   override def initialOffset(): Offset = {
     val vs = TableStore.committedVersions(spark, path)
     require(vs.nonEmpty, s"changefeed: no published version at $path")
+    val set = vs.toSet
     val firstAlive = vs.find(v =>
-      TableStore.versionFiles(spark, path, v).nonEmpty).getOrElse(vs.last)
+      TableStore.versionFiles(spark, path, v, set).nonEmpty).getOrElse(vs.last)
     VersionOffset(firstAlive - 1)
   }
 
-  override def latestOffset(): Offset =
-    VersionOffset(TableStore.currentVersion(spark, path)
-      .getOrElse(sys.error(s"changefeed: no published version at $path")))
+  override def latestOffset(): Offset = {
+    val committed = TableStore.committedVersions(spark, path)
+    require(committed.nonEmpty, s"changefeed: no published version at $path")
+    VersionOffset(stableFrontier(
+      committed.head - 1, committed.last, committed.toSet))
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"version":(-?\d+)\}""".r
@@ -201,8 +255,9 @@ private class ChangefeedStream(path: String, required: StructType,
     val s = start.asInstanceOf[VersionOffset].v
     val e = end.asInstanceOf[VersionOffset].v
     val committed = TableStore.committedVersions(spark, path)
+    val set = committed.toSet
     committed.filter(v => v > s && v <= e).flatMap { v =>
-      TableStore.versionFiles(spark, path, v)
+      TableStore.versionFiles(spark, path, v, set)
         .map(f => ChangefeedPartition(f, v): InputPartition)
     }.toArray
   }
@@ -226,6 +281,26 @@ private class ChangefeedReaderFactory(required: StructType,
   }
 }
 
+/** Column pruning pushed INTO the parquet read: the requested
+  * projection is intersected with each FILE's own schema, so (a) the
+  * decoder touches only the consumer's columns — a 2-of-40-column
+  * read pays 2 columns of IO, and (b) a pre-evolution file simply
+  * lacks the new column in its intersected projection and the row
+  * assembler null-fills it (the s14 additive-drift discipline).
+  */
+private class ProjectingGroupReadSupport(wanted: Array[String])
+    extends GroupReadSupport {
+  override def init(context: org.apache.parquet.hadoop.api.InitContext)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val file = context.getFileSchema
+    val keep = file.getFields.asScala.filter(f => wanted.contains(f.getName))
+    val proj =
+      if (keep.isEmpty) file // e.g. only _version requested — count-only read
+      else new org.apache.parquet.schema.MessageType(file.getName, keep.asJava)
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(proj)
+  }
+}
+
 /** Executor-side row reader: parquet-hadoop's Group API over ONE file
   * (the partition), projecting just the required columns and stamping
   * the partition's commit version.
@@ -240,7 +315,10 @@ private class ChangefeedReader(file: String, version: Long,
     c
   }
   private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+    ParquetReader.builder(
+        new ProjectingGroupReadSupport(
+          required.fieldNames.filterNot(_ == TableChangefeedSource.VersionCol)),
+        new Path(file))
       .withConf(conf).build()
   private var current: Group = _
 

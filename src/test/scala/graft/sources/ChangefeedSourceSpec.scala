@@ -30,8 +30,11 @@ class ChangefeedSourceSpec extends SparkSpec {
       .write.parquet(s"$path/v=${v2 + 1}")
 
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    // grace 0: the orphan below is DEAD by construction in this test;
+    // the in-flight hold behavior has its own test
     def startStream() = spark.readStream
       .format("graft.sources.TableChangefeedSource")
+      .option("uncommittedGraceMs", "0")
       .load(path)
       .writeStream
       .option("checkpointLocation", ckpt)
@@ -96,6 +99,63 @@ class ChangefeedSourceSpec extends SparkSpec {
     val got = batches.synchronized(batches.toList)
     assert(got == List(Set(v1), Set(v2), Set(v3)),
       s"each commit must admit as its own bounded batch: $got")
+  }
+
+  test("stable frontier: a slow publisher's number is held while young, delivered when it commits, skipped when dead") {
+    import TestSpark.spark.implicits._
+    val tmp = Files.createTempDirectory("graft_changefeed_frontier")
+    val path = tmp.resolve("t").toString
+    val v1 = TableStore.publishVersion(spark, path, Seq((1L, "a")).toDF("k", "v"))
+    // a slow claim-based publisher holds the next number: claim file
+    // exists (young), marker not yet landed
+    val slowV = v1 + 1
+    val claim = new java.io.File(s"$path/_claim_v$slowV")
+    assert(claim.createNewFile())
+    // a faster publisher commits the number AFTER the held one
+    val v3 = TableStore.publishVersion(spark, path, Seq((3L, "c")).toDF("k", "v"))
+    assert(v3 == slowV + 1, s"fixture: expected $slowV held, got v3=$v3")
+
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = spark.readStream
+      .format("graft.sources.TableChangefeedSource")
+      .option("uncommittedGraceMs", "3600000")
+      .load(path)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("_version", "k", "v")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        seen.synchronized { seen ++= rows }: Unit
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the feed must HOLD below the young in-flight number — v3 is
+      // committed but delivering it would permanently skip slowV
+      assert(seen.synchronized(seen.toSet) == Set((v1, 1L, "a")),
+        s"frontier must hold below a young uncommitted number: $seen")
+      // the slow publisher finally commits: data dir + marker, claim
+      // removed (the publishVersion commit sequence)
+      Seq((2L, "b")).toDF("k", "v").write.parquet(s"$path/v=$slowV")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$path/_committed_v$slowV"),
+        "late".getBytes("UTF-8"))
+      assert(claim.delete())
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set(
+        (v1, 1L, "a"), (slowV, 2L, "b"), (v3, 3L, "c")),
+        s"late commit must deliver IN ORDER with the held successor: $seen")
+      // a DEAD number (aged claim) is skipped: the feed advances past
+      val deadV = v3 + 1
+      val deadClaim = new java.io.File(s"$path/_claim_v$deadV")
+      assert(deadClaim.createNewFile())
+      assert(deadClaim.setLastModified(System.currentTimeMillis() - 7200000L))
+      val v5 = TableStore.publishVersion(spark, path, Seq((5L, "e")).toDF("k", "v"))
+      assert(v5 == deadV + 1)
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet).contains((v5, 5L, "e")),
+        s"an aged (dead) claim must not wedge the feed: $seen")
+    } finally q.stop()
   }
 
   test("additive upstream evolution mid-stream: new columns are invisible, declared columns keep flowing") {
