@@ -55,7 +55,7 @@ object ScaleDocsCheck {
     "c20_corpus_release_diff",
     // round 10c: the ingest-format family — declared-schema line/
     // record scans plus fixture serialization, linear by construction
-    "s38_jsonl_ingest", "s40_xml_ingest",
+    "s38_jsonl_ingest", "s39_csv_ingest", "s40_xml_ingest",
     // round 10d: positional-postings phrase search — index build is
     // one corpus pass, the query side O(Σ phrase-term postings)
     "t40_phrase_query",
