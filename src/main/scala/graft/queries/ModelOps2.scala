@@ -89,6 +89,35 @@ object ModelOps2 {
     embLanding.toDF("game_id", "embedding_version", "created_ts", "job_id")
   }
 
+  /** (game_id, umap_1, umap_2, pca_1, pca_2, embedding_model,
+    * embedding_version, created_ts). Game 1: a stale v1 row, an older
+    * v2 row and a newer v2 row — the version filter keeps both v2
+    * rows, the created_ts dedup keeps the newer; game 2: one v2 row;
+    * game 3: v1 ONLY — the version filter drops the game entirely
+    * (bgg_game_coordinates.sqlx:8-28); game 4 absent. Coordinate
+    * values are binary-exact decimals so the double columns survive
+    * the cell-exact oracle compare.
+    */
+  val coordLanding: Seq[(Long, Double, Double, Double, Double, String,
+      Long, java.sql.Timestamp)] = Seq(
+    (1L, 0.125, 0.250, 1.500, -0.500, "umap-m1", 1L, ts("2026-01-01 00:00:00")),
+    (1L, 0.250, 0.750, 1.250, -0.250, "umap-m2", 2L, ts("2026-01-02 00:00:00")),
+    (1L, 0.500, 0.625, 1.000, -1.000, "umap-m2", 2L, ts("2026-01-04 00:00:00")),
+    (2L, -0.750, 0.125, 2.000, 0.250, "umap-m2", 2L, ts("2026-01-03 00:00:00")),
+    (3L, 0.375, 0.875, 0.500, 0.750, "umap-m1", 1L, ts("2026-01-05 00:00:00")))
+
+  private def coordDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    coordLanding.toDF("game_id", "umap_1", "umap_2", "pca_1", "pca_2",
+      "embedding_model", "embedding_version", "created_ts")
+  }
+
+  private def coordValues: String =
+    coordLanding.map { case (g, u1, u2, p1, p2, m, v, t) =>
+      s"($g, ${sqlD(u1)}, ${sqlD(u2)}, ${sqlD(p1)}, ${sqlD(p2)}, " +
+        s"${sqlS(m)}, $v, ${sqlTs(t)})"
+    }.mkString(",\n    ")
+
   /** Registry: (username, outcome, model_version, finalize_through_year,
     * registered_at, status) — one active v2, a retired v1 for the same
     * (user, outcome), and an active v1 for another pair.
@@ -348,7 +377,7 @@ object ModelOps2 {
     },
 
     Q("t22_game_profile",
-      "game_profile: ordered nested player-count block + null-guarded provenance struct (game_profile.sqlx:22-113)",
+      "game_profile: ALL FIVE blocks — features, ordered nested player counts, whole-row predictions struct, embedding-coordinates struct, provenance struct, each null-guarded (game_profile.sqlx:22-119)",
       s"""WITH $gaCtes,
          |$pcrCte,
          |prov(game_id, fetch_timestamp, success) AS (VALUES
@@ -362,29 +391,67 @@ object ModelOps2 {
          |  SELECT game_id, count(*) AS n_pc,
          |    min(player_count) AS first_pc,
          |    arg_min(best_votes, player_count) AS first_best
-         |  FROM pcr GROUP BY game_id)
+         |  FROM pcr GROUP BY game_id),
+         |pred(job_id, game_id, score_ts, predicted_rating) AS (VALUES
+         |    $predValues),
+         |pred_latest AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY game_id
+         |      ORDER BY score_ts DESC, job_id DESC) AS rn
+         |    FROM pred) WHERE rn = 1),
+         |coord(game_id, umap_1, umap_2, pca_1, pca_2, embedding_model,
+         |      embedding_version, created_ts) AS (VALUES
+         |    $coordValues),
+         |coord_latest AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY game_id
+         |      ORDER BY created_ts DESC) AS rn
+         |    FROM coord
+         |    WHERE embedding_version =
+         |      (SELECT max(embedding_version) FROM coord)) WHERE rn = 1)
          |SELECT g.game_id, g.name,
          |  COALESCE(p.n_pc, 0) AS n_player_counts,
          |  p.first_pc, p.first_best,
+         |  CAST(pl.game_id IS NOT NULL AS BIGINT) AS has_predictions,
+         |  pl.job_id AS pred_job,
+         |  CAST(ROUND(pl.predicted_rating * 100) AS BIGINT) AS pred_x100,
+         |  CAST(co.game_id IS NOT NULL AS BIGINT) AS has_embedding,
+         |  co.umap_1, co.pca_2, co.embedding_model,
+         |  co.embedding_version AS embedding_version,
          |  CAST(pr.game_id IS NOT NULL AS BIGINT) AS has_provenance,
          |  CAST(epoch(pr.fetch_timestamp) AS BIGINT) AS fetch_epoch,
          |  CAST(pr.fetch_success AS BIGINT) AS fetch_success
          |FROM ga g
          |LEFT JOIN pc_block p ON g.game_id = p.game_id
+         |LEFT JOIN pred_latest pl ON g.game_id = pl.game_id
+         |LEFT JOIN coord_latest co ON g.game_id = co.game_id
          |LEFT JOIN prov_latest pr ON g.game_id = pr.game_id
          |ORDER BY g.game_id""".stripMargin) { (s, _) =>
       import s.implicits._
       val ga = Models.gamesActive(gamesDf(s), ModelOps.now)
       val gf = Models.gamesFeatures(ga, entitiesMap(s), ModelOps.now)
       val pcr = Models.playerCountRecommendations(ga, pcDf(s))
+      val landing = predDf(s)
+      val preds = Models.bggPredictions(landing,
+        Models.gameFirstPrediction(landing), today)
+      val coords = Models.bggGameCoordinates(coordDf(s))
       val prov = provenance.toDF("game_id", "fetch_timestamp", "success")
-      Models.gameProfile(gf, pcr, prov).select(
+      Models.gameProfile(gf, pcr, preds, coords, prov).select(
         col("game_id"), col("name"),
         size(col("player_counts")).cast("long").as("n_player_counts"),
         element_at(col("player_counts"), 1).getField("player_count")
           .as("first_pc"),
         element_at(col("player_counts"), 1).getField("best_votes")
           .as("first_best"),
+        col("predictions").isNotNull.cast("long").as("has_predictions"),
+        col("predictions.job_id").as("pred_job"),
+        round(col("predictions.predicted_rating") * 100).cast("long")
+          .as("pred_x100"),
+        col("embedding").isNotNull.cast("long").as("has_embedding"),
+        col("embedding.umap_1").as("umap_1"),
+        col("embedding.pca_2").as("pca_2"),
+        col("embedding.embedding_model").as("embedding_model"),
+        col("embedding.embedding_version").as("embedding_version"),
         col("provenance").isNotNull.cast("long").as("has_provenance"),
         unix_timestamp(col("provenance.fetch_timestamp")).as("fetch_epoch"),
         col("provenance.fetch_success").cast("long").as("fetch_success"))
@@ -433,6 +500,29 @@ object ModelOps2 {
       Models.bggGameEmbeddings(embDf(s)).select(
         col("game_id"), col("embedding_version"),
         unix_timestamp(col("created_ts")).as("created_epoch"), col("job_id"))
+        .orderBy("game_id")
+    },
+
+    Q("t41_game_coordinates",
+      "bgg_game_coordinates: latest-embedding-version filter (a game on the stale version only vanishes) + newest-row-per-game dedup (bgg_game_coordinates.sqlx:8-28)",
+      s"""WITH coord(game_id, umap_1, umap_2, pca_1, pca_2, embedding_model,
+         |           embedding_version, created_ts) AS (VALUES
+         |    $coordValues),
+         |latest_version AS (SELECT MAX(embedding_version) AS v FROM coord)
+         |SELECT game_id, umap_1, umap_2, pca_1, pca_2, embedding_model,
+         |  embedding_version,
+         |  CAST(epoch(created_ts) AS BIGINT) AS created_epoch
+         |FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY game_id
+         |    ORDER BY created_ts DESC) AS rn
+         |  FROM coord c, latest_version
+         |  WHERE c.embedding_version = latest_version.v)
+         |WHERE rn = 1
+         |ORDER BY game_id""".stripMargin) { (s, _) =>
+      Models.bggGameCoordinates(coordDf(s)).select(
+        col("game_id"), col("umap_1"), col("umap_2"), col("pca_1"),
+        col("pca_2"), col("embedding_model"), col("embedding_version"),
+        unix_timestamp(col("created_ts")).as("created_epoch"))
         .orderBy("game_id")
     },
 

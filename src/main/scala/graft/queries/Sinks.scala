@@ -1687,11 +1687,14 @@ object Sinks {
     // same map-side-combinable aggregate — no second read.
     Q("s38_jsonl_ingest",
       "declared-schema JSONL scan: drift null-fills, malformed lines quarantine, one pass",
-      """SELECT lang AS bucket, count(*) AS n,
-        |  sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS chars,
-        |  sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_drifted
+      """SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS BIGINT)
+        |    AS chars,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drifted
         |FROM documents GROUP BY 1
-        |UNION ALL SELECT '_corrupt', 7, NULL, 0
+        |UNION ALL SELECT '_corrupt', CAST(7 AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(0 AS BIGINT)
         |ORDER BY bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.StructType
       val dir = scratch("s38")
@@ -1717,12 +1720,16 @@ object Sinks {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(dir)
+      // output types pinned LONG on both sides: DuckDB's sum() widens
+      // to HUGEINT, which the driver's hash canonicalization can
+      // represent differently from Spark's int64 — the oracle CASTs
+      // and these .cast("long")s keep both frames bit-identical
       raw.groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
           .otherwise(col("lang")).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).as("chars"),
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars"),
           sum(when(col("_corrupt_record").isNull && col("source").isNull, 1L)
-            .otherwise(0L)).as("n_drifted"))
+            .otherwise(0L)).cast("long").as("n_drifted"))
         .orderBy("bucket")
     },
 
@@ -1798,9 +1805,11 @@ object Sinks {
     // inferred: XML inference is a second full pass at 100 TB.
     Q("s40_xml_ingest",
       "native XML rowTag scan over staged API-style payloads: attributes, nesting, optional-element null-fill",
-      """SELECT lang AS bucket, count(*) AS n,
-        |  sum(CASE WHEN doc_id % 7 != 0 THEN n_chars END) AS chars,
-        |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_missing
+      """SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 7 != 0 THEN n_chars END) AS BIGINT)
+        |    AS chars,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missing
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.types.StructType
       val dir = scratch("s40")
@@ -1828,9 +1837,11 @@ object Sinks {
         .option("rowTag", "doc")
         .xml(dir)
         .groupBy(col("_lang").as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("chars")).as("chars"),
-          sum(when(col("chars").isNull, 1L).otherwise(0L)).as("n_missing"))
+        // LONG-pinned on both sides (see s38's note on HUGEINT)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("chars")).cast("long").as("chars"),
+          sum(when(col("chars").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_missing"))
         .orderBy("bucket")
     },
 

@@ -1341,11 +1341,14 @@ object StreamingOps {
     // == one batch pass).
     Q("st24_stream_jsonl_ingest",
       "drop-folder JSONL stream: per-tick guarded corpus + quarantine fold publishes, exactly-once",
-      """SELECT lang AS bucket, count(*) AS n,
-        |  sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS chars,
-        |  sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS n_drifted
+      """SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 10 != 0 THEN n_chars END) AS BIGINT)
+        |    AS chars,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drifted
         |FROM documents GROUP BY 1
-        |UNION ALL SELECT '_corrupt', 7, NULL, 0
+        |UNION ALL SELECT '_corrupt', CAST(7 AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(0 AS BIGINT)
         |ORDER BY bucket""".stripMargin) { (s, d) =>
       import graft.operators.TableStore
       import org.apache.spark.sql.types.StructType
@@ -1395,13 +1398,15 @@ object StreamingOps {
       }
       val corpus = TableStore.readFolded(s, corpusPath).drop("_mult")
       val quarantined = TableStore.readFolded(s, quarPath)
-        .agg(sum(col("_mult")).as("n")).select(
+        .agg(sum(col("_mult")).cast("long").as("n")).select(
           lit("_corrupt").as("bucket"), col("n"),
           lit(null).cast("bigint").as("chars"), lit(0L).as("n_drifted"))
+      // LONG-pinned on both sides (see s38's note on DuckDB HUGEINT)
       corpus.groupBy(col("lang").as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).as("chars"),
-          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_drifted"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_drifted"))
         .unionByName(quarantined)
         .orderBy("bucket")
     },

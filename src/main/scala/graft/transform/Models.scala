@@ -177,11 +177,20 @@ object Models {
           .otherwise(col("o_last_updated")).as("last_updated"))
   }
 
-  /** `game_profile` (game_profile.sqlx): the one-row-per-game serving
-    * document — feature scalars + entity arrays + nested player-count
-    * block (A6) + null-guarded struct blocks (F7/F8, J4).
+  /** `game_profile` (game_profile.sqlx:22-119): the one-row-per-game
+    * serving document, all FIVE blocks — feature scalars + entity
+    * arrays, nested player-count block (A6), and three null-guarded
+    * single-row struct blocks (F7/F8, J4): the WHOLE-ROW predictions
+    * struct (game_profile.sqlx:99 `IF(p.game_id IS NULL, NULL, p)` —
+    * whole-row so new ML output columns flow through automatically),
+    * the embedding-coordinates struct (sqlx:101-108), and fetch
+    * provenance (sqlx:110-113). Each block is a keyed LEFT join on
+    * game_id — one shuffle key shared across all four probes, every
+    * side pre-collapsed to one row per game, so at scale AQE
+    * broadcasts the small dims and the big ones co-partition.
     */
   def gameProfile(gamesFeatures: DataFrame, pcr: DataFrame,
+      predictions: DataFrame, coordinates: DataFrame,
       provenance: DataFrame): DataFrame = {
     val pcAgg = pcr.groupBy(col("game_id").as("pc_gid"))
       .agg(expr(
@@ -190,6 +199,13 @@ object Models {
           |    recommended_votes, not_recommended_votes, total_votes,
           |    best_percentage, recommended_percentage))),
           |  s_ -> s_)""".stripMargin).as("player_counts"))
+    // whole-row struct: faithful to bgg_predictions' full column set
+    val predStruct = predictions.select(col("game_id").as("pd_gid"),
+      struct(predictions.columns.map(col).toIndexedSeq: _*)
+        .as("pd_block"))
+    val coordStruct = coordinates.select(col("game_id").as("co_gid"),
+      struct(col("umap_1"), col("umap_2"), col("pca_1"), col("pca_2"),
+        col("embedding_model"), col("embedding_version")).as("co_block"))
     val provLatest = provenance
       .groupBy(col("game_id").as("pr_gid"))
       .agg(max(struct(col("fetch_timestamp"), col("success"))).as("m"))
@@ -197,6 +213,8 @@ object Models {
         col("m.success").as("fetch_success"))
     gamesFeatures
       .join(pcAgg, col("game_id") === col("pc_gid"), "left")
+      .join(predStruct, col("game_id") === col("pd_gid"), "left")
+      .join(coordStruct, col("game_id") === col("co_gid"), "left")
       .join(provLatest, col("game_id") === col("pr_gid"), "left")
       .select((gamesFeatures.columns.map(col).toSeq :+
         coalesce(col("player_counts"),
@@ -205,6 +223,10 @@ object Models {
             "not_recommended_votes:bigint,total_votes:bigint," +
             "best_percentage:double,recommended_percentage:double>>)"))
           .as("player_counts") :+
+        // a LEFT-join miss already yields a NULL struct — the same
+        // observable as the reference's IF(game_id IS NULL, NULL, …)
+        col("pd_block").as("predictions") :+
+        col("co_block").as("embedding") :+
         when(col("pr_gid").isNull, lit(null))
           .otherwise(struct(col("fetch_timestamp"), col("fetch_success")))
           .as("provenance")): _*)
@@ -247,6 +269,26 @@ object Models {
     val w = Window.partitionBy("game_id")
       .orderBy(col("created_ts").desc, col("job_id").desc)
     embeddingsLanding
+      .crossJoin(broadcast(latestVersion))
+      .filter(col("embedding_version") === col("max_version"))
+      .drop("max_version")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** `bgg_game_coordinates` (bgg_game_coordinates.sqlx:8-28): the
+    * UMAP/PCA visualization coordinates, restricted to the latest
+    * embedding_version (P10 — one consistent projection space, via a
+    * broadcast 1-row scalar like [[bggGameEmbeddings]]) then deduped
+    * to the newest row per game (W1 — the reference orders by
+    * created_ts DESC alone, sqlx:24; mirrored exactly, so callers
+    * must not rely on same-instant tie order).
+    */
+  def bggGameCoordinates(coordinatesLanding: DataFrame): DataFrame = {
+    val latestVersion = coordinatesLanding.agg(
+      max(col("embedding_version")).as("max_version"))
+    val w = Window.partitionBy("game_id").orderBy(col("created_ts").desc)
+    coordinatesLanding
       .crossJoin(broadcast(latestVersion))
       .filter(col("embedding_version") === col("max_version"))
       .drop("max_version")

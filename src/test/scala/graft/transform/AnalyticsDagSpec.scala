@@ -82,6 +82,11 @@ class AnalyticsDagSpec extends SparkSpec {
         Node("game_profile", Seq("games_features", "player_count_recommendations"),
           ins => Models.gameProfile(ins("games_features"),
             ins("player_count_recommendations"),
+            Seq((1L, 1L, ts1, 7.25)).toDF(
+              "job_id", "game_id", "score_ts", "predicted_rating"),
+            Seq((1L, 0.25, 0.75, 1.5, -0.5, "umap-m2", 2L, ts1)).toDF(
+              "game_id", "umap_1", "umap_2", "pca_1", "pca_2",
+              "embedding_model", "embedding_version", "created_ts"),
             Seq((1L, ts1, true)).toDF("game_id", "fetch_timestamp", "success")))),
       sources = Map("games" -> core("games")))
   }
@@ -116,13 +121,23 @@ class AnalyticsDagSpec extends SparkSpec {
     assert(h2.collect().forall(_.getAs[java.sql.Timestamp]("last_updated") == now))
   }
 
-  test("game_profile: nested player counts + null-guarded provenance") {
+  test("game_profile: nested player counts + null-guarded struct blocks") {
     val p1 = out("game_profile").filter(col("game_id") === 1).head()
     val pcs = p1.getSeq[org.apache.spark.sql.Row](p1.fieldIndex("player_counts"))
     assert(pcs.length == 1 && pcs.head.getAs[String]("player_count") == "3")
     assert(pcs.head.getAs[Double]("best_percentage") == 71.43)
     assert(p1.getAs[org.apache.spark.sql.Row]("provenance") != null)
+    // predictions is the WHOLE landing row as a struct; embedding is
+    // the six-field coordinates struct (game_profile.sqlx:99-108)
+    val pred = p1.getAs[org.apache.spark.sql.Row]("predictions")
+    assert(pred != null && pred.getAs[Double]("predicted_rating") == 7.25)
+    val emb = p1.getAs[org.apache.spark.sql.Row]("embedding")
+    assert(emb != null && emb.getAs[Double]("umap_1") == 0.25 &&
+      emb.getAs[String]("embedding_model") == "umap-m2")
+    // a game absent from all three single-row blocks: every struct NULL
     val p2 = out("game_profile").filter(col("game_id") === 2).head()
     assert(p2.getAs[org.apache.spark.sql.Row]("provenance") == null)
+    assert(p2.getAs[org.apache.spark.sql.Row]("predictions") == null)
+    assert(p2.getAs[org.apache.spark.sql.Row]("embedding") == null)
   }
 }

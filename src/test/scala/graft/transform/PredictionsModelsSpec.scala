@@ -43,4 +43,23 @@ class PredictionsModelsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("game_id") == 1L)
     assert(out.head.getAs[String]("job_id") == "c")
   }
+
+  test("bgg_game_coordinates: latest version only, then newest per game") {
+    import TestSpark.spark.implicits._
+    val landing = Seq(
+      (1L, 0.125, 0.25, 1.5, -0.5, "m1", 1L, ts("2026-01-01 00:00:00")),
+      (1L, 0.25, 0.75, 1.25, -0.25, "m2", 2L, ts("2026-01-02 00:00:00")),
+      (1L, 0.5, 0.625, 1.0, -1.0, "m2", 2L, ts("2026-01-04 00:00:00")),
+      (3L, 0.375, 0.875, 0.5, 0.75, "m1", 1L, ts("2026-01-05 00:00:00"))
+    ).toDF("game_id", "umap_1", "umap_2", "pca_1", "pca_2",
+      "embedding_model", "embedding_version", "created_ts")
+    // game 3 exists only at the stale version -> dropped entirely;
+    // game 1 keeps its NEWEST v2 row (created_ts dedup)
+    val out = Models.bggGameCoordinates(landing).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("game_id") == 1L)
+    assert(out.head.getAs[Double]("umap_1") == 0.5)
+    assert(out.head.getAs[String]("embedding_model") == "m2")
+    assert(out.head.getAs[Long]("embedding_version") == 2L)
+  }
 }
