@@ -98,14 +98,16 @@ object Bench {
     // clearCache() below guarantees no cross-run result reuse).
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(2).max(1)
     // streaming queries (st*) replay multi-micro-batch machinery with
-    // per-batch store round-trips — wall-heavy (~2-10 s each), but a
-    // SINGLE pass proved too noisy to diff across rounds (r8's raw
-    // tail showed st8 at 12.7 s where min-of-2 measured 3.5 s —
-    // phantom 3-5x "regressions"), so they now default to min-of-2
-    // like everything else; the ~1 min of extra bench wall buys
-    // honest round-over-round tails
+    // per-batch store round-trips — wall-heavy (~2-10 s each) and the
+    // noisiest family in the catalog (r8's raw tail showed st8 at
+    // 12.7 s where min-of-2 measured 3.5 s; the r10 driver rerun read
+    // st26 at 3.3x its committed min — phantom "regressions" both
+    // times). A single pass is useless and even min-of-2 leaves 2-3x
+    // run-to-run spread on the checkpoint-heavy replays, so st*
+    // defaults to min-of-3 (~+30 s of bench wall for round-over-round
+    // tails that actually diff); everything else stays min-of-2
     val streamRepeats =
-      sys.env.get("SPARK_GRAFT_STREAM_REPEATS").map(_.toInt).getOrElse(2).max(1)
+      sys.env.get("SPARK_GRAFT_STREAM_REPEATS").map(_.toInt).getOrElse(3).max(1)
     val results = measured.map { case (name, fn) =>
       val n = if (name.startsWith("st")) streamRepeats else repeats
       val times = (1 to n).map { _ =>

@@ -83,14 +83,14 @@ object ScaleDocsCheck {
     // the ceiling catches a slot-serialization regression, the
     // family's one measured codec pathology
     "m9_video_demux" -> 6.0,
-    // per-row CPU work (n-gram LM scoring / image re-encode) is
-    // honestly LINEAR in data: at 10× rows on the same 32 cores the
-    // wall may approach 10× once the small run stops hiding compute
-    // under fixed overhead. Measured 5.84× (t28, after the map-literal
-    // model rewrite) and 4.85× (m3) — ceilings sit just above the
+    // per-row CPU work (image re-encode) is honestly LINEAR in data:
+    // at 10× rows on the same 32 cores the wall may approach 10× once
+    // the small run stops hiding compute under fixed overhead.
+    // Measured 4.85× (m3) — the ceiling sits just above the
     // linear-CPU measurement so an accidentally quadratic rewrite
-    // still trips the gate
-    "t28_lm_quality_score" -> 9.0,
+    // still trips the gate. (t28's former 9.0 ceiling is GONE: the
+    // row-local BigramCounts/BigramLmScore expressions took it from
+    // 8.56× to 1.62× — it now rides the default gate.)
     "m3_resize" -> 6.5)
 
   /** Every other audited query gets this DEFAULT wall-ratio ceiling

@@ -255,8 +255,11 @@ object StreamingOps {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val tmp = java.nio.file.Files.createTempDirectory("graft_st15")
       val viewPath = tmp.resolve("view").toString
+      // cached like b: feeds the v0 publish, the v0 view join, the
+      // edit script and the changelog diff — four scans otherwise
       val a = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .cache()
       val editedA = a.filter(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
           col("o_custkey") + 1).otherwise(col("o_custkey")))
@@ -301,8 +304,17 @@ object StreamingOps {
       }
       val basePathA = tmp.resolve("base_a").toString
       val basePathB = tmp.resolve("base_b").toString
-      phase("init")(JoinViewMaintenance.init(s, viewPath, basePathA, basePathB,
-        a, b, Seq("o_orderkey")))
+      // init (three v0 publishes) and the changelog staging below both
+      // read only the in-memory inputs a/b — neither depends on the
+      // other's outputs, so they overlap on separate threads (the
+      // stream itself starts after BOTH complete, preserving the WAL
+      // ordering); on local[32] this hides the shorter phase entirely
+      val fInit = {
+        import scala.concurrent.Future
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Future(phase("init")(JoinViewMaintenance.init(s, viewPath,
+          basePathA, basePathB, a, b, Seq("o_orderkey"))))
+      }
       // one combined changelog (keyed diffs via the s24 snapshot-diff
       // ALGORITHM, run directly on the in-memory states — the producer
       // already holds both, so the four snapshot round trips i4 pays
@@ -321,6 +333,8 @@ object StreamingOps {
       val stream = phase("diff-stage")(
         EventStream.stagedFileStream(s, dA.unionByName(dB),
           tmp.resolve("stage").toString, nFiles = EventStream.ticks(3)))
+      scala.concurrent.Await.result(fInit,
+        scala.concurrent.duration.Duration.Inf)
       phase("stream")(EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, batchId) =>
         val slice = batch.cache()

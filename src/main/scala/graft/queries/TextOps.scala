@@ -506,33 +506,35 @@ object TextOps {
            |  cast(round(s / cast(n_bigrams as double) * 1000000) as bigint) AS score_e6
            |FROM scored ORDER BY doc_id""".stripMargin
       }) { (s, d) =>
-      implicit val dl: Dialect = SqlSpark
-      val pos = t(s, d, "documents")
+      import org.apache.spark.sql.GraftColumnBridge
+      import graft.functions.{BigramCounts, BigramLmScore}
+      val docs = t(s, d, "documents")
         .filter(length(col("text")) >= 2)
-        .select(col("doc_id"),
-          explode(expr(SqlSpark.seq0("length(text) - 1"))).as("i"),
-          col("text"))
-        .select(col("doc_id"),
-          expr("substr(text, cast(i + 1 as int), 2)").as("bg"))
+        .select(col("doc_id"), col("text"))
       // the char-bigram model is VOCABULARY-bounded (alphabet², a few
       // hundred rows here, ≤64k for full byte pairs at any corpus
-      // size), so it collects to the driver and ships as a map
-      // literal — the CCNet discipline of training the LM once and
-      // broadcasting it. The scoring pass then reads the count with
-      // one map lookup per bigram instead of hash-probing a
-      // broadcast join over every exploded row (the two corpus
-      // passes — model build, scoring — are inherent to the op).
-      val model: Map[String, Long] = pos.groupBy("bg")
-        .agg(count(lit(1)).as("c"))
+      // size), so it collects to the driver and ships inside the
+      // scoring expression — the CCNet discipline of training the LM
+      // once and broadcasting it. BOTH corpus passes run compressed:
+      // the model pass pre-aggregates bigrams INSIDE each row
+      // (graft_bigram_counts — distinct-bigram entries leave the
+      // projection, not per-position rows) and combines map-side to
+      // the vocabulary; the scoring pass is one narrow generated
+      // projection per doc (BigramLmScore — decimal-exact integer
+      // multiples of the per-occurrence dsum terms, zero Exchange
+      // before the final sort), where the old shape exploded the
+      // corpus to per-position rows TWICE.
+      val model: Map[String, Long] = docs
+        .select(explode(GraftColumnBridge.column(
+          BigramCounts(GraftColumnBridge.expression(col("text"))))).as("e"))
+        .groupBy(col("e.bg").as("bg"))
+        .agg(sum(col("e.n")).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val modelCol = typedLit(model)
-      pos
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          dsum(log(element_at(modelCol, col("bg")).cast("double") + 1.0),
-            12).as("s"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("s") / col("n_bigrams").cast("double") * 1000000)
+      docs
+        .select(col("doc_id"), GraftColumnBridge.column(BigramLmScore(
+          GraftColumnBridge.expression(col("text")), model)).as("sc"))
+        .select(col("doc_id"), col("sc.n_bigrams").as("n_bigrams"),
+          round(col("sc.s") / col("sc.n_bigrams").cast("double") * 1000000)
             .cast("long").as("score_e6"))
         .orderBy("doc_id")
     },

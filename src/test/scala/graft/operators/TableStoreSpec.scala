@@ -647,6 +647,14 @@ class TableStoreSpec extends SparkSpec {
     // the committed version's pointed dir is untouched
     assert(TableStore.readVersion(spark, p).as[(Long, Long)]
       .collect().toSeq == Seq((1L, 1L)))
+    // tuned threshold: an operator who KNOWS no publisher is running
+    // (maintenance window) reclaims immediately with minAgeMs = 0;
+    // conversely a raised threshold protects a slow publisher's gap
+    Seq((3L, 3L)).toDF("k", "n").write.parquet(s"$p/d_crashed2")
+    assert(TableStore.vacuum(spark, p, minAgeMs = Long.MaxValue) == 0L,
+      "a raised threshold must keep even an old unreferenced dir")
+    assert(TableStore.vacuum(spark, p, minAgeMs = 0L) == 1L)
+    assert(!new java.io.File(s"$p/d_crashed2").exists())
   }
 
   test("readFoldedUnion: aggregating the raw signed chain == aggregating the folded state") {

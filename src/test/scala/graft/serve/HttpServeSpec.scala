@@ -84,6 +84,33 @@ class HttpServeSpec extends SparkSpec {
 
       val (c8, badMode) = get(port, "/search?q=a+b&mode=nope")
       assert(c8 == 400 && badMode.contains("unknown mode"), s"$c8 $badMode")
+
+      // an id beyond Long range is an id no game can have: 404, not a
+      // NumberFormatException escaping as a 500
+      val (c9, huge) = get(port, "/games/123456789012345678901")
+      assert(c9 == 404 && huge.contains("not found"), s"$c9 $huge")
+      val (c10, hugeS) = get(port, "/games/123456789012345678901/similar")
+      assert(c10 == 404 && hugeS.contains("not found"), s"$c10 $hugeS")
+    } finally {
+      srv.stop()
+      readers.close()
+    }
+  }
+
+  test("reader failure surfaces as a generic 500 — no exception detail in the body") {
+    // a profiles frame that detonates at collect time stands in for
+    // any backend failure (corrupt file, lost executor): the client
+    // must see the fixed generic body, never raise_error's message
+    val bad = TestSpark.spark.range(1)
+      .selectExpr("id AS vec_id", "raise_error('secret-internal-path') AS boom")
+    val readers = new Readers(TestSpark.spark, bad, bad, bad)
+    val srv = new HttpServe(readers)
+    srv.start()
+    try {
+      val (code, body) = get(srv.boundPort, "/games/0")
+      assert(code == 500, s"$code $body")
+      assert(body == """{"error":"internal server error"}""", body)
+      assert(!body.contains("secret-internal-path"), body)
     } finally {
       srv.stop()
       readers.close()
