@@ -118,6 +118,46 @@ object ModelOps2 {
         s"${sqlS(m)}, $v, ${sqlTs(t)})"
     }.mkString(",\n    ")
 
+  /** Description-embedding landing rows, split into the initial load
+    * and a later increment (every increment row strictly newer than
+    * gen-1's max created_ts, so the sqlx:30 strict-`>` watermark
+    * passes them all and incremental == full is provable). Gen 1:
+    * game 1 has a stale-version row (version filter drops it) and a
+    * current row; game 2 has a same-instant job tie (job_id DESC
+    * breaks it). Gen 2: game 1 updated, game 3 new.
+    * (game_id, name, embedding, embedding_model, embedding_version,
+    * embedding_dim, algorithm, document_method, created_ts, job_id).
+    */
+  type DescEmbRow = (Long, String, Seq[Double], String, Long, Long,
+    String, String, java.sql.Timestamp, Long)
+  val descEmbGen1: Seq[DescEmbRow] = Seq(
+    (1L, "Alpha", Seq(0.125, 0.25), "text-m1", 1L, 2L, "umap", "concat",
+      ts("2026-01-01 00:00:00"), 0L),
+    (1L, "Alpha", Seq(0.5, 0.75), "text-m2", 2L, 2L, "umap", "concat",
+      ts("2026-01-02 00:00:00"), 1L),
+    (2L, "Beta", Seq(-0.25, 0.375), "text-m2", 2L, 2L, "umap", "concat",
+      ts("2026-01-03 00:00:00"), 2L),
+    (2L, "Beta", Seq(-0.5, 0.625), "text-m2", 2L, 2L, "umap", "concat",
+      ts("2026-01-03 00:00:00"), 5L))
+  val descEmbGen2: Seq[DescEmbRow] = Seq(
+    (1L, "Alpha", Seq(0.875, -0.125), "text-m2", 2L, 2L, "umap", "concat",
+      ts("2026-01-05 00:00:00"), 6L),
+    (3L, "Gamma", Seq(0.0, 1.0), "text-m2", 2L, 2L, "umap", "concat",
+      ts("2026-01-04 00:00:00"), 7L))
+
+  private def descEmbDf(s: SparkSession, rows: Seq[DescEmbRow]): DataFrame = {
+    import s.implicits._
+    rows.toDF("game_id", "name", "embedding", "embedding_model",
+      "embedding_version", "embedding_dim", "algorithm", "document_method",
+      "created_ts", "job_id")
+  }
+
+  private def descEmbValues(rows: Seq[DescEmbRow]): String =
+    rows.map { case (g, nm, e, m, v, dim, alg, dm, t, j) =>
+      s"($g, ${sqlS(nm)}, ${sqlD(e.head)}, ${sqlS(m)}, $v, $dim, " +
+        s"${sqlS(alg)}, ${sqlS(dm)}, ${sqlTs(t)}, $j)"
+    }.mkString(",\n    ")
+
   /** Registry: (username, outcome, model_version, finalize_through_year,
     * registered_at, status) — one active v2, a retired v1 for the same
     * (user, outcome), and an active v1 for another pair.
@@ -523,6 +563,56 @@ object ModelOps2 {
         col("game_id"), col("umap_1"), col("umap_2"), col("pca_1"),
         col("pca_2"), col("embedding_model"), col("embedding_version"),
         unix_timestamp(col("created_ts")).as("created_epoch"))
+        .orderBy("game_id")
+    },
+
+    // t42 runs the reference's ACTUAL incremental protocol end to end
+    // (bgg_description_embeddings is `type: incremental, uniqueKey:
+    // [game_id]`): full build, then a delta pass gated by the stored
+    // table's max created_ts (strict >) merged in by game_id — and
+    // the oracle is the FULL recompute over both generations, so the
+    // gate is incremental == full (the t18 discipline). At 100 TB the
+    // delta pass reads only landing rows above the watermark — the
+    // semi-join input reduction that took the reference's features
+    // model from 4 h to 8 s (docs/dataform_operations.md:15).
+    Q("t42_description_embeddings",
+      "bgg_description_embeddings incremental: strict-watermark delta merged by game_id == full recompute (bgg_description_embeddings.sqlx:10-35)",
+      s"""WITH landing(game_id, name, emb0, embedding_model,
+         |             embedding_version, embedding_dim, algorithm,
+         |             document_method, created_ts, job_id) AS (VALUES
+         |    ${descEmbValues(descEmbGen1 ++ descEmbGen2)}),
+         |latest_version AS (SELECT MAX(embedding_version) AS v FROM landing)
+         |SELECT game_id, name, emb0, embedding_model, embedding_version,
+         |  embedding_dim, algorithm, document_method,
+         |  CAST(epoch(created_ts) AS BIGINT) AS created_epoch, job_id
+         |FROM (
+         |  SELECT l.*, row_number() OVER (PARTITION BY game_id
+         |    ORDER BY created_ts DESC, job_id DESC) AS rn
+         |  FROM landing l, latest_version
+         |  WHERE l.embedding_version = latest_version.v)
+         |WHERE rn = 1
+         |ORDER BY game_id""".stripMargin) { (s, _) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_t42")
+      val path = tmp.resolve("desc_emb").toString
+      // initial full build
+      TableStore.overwrite(
+        Models.bggDescriptionEmbeddings(descEmbDf(s, descEmbGen1)), path)
+      // incremental tick: watermark from the STORED table, strictly
+      // newer landing rows only, merged by the model's unique key
+      val wm = TableStore.read(s, path)
+        .agg(max(col("created_ts"))).head().getTimestamp(0)
+      TableStore.upsertByKey(s, path,
+        Models.bggDescriptionEmbeddings(
+          descEmbDf(s, descEmbGen1 ++ descEmbGen2), Some(wm)),
+        Seq("game_id"))
+      TableStore.read(s, path).select(
+        col("game_id"), col("name"),
+        element_at(col("embedding"), 1).as("emb0"),
+        col("embedding_model"), col("embedding_version"),
+        col("embedding_dim"), col("algorithm"), col("document_method"),
+        unix_timestamp(col("created_ts")).as("created_epoch"),
+        col("job_id"))
         .orderBy("game_id")
     },
 

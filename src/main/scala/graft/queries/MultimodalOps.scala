@@ -93,8 +93,9 @@ object MultimodalOps {
     // Scale shape: the pair discovery is an EQUI-JOIN on the frame
     // hash (identical copies and re-containered media collide on their
     // frames) — never an all-pairs media comparison; the per-pair
-    // count is a groupBy on the matched hash rows only. Same stub
-    // decode as m2 (payload == sanitized ASCII bytes), so the oracle
+    // count is a groupBy on the matched hash rows only. The frames
+    // are decoded PIXEL ROWS of each doc's real PNG (gray8 PNG is
+    // lossless, payload == sanitized ASCII bytes), so the oracle
     // states the identical frames via substr arithmetic.
     Q("m5_media_near_dup",
       "image near-dup pairs: >= 2 shared decoded-pixel-row hashes (equi-join, never all-pairs)",

@@ -296,6 +296,35 @@ object Models {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** `bgg_description_embeddings` (bgg_description_embeddings.sqlx:
+    * 10-35): the text-description embedding table — latest
+    * embedding_version only (P10, one consistent vector space), then
+    * latest row per game by (created_ts, job_id) (W1). The reference
+    * model is INCREMENTAL (`uniqueKey: game_id`): pass the stored
+    * table's max created_ts as `watermark` and only STRICTLY newer
+    * landing rows are processed (sqlx:30 `created_ts > (SELECT
+    * MAX(created_ts) FROM self)` — a row stamped exactly AT the
+    * watermark is skipped, the reference's boundary semantics,
+    * pinned in PredictionsModelsSpec); merge the result by game_id
+    * ([[graft.operators.TableStore.upsertByKey]]) and incremental ==
+    * full recompute, the t18 discipline t42 gates. The version
+    * scalar is computed over the FULL landing (pre-watermark), as in
+    * the reference.
+    */
+  def bggDescriptionEmbeddings(landing: DataFrame,
+      watermark: Option[java.sql.Timestamp] = None): DataFrame = {
+    val latestVersion = landing.agg(
+      max(col("embedding_version")).as("max_version"))
+    val w = Window.partitionBy("game_id")
+      .orderBy(col("created_ts").desc, col("job_id").desc)
+    watermark.fold(landing)(ts => landing.filter(col("created_ts") > lit(ts)))
+      .crossJoin(broadcast(latestVersion))
+      .filter(col("embedding_version") === col("max_version"))
+      .drop("max_version")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   /** `game_similarity_search` (game_similarity_search.sqlx):
     * embeddings enriched with filter/display features. Deliberately
     * unclustered in the reference (layout measured useless for the

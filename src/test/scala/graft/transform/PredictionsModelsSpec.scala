@@ -44,6 +44,31 @@ class PredictionsModelsSpec extends SparkSpec {
     assert(out.head.getAs[String]("job_id") == "c")
   }
 
+  test("bgg_description_embeddings: version filter, watermark strictly exclusive, full-landing version scalar") {
+    import TestSpark.spark.implicits._
+    val wm = ts("2026-01-03 00:00:00")
+    val landing = Seq(
+      (1L, Seq(0.5), 2L, ts("2026-01-05 00:00:00"), 6L),   // > wm: kept
+      (2L, Seq(0.25), 2L, ts("2026-01-03 00:00:00"), 7L),  // == wm: SKIPPED
+      (3L, Seq(0.75), 1L, ts("2026-01-06 00:00:00"), 8L),  // stale version
+      (4L, Seq(1.0), 2L, ts("2026-01-01 00:00:00"), 9L)    // < wm: skipped
+    ).toDF("game_id", "embedding", "embedding_version", "created_ts", "job_id")
+    // the sqlx:30 watermark is created_ts > MAX(stored) — a row
+    // stamped exactly AT the watermark is NOT reprocessed (the
+    // reference's boundary semantics, mirrored deliberately)
+    val inc = Models.bggDescriptionEmbeddings(landing, Some(wm)).collect()
+    assert(inc.map(_.getAs[Long]("game_id")).toSet == Set(1L))
+    // the version scalar comes from the FULL landing: a watermark
+    // pass where only stale-version rows are new yields nothing,
+    // it does not fall back to the stale version's rows
+    val inc2 = Models.bggDescriptionEmbeddings(
+      landing.filter(col("game_id") =!= 1L), Some(wm)).collect()
+    assert(inc2.isEmpty)
+    // full (no watermark): latest version only, newest row per game
+    val full = Models.bggDescriptionEmbeddings(landing).collect()
+    assert(full.map(_.getAs[Long]("game_id")).toSet == Set(1L, 2L, 4L))
+  }
+
   test("bgg_game_coordinates: latest version only, then newest per game") {
     import TestSpark.spark.implicits._
     val landing = Seq(
