@@ -183,7 +183,9 @@ object Plans {
     "c21_pseudonym_vault" ->
       "Pseudonymized serving read: the O(subjects) vault BROADCASTS into the tokenized fact scan (re-identification is a map-side left join); forgetting deleted a vault row, so no plan over the fact table ever changes.",
     "t40_phrase_query" ->
-      "Phrase search from positional postings: the (term, offset) spec BROADCASTS into the term-prefix-pruned postings scan and matching is ONE anchor aggregate — no per-word self-join chain, plan depth independent of phrase length, cost O(Σ phrase-term postings).")
+      "Phrase search from positional postings: the (term, offset) spec BROADCASTS into the term-prefix-pruned postings scan and matching is ONE anchor aggregate — no per-word self-join chain, plan depth independent of phrase length, cost O(Σ phrase-term postings).",
+    "t28_lm_quality_score" ->
+      "Self-trained bigram-LM quality score: the model pass pre-aggregates bigrams INSIDE each row (graft_bigram_counts — distinct entries leave the projection, not per-position rows) and the scoring pass is ONE narrow generated projection with the trained model embedded (BigramLmScore), zero Exchange before the final sort — the row-local rewrite that took the 10x docs ratio from 8.56x to 1.62x.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry
