@@ -185,7 +185,11 @@ object Plans {
     "t40_phrase_query" ->
       "Phrase search from positional postings: the (term, offset) spec BROADCASTS into the term-prefix-pruned postings scan and matching is ONE anchor aggregate — no per-word self-join chain, plan depth independent of phrase length, cost O(Σ phrase-term postings).",
     "t28_lm_quality_score" ->
-      "Self-trained bigram-LM quality score: the model pass pre-aggregates bigrams INSIDE each row (graft_bigram_counts — distinct entries leave the projection, not per-position rows) and the scoring pass is ONE narrow generated projection with the trained model embedded (BigramLmScore), zero Exchange before the final sort — the row-local rewrite that took the 10x docs ratio from 8.56x to 1.62x.")
+      "Self-trained bigram-LM quality score: the model pass pre-aggregates bigrams INSIDE each row (graft_bigram_counts — distinct entries leave the projection, not per-position rows) and the scoring pass is ONE narrow generated projection with the trained model embedded (BigramLmScore), zero Exchange before the final sort — the row-local rewrite that took the 10x docs ratio from 8.56x to 1.62x.",
+    "t12b_packing_distributed" ->
+      "Distributed prefix scan: the per-language running sum computes as balanced range SLICES (window keyed by slice, never by whole language) + a slices-x-langs offset aggregate broadcast back — the skewed-language single-task ceiling of a plain PARTITION BY window is gone.",
+    "c22_weighted_sample" ->
+      "Efraimidis-Spirakis weighted sample: one scan computes ln(u)/w per row and TakeOrderedAndProject keeps a bounded per-partition heap — k rows per partition reach the merge, no global sort at any corpus size.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry

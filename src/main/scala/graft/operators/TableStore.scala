@@ -959,13 +959,37 @@ object TableStore {
     * NULL-vs-'null'-string collisions) are real changes.
     */
   def changesBetween(spark: SparkSession, path: String, fromV: Long,
-      toV: Long, keys: Seq[String]): DataFrame = {
+      toV: Long, keys: Seq[String], allowEvolution: Boolean = false): DataFrame = {
     val pre = readVersion(spark, path, Some(fromV))
     val post = readVersion(spark, path, Some(toV))
-    require(pre.columns.sameElements(post.columns),
-      s"changesBetween: schema drift between v$fromV and v$toV " +
-        s"(${pre.columns.mkString(",")} vs ${post.columns.mkString(",")})")
-    diffKeyed(pre, post, keys)
+    if (!allowEvolution) {
+      require(pre.columns.sameElements(post.columns),
+        s"changesBetween: schema drift between v$fromV and v$toV " +
+          s"(${pre.columns.mkString(",")} vs ${post.columns.mkString(",")}) — " +
+          "pass allowEvolution=true to diff across an additive schema change")
+      diffKeyed(pre, post, keys)
+    } else diffKeyed(alignTo(pre, post), alignTo(post, pre), keys)
+  }
+
+  /** Schema reconciliation for CDC across an additive evolution
+    * (Delta's mergeSchema read semantics): columns the other snapshot
+    * has and this one lacks are appended as typed NULLs, so a
+    * pre-evolution row whose new column was never backfilled compares
+    * EQUAL to its post-evolution image (NULL == NULL in the change
+    * hash) — evolution alone produces zero change rows. A column
+    * present on both sides must agree on type: silently casting a
+    * retyped column would fabricate or mask changes, so that drift
+    * stays loud.
+    */
+  private def alignTo(df: DataFrame, other: DataFrame): DataFrame = {
+    val mine = df.schema.map(f => f.name -> f.dataType).toMap
+    other.schema.foreach(f => mine.get(f.name).foreach(t =>
+      require(t == f.dataType,
+        s"changesBetween: column ${f.name} changed type ($t vs " +
+          s"${f.dataType}) — additive evolution only")))
+    val extra = other.schema.filterNot(f => mine.contains(f.name))
+    df.select(df.columns.map(col) ++
+      extra.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
   /** The keyed snapshot-diff algorithm behind [[changesBetween]],

@@ -1013,6 +1013,52 @@ object CorpusOps {
       w.select(col("source"), col("n_docs"), col("loss6").as("loss_e6"),
           col("w9").as("weight_e9"))
         .orderBy("source")
+    },
+
+    // ---------------------------------------------------------------
+    // Weighted sampling without replacement — Efraimidis–Spirakis
+    // (IPL 2006): each doc draws u ∈ (0,1) and the k largest
+    // u^(1/w) win, which is EXACTLY a w-proportional sample without
+    // replacement, yet needs only one scan + a bounded top-k (no
+    // global sort, no sequential draw — the property that makes it
+    // the distributed-sampling workhorse). Selection orders by
+    // ln(u)/w (same order, no underflow for tiny weights); u is a
+    // Knuth multiplicative hash of doc_id — a bijection mod 2^32, so
+    // the draw is deterministic, seedable, and identical in both
+    // engines (the oracle literally re-runs the same arithmetic).
+    // Scale shape: the plan is gated to TakeOrderedAndProject — each
+    // partition keeps its local top-20 and only k rows per partition
+    // reach the driver-side merge; a 100 TB corpus pays one scan.
+    Q("c22_weighted_sample",
+      "Efraimidis-Spirakis weighted sample (k=20, weight = token count): one scan + bounded top-k, no global sort",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH d AS (
+           |  SELECT doc_id, cast(${dl.arrSize(wordsC)} AS BIGINT) AS weight,
+           |    (cast((doc_id * 2654435761) % 4294967296 AS double) + 0.5)
+           |      / 4294967296.0 AS u
+           |  FROM documents WHERE ${dl.arrSize(wordsC)} > 0),
+           |s AS (
+           |  SELECT doc_id, weight, ln(u) / cast(weight AS double) AS es_key
+           |  FROM d ORDER BY es_key DESC, doc_id LIMIT 20)
+           |SELECT doc_id, weight FROM s ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val drawn = t(s, d, "documents")
+        .selectExpr("doc_id",
+          s"cast(${dl.arrSize(wordsC)} AS BIGINT) AS weight")
+        .filter(col("weight") > 0)
+        .withColumn("u",
+          (((col("doc_id") * lit(2654435761L)) % lit(4294967296L))
+            .cast("double") + lit(0.5)) / lit(4294967296.0))
+        .withColumn("es_key", log(col("u")) / col("weight").cast("double"))
+      val sample = drawn
+        .orderBy(col("es_key").desc, col("doc_id")).limit(20)
+      val plan = sample.queryExecution.executedPlan.toString
+      require(plan.contains("TakeOrderedAndProject"),
+        s"c22: top-k selection must be TakeOrderedAndProject (bounded " +
+          s"per-partition heaps), not a global sort:\n$plan")
+      sample.select("doc_id", "weight").orderBy("doc_id")
     }
   )
 

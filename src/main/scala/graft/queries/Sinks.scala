@@ -2049,6 +2049,65 @@ object Sinks {
         (plan.contains("PushedFilters") && plan.contains("GreaterThan(o_totalprice")),
         s"s45: predicate must reach the ORC scan's PushedFilters:\n$plan")
       back
+    },
+
+    // ---------------------------------------------------------------
+    // Schema evolution — the add-a-column lifecycle every long-lived
+    // table goes through (Delta/Iceberg ADD COLUMN): v1 ships
+    // (c_custkey, c_name); the pipeline later starts carrying
+    // c_mktsegment, so v2 = old rows NULL-padded (nothing backfilled)
+    // + new rows with the column populated + ONE genuine in-place
+    // edit (custkey 1 renamed). Each snapshot keeps ITS OWN schema —
+    // time travel to v1 must show two columns (gated in-query), the
+    // live read shows three. The CDC seam is the sharp edge:
+    // changesBetween(allowEvolution=true) reconciles the schemas with
+    // typed NULLs so evolution ALONE emits zero change rows — the
+    // diff below must count exactly the inserts plus one rename pair,
+    // or the row goes red (a naive diff would flag every NULL-padded
+    // old row as updated). At scale this is metadata-only: no rewrite
+    // of existing files, the reconciliation is a projection.
+    Q("s46_schema_evolution",
+      "additive schema evolution: per-version schemas, time travel pre-evolution, CDC across the boundary flags only real changes",
+      s"""SELECT 'insert' AS kind, count(*) AS n
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |UNION ALL SELECT 'null_segment_rows', count(*)
+         |  FROM customer WHERE c_custkey % 3 <> 0
+         |UNION ALL SELECT 'segment_rows', count(*)
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |UNION ALL SELECT 'update_postimage', cast(1 AS BIGINT)
+         |UNION ALL SELECT 'update_preimage', cast(1 AS BIGINT)
+         |ORDER BY kind""".stripMargin) { (s, d) =>
+      val path = scratch("s46")
+      val c = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+      val v1df = c.filter(col("c_custkey") % 3 =!= 0)
+        .select("c_custkey", "c_name")
+      val v1 = TableStore.publishVersion(s, path, v1df, note = "pre-evolution")
+      val renamed = v1df.withColumn("c_name",
+        when(col("c_custkey") === 1, concat(col("c_name"), lit(" (renamed)")))
+          .otherwise(col("c_name")))
+      val v2 = TableStore.publishVersion(s, path,
+        renamed.withColumn("c_mktsegment", lit(null).cast("string"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 0)),
+        note = "post-evolution")
+      // time travel: the pre-evolution snapshot keeps its own schema
+      val travel = TableStore.readVersion(s, path, Some(v1)).columns.toSeq
+      require(travel == Seq("c_custkey", "c_name"),
+        s"s46: v$v1 must read with its pre-evolution schema, got $travel")
+      require(TableStore.readVersion(s, path).columns.length == 3,
+        "s46: live read must carry the evolved schema")
+      val changes = TableStore.changesBetween(s, path, v1, v2,
+        Seq("c_custkey"), allowEvolution = true)
+      val byType = changes.groupBy(col("_change_type").as("kind"))
+        .agg(count(lit(1)).as("n"))
+      val live = TableStore.readVersion(s, path)
+      def proof(kind: String, cond: org.apache.spark.sql.Column) =
+        live.filter(cond).agg(count(lit(1)).as("n"))
+          .select(lit(kind).as("kind"), col("n"))
+      byType
+        .unionByName(proof("segment_rows", col("c_mktsegment").isNotNull))
+        .unionByName(proof("null_segment_rows", col("c_mktsegment").isNull))
+        .orderBy("kind")
     }
   )
 

@@ -360,6 +360,50 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // t12's manifest again, computed WITHOUT the per-language window:
+    // `sum OVER (PARTITION BY lang ORDER BY doc_id)` puts each
+    // language in ONE task, so the dominant language of a 100 TB
+    // corpus (English, typically >half the rows) serializes onto a
+    // single core no matter the cluster size. PrefixSum.runningSum is
+    // the two-pass distributed scan instead: range-repartition by
+    // (lang, doc_id) into balanced slices, window per (slice, lang)
+    // — never per whole language — then per-slice totals (rows =
+    // slices x langs, not data) cumulated and broadcast back as
+    // offsets. Same oracle as t12 proves the rewrite is exact; the
+    // skew ceiling is gone. PrefixSumSpec additionally pins that the
+    // scan actually SPLITS a language across slices.
+    Q("t12b_packing_distributed",
+      "t12's packing manifest via the two-pass distributed prefix scan (no per-language single-task window)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH d AS (
+           |  SELECT lang, doc_id, ${dl.arrSize(XSql.words("text"))} AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           |  FROM d WHERE n_tokens > 0)
+           |SELECT lang, cast(floor(cast(run - 1 as double) / 4096) as bigint) AS bin,
+           |  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS total_tokens
+           |FROM c
+           |GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val docs = t(s, d, "documents")
+        .selectExpr("lang", "doc_id",
+          s"${dl.arrSize(XSql.words("text"))} AS n_tokens")
+        .filter(col("n_tokens") > 0)
+      graft.operators.PrefixSum
+        .runningSum(docs, Seq("lang"), "doc_id", "n_tokens", "run", slices = 8)
+        .withColumn("bin", floor((col("run") - 1).cast("double") / 4096).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang", "bin")
+    },
+
+    // ---------------------------------------------------------------
     // PII scrubbing — the redaction pass every crawl corpus goes
     // through before training. The synthetic corpus carries no PII,
     // so emails/phones are SEEDED deterministically in-query (emails

@@ -373,6 +373,43 @@ class TableStoreSpec extends SparkSpec {
       diff(v2, v1).count(_._1 == "insert") == 1)
   }
 
+  test("changesBetween across additive schema evolution: NULL-padding is not a change") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    val v1 = TableStore.publishVersion(spark, p,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // evolution: new column `w`; row 1 untouched (w never backfilled),
+    // row 2 genuinely edited, row 3 inserted with the new column
+    val v2 = TableStore.publishVersion(spark, p,
+      Seq((1L, "a", Option.empty[Long]), (2L, "B", Option.empty[Long]),
+        (3L, "c", Option(7L))).toDF("k", "v", "w"))
+    // without opt-in the drift stays loud
+    intercept[IllegalArgumentException] {
+      TableStore.changesBetween(spark, p, v1, v2, Seq("k")).collect()
+    }
+    val got = TableStore.changesBetween(spark, p, v1, v2, Seq("k"),
+      allowEvolution = true).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("insert", 3L),
+      ("update_postimage", 2L), ("update_preimage", 2L)),
+      s"evolution alone must emit zero change rows, got $got")
+    // a backfill IS a change: NULL -> 7 on the evolved column
+    val v3 = TableStore.publishVersion(spark, p,
+      Seq((1L, "a", Option(9L)), (2L, "B", Option.empty[Long]),
+        (3L, "c", Option(7L))).toDF("k", "v", "w"))
+    val backfill = TableStore.changesBetween(spark, p, v2, v3, Seq("k"),
+      allowEvolution = true).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(backfill.toSeq.sorted ==
+      Seq(("update_postimage", 1L), ("update_preimage", 1L)))
+    // a retyped column is NOT additive — stays loud even with opt-in
+    TableStore.publishVersion(spark, p,
+      Seq((1L, 5L, Option(9L))).toDF("k", "v", "w"))
+    intercept[IllegalArgumentException] {
+      TableStore.changesBetween(spark, p, v3, v3 + 1, Seq("k"),
+        allowEvolution = true).collect()
+    }
+  }
+
   test("vacuum reclaims crashed-publish orphan dirs, keeps the burn record and all commits") {
     import TestSpark.spark.implicits._
     val p = scratch()
