@@ -68,7 +68,13 @@ object ScaleDocsCheck {
     "c10_dsir_selection", "c15_soft_dedup",
     "t6_hash_split", "t9_stratified_sample", "t12_sequence_packing",
     "t13_pii_scrub", "t14_repetition", "t28_lm_quality_score",
-    "t29_vocab_coverage", "t33_repetition_runs")
+    "t29_vocab_coverage", "t33_repetition_runs",
+    // round 11: the distributed prefix scan (two balanced shuffles —
+    // its whole point is surviving skew at scale), the one-scan
+    // bounded-top-k weighted sample, and the concat-and-chunk
+    // manifest (global prefix scan + bounded per-doc chunk explode)
+    "t12b_packing_distributed", "c22_weighted_sample",
+    "t43_concat_chunks")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't

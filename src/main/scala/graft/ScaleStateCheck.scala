@@ -44,7 +44,7 @@ object ScaleStateCheck {
     "s31_mv_rewrite", "s32_mv_maintain_requery", "s33_join_mv_rewrite",
     "s34_partial_mv", "s35_branch_merge", "s37_manifest_read",
     "s41_table_history", "s42_time_travel_ts", "s43_replace_where",
-    "s44_snapshot_tag", "s45_orc_interchange",
+    "s44_snapshot_tag", "s45_orc_interchange", "s46_schema_evolution",
     "a23_psi_drift", "j18_point_in_range",
     "i3_cdc_apply", "i4_join_view_ivm", "i5_minmax_ivm",
     "i6_distinct_ivm", "i7_topk_ivm", "i8_sketch_ivm",

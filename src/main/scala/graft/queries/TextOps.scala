@@ -404,6 +404,68 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // Concat-and-chunk packing — the OTHER packing discipline (t12
+    // bins whole docs greedily; GPT-style pretraining instead
+    // CONCATENATES the corpus in a fixed order and SPLITS it into
+    // exact context-length chunks, docs crossing boundaries). The
+    // manifest per chunk — docs touched, first/last doc, token fill —
+    // is what a loader needs to materialize any chunk independently.
+    // Global token offsets come from the SAME distributed prefix scan
+    // as t12b, with NO partition column (the whole corpus is one
+    // ordered sequence — precisely the case a plain global-ORDER-BY
+    // window cannot survive: one task holds everything); each doc
+    // then explodes to the <= len/L + 1 chunks it overlaps (a bounded
+    // sequence(), never corpus x chunks), and every chunk is exactly
+    // L tokens except the final partial — asserted by the oracle's
+    // chunk_tokens column.
+    Q("t43_concat_chunks",
+      "GPT-style concat-and-chunk packing manifest: global distributed token offsets, docs split across 2048-token chunks",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH d AS (
+           |  SELECT doc_id, cast(${dl.arrSize(wordsE)} AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_tokens,
+           |    sum(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+           |  FROM d WHERE n_tokens > 0),
+           |s AS (SELECT doc_id, end_off, end_off - n_tokens AS start_off FROM c),
+           |x AS (
+           |  SELECT doc_id, start_off, end_off,
+           |    unnest(generate_series(
+           |      cast(floor(cast(start_off as double) / 2048) as bigint),
+           |      cast(floor(cast(end_off - 1 as double) / 2048) as bigint))) AS chunk
+           |  FROM s)
+           |SELECT chunk, count(*) AS n_docs,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           |  cast(sum(least(end_off, (chunk + 1) * 2048)
+           |    - greatest(start_off, chunk * 2048)) AS BIGINT) AS chunk_tokens
+           |FROM x GROUP BY 1 ORDER BY chunk""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      val L = 2048L
+      val docs = t(s, d, "documents")
+        .selectExpr("doc_id",
+          s"cast(${dl.arrSize(wordsE)} AS BIGINT) AS n_tokens")
+        .filter(col("n_tokens") > 0)
+      graft.operators.PrefixSum
+        .runningSum(docs, Seq.empty, "doc_id", "n_tokens", "end_off", slices = 8)
+        .withColumn("start_off", col("end_off") - col("n_tokens"))
+        .withColumn("chunk", explode(sequence(
+          floor(col("start_off").cast("double") / L).cast("long"),
+          floor((col("end_off") - 1).cast("double") / L).cast("long"))))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          sum(least(col("end_off"), (col("chunk") + 1) * L)
+            - greatest(col("start_off"), col("chunk") * L))
+            .cast("long").as("chunk_tokens"))
+        .orderBy("chunk")
+    },
+
+    // ---------------------------------------------------------------
     // PII scrubbing — the redaction pass every crawl corpus goes
     // through before training. The synthetic corpus carries no PII,
     // so emails/phones are SEEDED deterministically in-query (emails
