@@ -74,7 +74,11 @@ object ScaleDocsCheck {
     // bounded-top-k weighted sample, and the concat-and-chunk
     // manifest (global prefix scan + bounded per-doc chunk explode)
     "t12b_packing_distributed", "c22_weighted_sample",
-    "t43_concat_chunks")
+    "t43_concat_chunks",
+    // round 11b: per-domain budget admission (PrefixSum two-pass scan)
+    // and the seeded epoch shuffle (WindowGroupLimit-pruned top-k
+    // probe) — both one- or two-shuffle shapes, linear by contract
+    "c23_domain_cap", "t44_epoch_shuffle")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't

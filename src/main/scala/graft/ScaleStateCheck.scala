@@ -53,7 +53,13 @@ object ScaleStateCheck {
     "st20_stream_mv_routing", "st21_stream_backfill",
     "st22_stream_drift_monitor", "st23_stream_atomic_ticks",
     "st24_stream_jsonl_ingest", "st25_table_changefeed",
-    "st26_medallion_chain")
+    "st26_medallion_chain",
+    // round 11: the graft-table source (snapshot resolution + index
+    // pruning are metadata; the scan is the data term), the add-files
+    // append chain (O(appended bytes) commits + physical no-rewrite
+    // gates), and the streaming append sink (O(batch) commits,
+    // checkpointed chain)
+    "s47_snapshot_source", "s48_append_chain", "st27_stream_append_sink")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +
@@ -79,7 +85,8 @@ object ScaleStateCheck {
     "st23_stream_atomic_ticks" -> 5.0,
     "st24_stream_jsonl_ingest" -> 5.0,
     "st25_table_changefeed" -> 5.0,
-    "st26_medallion_chain" -> 5.0)
+    "st26_medallion_chain" -> 5.0,
+    "st27_stream_append_sink" -> 5.0)
 
   private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
 

@@ -654,10 +654,21 @@ object TableStore {
     * [[versionDataDir]] read a caller-chosen string as a data pointer
     * — reject it loudly at publish time instead of corrupting reads.
     */
-  private def requireCleanNote(note: String): Unit =
+  private def requireCleanNote(note: String): Unit = {
     require(!note.contains(DataPtr),
       s"publish note must not contain the reserved '@data=' marker " +
         s"delimiter: ${note.take(80)}")
+    require(!note.contains(BasePtr),
+      s"publish note must not contain the reserved '@base=' marker " +
+        s"delimiter: ${note.take(80)}")
+  }
+
+  /** Marker-content delimiter recording an APPEND commit's parent
+    * version (see [[publishVersionAppend]]): the version's content is
+    * its parent's files plus its own `v=N` dir — the Delta-style
+    * add-files commit, O(appended bytes) at any table size.
+    */
+  private val BasePtr = "\n@base="
 
   private def markerContent(spark: SparkSession, path: String,
       v: Long): Option[String] = {
@@ -680,8 +691,18 @@ object TableStore {
     */
   def versionNote(spark: SparkSession, path: String, v: Long): Option[String] =
     markerContent(spark, path, v).map { s =>
-      val i = s.indexOf(DataPtr)
-      if (i < 0) s else s.substring(0, i)
+      val cut = Seq(s.indexOf(DataPtr), s.indexOf(BasePtr)).filter(_ >= 0)
+      if (cut.isEmpty) s else s.substring(0, cut.min)
+    }
+
+  /** The parent version of an APPEND commit (None for full-snapshot /
+    * CAS commits). The chain is what [[versionDataDirs]] walks.
+    */
+  def versionBase(spark: SparkSession, path: String, v: Long): Option[Long] =
+    markerContent(spark, path, v).flatMap { s =>
+      val i = s.indexOf(BasePtr)
+      if (i < 0) None
+      else Some(s.substring(i + BasePtr.length).takeWhile(_ != '\n').trim.toLong)
     }
 
   /** The data directory version `v` reads from: the marker's pointer
@@ -691,9 +712,32 @@ object TableStore {
       v: Long): String =
     markerContent(spark, path, v) match {
       case Some(s) if s.contains(DataPtr) =>
-        s"$path/${s.substring(s.indexOf(DataPtr) + DataPtr.length).trim}"
+        val tail = s.substring(s.indexOf(DataPtr) + DataPtr.length)
+        s"$path/${tail.takeWhile(_ != '\n').trim}"
       case _ => s"$path/v=$v"
     }
+
+  /** ALL data directories version `v` reads from, base-chain first:
+    * an append commit's content is its parent's content plus its own
+    * dir, so the walk collects the whole chain (a full-snapshot or
+    * CAS commit is a one-element chain). Chain length is the number
+    * of appends since the last full publish — the compaction /
+    * checkpoint discipline (s17) is what keeps it bounded, exactly as
+    * Delta checkpoints bound its log replay.
+    */
+  def versionDataDirs(spark: SparkSession, path: String,
+      v: Long): Seq[String] = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    def walk(x: Long): List[String] = {
+      require(seen.add(x),
+        s"versionDataDirs: append-chain cycle at version $x of $path")
+      versionBase(spark, path, x) match {
+        case Some(b) => walk(b) :+ versionDataDir(spark, path, x)
+        case None => List(versionDataDir(spark, path, x))
+      }
+    }
+    walk(v)
+  }
 
   /** The parquet data files of committed version `v` — the unit the
     * changefeed source plans one InputPartition per (file listing on
@@ -746,17 +790,103 @@ object TableStore {
     * dropped by retention.
     */
   def readVersion(spark: SparkSession, path: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    spark.read.parquet(snapshotDataDirs(spark, path, version): _*)
+
+  /** Resolve a snapshot's single DATA DIRECTORY — the common case for
+    * full-snapshot / CAS commits. Fails loudly on an append-chain
+    * version (use [[snapshotDataDirs]]).
+    */
+  def snapshotDataDir(spark: SparkSession, path: String,
+      version: Option[Long] = None): String =
+    snapshotDataDirs(spark, path, version) match {
+      case Seq(one) => one
+      case many => sys.error(s"snapshotDataDir: version at $path is an " +
+        s"append chain of ${many.size} directories — use snapshotDataDirs")
+    }
+
+  /** Resolve a snapshot's DATA DIRECTORIES (base-chain first) with the
+    * same committed / retention checks as [[readVersion]] — the
+    * planning hook a file-level reader (the `graft-table` source's
+    * FileIndex) builds on: it lists these directories itself so it can
+    * prune files before any scan is constructed. `version = None`
+    * resolves the live snapshot.
+    */
+  def snapshotDataDirs(spark: SparkSession, path: String,
+      version: Option[Long] = None): Seq[String] = {
     val committed = committedVersions(spark, path)
     if (committed.isEmpty) sys.error(s"readVersion: no published version at $path")
     val v = version.getOrElse(committed.last)
     require(committed.contains(v),
       s"readVersion: version $v at $path is not committed " +
         "(a crashed publish's orphan dir is not a version)")
-    val vDir = versionDataDir(spark, path, v)
-    require(fs(spark, path).exists(new Path(vDir)),
-      s"readVersion: version $v does not exist at $path (dropped by retention)")
-    spark.read.parquet(vDir)
+    val dirs = versionDataDirs(spark, path, v)
+    val f = fs(spark, path)
+    dirs.foreach(d => require(f.exists(new Path(d)),
+      s"readVersion: version $v's data at $d does not exist at $path " +
+        "(dropped by retention)"))
+    dirs
+  }
+
+  /** APPEND commit — the Delta add-files discipline: write ONLY `df`'s
+    * rows into the new version's own directory and record the parent
+    * in the marker (`@base=`), so the commit costs O(appended bytes)
+    * at any table size while readers of the new version see
+    * parent ∪ df and readers of the parent still see exactly the
+    * parent (time travel is untouched — the parent's files are never
+    * rewritten). Schema must match the parent's column set: additive
+    * evolution goes through a full [[publishVersion]] (s46), never an
+    * append. Chains grow one link per append; compaction (a full
+    * republish of the live content) resets them — run it on the same
+    * cadence a Delta table checkpoints.
+    */
+  def publishVersionAppend(spark: SparkSession, path: String, df: DataFrame,
+      note: String = ""): Long = {
+    requireCleanNote(note)
+    val parent = currentVersion(spark, path).getOrElse(
+      sys.error(s"publishVersionAppend: no published version at $path to " +
+        "append to — publish the first snapshot with publishVersion"))
+    val parentCols = readVersion(spark, path, Some(parent)).columns.toSet
+    require(df.columns.toSet == parentCols,
+      s"publishVersionAppend: schema mismatch — appending " +
+        s"${df.columns.toSet.diff(parentCols).mkString(",")} vs parent " +
+        s"missing ${parentCols.diff(df.columns.toSet).mkString(",")}; " +
+        "evolve schemas with a full publishVersion instead")
+    // the CAS commit shape (publishVersionIf): stage the appended
+    // files, then ONE create-exclusive of the parent+1 marker decides
+    // any race — two appends to the same parent serialize, the loser
+    // gets ConcurrentVersionException to re-read and retry instead of
+    // silently dropping the winner's rows from its chain
+    val f = fs(spark, path)
+    val target = parent + 1L
+    val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.parquet(s"$path/$stage")
+    val marker = new Path(s"$path/_committed_v$target")
+    if (!createExclusive(f, marker,
+        (note + DataPtr + stage + BasePtr + parent).getBytes("UTF-8"))) {
+      f.delete(new Path(s"$path/$stage"), true)
+      throw ConcurrentVersionException(path, Some(parent),
+        currentVersion(spark, path))
+    }
+    target
+  }
+
+  /** CHECKPOINT an append chain: republish the live content as one
+    * FULL snapshot (chain length 1), so reads stop walking the chain
+    * and retention can reclaim the pre-checkpoint links once no kept
+    * version references them — Delta's checkpoint discipline. CAS on
+    * the chain head: a concurrent append between read and commit
+    * surfaces as [[ConcurrentVersionException]], never as lost rows.
+    * A no-op (returns the current version) when the live version is
+    * already a single dir.
+    */
+  def checkpointChain(spark: SparkSession, path: String,
+      note: String = "checkpoint"): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      sys.error(s"checkpointChain: no published version at $path"))
+    if (versionDataDirs(spark, path, cur).size == 1) cur
+    else publishVersionIf(spark, path, readVersion(spark, path, Some(cur)),
+      note, Some(cur))
   }
 
   // ------------------------------------------------------- branches
@@ -1245,18 +1375,28 @@ object TableStore {
     // tagged versions are retention-exempt: a tag IS a retention
     // contract (Iceberg's expire_snapshots never expires a tagged
     // snapshot) — reproducibility pins survive any keepFrom
+    val committed = committedVersions(spark, path)
     val keep = tags(spark, path).values.toSet + cur
+    // append-chain reachability: a kept version's content may live in
+    // dirs committed by versions below the floor (the chain's parents)
+    // — those dirs are LIVE DATA, not expired history (Delta's vacuum
+    // deletes only files unreachable from retained versions)
+    val referenced: Set[String] = committed
+      .filter(v => v >= keepFrom || keep(v))
+      .flatMap(v => versionDataDirs(spark, path, v)).toSet
     val statuses = f.listStatus(new Path(path))
     statuses.filter(_.getPath.getName.startsWith("v=")).foreach { st =>
       val v = st.getPath.getName.stripPrefix("v=").toLong
-      if (v < keepFrom && !keep(v)) f.delete(st.getPath, true): Unit
+      if (v < keepFrom && !keep(v) && !referenced(s"$path/v=$v"))
+        f.delete(st.getPath, true): Unit
     }
     // CAS commits keep their data behind marker pointers — reclaim
     // those the same way (markers stay, numbers stay burned)
-    committedVersions(spark, path).foreach { v =>
+    committed.foreach { v =>
       if (v < keepFrom && !keep(v)) {
         val d = versionDataDir(spark, path, v)
-        if (d != s"$path/v=$v") f.delete(new Path(d), true): Unit
+        if (d != s"$path/v=$v" && !referenced(d))
+          f.delete(new Path(d), true): Unit
       }
     }
   }

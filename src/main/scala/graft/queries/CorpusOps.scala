@@ -1059,6 +1059,55 @@ object CorpusOps {
         s"c22: top-k selection must be TakeOrderedAndProject (bounded " +
           s"per-partition heaps), not a global sort:\n$plan")
       sample.select("doc_id", "weight").orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------
+    // Per-domain token-budget caps — the CommonCrawl-pipeline rule "no
+    // source may exceed its share of the corpus": within each source,
+    // documents are admitted in quality order (longest first — the
+    // stand-in quality score; ties broken by doc_id for determinism)
+    // until the domain's cumulative chars reach its budget (here an
+    // equal split of a quarter of the corpus). The kernel is a
+    // RUNNING SUM per domain — at 100 TB one mega-domain would
+    // serialize a `sum OVER (PARTITION BY source ORDER BY …)` onto a
+    // single task, so the scan runs through PrefixSum.runningSum (the
+    // t12b two-pass range-partitioned scan: big domains split across
+    // balanced slices, offsets broadcast back). The (quality DESC,
+    // doc_id) order folds into ONE monotone bigint key so the scan
+    // orders by a single column; the budget is one broadcast scalar.
+    // Oracle states the same admission rule with a plain SQL window.
+    Q("c23_domain_cap",
+      "per-source token budget: quality-ordered admission under a cumulative cap, skew-safe prefix scan",
+      """WITH cap AS (
+        |  SELECT CAST(sum(n_chars) // (4 * count(DISTINCT source)) AS BIGINT)
+        |    AS cap FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS run
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM r, cap WHERE r.run <= cap.cap
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+      // one broadcast scalar: the equal-split budget (integer-exact in
+      // both engines: div truncates, all values positive)
+      val cap = docs.agg(
+        expr("sum(n_chars) div (4 * count(DISTINCT source))").as("cap"))
+      // (n_chars DESC, doc_id ASC) as ONE monotone key: doc_id is
+      // globally unique and < 1e10, so -n_chars·1e10 + doc_id orders
+      // identically and keeps the scan single-column
+      val keyed = docs.withColumn("ord",
+        -col("n_chars") * lit(10000000000L) + col("doc_id"))
+      val run = graft.operators.PrefixSum.runningSum(
+        keyed, Seq("source"), "ord", "n_chars", "run")
+      run.join(broadcast(cap))
+        .filter(col("run") <= col("cap"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("source")
     }
   )
 

@@ -2108,6 +2108,134 @@ object Sinks {
         .unionByName(proof("segment_rows", col("c_mktsegment").isNotNull))
         .unionByName(proof("null_segment_rows", col("c_mktsegment").isNull))
         .orderBy("kind")
+    },
+
+    // ---------------------------------------------------------------
+    // The snapshot store as a FIRST-CLASS Spark data source —
+    // `spark.read.format("graft-table")` with snapshot options
+    // (versionAsOf / timestampAsOf / tag / branch) and AUTOMATIC
+    // min/max file skipping: the source's custom FileIndex (the
+    // Delta-reader architecture) receives the query's own pushed-down
+    // data filters inside listFiles and consults the snapshot's
+    // skipping index BEFORE the scan is constructed, so
+    // `filter(user_id <= k)` plans only the intersecting range files
+    // with no manual `ranges` map (contrast s23, where the caller
+    // prunes explicitly). Everything below the listing is Spark's
+    // native vectorized parquet path. A require proves the executed
+    // scan's own numFiles metric saw the pruned listing; the oracle
+    // states both snapshots' semantics over the source table, so tag
+    // resolution and pruning must be result-invisible. Scale: listing
+    // is one directory of the pinned version; pruning is one bounded
+    // index read on the driver — never a per-file footer open.
+    Q("s47_snapshot_source",
+      "graft-table format: snapshot options + filter-pushdown file skipping through a custom FileIndex",
+      s"""SELECT event_type AS bucket, count(*) AS n,
+         |  ${dsumSql("value")} AS total
+         |FROM events
+         |WHERE user_id <= (SELECT max(user_id)//4 FROM events)
+         |GROUP BY 1
+         |UNION ALL SELECT '_baseline',
+         |  (SELECT count(*) FROM events WHERE event_id % 2 = 0),
+         |  CAST(NULL AS DOUBLE)
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      import graft.operators.SkippingIndex
+      val path = scratch("s47")
+      val ev = t(s, d, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      // v1 = the even-event baseline, tagged; v2 = the full table.
+      // Both range-clustered on user_id so the per-file boxes are
+      // narrow in the filter column (the s22/s23 layout discipline).
+      val v1 = TableStore.publishVersion(s, path,
+        ev.filter(col("event_id") % 2 === 0)
+          .repartitionByRange(8, col("user_id")), note = "baseline")
+      TableStore.tag(s, path, "baseline", v1)
+      TableStore.publishVersion(s, path,
+        ev.repartitionByRange(8, col("user_id")), note = "full")
+      SkippingIndex.build(s,
+        TableStore.snapshotDataDir(s, path, None), Seq("user_id"))
+      val uHi = ev.agg(max(col("user_id"))).head.getAs[Number](0).longValue / 4
+      val live = s.read.format("graft-table").load(path)
+        .filter(col("user_id") <= uHi)
+      // loud gate: the executed scan itself must have seen the pruned
+      // listing (dead pushdown = red row, not silent full scan)
+      // the probe is shuffle-free on purpose: AQE only wraps plans
+      // with exchanges, so the scan (and its numFiles metric) stays
+      // directly visible in the executed plan
+      val probe = live.select("event_id").limit(1)
+      probe.collect()
+      val kept = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      require(kept > 0 && kept < 8,
+        s"s47: graft-table pruned nothing: $kept of 8 files planned")
+      val agg = live.groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      val baseline = s.read.format("graft-table")
+        .option("tag", "baseline").load(path)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("_baseline").as("bucket"), col("n"),
+          lit(null).cast("double").as("total"))
+      agg.unionByName(baseline).orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // O(Δ) APPEND commits — the Delta add-files discipline the plain
+    // versioned store (S5/publishVersion) lacks: an append writes ONLY
+    // the new rows' files and commits a marker chaining to the parent
+    // (`@base=`), so a daily ingest into a 100 TB table costs the
+    // day's bytes, never a table rewrite — while time travel to the
+    // pre-append snapshot and snapshot isolation are untouched.
+    // Commits are CAS-shaped: two appends to one parent serialize,
+    // the loser retries (never silently drops the winner's rows from
+    // its chain). In-query gates are PHYSICAL: the parent's file list
+    // must be byte-identical (name+size) after the append, and the
+    // appended version must read from exactly parent dirs + 1. The
+    // writer path (`df.write.format("graft-table").mode("append")`)
+    // is the same commit. Oracle states baseline, appended-total, and
+    // time-travel semantics algebraically over the source table.
+    Q("s48_append_chain",
+      "O(appended-bytes) add-files commit: chained snapshot, parent untouched, time travel intact",
+      """SELECT o_orderstatus AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1
+        |UNION ALL SELECT '_baseline_v1',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+        |UNION ALL SELECT '_appended_rows',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 != 0)
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val path = scratch("s48")
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+      val v1 = TableStore.publishVersion(s, path,
+        o.filter(col("o_orderkey") % 3 === 0), note = "day-1")
+      val fsys = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def listing(dir: String) =
+        fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+          .sortBy(_._1).toSeq
+      val v1Dir = TableStore.snapshotDataDir(s, path, Some(v1))
+      val before = listing(v1Dir)
+      // the writer path IS the O(Δ) commit
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .write.format("graft-table").mode("append").save(path)
+      require(listing(v1Dir) == before,
+        "s48: append rewrote the parent's files — not an add-files commit")
+      val dirs = TableStore.snapshotDataDirs(s, path, None)
+      require(dirs.size == 2 && dirs.head == v1Dir,
+        s"s48: expected a 2-dir chain rooted at v$v1, got $dirs")
+      val live = s.read.format("graft-table").load(path)
+      val travel = s.read.format("graft-table")
+        .option("versionAsOf", v1.toString).load(path)
+      live.groupBy(col("o_orderstatus").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .unionByName(travel.agg(count(lit(1)).as("n"))
+          .select(lit("_baseline_v1").as("bucket"), col("n")))
+        .unionByName(live.join(travel.select("o_orderkey"),
+            Seq("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("_appended_rows").as("bucket"), col("n")))
+        .orderBy("bucket")
     }
   )
 

@@ -1593,6 +1593,59 @@ object StreamingOps {
         .select(col("o_orderstatus"), col("n"),
           col("sum_o_totalprice").cast("double").as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---------------------------------------------------------------
+    // Streaming APPEND SINK — Delta's streaming-write architecture on
+    // the s48 add-files chain: each micro-batch commits ONE O(batch)
+    // append version (only the batch's files are written; the table is
+    // never rewritten, unlike st9/st10's full-snapshot republish,
+    // whose cost is O(table) per tick — fine for a small serving
+    // aggregate, wrong for raw ingest at 100 TB). Exactly-once by the
+    // same WAL discipline as st9: the commit note carries the batch id
+    // and the marker probe skips a redelivered batch; the append
+    // commit is CAS-shaped, so a racing writer can't silently lose
+    // rows either. After the replay, checkpointChain republishes the
+    // chain as one snapshot (Delta's checkpoint) — gated in-query as
+    // content-invariant, since the oracle reads the checkpointed
+    // table. Gates: every post-initial commit IS a chained append
+    // (versionBase defined, one dir per commit), and the chain resets
+    // to a single dir after the checkpoint.
+    Q("st27_stream_append_sink",
+      "streaming O(batch) add-files commits with tick idempotency; checkpoint bounds the chain",
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import graft.operators.TableStore
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st27")
+      val path = tmp.resolve("t").toString
+      val stream = EventStream.stagedFileStream(s, t(s, d, "events"),
+        tmp.resolve("stage").toString, nFiles = 4)
+      EventStream.runForeachBatch(s, stream) { (batch, bid) =>
+        val note = s"tick=$bid"
+        val applied = TableStore.committedVersions(s, path)
+          .exists(v => TableStore.versionNote(s, path, v).contains(note))
+        if (!applied) {
+          val rows = batch.select("event_id", "event_type", "value")
+          if (TableStore.currentVersion(s, path).isEmpty)
+            TableStore.publishVersion(s, path, rows, note): Unit
+          else TableStore.publishVersionAppend(s, path, rows, note): Unit
+        }
+      }
+      val versions = TableStore.committedVersions(s, path)
+      require(versions.size >= 2,
+        s"st27: expected a multi-batch replay, got versions $versions")
+      versions.tail.foreach(v => require(
+        TableStore.versionBase(s, path, v).isDefined,
+        s"st27: version $v rewrote the table instead of appending"))
+      require(TableStore.snapshotDataDirs(s, path, None).size == versions.size,
+        "st27: the live chain must read one dir per commit")
+      TableStore.checkpointChain(s, path): Unit
+      require(TableStore.snapshotDataDirs(s, path, None).size == 1,
+        "st27: checkpoint must reset the chain to a single snapshot")
+      s.read.format("graft-table").load(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("event_type")
     }
   )
 }

@@ -466,6 +466,55 @@ object TextOps {
     },
 
     // ---------------------------------------------------------------
+    // Deterministic per-epoch shuffles — multi-epoch pretraining needs
+    // a DIFFERENT but REPRODUCIBLE document order every epoch (the
+    // dataloader contract: epoch k's permutation is a pure function of
+    // (seed, epoch), resumable mid-epoch on any worker). The ordering
+    // key is a multiplicative hash of (doc_id, epoch) — integer-exact
+    // in both engines, no RNG state anywhere — and "shuffling" at
+    // 100 TB is exactly ONE range-partitioned sort by that key (what a
+    // distributed shuffle physically is). The gate reads each epoch's
+    // first 5 documents through a per-epoch top-k, and the plan must
+    // use WindowGroupLimit (per-partition rank pruning before the
+    // final per-epoch sort) — a global sort of epochs × corpus to
+    // answer a top-5 probe would be the wrong plan at any scale. Three
+    // epochs land three disjoint permutations of the same multiset;
+    // the oracle pins every rank and hash value cell-exact.
+    Q("t44_epoch_shuffle",
+      "seeded multi-epoch shuffle: (seed, epoch)-keyed permutation, top-5 probe per epoch via WindowGroupLimit",
+      """WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |h AS (
+        |  SELECT epoch, doc_id,
+        |    ((doc_id % 1000003) * 2654435761
+        |      + (epoch + 1) * 40503) % 4294967296 AS hk
+        |  FROM documents, e),
+        |r AS (
+        |  SELECT epoch, doc_id, hk,
+        |    row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT epoch, rn, doc_id, hk FROM r WHERE rn <= 5
+        |ORDER BY epoch, rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val epochs = explode(array(lit(0), lit(1), lit(2))).as("epoch")
+      val keyed = t(s, d, "documents").select(col("doc_id"))
+        .select(col("doc_id"), epochs)
+        .withColumn("hk",
+          ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
+            + (col("epoch") + 1).cast("long") * lit(40503L)) % lit(4294967296L))
+      val probe = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("epoch").orderBy(col("hk"), col("doc_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("epoch"), col("rn").cast("long").as("rn"),
+          col("doc_id"), col("hk"))
+      val plan = probe.queryExecution.executedPlan.toString
+      require(plan.contains("WindowGroupLimit"),
+        s"t44: per-epoch top-k must prune via WindowGroupLimit, not rank " +
+          s"the full corpus per epoch:\n$plan")
+      probe.orderBy("epoch", "rn")
+    },
+
+    // ---------------------------------------------------------------
     // PII scrubbing — the redaction pass every crawl corpus goes
     // through before training. The synthetic corpus carries no PII,
     // so emails/phones are SEEDED deterministically in-query (emails
