@@ -1384,11 +1384,21 @@ object TableStore {
     val referenced: Set[String] = committed
       .filter(v => v >= keepFrom || keep(v))
       .flatMap(v => versionDataDirs(spark, path, v)).toSet
+    // a version dir's sibling skipping index (`<dir>__idx`, see
+    // SkippingIndex) is stale garbage once its data is reclaimed
+    def drop(dir: Path): Unit = {
+      f.delete(dir, true): Unit
+      f.delete(new Path(dir.toString + "__idx"), true): Unit
+    }
     val statuses = f.listStatus(new Path(path))
     statuses.filter(_.getPath.getName.startsWith("v=")).foreach { st =>
-      val v = st.getPath.getName.stripPrefix("v=").toLong
-      if (v < keepFrom && !keep(v) && !referenced(s"$path/v=$v"))
-        f.delete(st.getPath, true): Unit
+      // non-numeric v=* entries (a version dir's `v=N__idx`) are not
+      // versions — never parse-crash on them, never delete them here
+      scala.util.Try(st.getPath.getName.stripPrefix("v=").toLong)
+        .toOption.foreach { v =>
+          if (v < keepFrom && !keep(v) && !referenced(s"$path/v=$v"))
+            drop(st.getPath)
+        }
     }
     // CAS commits keep their data behind marker pointers — reclaim
     // those the same way (markers stay, numbers stay burned)
@@ -1396,7 +1406,7 @@ object TableStore {
       if (v < keepFrom && !keep(v)) {
         val d = versionDataDir(spark, path, v)
         if (d != s"$path/v=$v" && !referenced(d))
-          f.delete(new Path(d), true): Unit
+          drop(new Path(d))
       }
     }
   }

@@ -355,6 +355,12 @@ private[sources] object SnapshotFileIndex {
     */
   private def cmp(x: Any, y: Any): Option[Int] = (x, y) match {
     case (null, _) | (_, null) => None
+    // NaN / ±Infinity have no BigDecimal form and no total order vs
+    // finite stats — incomparable, caller keeps the file
+    case (a: java.lang.Double, _) if a.isNaN || a.isInfinite => None
+    case (_, b: java.lang.Double) if b.isNaN || b.isInfinite => None
+    case (a: java.lang.Float, _) if a.isNaN || a.isInfinite => None
+    case (_, b: java.lang.Float) if b.isNaN || b.isInfinite => None
     case (a: java.lang.Number, b: java.lang.Number) =>
       Some(new java.math.BigDecimal(a.toString)
         .compareTo(new java.math.BigDecimal(b.toString)))

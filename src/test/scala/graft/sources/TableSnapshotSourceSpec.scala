@@ -217,6 +217,23 @@ class TableSnapshotSourceSpec extends SparkSpec {
     assert(TableStore.checkpointChain(spark, path) == cp)
   }
 
+  test("retention tolerates version-dir indexes and reclaims them with their data") {
+    val path = newTable()
+    TableStore.publishVersion(spark, path, Seq(1L).toDF("id"))
+    val d1 = TableStore.snapshotDataDir(spark, path, Some(1L))
+    SkippingIndex.build(spark, d1, Seq("id"))
+    TableStore.publishVersion(spark, path, Seq(1L, 2L).toDF("id"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(d1 + "__idx")))
+    // must not parse-crash on the v=1__idx entry; must reclaim v1's
+    // data AND its stale index
+    TableStore.dropVersionsBelow(spark, path, keepFrom = 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(d1 + "__idx")))
+    assert(TableStore.readVersion(spark, path).count() == 2)
+  }
+
   test("two concurrent appends to one parent serialize; no rows lost") {
     val path = newTable()
     TableStore.publishVersion(spark, path, Seq(0L).toDF("id"))
