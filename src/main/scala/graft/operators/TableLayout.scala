@@ -254,7 +254,19 @@ object TableLayout {
     * partition-wise maintenance compaction, exactly like [[TableStore.compact]].
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      bits: Int = 16, nFiles: Int = 0): Unit = {
+      bits: Int = 16, nFiles: Int = 0): Unit =
+    zOrdered(df, colA, colB, bits, nFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-order clustering TRANSFORM without the write: the returned
+    * frame is range-partitioned + locally sorted on the Morton value
+    * of (colA, colB), so whatever writes it (a parquet dir here, a
+    * versioned publish in the `graft-table` writer's `zorderBy`
+    * option) lands narrow per-file boxes in both columns. One extra
+    * row-count-preserving shuffle; result multiset identical.
+    */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+      bits: Int = 16, nFiles: Int = 0): DataFrame = {
     val stats = df.agg(
       min(col(colA)).cast("double").as("alo_"),
       max(col(colA)).cast("double").as("ahi_"),
@@ -269,6 +281,5 @@ object TableLayout {
       else z.repartitionByRange(col("z_"))
     parts.sortWithinPartitions("z_")
       .select(df.columns.toIndexedSeq.map(col): _*)
-      .write.mode("overwrite").parquet(path)
   }
 }

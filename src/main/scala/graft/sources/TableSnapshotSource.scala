@@ -68,11 +68,26 @@ class TableSnapshotSource extends RelationProvider
     * The publish note records the mode for the history surface (s41).
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
-      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+      parameters: Map[String, String], raw: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse("path",
       sys.error("graft-table: a table `path` is required"))
     val existing = TableStore.currentVersion(spark, path)
+    // `zorderBy` = "a,b": cluster the write on the Morton value of the
+    // two columns (optionally ",bits,nFiles") so the per-file boxes —
+    // and therefore the skipping index `indexColumns` builds — are
+    // narrow in BOTH dimensions. One extra row-preserving shuffle.
+    val data = parameters.get("zorderby").map { spec =>
+      spec.split(",").map(_.trim) match {
+        case Array(a, b) => graft.operators.TableLayout.zOrdered(raw, a, b)
+        case Array(a, b, bits) =>
+          graft.operators.TableLayout.zOrdered(raw, a, b, bits.toInt)
+        case Array(a, b, bits, nf) =>
+          graft.operators.TableLayout.zOrdered(raw, a, b, bits.toInt, nf.toInt)
+        case _ => sys.error(
+          s"graft-table: zorderBy must be 'colA,colB[,bits[,nFiles]]', got $spec")
+      }
+    }.getOrElse(raw)
     val written: Option[Long] = mode match {
       case SaveMode.Overwrite =>
         Some(TableStore.publishVersion(spark, path, data,
@@ -113,7 +128,7 @@ class TableSnapshotSource extends RelationProvider
         graft.operators.SkippingIndex.build(spark, dir,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
       }
-    createRelation(sqlContext, parameters - "indexcolumns")
+    createRelation(sqlContext, parameters - "indexcolumns" - "zorderby")
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -217,6 +217,33 @@ class TableSnapshotSourceSpec extends SparkSpec {
     assert(TableStore.checkpointChain(spark, path) == cp)
   }
 
+  test("zorderBy + indexColumns: one write lands clustered, indexed, 2-D-prunable files") {
+    val path = newTable()
+    val n = 4096
+    val df = spark.range(0, n).select(
+      col("id").as("x"),
+      // y decorrelated from x (bit-reverse-ish) so a linear x layout
+      // would leave every file's y box spanning the full range
+      ((col("id") * 2654435761L) % n).as("y"),
+      (col("id") % 7).as("v"))
+    df.write.format("graft-table")
+      .option("zorderBy", "x,y,12,16")
+      .option("indexColumns", "x,y")
+      .mode("overwrite").save(path)
+    val read0 = read(path)
+    assert(read0.count() == n)
+    // multiset identical to the unclustered input
+    assert(read0.agg(sum(col("x") + col("y") * 3 + col("v") * 7)).head.getLong(0)
+      == df.agg(sum(col("x") + col("y") * 3 + col("v") * 7)).head.getLong(0))
+    // a y-ONLY predicate prunes through the z-order boxes — the 2-D
+    // claim a linear x sort cannot deliver
+    val yOnly = read0.filter(col("y") >= 0 && col("y") <= (n / 8))
+    val ky = scannedFiles(yOnly)
+    assert(ky < 16, s"z-order write: y-only filter kept all $ky files")
+    val xOnly = read0.filter(col("x") >= 0 && col("x") <= (n / 8))
+    assert(scannedFiles(xOnly) < 16)
+  }
+
   test("retention tolerates version-dir indexes and reclaims them with their data") {
     val path = newTable()
     TableStore.publishVersion(spark, path, Seq(1L).toDF("id"))
