@@ -189,7 +189,13 @@ object Plans {
     "t12b_packing_distributed" ->
       "Distributed prefix scan: the per-language running sum computes as balanced range SLICES (window keyed by slice, never by whole language) + a slices-x-langs offset aggregate broadcast back — the skewed-language single-task ceiling of a plain PARTITION BY window is gone.",
     "c22_weighted_sample" ->
-      "Efraimidis-Spirakis weighted sample: one scan computes ln(u)/w per row and TakeOrderedAndProject keeps a bounded per-partition heap — k rows per partition reach the merge, no global sort at any corpus size.")
+      "Efraimidis-Spirakis weighted sample: one scan computes ln(u)/w per row and TakeOrderedAndProject keeps a bounded per-partition heap — k rows per partition reach the merge, no global sort at any corpus size.",
+    "s47_snapshot_source" ->
+      "graft-table source: the scan's Location is the custom SnapshotFileIndex — snapshot options resolved through the store's committed markers, and the query's own pushed-down data filters pruned the file listing inside listFiles (min/max skipping stats) BEFORE the scan existed; everything below the listing is Spark's native vectorized parquet path.",
+    "c23_domain_cap" ->
+      "Per-domain token budget: the running sum computes through the PrefixSum two-pass scan (balanced range slices + broadcast offsets — a mega-domain never serializes onto one task) with the (quality DESC, doc_id) order folded into one monotone key; the budget is a broadcast 1-row scalar.",
+    "t44_epoch_shuffle" ->
+      "Seeded multi-epoch shuffle: the (seed, epoch) hash key is a narrow projection and the top-5-per-epoch probe plans Partial WindowGroupLimit below the shuffle — per-partition rank pruning, never a full per-epoch sort of the corpus.")
 
   /** Flagships whose scale story exists only in the executed adaptive
     * plan — printed via their own runner instead of the catalog entry
