@@ -78,7 +78,11 @@ object ScaleDocsCheck {
     // round 11b: per-domain budget admission (PrefixSum two-pass scan)
     // and the seeded epoch shuffle (WindowGroupLimit-pruned top-k
     // probe) — both one- or two-shuffle shapes, linear by contract
-    "c23_domain_cap", "t44_epoch_shuffle")
+    "c23_domain_cap", "t44_epoch_shuffle",
+    // round 11c: margin-based bitext mining — candidates label-blocked
+    // (the IVF-cell discipline), per-source top-k WindowGroupLimited;
+    // cost O(Σ block² ) bounded by cell occupancy, never corpus²
+    "k25_bitext_margin")
 
   /** Wall-ratio gates at 10× data: queries whose scale contract was
     * ever measured violated get an explicit ceiling so a fix can't

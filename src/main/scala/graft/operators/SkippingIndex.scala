@@ -33,13 +33,17 @@ object SkippingIndex {
 
   private def idxPath(path: String): String = path + "__idx"
 
-  /** Scan the table once and store per-file min/max/count for `cols`.
-    * One map-side-combinable aggregate keyed by file name; the index
-    * is one row per FILE (bounded by file count, never by row count).
+  /** Scan the table once and store per-file min/max/nullCount for
+    * `cols`. One map-side-combinable aggregate keyed by file name; the
+    * index is one row per FILE (bounded by file count, never by row
+    * count). Null counts are what let a reader prune IS NULL /
+    * IS NOT NULL (Delta's nullCount stat): a file with zero nulls can
+    * never match IS NULL, an all-null file never matches IS NOT NULL.
     */
   def build(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
     val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
     } :+ count(lit(1)).as("n_rows")
     // n_total_files rides every row: EMPTY data files (a hash
     // repartition with fewer keys than partitions writes some) have no

@@ -2074,6 +2074,90 @@ object Similarity {
           (lit(1.0) - expr(XSql.cosineFromNorms(XSql.dot("v", "qv"), "n2", "qn2")))
             .as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
+    },
+
+    // ---------------------------------------------------------------
+    // Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    // LASER/CCMatrix alignment rule): a candidate pair's score is its
+    // cosine RELATIVE to the source vector's neighborhood density
+    // (best / avg-of-top-k), which kills the hub vectors that plain
+    // cosine thresholds mis-mine. Mined pairs must be MUTUAL best
+    // matches. Here side A = even vec_ids, side B = odd (the two
+    // "languages"); candidates are label-blocked — the label plays the
+    // trained IVF cell (exactly how production margin mining bounds
+    // the k-NN: FAISS candidates, margin on candidates, never corpus ×
+    // corpus — the d6-adjudicated block). Per-source top-k plans a
+    // WindowGroupLimit; the margin denominator sums DECIMAL-cast
+    // cosines (order-independent, so both engines' avg is
+    // bit-identical) and one double division ends it.
+    Q("k25_bitext_margin",
+      "margin-scored mutual-best bitext pairs over label-blocked candidates (ratio margin, top-4 neighborhood)",
+      {
+        implicit val dl: Dialect = SqlDuck
+        s"""WITH e AS (SELECT vec_id, label, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, label, v, ${XSql.norm2("v")} AS n2 FROM e),
+           |cand AS (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    ${XSql.cosineFromNorms(XSql.dot("a.v", "b.v"), "a.n2", "b.n2")} AS c
+           |  FROM n a JOIN n b ON a.label = b.label
+           |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+           |rk AS (SELECT va, vb, c,
+           |         row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rn
+           |       FROM cand),
+           |agg AS (
+           |  SELECT va, max(CASE WHEN rn = 1 THEN vb END) AS best_b,
+           |    max(CASE WHEN rn = 1 THEN c END) AS best_c,
+           |    (((coalesce(max(CASE WHEN rn = 1 THEN c END), 0.0)
+           |      + coalesce(max(CASE WHEN rn = 2 THEN c END), 0.0))
+           |      + coalesce(max(CASE WHEN rn = 3 THEN c END), 0.0))
+           |      + coalesce(max(CASE WHEN rn = 4 THEN c END), 0.0))
+           |      / CAST(count(*) AS DOUBLE) AS denom
+           |  FROM rk WHERE rn <= 4 GROUP BY va),
+           |rb AS (SELECT vb, va,
+           |         row_number() OVER (PARTITION BY vb ORDER BY c DESC, va) AS rn
+           |       FROM cand),
+           |bb AS (SELECT vb, va AS best_a FROM rb WHERE rn = 1)
+           |SELECT agg.va AS vec_a, agg.best_b AS vec_b,
+           |       agg.best_c / agg.denom AS margin
+           |FROM agg JOIN bb ON bb.vb = agg.best_b AND bb.best_a = agg.va
+           |ORDER BY vec_a""".stripMargin
+      }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      implicit val dl: Dialect = SqlSpark
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("n2", expr(XSql.norm2("v")))
+        .select("vec_id", "label", "v", "n2")
+      val a = n.filter(col("vec_id") % 2 === 0)
+        .select(col("label"), col("vec_id").as("va"),
+          col("v").as("v_a"), col("n2").as("n2_a"))
+      val b = n.filter(col("vec_id") % 2 === 1)
+        .select(col("label"), col("vec_id").as("vb"),
+          col("v").as("v_b"), col("n2").as("n2_b"))
+      val cand = a.join(b, Seq("label"))
+        .select(col("va"), col("vb"),
+          expr(XSql.cosineFromNorms(
+            XSql.dot("v_a", "v_b"), "n2_a", "n2_b")).as("c"))
+      val rk = cand.withColumn("rn", row_number().over(
+        Window.partitionBy("va").orderBy(col("c").desc, col("vb"))))
+      // the ≤4-addend neighborhood mean sums in FIXED rank order
+      // (left-fold c1..c4) — a plain sum()'s addend order differs
+      // between engines and moves the last ULP
+      def pick(i: Int) = coalesce(max(when(col("rn") === i, col("c"))), lit(0.0))
+      val agg = rk.filter(col("rn") <= 4)
+        .groupBy("va")
+        .agg(max(when(col("rn") === 1, col("vb"))).as("best_b"),
+          max(when(col("rn") === 1, col("c"))).as("best_c"),
+          ((((pick(1) + pick(2)) + pick(3)) + pick(4))
+            / count(lit(1)).cast("double")).as("denom"))
+      val bb = cand.withColumn("rn", row_number().over(
+          Window.partitionBy("vb").orderBy(col("c").desc, col("va"))))
+        .filter(col("rn") === 1)
+        .select(col("vb"), col("va").as("best_a"))
+      agg.join(bb, agg("best_b") === bb("vb") && bb("best_a") === agg("va"))
+        .select(col("va").as("vec_a"), col("best_b").as("vec_b"),
+          (col("best_c") / col("denom")).as("margin"))
+        .orderBy("vec_a")
     }
   )
 }

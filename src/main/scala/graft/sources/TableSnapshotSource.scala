@@ -206,7 +206,7 @@ class TableSnapshotSource extends RelationProvider
 private[sources] class SnapshotFileIndex(
     dirs: Seq[Path],
     files: Seq[FileStatus],
-    stats: Map[String, Option[Map[String, (Any, Any)]]]) extends FileIndex {
+    stats: Map[String, Option[SnapshotFileIndex.FileStats]]) extends FileIndex {
 
   override def rootPaths: Seq[Path] = dirs
 
@@ -229,8 +229,8 @@ private[sources] class SnapshotFileIndex(
         // a fresh index with NO row for this file = the file was EMPTY
         // at build time: nothing to scan, safe to drop outright
         case Some(None) => false
-        case Some(Some(ranges)) =>
-          dataFilters.forall(SnapshotFileIndex.mayMatch(_, ranges))
+        case Some(Some(st)) =>
+          dataFilters.forall(SnapshotFileIndex.mayMatch(_, st))
       }
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
@@ -239,20 +239,27 @@ private[sources] class SnapshotFileIndex(
 
 private[sources] object SnapshotFileIndex {
 
+  /** One file's index row: row count, per-column [min, max] boxes and
+    * (when the index carries them — older indexes may not) per-column
+    * null counts. Null counts are what prune IS NULL / IS NOT NULL.
+    */
+  final case class FileStats(nRows: Long,
+      boxes: Map[String, (Any, Any)], nulls: Map[String, Long])
+
   /** Load skipping-index stats PER CHAIN DIRECTORY, keyed by file
     * BASENAME: each dir may carry its own `<dir>__idx` (appends index
     * their new files incrementally; the base snapshot keeps its own) —
     * a dir whose index is absent or STALE (built over a different file
     * set; rewrites mint new part names, so any rewrite flips the
     * check) contributes nothing, so its files are kept unpruned. The
-    * value is `Some(ranges)` for an indexed file, `None` for a file a
+    * value is `Some(stats)` for an indexed file, `None` for a file a
     * FRESH index proves was empty at build time (droppable). Absent /
     * stale never fails the read: pruning is an optimization, the
     * row-level filter still runs in the scan.
     */
   def loadStats(spark: SparkSession,
       filesByDir: Seq[(String, Seq[FileStatus])])
-      : Map[String, Option[Map[String, (Any, Any)]]] =
+      : Map[String, Option[FileStats]] =
     filesByDir.flatMap { case (dataDir, files) =>
       dirStats(spark, dataDir, files) match {
         case None => Nil
@@ -264,7 +271,7 @@ private[sources] object SnapshotFileIndex {
     }.toMap
 
   private def dirStats(spark: SparkSession, dataDir: String,
-      files: Seq[FileStatus]): Option[Map[String, Map[String, (Any, Any)]]] = {
+      files: Seq[FileStatus]): Option[Map[String, FileStats]] = {
     val idxDir = new Path(dataDir + "__idx")
     val fs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idxDir)) return None
@@ -283,8 +290,15 @@ private[sources] object SnapshotFileIndex {
     else Some(rows.map { r =>
       val base = r.getAs[String]("file")
       val name = base.substring(base.lastIndexOf('/') + 1)
-      name -> statCols.map(c =>
+      val boxes = statCols.map(c =>
         c -> (r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max"))).toMap
+      val nulls = statCols.flatMap { c =>
+        if (cols.contains(s"${c}_nulls"))
+          Option(r.getAs[Any](s"${c}_nulls"))
+            .map(v => c -> v.asInstanceOf[Number].longValue)
+        else None
+      }.toMap
+      name -> FileStats(r.getAs[Number]("n_rows").longValue, boxes, nulls)
     }.toMap)
   }
 
@@ -294,10 +308,11 @@ private[sources] object SnapshotFileIndex {
     * filter could match. A null min/max means the column is all-null
     * in that file, so no non-null comparison can match.
     */
-  def mayMatch(e: Expression, ranges: Map[String, (Any, Any)]): Boolean =
+  def mayMatch(e: Expression, st: FileStats): Boolean = {
+    val ranges = st.boxes
     e match {
-      case And(l, r) => mayMatch(l, ranges) && mayMatch(r, ranges)
-      case Or(l, r) => mayMatch(l, ranges) || mayMatch(r, ranges)
+      case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+      case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
       case Not(EqualTo(a: AttributeReference, l: Literal)) =>
         // a != v can only be pruned when the file is CONSTANT v
         boxTest(a, ranges) { case (lo, hi) =>
@@ -332,9 +347,39 @@ private[sources] object SnapshotFileIndex {
             cmp(lo, x).exists(_ <= 0) && cmp(hi, x).exists(_ >= 0)
           }
         }
-      case IsNull(_) => true // no null-count stats: never prune
+      case StartsWith(a: AttributeReference, l: Literal) if l.value != null =>
+        // strings with prefix p live in [p, succ(p)): overlap test
+        // against the box; an unbounded successor (all-U+FFFF prefix)
+        // only needs the lower test
+        ext(l) match {
+          case p: String => boxTest(a, ranges) { case (lo, hi) =>
+            cmp(hi, p).exists(_ >= 0) &&
+              prefixSuccessor(p).forall(s => cmp(lo, s).exists(_ < 0))
+          }
+          case _ => true
+        }
+      // null-count rules (Delta's nullCount stat): a file with zero
+      // nulls can never satisfy IS NULL; an all-null file never
+      // satisfies IS NOT NULL. Indexes built before null counts
+      // existed simply lack the entry -> keep.
+      case IsNull(a: AttributeReference) =>
+        st.nulls.get(a.name).forall(_ > 0L)
+      case IsNotNull(a: AttributeReference) =>
+        st.nulls.get(a.name).forall(_ < st.nRows)
       case _ => true
     }
+  }
+
+  /** The smallest string ABOVE every string with prefix `p`: bump the
+    * last non-U+FFFF char and drop what follows (Spark's parquet
+    * filter pushdown plays the same trick). None when every char is
+    * U+FFFF — no finite upper bound exists.
+    */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != '\uFFFF')
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
 
   /** Literal's external (Scala) value for comparison with collected
     * stats rows (UTF8String -> String, internal days -> java Date, …).

@@ -244,6 +244,36 @@ class TableSnapshotSourceSpec extends SparkSpec {
     assert(scannedFiles(xOnly) < 16)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL; prefix predicates prune strings") {
+    val path = newTable()
+    // file 1: no nulls, names a*..b*; file 2: ALL null v, names x*..z*
+    val part1 = spark.range(0, 100).select(
+      col("id").cast("long").as("v"),
+      concat(lit("alpha_"), lpad(col("id").cast("string"), 3, "0")).as("name"))
+    val part2 = spark.range(0, 100).select(
+      lit(null).cast("long").as("v"),
+      concat(lit("zeta_"), lpad(col("id").cast("string"), 3, "0")).as("name"))
+    // two files via two appends, each indexed on its own dir
+    part1.coalesce(1).write.format("graft-table")
+      .option("indexColumns", "v,name").mode("overwrite").save(path)
+    part2.coalesce(1).write.format("graft-table")
+      .option("indexColumns", "v,name").mode("append").save(path)
+
+    val df = read(path)
+    // IS NULL skips the no-null file; IS NOT NULL skips the all-null one
+    val isNull = df.filter(col("v").isNull)
+    assert(scannedFiles(isNull) == 1)
+    assert(isNull.count() == 100)
+    val notNull = df.filter(col("v").isNotNull)
+    assert(scannedFiles(notNull) == 1)
+    assert(notNull.count() == 100)
+    // startsWith prunes by the [prefix, succ(prefix)) overlap test
+    val pre = df.filter(col("name").startsWith("zeta_"))
+    assert(scannedFiles(pre) == 1)
+    assert(pre.count() == 100)
+    assert(scannedFiles(df.filter(col("name").startsWith("nope_"))) == 0)
+  }
+
   test("retention tolerates version-dir indexes and reclaims them with their data") {
     val path = newTable()
     TableStore.publishVersion(spark, path, Seq(1L).toDF("id"))
