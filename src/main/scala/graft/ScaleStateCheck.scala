@@ -59,7 +59,10 @@ object ScaleStateCheck {
     // append chain (O(appended bytes) commits + physical no-rewrite
     // gates), and the streaming append sink (O(batch) commits,
     // checkpointed chain)
-    "s47_snapshot_source", "s48_append_chain", "st27_stream_append_sink")
+    "s47_snapshot_source", "s48_append_chain", "st27_stream_append_sink",
+    // round 11c: prefix + nullCount skipping rules under the gate —
+    // planning metadata only; the scan term is the pruned file set
+    "s49_prefix_null_skipping")
 
   /** Wall-ratio ceilings at 10× data + 2× ticks. Defaults derive from
     * the family's cost anatomy: every query is (scan + maintain +

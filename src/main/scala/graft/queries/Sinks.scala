@@ -2236,6 +2236,65 @@ object Sinks {
           .agg(count(lit(1)).as("n"))
           .select(lit("_appended_rows").as("bucket"), col("n")))
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // PREFIX + NULL-COUNT file skipping through the source — the two
+    // stats rules a min/max box alone cannot express, under the
+    // driver's own gate: `startsWith(p)` prunes by the
+    // [p, succ(p)) overlap test (Spark's parquet-pushdown prefix
+    // trick, now at FILE granularity before any IO) and IS NULL
+    // prunes every zero-null file via the index's nullCount stat
+    // (Delta's stat, s23's index extended). The fixture appends one
+    // all-null-source delta onto a source-range-clustered base — the
+    // writer's one-option path (indexColumns) indexes each commit's
+    // own files — and BOTH probes must show pruned numFiles or the
+    // row goes red. Oracle states prefix-group stats and the null
+    // count algebraically over the source table.
+    Q("s49_prefix_null_skipping",
+      "startsWith + IS NULL file skipping via index prefix/nullCount rules; pruned == recompute",
+      """SELECT source AS bucket, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE source LIKE 'src1%' GROUP BY 1
+        |UNION ALL SELECT '_nulls',
+        |  (SELECT count(*) FROM documents WHERE doc_id % 50 = 0),
+        |  CAST(NULL AS BIGINT)
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val path = scratch("s49")
+      val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+      docs.repartitionByRange(8, col("source"), col("doc_id"))
+        .write.format("graft-table").option("indexColumns", "source")
+        .mode("overwrite").save(path)
+      // a late producer whose source field is all-null — its own
+      // indexed delta file carries nullCount == nRows
+      docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("source", lit(null).cast("string"))
+        .coalesce(1)
+        .write.format("graft-table").option("indexColumns", "source")
+        .mode("append").save(path)
+      val live = s.read.format("graft-table").load(path)
+      def planned(df: org.apache.spark.sql.DataFrame): Long = {
+        val probe = df.select("doc_id").limit(1)
+        probe.collect()
+        probe.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val total = live.inputFiles.length
+      val prefix = live.filter(col("source").startsWith("src1"))
+      val nulls = live.filter(col("source").isNull)
+      require(planned(prefix) < total,
+        s"s49: prefix predicate pruned nothing ($total files)")
+      require(planned(nulls) == 1,
+        s"s49: IS NULL must plan exactly the all-null delta file")
+      prefix.groupBy(col("source").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars"))
+        .unionByName(nulls.agg(count(lit(1)).as("n"))
+          .select(lit("_nulls").as("bucket"), col("n"),
+            lit(null).cast("long").as("chars")))
+        .orderBy("bucket")
     }
   )
 
