@@ -846,12 +846,24 @@ object TableStore {
     val parent = currentVersion(spark, path).getOrElse(
       sys.error(s"publishVersionAppend: no published version at $path to " +
         "append to — publish the first snapshot with publishVersion"))
-    val parentCols = readVersion(spark, path, Some(parent)).columns.toSet
+    val parentSchema = readVersion(spark, path, Some(parent)).schema
+    val parentCols = parentSchema.fieldNames.toSet
     require(df.columns.toSet == parentCols,
       s"publishVersionAppend: schema mismatch — appending " +
         s"${df.columns.toSet.diff(parentCols).mkString(",")} vs parent " +
         s"missing ${parentCols.diff(df.columns.toSet).mkString(",")}; " +
         "evolve schemas with a full publishVersion instead")
+    // names alone are not enough: the chain's reader infers the scan
+    // schema from ONE file of the chain, so a same-named column at a
+    // different type would surface as late scan errors instead of a
+    // loud publish-time failure. Order-insensitive, type-exact.
+    val parentTypes = parentSchema.fields.map(f => f.name -> f.dataType).toMap
+    val drifted = df.schema.fields.filter(f => parentTypes(f.name) != f.dataType)
+    require(drifted.isEmpty,
+      s"publishVersionAppend: type drift — " +
+        drifted.map(f => s"${f.name}: ${f.dataType.simpleString} vs parent " +
+          parentTypes(f.name).simpleString).mkString("; ") +
+        "; evolve schemas with a full publishVersion instead")
     // the CAS commit shape (publishVersionIf): stage the appended
     // files, then ONE create-exclusive of the parent+1 marker decides
     // any race — two appends to the same parent serialize, the loser

@@ -2167,8 +2167,12 @@ object Sinks {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.metrics("numFiles").value
       }.sum
-      require(kept > 0 && kept < 8,
-        s"s47: graft-table pruned nothing: $kept of 8 files planned")
+      // gate against the table's ACTUAL file count, not the literal 8
+      // the repartition asked for — fewer non-empty partitions must
+      // not let a dead pushdown pass vacuously
+      val totalFiles = live.inputFiles.length
+      require(kept > 0 && kept < totalFiles,
+        s"s47: graft-table pruned nothing: $kept of $totalFiles files planned")
       val agg = live.groupBy(col("event_type").as("bucket"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
       val baseline = s.read.format("graft-table")

@@ -222,7 +222,7 @@ private[sources] class SnapshotFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = files.filter { f =>
-      stats.get(f.getPath.getName) match {
+      stats.get(f.getPath.toString) match {
         // file not covered by any fresh index (no index built over its
         // dir, or that dir's index is stale): keep — never prune blind
         case None => true
@@ -246,8 +246,8 @@ private[sources] object SnapshotFileIndex {
   final case class FileStats(nRows: Long,
       boxes: Map[String, (Any, Any)], nulls: Map[String, Long])
 
-  /** Load skipping-index stats PER CHAIN DIRECTORY, keyed by file
-    * BASENAME: each dir may carry its own `<dir>__idx` (appends index
+  /** Load skipping-index stats PER CHAIN DIRECTORY, keyed by the
+    * file's FULL PATH: each dir may carry its own `<dir>__idx` (appends index
     * their new files incrementally; the base snapshot keeps its own) —
     * a dir whose index is absent or STALE (built over a different file
     * set; rewrites mint new part names, so any rewrite flips the
@@ -263,9 +263,12 @@ private[sources] object SnapshotFileIndex {
     filesByDir.flatMap { case (dataDir, files) =>
       dirStats(spark, dataDir, files) match {
         case None => Nil
+        // key the RESULT by the dir-qualified path, not the basename:
+        // two chain dirs could in principle hold identically-named
+        // part files, and a basename-keyed toMap would silently let
+        // one file be pruned with the other's stats
         case Some(byFile) => files.map { f =>
-          val name = f.getPath.getName
-          name -> byFile.get(name)
+          f.getPath.toString -> byFile.get(f.getPath.getName)
         }
       }
     }.toMap
@@ -371,14 +374,27 @@ private[sources] object SnapshotFileIndex {
   }
 
   /** The smallest string ABOVE every string with prefix `p`: bump the
-    * last non-U+FFFF char and drop what follows (Spark's parquet
+    * last bumpable CODE POINT and drop what follows (Spark's parquet
     * filter pushdown plays the same trick). None when every char is
     * U+FFFF — no finite upper bound exists.
     */
   private def prefixSuccessor(p: String): Option[String] = {
-    val i = p.lastIndexWhere(_ != '\uFFFF')
+    // code points, not UTF-16 units: the bound must be correct under
+    // the stats' UTF-8 byte order (cmpUtf8). The bump skips the
+    // surrogate block so the result stays a valid string; the bound
+    // is then merely looser, never wrong. None when every code point
+    // is U+10FFFF (no finite upper bound exists).
+    val cps = p.codePoints.toArray
+    val i = cps.lastIndexWhere(_ != 0x10FFFF)
     if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    else {
+      val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+      sb.appendCodePoint(next)
+      Some(sb.toString)
+    }
   }
 
   /** Literal's external (Scala) value for comparison with collected
@@ -424,12 +440,30 @@ private[sources] object SnapshotFileIndex {
     case (a: java.lang.Number, b: java.lang.Number) =>
       Some(new java.math.BigDecimal(a.toString)
         .compareTo(new java.math.BigDecimal(b.toString)))
-    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: String, b: String) => Some(cmpUtf8(a, b))
     case (a: java.sql.Timestamp, b: java.sql.Timestamp) => Some(a.compareTo(b))
     case (a: java.sql.Date, b: java.sql.Date) => Some(a.compareTo(b))
     case (a: java.time.Instant, b: java.time.Instant) => Some(a.compareTo(b))
     case (a: java.time.LocalDate, b: java.time.LocalDate) => Some(a.compareTo(b))
     case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
     case _ => None
+  }
+
+  /** Code-point lexicographic compare == UTF8String's binary (UTF-8
+    * byte) order, which is the collation Spark's min/max stats were
+    * computed under. `String.compareTo` is UTF-16 code-UNIT order,
+    * which disagrees for supplementary-plane characters (surrogates
+    * 0xD800-0xDFFF sort below BMP 0xE000-0xFFFF in UTF-16 but encode
+    * above them in UTF-8) — comparing stats with it could prune a
+    * file that contains matching rows.
+    */
+  private def cmpUtf8(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
   }
 }

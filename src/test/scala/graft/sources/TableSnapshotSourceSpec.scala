@@ -274,6 +274,48 @@ class TableSnapshotSourceSpec extends SparkSpec {
     assert(scannedFiles(df.filter(col("name").startsWith("nope_"))) == 0)
   }
 
+  test("string stats compare in UTF-8 byte order — supplementary planes never mis-prune") {
+    val path = newTable()
+    // U+E000 (BMP private-use) vs U+1F600 (supplementary, a surrogate
+    // pair in UTF-16). Spark's min/max stats are UTF8String binary
+    // order: min = x, max = U+1F600 x. Under java.lang.String
+    // UTF-16 code-unit order the pair (0xD83D…) sorts BELOW ,
+    // so a compareTo-based box test would conclude the max is below
+    // the probe value and prune the only matching file.
+    val hi = "😀x" // U+1F600 + 'x'
+    val lo = "x"
+    Seq(lo, hi).toDF("name").coalesce(1).write.format("graft-table")
+      .option("indexColumns", "name").mode("overwrite").save(path)
+
+    val df = read(path)
+    val eq = df.filter(col("name") === hi)
+    assert(scannedFiles(eq) == 1, "collation bug: matching file was pruned")
+    assert(eq.count() == 1)
+    // prefix of the supplementary char must also keep the file
+    val pre = df.filter(col("name").startsWith("😀"))
+    assert(scannedFiles(pre) == 1)
+    assert(pre.count() == 1)
+    // and pruning itself still works: probe below the UTF-8 min
+    assert(scannedFiles(df.filter(col("name") === "aaa")) == 0)
+    // …and above the UTF-8 max (BMP order would call U+FFFD > max)
+    assert(scannedFiles(df.filter(col("name") === "🙏z")) == 0)
+  }
+
+  test("append with a same-named column at a different type fails at publish time") {
+    val path = newTable()
+    TableStore.publishVersion(spark, path,
+      Seq((1L, 1.5)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TableStore.publishVersionAppend(spark, path,
+        Seq((2L, "oops")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("type drift"))
+    // same types in a different column order still commit
+    TableStore.publishVersionAppend(spark, path,
+      Seq((2.5, 2L)).toDF("v", "id").select("v", "id"))
+    assert(read(path).count() == 2)
+  }
+
   test("retention tolerates version-dir indexes and reclaims them with their data") {
     val path = newTable()
     TableStore.publishVersion(spark, path, Seq(1L).toDF("id"))
