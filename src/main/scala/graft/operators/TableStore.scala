@@ -514,6 +514,48 @@ object TableStore {
     target
   }
 
+  /** Stage `df`'s data under an unreferenced content-addressed dir at
+    * `path` WITHOUT committing — the write half of a publish, split
+    * out so a multi-table transaction can run all its write jobs
+    * CONCURRENTLY and then lay down its commit markers in a required
+    * order (the fused IVM tick of
+    * [[graft.streaming.JoinViewMaintenance.applyTick]]: view before
+    * bases). A crashed caller leaves only this unreferenced dir —
+    * never a readable version — and [[vacuum]] reclaims it past the
+    * age threshold, exactly like a crashed CAS publish's staging.
+    */
+  def stageVersionData(spark: SparkSession, path: String,
+      df: DataFrame): String = {
+    val f = fs(spark, path)
+    val base = new Path(path)
+    if (!f.exists(base)) f.mkdirs(base)
+    val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.write.parquet(s"$path/$stage")
+    stage
+  }
+
+  /** Commit a dir previously written by [[stageVersionData]] as the
+    * next claim-based version: the marker carries the data pointer,
+    * so the commit itself is ONE create-exclusive — O(1) regardless
+    * of the staged bytes. Same claim discipline as [[publishVersion]]
+    * (concurrent committers land distinct versions, crashes burn the
+    * claimed number, readers resolve the pointer via
+    * [[versionDataDirs]]).
+    */
+  def commitStagedVersion(spark: SparkSession, path: String, stage: String,
+      note: String = ""): Long = {
+    requireCleanNote(note)
+    val f = fs(spark, path)
+    val v = claimNumber(f, path)
+    val marker = new Path(s"$path/_committed_v$v")
+    if (!createExclusive(f, marker, (note + DataPtr + stage).getBytes("UTF-8")))
+      throw new java.io.IOException(
+        s"commitStagedVersion: marker $marker already exists — " +
+          "claim uniqueness was violated")
+    f.delete(new Path(s"$path/_claim_v$v"), false)
+    v
+  }
+
   /** Retry loop for CAS read-modify-write: `attempt` receives the
     * current version (None before the first publish) and returns the
     * new full state; conflicts re-read and retry up to `maxRetries`.
@@ -1289,6 +1331,24 @@ object TableStore {
     publishVersion(spark, path, df.withColumn("_mult", lit(1L)), note)
   }
 
+  /** Snapshot publish for frames the CALLER proves are ALREADY in the
+    * canonical multiset shape — one row per distinct data tuple with
+    * its positive `_mult` attached (e.g. [[graft.operators.Ivm]]'s
+    * `joinView`, which ends in a groupBy over exactly the view
+    * columns, or [[readFolded]]'s output, whose contract is this
+    * shape). Skips [[publishFoldSnapshot]]'s canonicalizing shuffle —
+    * on a checkpoint of a large state that is a full extra exchange
+    * bought for nothing. A caller that cannot PROVE the shape must
+    * use [[publishFoldSnapshot]].
+    */
+  def publishFoldSnapshotCanonical(spark: SparkSession, path: String,
+      df: DataFrame, note: String = ""): Long = {
+    require(df.columns.contains("_mult"),
+      "publishFoldSnapshotCanonical: caller passes the canonical shape " +
+        "(data columns + _mult)")
+    publishVersion(spark, path, df, note)
+  }
+
   def isFoldDelta(spark: SparkSession, path: String, v: Long): Boolean =
     versionNote(spark, path, v).exists(_.startsWith(FoldDeltaPrefix))
 
@@ -1349,10 +1409,13 @@ object TableStore {
 
   /** Materialize the current folded state as a new FULL snapshot —
     * the checkpoint that bounds chain length and unlocks retention.
-    * Canonicalized via [[publishFoldSnapshot]].
+    * [[readFolded]]'s output is canonical by contract (its fold
+    * groupBy produces one row per data tuple; the single-snapshot
+    * fast path preserves write-time canonical shape), so the publish
+    * skips a second canonicalizing shuffle.
     */
   def compactFold(spark: SparkSession, path: String, note: String = ""): Long =
-    publishFoldSnapshot(spark, path, readFolded(spark, path), note)
+    publishFoldSnapshotCanonical(spark, path, readFolded(spark, path), note)
 
   /** AGGREGATE fold tables — the partial-aggregate-log variant (the
     * rollup-segment pattern Druid/streaming-OLAP stores use): each

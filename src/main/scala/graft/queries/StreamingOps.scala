@@ -260,14 +260,6 @@ object StreamingOps {
       val a = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .cache()
-      val editedA = a.filter(col("o_orderkey") % 7 =!= 0)
-        .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
-          col("o_custkey") + 1).otherwise(col("o_custkey")))
-        .withColumn("o_totalprice", when(col("o_orderkey") % 11 === 0,
-          col("o_totalprice") * 2).otherwise(col("o_totalprice")))
-        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
-          .select((-col("o_orderkey")).as("o_orderkey"),
-            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
       // checkpoint the grouped base: it feeds the publish, the edit
       // script AND the changelog diff — without this the groupBy over
       // lineitem re-executes for each consumer
@@ -279,14 +271,6 @@ object StreamingOps {
         .groupBy(col("l_orderkey").as("o_orderkey"), col("l_linenumber"))
         .agg(max(col("l_extendedprice")).as("l_extendedprice"))
         .cache()
-      val editedB = b.filter((col("o_orderkey") + col("l_linenumber")) % 6 =!= 0)
-        .withColumn("l_extendedprice",
-          when((col("o_orderkey") + col("l_linenumber")) % 9 === 0,
-            col("l_extendedprice") + 100).otherwise(col("l_extendedprice")))
-        .unionByName(b.filter(col("o_orderkey") % 13 === 0)
-          .select(col("o_orderkey"),
-            (col("l_linenumber") + 100).as("l_linenumber"),
-            col("l_extendedprice")))
       // ALL THREE states — view and both bases — live as versioned
       // TableStore tables advanced through the same publish path
       // production ingestion uses; each tick is a WAL-style
@@ -304,6 +288,14 @@ object StreamingOps {
       }
       val basePathA = tmp.resolve("base_a").toString
       val basePathB = tmp.resolve("base_b").toString
+      // the producer states are O(100k) rows: 32-way shuffles price
+      // every init/diff stage at task-scheduling floor × 32 for data
+      // that fits 8 partitions comfortably — the same right-sizing
+      // runForeachBatch applies to the ticks (4), applied here to the
+      // pre-stream phases (init + changelog diff run CONCURRENTLY, so
+      // halving their task counts also halves scheduler contention)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       // init (three v0 publishes) and the changelog staging below both
       // read only the in-memory inputs a/b — neither depends on the
       // other's outputs, so they overlap on separate threads (the
@@ -313,19 +305,56 @@ object StreamingOps {
         import scala.concurrent.Future
         import scala.concurrent.ExecutionContext.Implicits.global
         Future(phase("init")(JoinViewMaintenance.init(s, viewPath,
-          basePathA, basePathB, a, b, Seq("o_orderkey"))))
+          basePathA, basePathB, a, b, Seq("o_orderkey"),
+          // a is PK-keyed (o_orderkey), b is a groupBy product —
+          // both one row per tuple, so v0 skips the canonical shuffle
+          inputsDistinct = true)))
       }
-      // one combined changelog (keyed diffs via the s24 snapshot-diff
-      // ALGORITHM, run directly on the in-memory states — the producer
-      // already holds both, so the four snapshot round trips i4 pays
-      // for its storage story would be pure overhead here), both
-      // sides tagged; nulls pad the side-specific columns
-      val dA = TableStore.diffKeyed(a, editedA, Seq("o_orderkey"))
+      // one combined changelog, emitted DIRECTLY from the edit script
+      // the way a CDC producer emits changes (i4 pays the snapshot-
+      // diff algorithm for its storage story; a changelog source
+      // already knows each row's change kind, so two full-outer
+      // diff joins here would be pure fixture overhead). Every
+      // update's pre/post values differ by construction (+1 on a
+      // key, ×2 / +100 on a strictly positive price), so this is
+      // row-identical to diffKeyed(old, edited) on the same states;
+      // nulls pad the side-specific columns
+      val aUpd = a.filter(col("o_orderkey") % 7 =!= 0 &&
+        (col("o_orderkey") % 17 === 0 || col("o_orderkey") % 11 === 0))
+      val dA = a.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("delete").as("_change_type"),
+          col("o_custkey"), col("o_totalprice"))
+        .unionByName(aUpd.select(col("o_orderkey"),
+          lit("update_preimage").as("_change_type"),
+          col("o_custkey"), col("o_totalprice")))
+        .unionByName(aUpd.select(col("o_orderkey"),
+          lit("update_postimage").as("_change_type"),
+          when(col("o_orderkey") % 17 === 0, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice")))
+        .unionByName(a.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("insert").as("_change_type"),
+            col("o_custkey"), (col("o_totalprice") + 1000).as("o_totalprice")))
         .select(lit("a").as("_side"), col("o_orderkey"), col("_change_type"),
           col("o_custkey"), col("o_totalprice"),
           lit(null).cast("int").as("l_linenumber"),
           lit(null).cast("double").as("l_extendedprice"))
-      val dB = TableStore.diffKeyed(b, editedB, Seq("o_orderkey", "l_linenumber"))
+      val bK = col("o_orderkey") + col("l_linenumber")
+      val bUpd = b.filter(bK % 6 =!= 0 && bK % 9 === 0)
+      val dB = b.filter(bK % 6 === 0)
+        .select(col("o_orderkey"), col("l_linenumber"),
+          lit("delete").as("_change_type"), col("l_extendedprice"))
+        .unionByName(bUpd.select(col("o_orderkey"), col("l_linenumber"),
+          lit("update_preimage").as("_change_type"), col("l_extendedprice")))
+        .unionByName(bUpd.select(col("o_orderkey"), col("l_linenumber"),
+          lit("update_postimage").as("_change_type"),
+          (col("l_extendedprice") + 100).as("l_extendedprice")))
+        .unionByName(b.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"),
+            (col("l_linenumber") + 100).as("l_linenumber"),
+            lit("insert").as("_change_type"), col("l_extendedprice")))
         .select(lit("b").as("_side"), col("o_orderkey"), col("_change_type"),
           lit(null).cast("long").as("o_custkey"),
           lit(null).cast("double").as("o_totalprice"),
@@ -335,6 +364,11 @@ object StreamingOps {
           tmp.resolve("stage").toString, nFiles = EventStream.ticks(3)))
       scala.concurrent.Await.result(fInit,
         scala.concurrent.duration.Duration.Inf)
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // compaction checkpoints run BEHIND the stream (drained before
+      // the next tick's commits and before the final read below) —
+      // the Delta async-checkpoint discipline; see AsyncCompactor
+      val compactor = new JoinViewMaintenance.AsyncCompactor
       phase("stream")(EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, batchId) =>
         val slice = batch.cache()
@@ -348,9 +382,13 @@ object StreamingOps {
             onCost = c => if (sys.env.contains("GRAFT_TICK_COST"))
               System.err.println(f"[tick-cost] st15 b=${c.batchId} " +
                 f"view=${c.viewSec}%.3f bases=${c.basesSec}%.3f " +
-                f"compact=${c.compactSec}%.3f"))
+                f"compact=${c.compactSec}%.3f"),
+            compactor = Some(compactor))
         } finally { slice.unpersist(); () }
       })
+      // the last checkpoint may still be rewriting state: its
+      // retention must not reclaim files the final scan plans
+      phase("drain")(compactor.drain())
       def wsum(c: String) =
         sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
       // aggregate the RAW signed chain: every sum here distributes
@@ -358,12 +396,16 @@ object StreamingOps {
       // so the per-tuple fold shuffle readFolded would pay first is
       // algebraically redundant — one groupBy over the log instead of
       // a state-wide groupBy feeding another
+      // presentation order via a single-task sort of the O(custkeys)
+      // aggregate: a global orderBy would buy the same order with a
+      // range-partitioner SAMPLING job plus an exchange — two extra
+      // scheduling round-trips for a ~10k-row result
       TableStore.readFoldedUnion(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
         .filter(col("n_lines") > 0)
-        .orderBy("o_custkey")
+        .coalesce(1).sortWithinPartitions("o_custkey")
     },
 
     // ---------------------------------------------------------------

@@ -86,9 +86,17 @@ object JoinViewMaintenance {
 
   /** Publish the v0 states: both bases and their join view, tagged
     * tick=-1, as full fold-table snapshots (`_mult`-annotated).
+    *
+    * `inputsDistinct = true` is the caller's proof that `a` and `b`
+    * each hold one row per distinct tuple (a PK-keyed base, a groupBy
+    * product): their snapshots then skip the canonicalizing shuffle.
+    * The VIEW snapshot always skips it — [[Ivm.joinView]] ends in a
+    * groupBy over exactly the view columns, canonical by
+    * construction regardless of input duplication.
     */
   def init(spark: SparkSession, viewPath: String, aPath: String,
-      bPath: String, a: DataFrame, b: DataFrame, keys: Seq[String]): Unit = {
+      bPath: String, a: DataFrame, b: DataFrame, keys: Seq[String],
+      inputsDistinct: Boolean = false): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -96,10 +104,14 @@ object JoinViewMaintenance {
     // row here, so every later read sees the same representation.
     // The three v0 publishes are independent writes — run in parallel
     // (no tick ordering exists yet; the WAL protocol starts at tick 0)
+    def pubBase(p: String, df: DataFrame): Long =
+      if (inputsDistinct)
+        TableStore.publishFoldSnapshotDistinct(spark, p, df, note(InitTick))
+      else TableStore.publishFoldSnapshot(spark, p, df, note(InitTick))
     Seq(
-      Future(TableStore.publishFoldSnapshot(spark, aPath, a, note(InitTick))),
-      Future(TableStore.publishFoldSnapshot(spark, bPath, b, note(InitTick))),
-      Future(TableStore.publishFoldSnapshot(spark, viewPath,
+      Future(pubBase(aPath, a)),
+      Future(pubBase(bPath, b)),
+      Future(TableStore.publishFoldSnapshotCanonical(spark, viewPath,
         Ivm.joinView(a, b, keys), note(InitTick)))
     ).foreach(Await.result(_, Duration.Inf))
   }
@@ -130,29 +142,82 @@ object JoinViewMaintenance {
   final case class TickCost(batchId: Long, viewSec: Double,
       basesSec: Double, compactSec: Double)
 
+  /** Deferred-checkpoint handle: with one of these, [[applyTick]]
+    * hands the compaction tick's full-state rewrite to a background
+    * thread instead of blocking the stream on it, and DRAINS it
+    * before the next tick COMMITS anything — a checkpoint racing a
+    * later delta commit could anchor ABOVE that delta and silently
+    * drop it from the fold. The next tick's STAGING is free to
+    * overlap the rewrite (staging only reads committed files and
+    * writes unreferenced dirs), which is where the overlap pays: the
+    * checkpoint runs under the next view-delta's own compute. The
+    * stream's owner drains once more before the final read.
+    *
+    * RETENTION is split out of the background task and runs on the
+    * DRAINING thread (`andThen`): the background task must never
+    * delete version data while the next tick's staging jobs may
+    * still be scanning it — at drain time those jobs are complete
+    * (applyTick awaits them first) and no marker has committed yet,
+    * so the deletes touch only files nobody references. This is the
+    * async-checkpoint discipline of a Delta writer: the transaction
+    * log advances synchronously; checkpoint parquet and VACUUM trail
+    * behind.
+    *
+    * A failed background checkpoint rethrows at the next drain —
+    * never swallowed.
+    */
+  final class AsyncCompactor {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    private[this] var pending: Option[Future[Unit]] = None
+    private[this] var followUp: () => Unit = () => ()
+    def drain(): Unit = synchronized {
+      pending.foreach(Await.result(_, Duration.Inf))
+      pending = None
+      val f = followUp
+      followUp = () => ()
+      f()
+    }
+    private[streaming] def submit(body: => Unit)(andThen: => Unit): Unit =
+      synchronized {
+        drain()
+        pending = Some(Future(body)(
+          scala.concurrent.ExecutionContext.global))
+        followUp = () => andThen
+      }
+  }
+
   /** Apply micro-batch `batchId` (deltas `dA`/`dB` in changesBetween
     * shape) to all three stored states — idempotent and roll-forward-
     * safe per the class doc. `afterPublish(path)` is a test seam: the
     * crash spec throws from it to kill the loop between publishes.
     * `onCost` receives the tick's phase timings (bench/diagnostics).
     *
-    * The TWO BASE publishes run in parallel: the WAL protocol only
-    * requires the VIEW to publish first (so a mid-tick crash implies
-    * the bases still sit at B-1 when the view lacks tick B); the bases
-    * themselves are independent tables whose roll-forward recomputes
-    * each missing delta from the same re-read batch slice, in any
-    * order. Serializing them would add one full Spark-job latency per
-    * tick for no safety.
+    * The tick is a FUSED staged commit: all three delta WRITES run
+    * concurrently (TableStore.stageVersionData — unreferenced dirs,
+    * invisible to readers), then the three O(1) commit markers land
+    * in WAL order view → A → B (TableStore.commitStagedVersion). The
+    * crash invariant lives entirely in the MARKER order, not in when
+    * the bytes were written: a crash anywhere before the view marker
+    * leaves only orphan staging (vacuum fodder); between markers, the
+    * missing tables' deltas recompute from the same re-read batch
+    * slice — and the view delta, which needs the bases at B-1, can
+    * only be recomputed when its marker is missing, in which case the
+    * base markers (laid down after it) are missing too. Staging the
+    * base writes under the view's compute (instead of running them
+    * after its publish) removes one full Spark-job wall per tick.
     */
   def applyTick(spark: SparkSession, viewPath: String, aPath: String,
       bPath: String, dA: DataFrame, dB: DataFrame, keys: Seq[String],
       batchId: Long, afterPublish: String => Unit = _ => (),
-      onCost: TickCost => Unit = _ => ()): Unit = {
+      onCost: TickCost => Unit = _ => (),
+      compactor: Option[AsyncCompactor] = None): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val t0 = System.nanoTime()
-    if (tickVersion(spark, viewPath, batchId).isEmpty) {
+    val needView = tickVersion(spark, viewPath, batchId).isEmpty
+    val stagedView: Option[Future[String]] = if (needView) {
       // bases still sit at tick B-1 here (they publish after the view).
       // `_mult` stays attached: joinViewDelta weights its base probes
       // by it, so a duplicate base row folded to one `_mult=k` row
@@ -193,19 +258,39 @@ object JoinViewMaintenance {
         .filterNot(_ == "_mult").toSeq
       val dView = Ivm.joinViewDelta(aPrev, bPrev, dA, dB, keys, viewCols)
         .withColumnRenamed("_dmult", "_mult")
-      TableStore.publishFoldDelta(spark, viewPath, dView, note(batchId)): Unit
-    }
+      Some(Future(TableStore.stageVersionData(spark, viewPath, dView)))
+    } else None
+    // base deltas stage CONCURRENTLY with the view compute: staging
+    // writes unreferenced dirs, so the view job still reads the bases
+    // at B-1 — nothing becomes visible until the markers below
+    val stagedBases: Seq[(String, Option[Future[String]])] =
+      Seq(aPath -> dA, bPath -> dB).map { case (p, d) =>
+        p -> (if (tickVersion(spark, p, batchId).isEmpty)
+          Some(Future(TableStore.stageVersionData(spark, p, baseDelta(d))))
+        else None)
+      }
+    // all staging complete BEFORE the commit phase: the drain below
+    // may run a prior checkpoint's retention, which must never delete
+    // files an in-flight staging scan still references
+    val viewStage = stagedView.map(Await.result(_, Duration.Inf))
+    val baseStages = stagedBases.map { case (p, st) =>
+      p -> st.map(Await.result(_, Duration.Inf)) }
+    // a still-running background checkpoint must land before this
+    // tick commits (a checkpoint pinned at B-1 committing above this
+    // tick's deltas would anchor them out of the fold) — its overlap
+    // window was the whole staging phase above plus the stream
+    // machinery between the ticks; see AsyncCompactor
+    compactor.foreach(_.drain())
+    // ONE commit point per table, markers in WAL order view → A → B
+    viewStage.foreach(st => TableStore.commitStagedVersion(spark, viewPath,
+      st, TableStore.FoldDeltaPrefix + note(batchId)): Unit)
     afterPublish(viewPath)
     val t1 = System.nanoTime()
-    val basePubs = Seq(aPath -> dA, bPath -> dB).map { case (p, d) =>
-      Future {
-        if (tickVersion(spark, p, batchId).isEmpty) {
-          TableStore.publishFoldDelta(spark, p, baseDelta(d), note(batchId)): Unit
-        }
-        afterPublish(p)
-      }
+    baseStages.foreach { case (p, st) =>
+      st.foreach(s => TableStore.commitStagedVersion(spark, p,
+        s, TableStore.FoldDeltaPrefix + note(batchId)): Unit)
+      afterPublish(p)
     }
-    basePubs.foreach(Await.result(_, Duration.Inf))
     val t2 = System.nanoTime()
     // checkpoint cadence: only AFTER the tick's three publishes
     // committed, so a mid-tick roll-forward never loses a version it
@@ -220,16 +305,28 @@ object JoinViewMaintenance {
     if ((batchId + 1) % CompactEvery == 0) {
       // the three compactions are independent per-table checkpoints —
       // run them in parallel too (each is a read-fold + full write job)
-      val compacts = Seq(viewPath, aPath, bPath).map { p =>
-        Future {
-          TableStore.compactFold(spark, p, checkpointNote(batchId))
+      def checkpointAll(): Unit = {
+        val compacts = Seq(viewPath, aPath, bPath).map { p =>
+          Future(TableStore.compactFold(spark, p, checkpointNote(batchId)))
+        }
+        compacts.foreach(Await.result(_, Duration.Inf): Unit)
+      }
+      def retainAll(): Unit =
+        Seq(viewPath, aPath, bPath).foreach { p =>
           TableStore.currentVersion(spark, p).foreach { cur =>
             TableStore.dropVersionsBelow(spark, p,
               TableStore.foldAnchor(spark, p, cur))
           }
         }
+      compactor match {
+        // deferred: the rewrite runs behind the next tick's staging
+        // and is drained before its commits (or the owner's final
+        // read); retention runs on the draining thread, after every
+        // staging scan that could reference the old files has
+        // completed — see AsyncCompactor
+        case Some(c) => c.submit(checkpointAll())(retainAll())
+        case None => { checkpointAll(); retainAll() }
       }
-      compacts.foreach(Await.result(_, Duration.Inf))
     }
     val t3 = System.nanoTime()
     onCost(TickCost(batchId, (t1 - t0) / 1e9, (t2 - t1) / 1e9,

