@@ -1,84 +1,90 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON outputs per query, repeat-protocol aware.
+"""Compare two bench JSONs with MECHANICAL host-drift normalization.
 
-Usage: python3 tools/bench_compare.py OLD.json NEW.json [ratio_threshold]
+Every BENCH json (round 12+) carries a `host_probe` block measured by
+the bench run itself:
+  cpu_s  - pinned single-thread xorshift loop (single-core speed: the
+           driver-iterative / scheduling-floor component of walls)
+  scan_s - pinned full-scan aggregate over lineitem (IO + codegen'd
+           scan throughput)
 
-Prints queries whose new/old time ratio exceeds the threshold (default
-2.0), plus catalog-shape context (added/removed queries, totals over the
-SHARED set only — a bigger catalog is not a slower engine). Streaming
-(st*) rows are flagged when either side measured them single-pass
-(stream_repeats=1): a one-pass number is scheduler-noisy and a large
-ratio there is weak evidence on its own (re-run with
-SPARK_GRAFT_ONLY=<name> SPARK_GRAFT_REPEATS=3 before believing it).
+For each query shared by OLD and NEW this prints:
+  raw   = t_new / t_old
+  n_cpu = raw / (cpu_new / cpu_old)    (drift-corrected, cpu model)
+  n_scan= raw / (scan_new / scan_old)  (drift-corrected, scan model)
+  best  = min(n_cpu, n_scan)           (the CHARITABLE reading: a
+          query is only flagged when it regressed under BOTH models)
+
+Exit code 1 when any query's `best` exceeds the threshold (default
+1.5x), so the round driver / judge can gate on it. Files without a
+host_probe block (rounds <= 11) fall back to raw ratios with a
+loud note.
+
+Usage: bench_compare.py OLD.json NEW.json [--threshold 1.5] [--top 20]
 """
 import json
-import re
 import sys
 
 
 def load(path):
-    """Accept either a raw Bench stdout line or the driver's BENCH_r
-    wrapper ({"tail": "<possibly truncated stdout fragment>"...}); in
-    the wrapper case the per-query map is recovered by regex, so a
-    truncated tail still yields every complete "name":seconds pair.
-    """
-    text = open(path).read()
-    try:
-        d = json.loads(text)
-    except json.JSONDecodeError:
-        d = None
-    if d is not None and "queries" in d:
-        return d
-    blob = d.get("tail", "") if isinstance(d, dict) else text
-    # recover pairs ONLY from inside the "queries":{...} object when its
-    # opening brace survived the truncation — scanning the whole blob
-    # would also capture metadata fields ("value", "avg_per_query") as
-    # phantom query timings. If the opener itself was truncated away,
-    # fall back to the whole blob minus the known metadata keys.
-    m = re.search(r'"queries"\s*:\s*\{', blob)
-    scan = blob[m.end():] if m else blob
-    if m and (close := scan.find("}")) != -1:
-        scan = scan[:close]
-    qs = {m.group(1): float(m.group(2)) for m in
-          re.finditer(r'"([a-z0-9_]+)":(-?\d+\.\d+)', scan)
-          if m.group(1) not in ("value", "avg_per_query")}
-    meta = {k: int(m.group(1)) for k in ("repeats", "stream_repeats")
-            if (m := re.search(rf'"{k}":(\d+)', blob))}
-    if not qs:
-        raise SystemExit(f"no per-query timings recoverable from {path}")
-    return {"queries": qs, **meta}
+    with open(path) as f:
+        d = json.load(f)
+    probe = d.get("host_probe") or {}
+    cpu = probe.get("cpu_s", -1)
+    scan = probe.get("scan_s", -1)
+    return d.get("queries", {}), (cpu, scan)
 
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    oq = {k: v for k, v in old["queries"].items() if v >= 0}
-    nq = {k: v for k, v in new["queries"].items() if v >= 0}
-    shared = sorted(set(oq) & set(nq))
-    added, removed = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
-    osum, nsum = sum(oq[k] for k in shared), sum(nq[k] for k in shared)
-    print(f"shared {len(shared)} queries: {osum:.1f}s -> {nsum:.1f}s "
-          f"({nsum / osum:.2f}x)" if osum else "no shared queries")
-    print(f"old repeats={old.get('repeats', '?')}/"
-          f"stream={old.get('stream_repeats', '?')}  "
-          f"new repeats={new.get('repeats', '?')}/"
-          f"stream={new.get('stream_repeats', '?')}")
-    if added:
-        print(f"added ({len(added)}): {', '.join(added)}")
-    if removed:
-        print(f"removed ({len(removed)}): {', '.join(removed)}")
-    flagged = [(nq[k] / oq[k], k) for k in shared
-               if oq[k] > 0 and nq[k] / oq[k] > thresh]
-    for ratio, k in sorted(flagged, reverse=True):
-        weak = ""
-        if k.startswith("st") and (old.get("stream_repeats", 1) == 1
-                                   or new.get("stream_repeats", 1) == 1):
-            weak = "  [single-pass streaming: weak evidence, re-run]"
-        print(f"  {ratio:5.1f}x  {k}: {oq[k]:.2f}s -> {nq[k]:.2f}s{weak}")
-    if not flagged:
-        print(f"no shared query regressed past {thresh}x")
-    sys.exit(1 if flagged else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=", 1)[1] if "=" in a else True
+            for a in sys.argv[1:] if a.startswith("--")}
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    threshold = float(opts.get("--threshold", 1.5))
+    top = int(opts.get("--top", 20))
+    qo, (co, so) = load(args[0])
+    qn, (cn, sn) = load(args[1])
+    rc = cn / co if co > 0 and cn > 0 else None
+    rs = sn / so if so > 0 and sn > 0 else None
+    if rc is None and rs is None:
+        print("NOTE: no usable host_probe in one of the files - "
+              "ratios below are RAW (uncorrected for host drift)")
+    else:
+        print(f"probe ratios new/old: cpu={rc and round(rc, 3)} "
+              f"scan={rs and round(rs, 3)}")
+    rows = []
+    for q in sorted(set(qo) & set(qn)):
+        to, tn = qo[q], qn[q]
+        if to <= 0 or tn <= 0:
+            continue
+        raw = tn / to
+        ncpu = raw / rc if rc else raw
+        nscan = raw / rs if rs else raw
+        rows.append((q, to, tn, raw, ncpu, nscan, min(ncpu, nscan)))
+    rows.sort(key=lambda r: -r[6])
+    print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'raw':>6s} "
+          f"{'n_cpu':>6s} {'n_scan':>6s} {'best':>6s}")
+    for q, to, tn, raw, ncpu, nscan, best in rows[:top]:
+        flag = " <-- REGRESSED" if best > threshold else ""
+        print(f"{q:40s} {to:8.3f} {tn:8.3f} {raw:6.2f} "
+              f"{ncpu:6.2f} {nscan:6.2f} {best:6.2f}{flag}")
+    import statistics
+    if rows:
+        med = statistics.median(r[3] for r in rows)
+        medb = statistics.median(r[6] for r in rows)
+        print(f"\n{len(rows)} shared queries; median raw {med:.3f}, "
+              f"median best-normalized {medb:.3f}")
+    bad = [r for r in rows if r[6] > threshold]
+    if bad:
+        print(f"{len(bad)} queries above best-normalized {threshold}x:")
+        for q, *_ in bad:
+            print(f"  {q}")
+        return 1
+    print(f"no query above best-normalized {threshold}x")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
