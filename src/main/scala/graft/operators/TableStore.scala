@@ -1087,20 +1087,32 @@ object TableStore {
     import spark.implicits._
     val versions = committedVersions(spark, path)
     require(versions.nonEmpty, s"history: no published version at $path")
-    val meta = versions.map { v =>
+    // row counts from PARQUET FOOTER metadata (row-group record
+    // counts), never a data scan: the ledger costs O(files) footer
+    // reads at any table size — the union-of-scans alternative read
+    // every byte of every version (O(versions x table) at 100 TB).
+    // An append chain's count sums the chain's dirs, matching what a
+    // readVersion count would return for that version.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
+    def footerRows(p: Path): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }
+    versions.map { v =>
       val note = versionNote(spark, path, v).getOrElse("")
       val kind = if (note.startsWith(FoldDeltaPrefix)) "fold_delta"
         else "snapshot"
-      (v, note, kind)
-    }.toDF("version", "note", "kind")
-    val counts = versions
-      .map(v => readVersion(spark, path, Some(v))
-        .select(lit(v).as("version")))
-      .reduce(_ unionByName _)
-      .groupBy("version").agg(count(lit(1)).as("n_rows"))
-    meta.join(counts, Seq("version"), "left")
-      .select(col("version"), col("note"), col("kind"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      val n = versionDataDirs(spark, path, v).map { d =>
+        val dp = new Path(d)
+        if (!f.exists(dp)) 0L // reclaimed by retention: data gone, marker stays
+        else f.listStatus(dp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => footerRows(s.getPath)).sum
+      }.sum
+      (v, note, kind, n)
+    }.toDF("version", "note", "kind", "n_rows")
   }
 
   /** [[readPinned]] for a FOLD-TABLE member: the manifest pins a chain

@@ -1852,13 +1852,13 @@ object Sinks {
     // Each history row carries the version, its commit note, its
     // kind (snapshot vs fold delta — derived from the note's
     // `delta;` prefix, the store's own convention), and the row
-    // count AT that version. Metadata resolution is O(versions)
-    // marker reads; the counts are per-version scans unioned into
-    // ONE distributed job (at 100 TB an operator bounds this with a
-    // version range — counting every historical snapshot is a choice,
-    // not a default). The fixture drives publish → delete-vector →
-    // append → fold-delta so all kinds appear; the oracle states the
-    // expected ledger algebraically.
+    // count AT that version. The ENTIRE ledger is metadata:
+    // O(versions) marker reads plus O(files) parquet FOOTER record
+    // counts — no version's data is scanned, so DESCRIBE HISTORY on
+    // a 100 TB table with deep history costs footer round-trips, not
+    // reads (PlanSpec pins the no-scan property). The fixture drives
+    // publish → delete-vector → append → fold-delta so all kinds
+    // appear; the oracle states the expected ledger algebraically.
     Q("s41_table_history",
       "DESCRIBE HISTORY: version ledger (note, kind, row count) as a queryable frame",
       """SELECT * FROM (VALUES

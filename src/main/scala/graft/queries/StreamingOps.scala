@@ -1504,8 +1504,12 @@ object StreamingOps {
       TableStore.publishFoldDelta(s, base,
         o.filter(col("o_orderkey") % 7 === 0).withColumn("_mult", lit(-1L)),
         "retract")
+      // ONE source name for snapshots, writes, batch CDC and the
+      // commit-log stream: the graft-table provider's streaming half
+      // resolves to the same changefeed machinery (Delta's
+      // readStream-on-table surface; round-12 unification)
       val feed = s.readStream
-        .format("graft.sources.TableChangefeedSource")
+        .format("graft-table")
         .load(base)
       // the exactly-once sink discipline: a redelivered micro-batch
       // (crash between the publish and the stream checkpoint's

@@ -134,7 +134,7 @@ object TableChangefeedSource {
   }
 }
 
-private class ChangefeedTable(path: String, declared: StructType)
+private[sources] class ChangefeedTable(path: String, declared: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"changefeed($path)"
   override def schema(): StructType = declared

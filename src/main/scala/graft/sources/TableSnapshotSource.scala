@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.TableStore
@@ -49,9 +49,35 @@ import graft.operators.TableStore
   * decision.
   */
 class TableSnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-table"
+
+  // ---- streaming half: `spark.readStream.format("graft-table")` ----
+  // ONE source name covers snapshot reads, versioned writes, batch
+  // CDC, and the commit-log stream (Delta's surface shape). The DSv2
+  // Table advertises MICRO_BATCH_READ ONLY, so every BATCH read/write
+  // falls back to the V1 relations below (loadV2Source/save return
+  // None without BATCH_READ/BATCH_WRITE) while readStream resolves to
+  // the changefeed machinery shared with [[TableChangefeedSource]].
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    // a WRITE to a not-yet-existing table probes the provider for a
+    // schema before the V1 fallback decision — answer empty instead
+    // of failing the probe (nothing batch-side ever reads this)
+    if (path == null ||
+        TableStore.committedVersions(SparkSession.active, path).isEmpty)
+      new StructType()
+    else TableChangefeedSource.schemaOf(path)
+  }
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    new ChangefeedTable(properties.get("path"), schema)
 
   /** `df.write.format("graft-table").mode(…).save(path)` — SaveMode
     * mapped onto the store's versioned-publish semantics (every write
@@ -142,6 +168,34 @@ class TableSnapshotSource extends RelationProvider
     require(pinned.size <= 1,
       s"graft-table: versionAsOf / timestampAsOf / tag / branch are " +
         s"mutually exclusive, got ${pinned.map(_._1).mkString(", ")}")
+
+    // `readChangeFeed=true` + `startingVersion` [+ `endingVersion`,
+    // default latest] + `changeKeys` — Delta's batch CDF surface on
+    // the same source name, delegating to the store's own
+    // [[TableStore.changesBetween]] (keyed snapshot diff: insert /
+    // delete / update_preimage / update_postimage rows). O(changes)
+    // output; the computation reads exactly the two pinned snapshots.
+    if (parameters.get("readchangefeed").exists(_.toBoolean)) {
+      require(pinned.isEmpty,
+        "graft-table: readChangeFeed and snapshot pins are mutually exclusive")
+      val from = parameters.getOrElse("startingversion", sys.error(
+        "graft-table: readChangeFeed requires startingVersion")).toLong
+      val to = parameters.get("endingversion").map(_.toLong)
+        .orElse(TableStore.currentVersion(spark, path))
+        .getOrElse(sys.error(s"graft-table: no published version at $path"))
+      val keys = parameters.getOrElse("changekeys", sys.error(
+        "graft-table: readChangeFeed requires changeKeys " +
+          "(comma-separated key columns)"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+      val changes = TableStore.changesBetween(spark, path, from, to, keys,
+        allowEvolution = parameters.get("allowevolution").exists(_.toBoolean))
+      return new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = changes.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          changes.rdd
+      }
+    }
 
     // snapshot resolution — each arm reuses the store's own public
     // resolution rules so the source can never disagree with the API

@@ -779,6 +779,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s41: DESCRIBE HISTORY reads footer metadata only — no data-file scan in the plan") {
+    val p = plan("s41_table_history")
+    // the ledger is driver-side markers + parquet footer record
+    // counts; a FileSourceScanExec in the history frame would mean a
+    // version's data was being read to count it (the O(versions x
+    // table) shape this gate exists to forbid)
+    assert(!p.contains("FileScan") && !p.contains("FileSourceScan"),
+      "history must not scan version data:\n" + p)
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "history should be a local relation:\n" + p)
+  }
+
   test("t40: phrase match prunes the postings scan by term prefix; spec joins broadcast; one anchor aggregate") {
     val p = plan("t40_phrase_query")
     // the postings read lists only the phrase terms' tb= directories

@@ -316,6 +316,51 @@ class TableSnapshotSourceSpec extends SparkSpec {
     assert(read(path).count() == 2)
   }
 
+  test("one source name: readStream and batch readChangeFeed resolve on graft-table") {
+    val path = newTable()
+    TableStore.publishFoldSnapshot(spark,
+      path, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"), "v0")
+    TableStore.publishFoldDelta(spark, path,
+      Seq((2L, 20.0, -1L), (3L, 30.0, 1L)).toDF("id", "x", "_mult"), "tick")
+
+    // streaming half: the commit log as micro-batches, offsets =
+    // versions, through the SAME format name as snapshot reads
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = spark.readStream.format("graft-table").load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= b.select("id", "_mult", "_version")
+          .as[(Long, Long, Long)].collect(): Unit
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet == Set((1L, 1L, 1L), (2L, 1L, 1L),
+      (2L, -1L, 2L), (3L, 1L, 2L)), got.toSet)
+
+    // batch CDC half: Delta's CDF options delegate to changesBetween
+    val snapA = newTable()
+    TableStore.publishVersion(spark, snapA,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    TableStore.publishVersion(spark, snapA,
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "s"))
+    val cdc = read(snapA, "readChangeFeed" -> "true",
+      "startingVersion" -> "1", "changeKeys" -> "k")
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(cdc == Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "insert")), cdc)
+    // CDC and snapshot pins stay mutually exclusive
+    intercept[Exception] {
+      read(snapA, "readChangeFeed" -> "true", "startingVersion" -> "1",
+        "changeKeys" -> "k", "versionAsOf" -> "1").collect()
+    }
+    // snapshot reads and writes through the same name still work with
+    // the TableProvider mixin present (V1 fallback, not a V2 scan)
+    assert(read(snapA).count() == 3)
+    Seq((9L, "z")).toDF("k", "s").write.format("graft-table")
+      .mode("overwrite").save(snapA)
+    assert(read(snapA).count() == 1)
+  }
+
   test("retention tolerates version-dir indexes and reclaims them with their data") {
     val path = newTable()
     TableStore.publishVersion(spark, path, Seq(1L).toDF("id"))
