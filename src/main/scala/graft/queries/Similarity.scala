@@ -2212,6 +2212,142 @@ object Similarity {
         .select(col("va").as("vec_a"), col("best_b").as("vec_b"),
           (col("best_c") / col("denom")).as("margin"))
         .orderBy("vec_a")
+    },
+
+    // ---------------------------------------------------------------
+    // Bitext mining RECALL GATE — k10's audit discipline applied to
+    // k25's mining family: mutual-best pairs mined from (a) the
+    // single LSH cell and (b) the cell plus its hamming-1 probe ring
+    // (k2's multi-probe machinery), each scored against the
+    // brute-force mutual-best truth over ALL cross pairs. Recall is
+    // PROVABLY monotone here: a truth pair is mutual-GLOBAL-best, so
+    // it is mined iff its endpoints are co-candidates — a superset
+    // candidate set can only add co-candidacy, never break a truth
+    // pair — and the in-query gate requires multi ≥ single on top of
+    // the oracle's exact counts. At 100 TB this is the eval that
+    // decides the probe budget: the truth tier stays an audit-sample
+    // cost (here the corpus IS the sample), the mined tiers stay
+    // bucket-blocked, and the recall delta prices each extra probe.
+    Q("k26_bitext_recall",
+      "mined-pair recall of single-cell vs hamming-1 multi-probe bitext mining vs brute-force mutual-best truth",
+      {
+        implicit val dl: Dialect = SqlDuck
+        val cosAb = XSql.cosineFromNorms(
+          XSql.dot("a.v_a", "b.v_b"), "a.n2_a", "b.n2_b")
+        val probeCond = (Seq("b.bb = a.ba") ++
+          (0 until Planes).map(p => s"b.bb = xor(a.ba, ${1L << p})"))
+          .mkString("(", " OR ", ")")
+        def mb(src: String, out: String) =
+          s"""${out}_b AS (SELECT va, vb FROM (
+             |  SELECT va, vb, row_number() OVER (PARTITION BY va
+             |    ORDER BY c DESC, vb) AS rn FROM $src) WHERE rn = 1),
+             |${out}_a AS (SELECT vb, va AS best_a FROM (
+             |  SELECT vb, va, row_number() OVER (PARTITION BY vb
+             |    ORDER BY c DESC, va) AS rn FROM $src) WHERE rn = 1),
+             |$out AS (SELECT x.va, x.vb FROM ${out}_b x
+             |  JOIN ${out}_a y ON y.vb = x.vb AND y.best_a = x.va)""".stripMargin
+        def rep(name: String, mined: String) =
+          s"""SELECT '$name' AS method,
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  (SELECT count(*) FROM $mined) AS n_mined,
+             |  (SELECT count(*) FROM truth JOIN $mined USING (va, vb)) AS n_overlap,
+             |  CAST((SELECT count(*) FROM truth JOIN $mined USING (va, vb)) AS DOUBLE)
+             |    / (SELECT count(*) FROM truth) AS recall""".stripMargin
+        s"""WITH e AS (SELECT vec_id, ${vDouble(SqlDuck)} AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, ${XSql.norm2("v")} AS n2,
+           |             ${lshBucket("v")} AS bucket FROM e),
+           |a AS (SELECT vec_id AS va, v AS v_a, n2 AS n2_a, bucket AS ba
+           |      FROM n WHERE vec_id % 2 = 0),
+           |b AS (SELECT vec_id AS vb, v AS v_b, n2 AS n2_b, bucket AS bb
+           |      FROM n WHERE vec_id % 2 = 1),
+           |call AS (SELECT va, vb, $cosAb AS c FROM a, b),
+           |${mb("call", "truth")},
+           |c1 AS (SELECT va, vb, $cosAb AS c FROM a JOIN b ON b.bb = a.ba),
+           |${mb("c1", "m1")},
+           |cm AS (SELECT va, vb, $cosAb AS c FROM a JOIN b ON $probeCond),
+           |${mb("cm", "mm")}
+           |${rep("multi_probe", "mm")}
+           |UNION ALL
+           |${rep("single_cell", "m1")}
+           |ORDER BY method""".stripMargin
+      }) { (s, d) =>
+      implicit val dl: Dialect = SqlSpark
+      graft.functions.GraftFunctions.register(s)
+      // the audit's corpus sample, cached: the two sides feed five
+      // downstream legs (truth cross, two block joins, three
+      // broadcasts) and each would otherwise re-run scan + bucket
+      val n = t(s, d, "embeddings")
+        .withColumn("v", expr(vDouble(SqlSpark)))
+        .withColumn("bucket", expr(lshBucket("v")))
+        .select("vec_id", "v", "bucket")
+        .cache()
+      val a = n.filter(col("vec_id") % 2 === 0).select(
+        col("vec_id").as("va"), col("v").as("v_a"), col("bucket").as("ba"))
+      val b = n.filter(col("vec_id") % 2 === 1).select(
+        col("vec_id").as("vb"), col("v").as("v_b"), col("bucket").as("bb"))
+      // the native codegen'd loop, not the lambda fold: the truth
+      // tier evaluates a million pair cosines, and k4's gate already
+      // pins 1 - vector_distance == the oracle's cosineFromNorms
+      // bit-exactly
+      val cosC = (lit(1.0) -
+        expr("vector_distance(v_a, v_b, 'COSINE')")).as("c")
+      // per-side best as max_by over a (c, -id) struct — identical
+      // order semantics to the oracle's row_number (c DESC, id ASC;
+      // the struct is unique per candidate so ties cannot happen) but
+      // PARTIALLY AGGREGABLE: the million-pair truth tier shuffles
+      // one partial row per group instead of windowing the full
+      // pair frame
+      def mutualBest(cand: org.apache.spark.sql.DataFrame) = {
+        val bestB = cand.groupBy("va").agg(expr(
+          "max_by(vb, struct(c, -vb))").as("vb"))
+        val bestA = cand.groupBy("vb").agg(expr(
+          "max_by(va, struct(c, -va))").as("best_a"))
+        bestB.join(bestA, "vb").filter(col("best_a") === col("va"))
+          .select("va", "vb")
+      }
+      // truth: one deliberate broadcast cross (the audit tier — the
+      // side is bounded; at scale this is the sampled-source tier).
+      // The stream side is REPARTITIONED first: a BNLJ inherits its
+      // probe side's partitioning, and the embeddings parquet is a
+      // couple of files — without the spread, a million scored pairs
+      // evaluate on two cores. The scored frame is cached: BOTH
+      // per-side best aggregates read it, and re-deriving it would
+      // double the million-cosine work
+      val truthCand = a.repartition(32).crossJoin(broadcast(b))
+        .select(col("va"), col("vb"), cosC).cache()
+      val truth = mutualBest(truthCand).cache()
+      // mined tiers: bucket-blocked equi-joins, never corpus × corpus
+      val cand1 = a.join(b, col("ba") === col("bb"))
+        .select(col("va"), col("vb"), cosC)
+      val probes = a.withColumn("pb", explode(array(
+        Seq(col("ba")) ++
+          (0 until Planes).map(p => col("ba").bitwiseXOR(lit(1L << p))): _*)))
+      val candM = probes.join(b, col("pb") === col("bb"))
+        .select(col("va"), col("vb"), cosC)
+      def rep(name: String, cand0: org.apache.spark.sql.DataFrame) = {
+        // both per-side best aggregates read the candidate frame —
+        // cached, or each tier re-derives its block join twice
+        val cand = cand0.cache()
+        val mined = mutualBest(cand).cache()
+        mined.agg(count(lit(1)).as("n_mined"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .crossJoin(broadcast(mined.join(truth, Seq("va", "vb"))
+            .agg(count(lit(1)).as("n_overlap"))))
+          .select(lit(name).as("method"), col("n_truth"), col("n_mined"),
+            col("n_overlap"),
+            (col("n_overlap").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      }
+      val out = rep("multi_probe", candM)
+        .unionByName(rep("single_cell", cand1))
+        .orderBy("method").cache()
+      // loud monotonicity gate on top of the oracle's exact counts
+      val recalls = out.collect()
+        .map(r => r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+      require(recalls("multi_probe") >= recalls("single_cell"),
+        s"k26: multi-probe recall ${recalls("multi_probe")} below " +
+          s"single-cell ${recalls("single_cell")}")
+      out
     }
   )
 }

@@ -45,14 +45,24 @@ final class Readers(spark: SparkSession, profiles: DataFrame,
     * point lookups (the reference runs them concurrently; here they
     * are two actions against cached frames).
     */
-  def document(id: Long): Option[Map[String, Any]] =
+  def document(id: Long): Option[Map[String, Any]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the profile row and the neighbors row are INDEPENDENT point
+    // lookups — issue both concurrently and assemble when both land
+    // (the reference's measured latency win: readers/games.py:265-268
+    // runs exactly these two queries on a ThreadPoolExecutor(2)).
+    // Spark's scheduler interleaves the two bounded jobs; the
+    // composed document is byte-identical to sequential assembly.
+    val fSimilar = Future(similarPrecomputed(id)
+      .map(r => r.getSeq[Row](r.fieldIndex("similar")))
+      .getOrElse(Seq.empty))
     profile(id).map { row =>
       val base = row.schema.fieldNames.zip(row.toSeq).toMap
-      val similar = similarPrecomputed(id)
-        .map(r => r.getSeq[Row](r.fieldIndex("similar")))
-        .getOrElse(Seq.empty)
-      base + ("similar" -> similar)
+      base + ("similar" -> Await.result(fSimilar, Duration.Inf))
     }
+  }
 
   /** Live tuned similarity — filter first, then rank (the reference's
     * measured "filter-first" discipline, games.py:198-199): broadcast

@@ -37,6 +37,19 @@ class ReadersSpec extends SparkSpec {
     assert(readers.document(99999999L).isEmpty)
   }
 
+  test("concurrent document assembly == sequential composition of the two lookups") {
+    // document() issues the profile and neighbors lookups on two
+    // futures (the reference's ThreadPoolExecutor(2) discipline);
+    // the composed result must equal hand-sequential assembly
+    val doc = readers.document(0L).get
+    val row = readers.profile(0L).get
+    val seqBase = row.schema.fieldNames.zip(row.toSeq).toMap
+    val seqSimilar = readers.similarPrecomputed(0L)
+      .map(r => r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("similar")))
+      .getOrElse(Seq.empty)
+    assert(doc == seqBase + ("similar" -> seqSimilar))
+  }
+
   test("metric allow-list rejects unknown metrics") {
     intercept[IllegalArgumentException] {
       readers.similarLive(0L, "MANHATTAN", 3)
