@@ -232,6 +232,25 @@ object Similarity {
     * emits the normalized set `pqe`, per-subspace chains, and `dt$i`;
     * `codeJoins` sums the four table lookups per vector.
     */
+  /** Deterministic training-set bound — the FAISS index-build
+    * contract KMeans.MaxTrainRows states: TRAINING is a
+    * bounded-sample problem (the cap keeps the local Lloyd solve a
+    * driver-side microsecond job at any corpus size), while
+    * assignment/encoding always runs over the FULL corpus
+    * distributed. The sample strides `vec_id % s = 0` so it is
+    * stable across runs and engines; below the cap it is the
+    * identity, so every oracle-gated scale trains on the full corpus
+    * and the DuckDB twin stays bit-exact. Surfaced by the round-12
+    * 100x spot audit: 200k vectors x 8 PQ subspaces tripped the cap.
+    */
+  private def boundTraining(vecs: org.apache.spark.sql.DataFrame,
+      rowsPerVec: Int): org.apache.spark.sql.DataFrame = {
+    val cap = graft.operators.KMeans.MaxTrainRows.toLong
+    val n = vecs.count()
+    val s = (n * rowsPerVec + cap - 1) / cap
+    if (s <= 1L) vecs else vecs.filter(col("vec_id") % s === 0)
+  }
+
   private def pqCtes(): (String, String, String) = {
     implicit val dl: Dialect = SqlDuck
     val sub = PqSubDims
@@ -283,7 +302,10 @@ object Similarity {
         expr(s"slice($vcol, ${i * sub + 1}, $sub)")): _*))
     val eAll = en.select(col("vec_id"), slices("v"))
       .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
-    val cents = KMeans.trainLocalMulti(eAll, PqCodes, LloydRounds)
+    // train on the bounded deterministic sample; ENCODE the full corpus
+    val eTrain = boundTraining(en, PqSub).select(col("vec_id"), slices("v"))
+      .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
+    val cents = KMeans.trainLocalMulti(eTrain, PqCodes, LloydRounds)
     val codes = KMeans.assignMulti(eAll, cents)
     val qAll = en.filter(col("vec_id") === 0)
       .select(slices("v"))
@@ -320,8 +342,10 @@ object Similarity {
     // coarse centroids fit at the driver on the bounded training set
     // (trainLocal — bit-identical to the gate-parity distributed
     // trainer per KMeansSpec, so the oracle's CTE chain reproduces
-    // them exactly); list ASSIGNMENT below stays distributed
-    val cents = graft.operators.KMeans.trainLocal(e, 4, LloydRounds)
+    // them exactly; boundTraining strides past the cap at audit
+    // scale); list ASSIGNMENT below stays distributed
+    val cents = graft.operators.KMeans.trainLocal(
+      boundTraining(e, 1), 4, LloydRounds)
     val q = n.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
     val pick = cents.crossJoin(broadcast(q))
@@ -372,7 +396,7 @@ object Similarity {
         .createTempDirectory("graft_ivf_published").toString
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(vDouble(SqlSpark))).select("vec_id", "v")
-      val cents = KMeans.trainLocal(e, 4, LloydRounds)
+      val cents = KMeans.trainLocal(boundTraining(e, 1), 4, LloydRounds)
       val n = e.withColumn("n2", expr(XSql.norm2("v")))
       TableStore.publishVersion(s, s"$root/centroids", cents,
         note = "ivf-centroids")
@@ -409,7 +433,7 @@ object Similarity {
       val batch = n.filter(col("vec_id") % 3 === 2)
       // train ONCE on the base corpus; the batch never touches training
       val cents = KMeans.trainLocal(
-        base.select("vec_id", "v"), 4, LloydRounds)
+        boundTraining(base.select("vec_id", "v"), 1), 4, LloydRounds)
       TableStore.publishVersion(s, s"$root/centroids", cents,
         note = "ivf-centroids-frozen")
       TableStore.publishFoldSnapshot(s, s"$root/lists",
@@ -450,11 +474,17 @@ object Similarity {
         .withColumn("nrm", sqrt(col("n2")))
         .select(col("vec_id"),
           expr(SqlSpark.xform("v", "x_", "x_ / nrm")).as("v"))
-      val eAll = en.select(col("vec_id"), posexplode(
-          array((0 until PqSub).map(i =>
-            expr(s"slice(v, ${i * sub + 1}, $sub)")): _*)))
-        .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
-      val cents = KMeans.trainLocalMulti(eAll, PqCodes, LloydRounds)
+      def slicesOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), posexplode(
+            array((0 until PqSub).map(i =>
+              expr(s"slice(v, ${i * sub + 1}, $sub)")): _*)))
+          .withColumnsRenamed(Map("pos" -> "grp", "col" -> "v"))
+      val eAll = slicesOf(en)
+      // train on the bounded deterministic sample (boundTraining —
+      // the cap trips at ~131k vectors x 8 subspaces); ENCODE the
+      // full corpus distributed
+      val cents = KMeans.trainLocalMulti(
+        slicesOf(boundTraining(en, PqSub)), PqCodes, LloydRounds)
       val codes = KMeans.assignMulti(eAll, cents)
       TableStore.publishVersion(s, s"$root/codebooks", cents,
         note = "pq-codebooks")
