@@ -461,6 +461,57 @@ object TableStore {
     v
   }
 
+  /** Reserve the NEXT version number without writing any data: the
+    * claim file alone. Every later claim at this table — including
+    * commits of work staged afterwards — lands ABOVE the reservation,
+    * so whatever eventually commits through [[publishReserved]] keeps
+    * the version-order slot it was reserved in regardless of when its
+    * bytes land. This is the mechanism that lets a fold-table
+    * CHECKPOINT commit BEHIND later deltas without anchoring them out
+    * of the fold (Delta Lake's backfilled checkpoints are the same
+    * shape: the commit log fixes the order, the checkpoint parquet
+    * trails it) — the alternative is draining the checkpoint before
+    * the next tick's commit, a full stop-the-stream wall per
+    * compaction. A reservation that never commits burns its number
+    * exactly like a crashed publish (claims are removed only by their
+    * own successful commit), which readers already tolerate: version
+    * numbers prove ORDER, not density.
+    */
+  def reserveVersion(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val base = new Path(path)
+    if (!f.exists(base)) f.mkdirs(base)
+    claimNumber(f, path)
+  }
+
+  /** Publish `df` at a slot previously taken by [[reserveVersion]] —
+    * the write half of [[publishVersion]] with the claim step already
+    * done. The caller owns the reservation (nothing else can commit
+    * this number: the claim file excludes other claimers and the
+    * marker create is still exclusive). On a FOLD table the caller
+    * must pass the canonical multiset shape (see
+    * [[publishFoldSnapshotCanonical]]) — reserved slots exist for
+    * checkpoints, whose input is [[readFolded]]'s output, canonical
+    * by contract.
+    */
+  def publishReserved(spark: SparkSession, path: String, v: Long,
+      df: DataFrame, note: String = ""): Long = {
+    requireCleanNote(note)
+    val f = fs(spark, path)
+    val vDir = new Path(s"$path/v=$v")
+    // same partial-dir hygiene as publishVersion: a crashed earlier
+    // attempt at this reserved slot may have left bytes
+    f.delete(vDir, true)
+    df.write.parquet(vDir.toString)
+    val marker = new Path(s"$path/_committed_v$v")
+    if (!createExclusive(f, marker, note.getBytes("UTF-8")))
+      throw new java.io.IOException(
+        s"publishReserved: marker $marker already exists — " +
+          "the reservation was committed twice")
+    f.delete(new Path(s"$path/_claim_v$v"), false)
+    v
+  }
+
   /** A CAS publish lost its race: the table advanced past the version
     * the writer's read-modify-write was computed against. Carry both
     * versions so the caller can re-read and retry.

@@ -144,24 +144,29 @@ object JoinViewMaintenance {
 
   /** Deferred-checkpoint handle: with one of these, [[applyTick]]
     * hands the compaction tick's full-state rewrite to a background
-    * thread instead of blocking the stream on it, and DRAINS it
-    * before the next tick COMMITS anything — a checkpoint racing a
-    * later delta commit could anchor ABOVE that delta and silently
-    * drop it from the fold. The next tick's STAGING is free to
-    * overlap the rewrite (staging only reads committed files and
-    * writes unreferenced dirs), which is where the overlap pays: the
-    * checkpoint runs under the next view-delta's own compute. The
-    * stream's owner drains once more before the final read.
+    * thread instead of blocking the stream on it. The checkpoint's
+    * version NUMBER is reserved synchronously at submit time
+    * ([[TableStore.reserveVersion]] — O(1) per table), so later
+    * ticks' delta commits land ABOVE it no matter when its bytes
+    * land, and its fold input is PINNED at the post-tick version —
+    * together those make the rewrite completely order-independent:
+    * no tick ever waits on it (the round-11 shape drained it before
+    * the next tick's commits, a full checkpoint wall on the critical
+    * path of tick B+1). Delta Lake's backfilled checkpoints are the
+    * same discipline: the log fixes commit order, checkpoint parquet
+    * trails behind. The stream's owner drains before the final read;
+    * a second submit drains the first (one rewrite in flight per
+    * handle).
     *
     * RETENTION is split out of the background task and runs on the
     * DRAINING thread (`andThen`): the background task must never
-    * delete version data while the next tick's staging jobs may
-    * still be scanning it — at drain time those jobs are complete
-    * (applyTick awaits them first) and no marker has committed yet,
-    * so the deletes touch only files nobody references. This is the
-    * async-checkpoint discipline of a Delta writer: the transaction
-    * log advances synchronously; checkpoint parquet and VACUUM trail
-    * behind.
+    * delete version data while a tick's staging jobs may still be
+    * scanning it — drains run between ticks (inside a later
+    * applyTick, after its commits) or after the stream, when no
+    * staging is in flight, so the deletes touch only files nobody
+    * references. This is the async-checkpoint discipline of a Delta
+    * writer: the transaction log advances synchronously; checkpoint
+    * parquet and VACUUM trail behind.
     *
     * A failed background checkpoint rethrows at the next drain —
     * never swallowed.
@@ -275,12 +280,10 @@ object JoinViewMaintenance {
     val viewStage = stagedView.map(Await.result(_, Duration.Inf))
     val baseStages = stagedBases.map { case (p, st) =>
       p -> st.map(Await.result(_, Duration.Inf)) }
-    // a still-running background checkpoint must land before this
-    // tick commits (a checkpoint pinned at B-1 committing above this
-    // tick's deltas would anchor them out of the fold) — its overlap
-    // window was the whole staging phase above plus the stream
-    // machinery between the ticks; see AsyncCompactor
-    compactor.foreach(_.drain())
+    // no drain here: a still-running background checkpoint holds a
+    // RESERVED version slot below this tick's commits and a fold
+    // input pinned at its own tick, so committing these markers above
+    // it can never anchor them out of the fold — see AsyncCompactor
     // ONE commit point per table, markers in WAL order view → A → B
     viewStage.foreach(st => TableStore.commitStagedVersion(spark, viewPath,
       st, TableStore.FoldDeltaPrefix + note(batchId)): Unit)
@@ -303,11 +306,27 @@ object JoinViewMaintenance {
     // batch B into a tick that is provably already applied and is
     // skipped — never re-folded onto the advanced state.
     if ((batchId + 1) % CompactEvery == 0) {
+      // RESERVED-SLOT checkpoints: each table takes its version
+      // number NOW (above this tick's commits, below the next tick's
+      // — later claims count outstanding claim files) and pins its
+      // fold input at the post-tick version, so the rewrite can run
+      // on a background thread for as long as it likes: later deltas
+      // commit above the reserved slot, the anchor stays below them,
+      // and the fold never double-counts (the pinned input excludes
+      // them). Version ORDER, not commit wall-time, carries the
+      // anchor invariant — no tick ever drains a checkpoint again.
+      val pins = Seq(viewPath, aPath, bPath).map { p =>
+        (p, TableStore.currentVersion(spark, p).getOrElse(sys.error(
+          s"compaction tick $batchId at $p before any publish")),
+          TableStore.reserveVersion(spark, p))
+      }
       // the three compactions are independent per-table checkpoints —
       // run them in parallel too (each is a read-fold + full write job)
       def checkpointAll(): Unit = {
-        val compacts = Seq(viewPath, aPath, bPath).map { p =>
-          Future(TableStore.compactFold(spark, p, checkpointNote(batchId)))
+        val compacts = pins.map { case (p, at, slot) =>
+          Future(TableStore.publishReserved(spark, p, slot,
+            TableStore.readFolded(spark, p, Some(at)),
+            checkpointNote(batchId)))
         }
         compacts.foreach(Await.result(_, Duration.Inf): Unit)
       }
@@ -319,11 +338,12 @@ object JoinViewMaintenance {
           }
         }
       compactor match {
-        // deferred: the rewrite runs behind the next tick's staging
-        // and is drained before its commits (or the owner's final
-        // read); retention runs on the draining thread, after every
-        // staging scan that could reference the old files has
-        // completed — see AsyncCompactor
+        // deferred: the rewrite runs entirely behind the stream — its
+        // reserved slot and pinned input make it order-independent,
+        // so nothing waits on it until the owner's final drain (or a
+        // later compaction's submit); retention runs on the draining
+        // thread, after every staging scan that could reference the
+        // old files has completed — see AsyncCompactor
         case Some(c) => c.submit(checkpointAll())(retainAll())
         case None => { checkpointAll(); retainAll() }
       }

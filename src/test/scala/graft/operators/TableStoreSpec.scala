@@ -524,6 +524,38 @@ class TableStoreSpec extends SparkSpec {
     assert(foldState(p) == Set((4L, "d", 1L)))
   }
 
+  test("reserved-slot checkpoint: commits BEHIND later deltas without anchoring them out") {
+    import TestSpark.spark.implicits._
+    val p = scratch()
+    def rows(rs: (Long, String, Long)*) = rs.toDF("k", "v", "_mult")
+    TableStore.publishVersion(spark, p, rows((1L, "a", 1L)))
+    TableStore.publishFoldDelta(spark, p, rows((2L, "b", 1L)))
+    // a backfilled checkpoint takes its version slot NOW, pinned to
+    // the current state, but its bytes land only later — meanwhile
+    // the stream keeps committing deltas ABOVE the reservation
+    val at = TableStore.currentVersion(spark, p).get
+    val slot = TableStore.reserveVersion(spark, p)
+    val d2 = TableStore.publishFoldDelta(spark, p, rows((1L, "a", -1L), (3L, "c", 1L)))
+    assert(d2 > slot, s"later delta v$d2 must claim above the reserved v$slot")
+    // during pendency the fold anchors at v0 and includes EVERY delta
+    val want = Set((2L, "b", 1L), (3L, "c", 1L))
+    assert(foldState(p) == want)
+    // the checkpoint lands late, pinned at its own tick — logically
+    // invisible, and the later delta now folds on top of it
+    TableStore.publishReserved(spark, p, slot,
+      TableStore.readFolded(spark, p, Some(at)), "checkpoint")
+    assert(foldState(p) == want)
+    assert(TableStore.foldAnchor(spark, p, d2) == slot)
+    // retention below the backfilled anchor keeps the state readable
+    TableStore.dropVersionsBelow(spark, p, slot)
+    assert(foldState(p) == want)
+    // a reservation is single-commit: the marker create excludes a replay
+    intercept[java.io.IOException] {
+      TableStore.publishReserved(spark, p, slot,
+        rows((9L, "x", 1L)), "duplicate")
+    }
+  }
+
   test("aggregate fold table: signed partial-aggregate log folds to the view; checkpoint invisible") {
     import TestSpark.spark.implicits._
     import org.apache.spark.sql.types.Decimal

@@ -216,6 +216,18 @@ class JoinViewResumeSpec extends SparkSpec {
       assert(TableStore.versionNote(spark, p, anchor)
         .exists(_.contains("checkpoint;after=3")),
         s"$p anchor note: ${TableStore.versionNote(spark, p, anchor)}")
+      // reserved-slot ordering: the b=1 checkpoint's version sits
+      // BELOW tick 2's delta commits even though its bytes landed on
+      // a background thread that nothing waited for — version order,
+      // not commit wall-time, carries the anchor invariant
+      def noteVersions(f: String => Boolean): Seq[Long] =
+        TableStore.committedVersions(spark, p).filter(v =>
+          TableStore.versionNote(spark, p, v).exists(f))
+      val ck1 = noteVersions(_.contains("checkpoint;after=1"))
+      val t2 = noteVersions(_.endsWith("tick=2"))
+      assert(ck1.nonEmpty && t2.nonEmpty, s"$p: ck1=$ck1 t2=$t2")
+      assert(ck1.head < t2.min,
+        s"$p: b=1 checkpoint v${ck1.head} must order below tick-2 v${t2.min}")
       // retention reclaimed data below the anchor (markers survive)
       val live = TableStore.committedVersions(spark, p)
         .filter(v => scala.util.Try(
