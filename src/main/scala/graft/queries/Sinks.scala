@@ -2299,6 +2299,67 @@ object Sinks {
           .select(lit("_nulls").as("bucket"), col("n"),
             lit(null).cast("long").as("chars")))
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------
+    // BACKFILLED (reserved-slot) checkpoint — the protocol that keeps
+    // a fold-table compaction OFF the writer's critical path: the
+    // checkpoint takes its version NUMBER synchronously
+    // (TableStore.reserveVersion, one claim file) and pins its fold
+    // input, then its bytes land whenever the background rewrite
+    // finishes (publishReserved) — later deltas claim ABOVE the
+    // reservation, so version order alone keeps the anchor below
+    // them (Delta's backfilled checkpoints: the log fixes commit
+    // order, checkpoint parquet trails). At a 100 TB state the
+    // rewrite is minutes long; without the reserved slot every
+    // maintenance tick after a compaction waits on it. In-query
+    // gates: the late delta's version really is above the reserved
+    // slot; the folded state is bit-identical before and after the
+    // checkpoint lands (a checkpoint is logically invisible); and
+    // after retention the chain anchors at the backfilled slot. The
+    // oracle states the final multiset algebraically: v0 (%3=0) plus
+    // two deltas (+%3=1, +%3=2 with a retraction of the %15=0 rows).
+    Q("s50_backfilled_checkpoint",
+      "reserved-slot fold checkpoint commits behind a later delta; state invariant, anchor correct",
+      s"""SELECT o_custkey, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 15 != 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val path = scratch("s50")
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      TableStore.publishFoldSnapshotDistinct(s, path,
+        o.filter(col("o_orderkey") % 3 === 0), note = "v0")
+      TableStore.publishFoldDelta(s, path,
+        o.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("_mult", lit(1L)), note = "tick=0")
+      // the compaction reserves its slot and pins its input HERE...
+      val at = TableStore.currentVersion(s, path).get
+      val slot = TableStore.reserveVersion(s, path)
+      // ...and a later tick commits first: inserts the %3=2 rows and
+      // retracts the %15=0 rows the v0 snapshot carried
+      val d2 = TableStore.publishFoldDelta(s, path,
+        o.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("_mult", lit(1L))
+          .unionByName(o.filter(col("o_orderkey") % 15 === 0)
+            .withColumn("_mult", lit(-1L))), note = "tick=1")
+      require(d2 > slot,
+        s"s50: late delta v$d2 must claim above the reserved v$slot")
+      val pending = TableStore.readFolded(s, path).count()
+      // the checkpoint's bytes land late, pinned at its own tick
+      TableStore.publishReserved(s, path, slot,
+        TableStore.readFolded(s, path, Some(at)), "checkpoint;after=0")
+      require(TableStore.readFolded(s, path).count() == pending,
+        "s50: a backfilled checkpoint must be logically invisible")
+      // retention anchors at the backfilled slot; the state survives
+      val cur = TableStore.currentVersion(s, path).get
+      require(TableStore.foldAnchor(s, path, cur) == slot,
+        s"s50: fold must anchor at the backfilled checkpoint v$slot")
+      TableStore.dropVersionsBelow(s, path, slot)
+      TableStore.readFolded(s, path)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
     }
   )
 
