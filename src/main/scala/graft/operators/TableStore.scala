@@ -476,12 +476,105 @@ object TableStore {
     * exactly like a crashed publish (claims are removed only by their
     * own successful commit), which readers already tolerate: version
     * numbers prove ORDER, not density.
+    *
+    * LIVENESS vs the changefeed's stable frontier: a reservation is a
+    * deliberately slow publisher — the checkpoint rewrite behind it
+    * can run for minutes — while the frontier rule treats any
+    * uncommitted number whose publish trace is older than
+    * `uncommittedGraceMs` as a burned number and advances past it
+    * (after which the late-landing marker would be skipped forever).
+    * So every reservation HEARTBEATS: a shared daemon scheduler
+    * touches the claim file's mtime every [[ReservationHeartbeatMs]]
+    * until [[publishReserved]] (or [[cancelReservation]]) stops it. A
+    * live rewrite therefore always presents a fresh trace — the feed
+    * holds below it under any grace ≥ 2× the heartbeat (the 60 s
+    * default is 6×) — while a CRASHED reservation stops beating and
+    * ages into an ordinary burned number within one grace. Reserve
+    * only what you intend to publish or cancel: an abandoned
+    * reservation in a live JVM beats (and stalls feeds) until the JVM
+    * exits.
     */
   def reserveVersion(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
     val base = new Path(path)
     if (!f.exists(base)) f.mkdirs(base)
-    claimNumber(f, path)
+    val v = claimNumber(f, path)
+    startReservationBeat(f, path, v)
+    v
+  }
+
+  /** How often a live reservation refreshes its claim-file mtime.
+    * Any changefeed `uncommittedGraceMs` ≥ 2× this value can never
+    * permanently skip a reservation that is still being published.
+    * (Overridable via the `graft.reservation.heartbeat.ms` system
+    * property so specs can exercise the beat without 10 s waits.)
+    */
+  def ReservationHeartbeatMs: Long =
+    sys.props.get("graft.reservation.heartbeat.ms").map(_.toLong)
+      .getOrElse(10000L)
+
+  private lazy val beatScheduler = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val th = new Thread(r, "graft-reservation-heartbeat")
+        th.setDaemon(true); th })
+    t
+  }
+  private val reservationBeats =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      java.util.concurrent.ScheduledFuture[_]]()
+
+  private def startReservationBeat(f: FileSystem, path: String,
+      v: Long): Unit = {
+    val claim = new Path(s"$path/_claim_v$v")
+    val task: Runnable = () =>
+      try f.setTimes(claim, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () } // claim gone: publish won
+    val fut = beatScheduler.scheduleAtFixedRate(task,
+      ReservationHeartbeatMs, ReservationHeartbeatMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    Option(reservationBeats.put((path, v), fut))
+      .foreach(_.cancel(false)) // same slot re-reserved after a cancel
+  }
+
+  private def stopReservationBeat(path: String, v: Long): Unit =
+    Option(reservationBeats.remove((path, v))).foreach(_.cancel(false))
+
+  /** Give a reservation back: stop its heartbeat and delete the claim
+    * file. Nothing was ever written under the slot (reservations hold
+    * the number only), so after this the number is simply unclaimed
+    * again — a later claimer may take it and commit normally. For a
+    * reservation whose publish FAILED midway (data may exist), do NOT
+    * cancel: let the claim age out as a burned number instead.
+    */
+  def cancelReservation(spark: SparkSession, path: String, v: Long): Unit = {
+    stopReservationBeat(path, v)
+    fs(spark, path).delete(new Path(s"$path/_claim_v$v"), false): Unit
+  }
+
+  /** [[reserveVersion]] plus the SINGLE-WRITER sanity check the
+    * fold-checkpoint protocol relies on: the caller pinned its fold
+    * input at version `at`, so any version COMMITTED between `at` and
+    * the reserved slot belongs to a concurrent writer this table must
+    * not have — its rows would sit below the checkpoint but outside
+    * its pinned input, silently anchored out of the fold once the
+    * checkpoint commits. Fails loudly (and returns the reservation)
+    * instead. Uncommitted CLAIMS in between are tolerated: under the
+    * single-writer contract they are necessarily this writer's own
+    * crashed predecessors, which can never commit.
+    */
+  def reserveVersionAfter(spark: SparkSession, path: String,
+      at: Long): Long = {
+    val v = reserveVersion(spark, path)
+    val between = committedVersions(spark, path).filter(x => x > at && x < v)
+    if (between.nonEmpty) {
+      cancelReservation(spark, path, v)
+      throw new IllegalStateException(
+        s"reserveVersionAfter($path): versions ${between.mkString(",")} " +
+          s"committed between the pinned input ($at) and the reserved " +
+          s"slot ($v) — a concurrent writer is active on a table whose " +
+          "fold-checkpoint protocol requires a single writer")
+    }
+    v
   }
 
   /** Publish `df` at a slot previously taken by [[reserveVersion]] —
@@ -499,17 +592,24 @@ object TableStore {
     requireCleanNote(note)
     val f = fs(spark, path)
     val vDir = new Path(s"$path/v=$v")
-    // same partial-dir hygiene as publishVersion: a crashed earlier
-    // attempt at this reserved slot may have left bytes
-    f.delete(vDir, true)
-    df.write.parquet(vDir.toString)
-    val marker = new Path(s"$path/_committed_v$v")
-    if (!createExclusive(f, marker, note.getBytes("UTF-8")))
-      throw new java.io.IOException(
-        s"publishReserved: marker $marker already exists — " +
-          "the reservation was committed twice")
-    f.delete(new Path(s"$path/_claim_v$v"), false)
-    v
+    try {
+      // same partial-dir hygiene as publishVersion: a crashed earlier
+      // attempt at this reserved slot may have left bytes
+      f.delete(vDir, true)
+      df.write.parquet(vDir.toString)
+      val marker = new Path(s"$path/_committed_v$v")
+      if (!createExclusive(f, marker, note.getBytes("UTF-8")))
+        throw new java.io.IOException(
+          s"publishReserved: marker $marker already exists — " +
+            "the reservation was committed twice")
+      f.delete(new Path(s"$path/_claim_v$v"), false)
+      v
+    } finally {
+      // success or failure, the reservation's heartbeat ends here: on
+      // success the claim is gone; on failure the claim stops beating
+      // and ages into a burned number a changefeed frontier skips
+      stopReservationBeat(path, v)
+    }
   }
 
   /** A CAS publish lost its race: the table advanced past the version

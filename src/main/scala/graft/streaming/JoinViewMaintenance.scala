@@ -168,8 +168,15 @@ object JoinViewMaintenance {
     * writer: the transaction log advances synchronously; checkpoint
     * parquet and VACUUM trail behind.
     *
-    * A failed background checkpoint rethrows at the next drain —
-    * never swallowed.
+    * A failed background checkpoint rethrows at the NEXT drain —
+    * once, never swallowed: drain clears its state BEFORE awaiting,
+    * so the first drain reports the failure and the handle stays
+    * usable (the next compaction tick submits normally instead of
+    * rethrowing the same stale failure forever). The failed
+    * checkpoint's retention follow-up is dropped with it — retention
+    * is an optimization the next successful checkpoint re-runs, and
+    * running it after a failed rewrite would reclaim history the
+    * still-unwritten checkpoint was meant to anchor.
     */
   final class AsyncCompactor {
     import scala.concurrent.{Await, Future}
@@ -177,10 +184,11 @@ object JoinViewMaintenance {
     private[this] var pending: Option[Future[Unit]] = None
     private[this] var followUp: () => Unit = () => ()
     def drain(): Unit = synchronized {
-      pending.foreach(Await.result(_, Duration.Inf))
-      pending = None
+      val p = pending
       val f = followUp
+      pending = None
       followUp = () => ()
+      p.foreach(Await.result(_, Duration.Inf)) // throws here at most once
       f()
     }
     private[streaming] def submit(body: => Unit)(andThen: => Unit): Unit =
@@ -315,10 +323,18 @@ object JoinViewMaintenance {
       // and the fold never double-counts (the pinned input excludes
       // them). Version ORDER, not commit wall-time, carries the
       // anchor invariant — no tick ever drains a checkpoint again.
+      // reserveVersionAfter: the pin (fold input at `at`) and the
+      // reservation are two filesystem operations — a commit landing
+      // between them would sit below the checkpoint but outside its
+      // pinned input, anchored out of the fold. Impossible under this
+      // stream's single-writer contract; the guard makes a violation
+      // loud instead of silent. Each reservation heartbeats its claim
+      // (TableStore.ReservationHeartbeatMs) so a changefeed on these
+      // tables holds below the slot for as long as the rewrite runs.
       val pins = Seq(viewPath, aPath, bPath).map { p =>
-        (p, TableStore.currentVersion(spark, p).getOrElse(sys.error(
-          s"compaction tick $batchId at $p before any publish")),
-          TableStore.reserveVersion(spark, p))
+        val at = TableStore.currentVersion(spark, p).getOrElse(sys.error(
+          s"compaction tick $batchId at $p before any publish"))
+        (p, at, TableStore.reserveVersionAfter(spark, p, at))
       }
       // the three compactions are independent per-table checkpoints —
       // run them in parallel too (each is a read-fold + full write job)
