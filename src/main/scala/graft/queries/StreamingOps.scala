@@ -1472,7 +1472,7 @@ object StreamingOps {
     // st10/st12 stream INTO tables; this is the missing direction
     // (Delta's `readStream.table(...)`), through a custom DSv2
     // MicroBatchStream whose OFFSETS are committed version numbers
-    // (sources/TableChangefeedSource). The upstream fold table's
+    // (sources/Changefeed). The upstream fold table's
     // signed rows ARE its CDC events, so a downstream consumer
     // maintains a per-customer aggregate by folding each micro-batch
     // — O(batch) per commit, never a rescan of the table, and the
@@ -1587,8 +1587,13 @@ object StreamingOps {
       def committedBatch(path: String, bid: Long): Boolean =
         TableStore.committedVersions(s, path).exists(v =>
           TableStore.versionNote(s, path, v).exists(_.endsWith(s"batch:$bid")))
+      // both hops stream through the SAME graft-table source name the
+      // rest of the engine reads/writes with — one read path for
+      // snapshots, time travel, batch CDC and the commit-log stream
+      // (the round-12 st25 unification, finished here in round 13 by
+      // retiring the legacy standalone provider)
       def consume(src: String)(sink: (org.apache.spark.sql.DataFrame, Long) => Unit) =
-        s.readStream.format("graft.sources.TableChangefeedSource").load(src)
+        s.readStream.format("graft-table").load(src)
           .writeStream
           .option("checkpointLocation",
             tmp.resolve(s"ckpt_${new java.io.File(src).getName}").toString)

@@ -11,8 +11,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
@@ -48,25 +47,18 @@ import graft.operators.TableStore
   * `_version` metadata column (Delta's `_commit_version`) emitted as
   * a per-partition constant.
   *
-  * Usage:
-  * `spark.readStream.format("graft.sources.TableChangefeedSource")
-  * .load(tablePath)`.
+  * Usage: `spark.readStream.format("graft-table").load(tablePath)` —
+  * the ONE `graft-table` source name covers snapshot reads, versioned
+  * writes, batch CDC and this commit-log stream
+  * ([[TableSnapshotSource]] resolves its streaming half here; round-13
+  * retired the legacy standalone provider so there is exactly one
+  * read path).
   *
   * Supported column types: BIGINT, INT, DOUBLE, FLOAT, STRING,
   * BOOLEAN (the fold-table row shapes); anything else fails loudly at
   * schema inference rather than mis-reading bytes.
   */
-class TableChangefeedSource extends TableProvider {
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TableChangefeedSource.schemaOf(options.get("path"))
-
-  override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ChangefeedTable(properties.get("path"), schema)
-}
-
-object TableChangefeedSource {
+object Changefeed {
 
   /** The Delta `_commit_version` analogue. */
   val VersionCol = "_version"
@@ -264,7 +256,7 @@ private class ChangefeedStream(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangefeedReaderFactory(required,
-      TableChangefeedSource.confMapOf(TableChangefeedSource.activeConf))
+      Changefeed.confMapOf(Changefeed.activeConf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -317,7 +309,7 @@ private class ChangefeedReader(file: String, version: Long,
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(
         new ProjectingGroupReadSupport(
-          required.fieldNames.filterNot(_ == TableChangefeedSource.VersionCol)),
+          required.fieldNames.filterNot(_ == Changefeed.VersionCol)),
         new Path(file))
       .withConf(conf).build()
   private var current: Group = _
@@ -329,7 +321,7 @@ private class ChangefeedReader(file: String, version: Long,
 
   override def get(): InternalRow = {
     val vals = required.fields.map { f =>
-      if (f.name == TableChangefeedSource.VersionCol) version: Any
+      if (f.name == Changefeed.VersionCol) version: Any
       else if (current.getType.containsField(f.name) &&
           current.getFieldRepetitionCount(f.name) > 0) {
         f.dataType match {

@@ -60,7 +60,8 @@ class TableSnapshotSource extends RelationProvider
   // Table advertises MICRO_BATCH_READ ONLY, so every BATCH read/write
   // falls back to the V1 relations below (loadV2Source/save return
   // None without BATCH_READ/BATCH_WRITE) while readStream resolves to
-  // the changefeed machinery shared with [[TableChangefeedSource]].
+  // the changefeed machinery in [[Changefeed]] (the one read path for
+  // snapshots + time travel + batch CDC + the commit-log stream).
   override def inferSchema(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
@@ -70,7 +71,7 @@ class TableSnapshotSource extends RelationProvider
     if (path == null ||
         TableStore.committedVersions(SparkSession.active, path).isEmpty)
       new StructType()
-    else TableChangefeedSource.schemaOf(path)
+    else Changefeed.schemaOf(path)
   }
 
   override def getTable(schema: StructType,

@@ -6,11 +6,16 @@ import graft.{SparkSpec, TestSpark}
 import graft.operators.TableStore
 import org.apache.spark.sql.functions._
 
-/** The table-changefeed streaming source: committed versions arrive
-  * as micro-batches in commit order with `_version` stamps; orphan
-  * (markerless) publishes are invisible; versions published while the
-  * stream runs surface at the next poll; a checkpointed restart
-  * resumes from the committed offset with no redelivery.
+/** The table-changefeed streaming source — `readStream
+  * .format("graft-table")`, the same source name every other read path
+  * uses (the legacy standalone provider was retired in round 13):
+  * committed versions arrive as micro-batches in commit order with
+  * `_version` stamps; orphan (markerless) publishes are invisible;
+  * versions published while the stream runs surface at the next poll;
+  * a checkpointed restart resumes from the committed offset with no
+  * redelivery; a live RESERVATION (slow checkpoint publisher) holds
+  * the frontier for as long as its heartbeat runs, then delivers in
+  * order.
   */
 class ChangefeedSourceSpec extends SparkSpec {
 
@@ -33,7 +38,7 @@ class ChangefeedSourceSpec extends SparkSpec {
     // grace 0: the orphan below is DEAD by construction in this test;
     // the in-flight hold behavior has its own test
     def startStream() = spark.readStream
-      .format("graft.sources.TableChangefeedSource")
+      .format("graft-table")
       .option("uncommittedGraceMs", "0")
       .load(path)
       .writeStream
@@ -85,7 +90,7 @@ class ChangefeedSourceSpec extends SparkSpec {
     val v3 = TableStore.publishVersion(spark, path, Seq((3L, "c")).toDF("k", "v"))
     val batches = scala.collection.mutable.ArrayBuffer[Set[Long]]()
     val q = spark.readStream
-      .format("graft.sources.TableChangefeedSource")
+      .format("graft-table")
       .option("maxVersionsPerTrigger", "1")
       .load(path)
       .writeStream
@@ -117,7 +122,7 @@ class ChangefeedSourceSpec extends SparkSpec {
 
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
     val q = spark.readStream
-      .format("graft.sources.TableChangefeedSource")
+      .format("graft-table")
       .option("uncommittedGraceMs", "3600000")
       .load(path)
       .writeStream
@@ -158,6 +163,58 @@ class ChangefeedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reserved slot: a heartbeating reservation holds the frontier past the grace, then delivers in order") {
+    import TestSpark.spark.implicits._
+    // heartbeat every 50 ms, feed grace 400 ms: a crashed claim ages
+    // out well inside the test, while a LIVE reservation's claim mtime
+    // is refreshed faster than the grace can ever expire — the exact
+    // slow-checkpoint-publisher case the frontier rule must not skip
+    sys.props("graft.reservation.heartbeat.ms") = "50"
+    try {
+      val tmp = Files.createTempDirectory("graft_changefeed_reserved")
+      val path = tmp.resolve("t").toString
+      val v1 = TableStore.publishVersion(spark, path,
+        Seq((1L, "a")).toDF("k", "v"))
+      // a checkpoint-style reservation: number taken now, bytes later
+      val slot = TableStore.reserveVersion(spark, path)
+      assert(slot == v1 + 1)
+      // a later tick commits ABOVE the reservation while it rewrites
+      val v3 = TableStore.publishVersion(spark, path,
+        Seq((3L, "c")).toDF("k", "v"))
+      assert(v3 == slot + 1)
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      val q = spark.readStream
+        .format("graft-table")
+        .option("uncommittedGraceMs", "400")
+        .load(path)
+        .writeStream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = batch.select("_version", "k", "v")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+          seen.synchronized { seen ++= rows }: Unit
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        // wait FAR past the grace: without the heartbeat the claim's
+        // fixed reservation-time mtime would age out and the frontier
+        // would advance past the slot — v3 delivered, slot burned
+        Thread.sleep(900)
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.toSet) == Set((v1, 1L, "a")),
+          s"frontier must hold below a live (heartbeating) reservation: $seen")
+        // the checkpoint rewrite finishes: the reserved slot commits
+        TableStore.publishReserved(spark, path, slot,
+          Seq((2L, "b")).toDF("k", "v"), note = "checkpoint")
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.toSet) == Set(
+          (v1, 1L, "a"), (slot, 2L, "b"), (v3, 3L, "c")),
+          s"published reservation must deliver in version order: $seen")
+      } finally q.stop()
+    } finally { sys.props.remove("graft.reservation.heartbeat.ms"); () }
+  }
+
   test("additive upstream evolution mid-stream: new columns are invisible, declared columns keep flowing") {
     import TestSpark.spark.implicits._
     val tmp = Files.createTempDirectory("graft_changefeed_drift")
@@ -165,7 +222,7 @@ class ChangefeedSourceSpec extends SparkSpec {
     val v1 = TableStore.publishVersion(spark, path, Seq((1L, "a")).toDF("k", "v"))
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
     val q = spark.readStream
-      .format("graft.sources.TableChangefeedSource")
+      .format("graft-table")
       .load(path)
       .writeStream
       .option("checkpointLocation", tmp.resolve("ckpt").toString)
