@@ -346,13 +346,19 @@ object Sinks {
          |  ${dsumSql("o_totalprice")} AS sum_price
          |FROM a2 JOIN b2 USING (o_orderkey)
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      import graft.operators.Ivm
+      import graft.streaming.JoinViewMaintenance
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val pathA = scratch("i4_a")
       val pathB = scratch("i4_b")
+      val foldA = scratch("i4_fa")
+      val foldB = scratch("i4_fb")
       val viewPath = scratch("i4_view")
       val a = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .cache()
       val editedA = a.filter(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_custkey", when(col("o_orderkey") % 17 === 0,
           col("o_custkey") + 1).otherwise(col("o_custkey")))
@@ -381,33 +387,65 @@ object Sinks {
           .select(col("o_orderkey"),
             (col("l_linenumber") + 100).as("l_linenumber"),
             col("l_extendedprice")))
-      val av1 = TableStore.publishVersion(s, pathA, a, note = "base")
-      val av2 = TableStore.publishVersion(s, pathA, editedA, note = "edit")
-      val bv1 = TableStore.publishVersion(s, pathB, b, note = "base")
-      val bv2 = TableStore.publishVersion(s, pathB, editedB, note = "edit")
-      // materialize the join view at (av1, bv1), then maintain it
-      // from the changelogs alone + one probe of each old side
-      TableStore.overwrite(Ivm.joinView(
-        TableStore.readVersion(s, pathA, Some(av1)),
-        TableStore.readVersion(s, pathB, Some(bv1)),
-        Seq("o_orderkey")), viewPath)
-      val dA = TableStore.changesBetween(s, pathA, av1, av2, Seq("o_orderkey"))
-      val dB = TableStore.changesBetween(s, pathB, bv1, bv2,
-        Seq("o_orderkey", "l_linenumber"))
-      val maintained = Ivm.applyJoinDelta(TableStore.read(s, viewPath),
-        TableStore.readVersion(s, pathA, Some(av1)),
-        TableStore.readVersion(s, pathB, Some(bv1)),
-        dA, dB, Seq("o_orderkey"))
-      // multiplicity-weighted exact decimal sums (all mults are
-      // positive; the weighting keeps the algebra honest if a future
-      // edit script produces mult > 1)
+      // the producer states are O(100k) rows: right-size the shuffles
+      // for the init/diff/tick stages (st15's discipline — the three
+      // pre-tick phases below run CONCURRENTLY, so halving task counts
+      // also halves scheduler contention)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // three independent pipelines overlap: the A version chain, the
+      // B version chain (each CDC source publishes v1 then its edit),
+      // and the fold-state init (v0 snapshots of both bases + the
+      // joined view — st15's WAL protocol starts at tick 0, so the
+      // three v0 publishes have no ordering constraint between them)
+      // each future runs one CDC source end to end: publish v1 and
+      // the edit, then CHECKPOINT the snapshot diff — the changelog
+      // feeds the tick's view probe(s) AND its base-delta write, and
+      // without the checkpoint the full-outer diff join would
+      // recompute per consumer. Both diffs and the fold-state init
+      // overlap on separate threads.
+      val fA = Future {
+        val v1 = TableStore.publishVersion(s, pathA, a, note = "base")
+        val v2 = TableStore.publishVersion(s, pathA, editedA, note = "edit")
+        TableStore.changesBetween(s, pathA, v1, v2, Seq("o_orderkey"))
+          .localCheckpoint()
+      }
+      val fB = Future {
+        val v1 = TableStore.publishVersion(s, pathB, b, note = "base")
+        val v2 = TableStore.publishVersion(s, pathB, editedB, note = "edit")
+        TableStore.changesBetween(s, pathB, v1, v2,
+          Seq("o_orderkey", "l_linenumber")).localCheckpoint()
+      }
+      // a is PK-keyed (o_orderkey), b is a groupBy product — one row
+      // per tuple each, so init skips the canonicalizing shuffle
+      val fInit = Future(JoinViewMaintenance.init(s, viewPath,
+        foldA, foldB, a, b, Seq("o_orderkey"), inputsDistinct = true))
+      val dA = Await.result(fA, Duration.Inf)
+      val dB = Await.result(fB, Duration.Inf)
+      Await.result(fInit, Duration.Inf)
+      // the changelogs come from the store's own snapshot diff (the
+      // CDC story this query exists to prove), then ONE maintenance
+      // tick runs through JoinViewMaintenance.applyTick — the SAME
+      // audited code path as the continuous st15 loop (fused staged
+      // commits: the view-delta compute and both base-delta writes
+      // overlap, three O(1) markers land in WAL order), so the batch-
+      // replay and streaming forms of the bilinear delta rule share
+      // one implementation
+      JoinViewMaintenance.applyTick(s, viewPath, foldA, foldB,
+        dA, dB, Seq("o_orderkey"), batchId = 0L)
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // multiplicity-weighted exact decimal sums over the RAW signed
+      // chain (v0 snapshot + tick delta): every sum distributes over
+      // signed partials, so the per-tuple fold shuffle readFolded
+      // would pay first is algebraically redundant (st15's read shape)
       def wsum(c: String) =
         sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
-      maintained.groupBy("o_custkey")
+      TableStore.readFoldedUnion(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
-        .orderBy("o_custkey")
+        .filter(col("n_lines") > 0)
+        .coalesce(1).sortWithinPartitions("o_custkey")
     },
 
     // ---------------------------------------------------------------
