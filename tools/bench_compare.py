@@ -15,10 +15,18 @@ For each query shared by OLD and NEW this prints:
   best  = min(n_cpu, n_scan)           (the CHARITABLE reading: a
           query is only flagged when it regressed under BOTH models)
 
+When either file carries a per-query `spread` block (composites built
+by tools/bench_composite.py retain pass-to-pass min/max), a query whose
+`best` exceeds the threshold but sits INSIDE the measured pass-to-pass
+band (x a small 1.05 margin) is classified `noise(spread=..)` and does
+NOT gate — the t36 lesson: a 0.3s-floor query can read 1.7x between
+composites built from different pass draws on untouched code, and the
+claim "nothing regressed" must cite the measured band, not an absolute.
+
 Exit code 1 when any query's `best` exceeds the threshold (default
-1.5x), so the round driver / judge can gate on it. Files without a
-host_probe block (rounds <= 11) fall back to raw ratios with a
-loud note.
+1.5x) AND exceeds its noise band, so the round driver / judge can gate
+on it. Files without a host_probe block (rounds <= 11) fall back to
+raw ratios with a loud note.
 
 Usage: bench_compare.py OLD.json NEW.json [--threshold 1.5] [--top 20]
 """
@@ -32,7 +40,7 @@ def load(path):
     probe = d.get("host_probe") or {}
     cpu = probe.get("cpu_s", -1)
     scan = probe.get("scan_s", -1)
-    return d.get("queries", {}), (cpu, scan)
+    return d.get("queries", {}), (cpu, scan), d.get("spread") or {}
 
 
 def main():
@@ -44,8 +52,8 @@ def main():
         return 2
     threshold = float(opts.get("--threshold", 1.5))
     top = int(opts.get("--top", 20))
-    qo, (co, so) = load(args[0])
-    qn, (cn, sn) = load(args[1])
+    qo, (co, so), spo = load(args[0])
+    qn, (cn, sn), spn = load(args[1])
     rc = cn / co if co > 0 and cn > 0 else None
     rs = sn / so if so > 0 and sn > 0 else None
     if rc is None and rs is None:
