@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
   *
   *   - 'COSINE'      -> 1 - dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
   *   - 'EUCLIDEAN'   -> sqrt(sum((a_i - b_i)^2))
+  *   - 'EUCLIDEAN_SQ'-> sum((a_i - b_i)^2) — the k-means/shell form:
+  *     no sqrt, bit-identical to XSql.dist2's left fold, so swapping
+  *     the interpreted lambda fold for this codegen loop cannot move
+  *     an oracle-gated comparison by even an ulp
   *   - 'DOT_PRODUCT' -> -dot(a,b)   (negative dot product, as in BQ)
   *
   * Implements `doGenCode`, so the distance loop participates in
@@ -49,10 +53,11 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
       TypeCheckResult.TypeCheckFailure("metric must be a string")
     else if (!third.foldable)
       TypeCheckResult.TypeCheckFailure("metric must be a constant string")
-    else if (!Seq("COSINE", "COSINE_SIM", "EUCLIDEAN", "DOT_PRODUCT")
-        .contains(metric))
+    else if (!Seq("COSINE", "COSINE_SIM", "EUCLIDEAN", "EUCLIDEAN_SQ",
+        "DOT_PRODUCT").contains(metric))
       TypeCheckResult.TypeCheckFailure(
-        s"metric must be COSINE, COSINE_SIM, EUCLIDEAN or DOT_PRODUCT, got $metric")
+        s"metric must be COSINE, COSINE_SIM, EUCLIDEAN, EUCLIDEAN_SQ " +
+          s"or DOT_PRODUCT, got $metric")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -91,6 +96,11 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
           val d = x.getDouble(i) - y.getDouble(i); se += d * d; i += 1
         }
         math.sqrt(se)
+      case "EUCLIDEAN_SQ" =>
+        while (i < n) {
+          val d = x.getDouble(i) - y.getDouble(i); se += d * d; i += 1
+        }
+        se
       case "DOT_PRODUCT" =>
         while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
         -dot
@@ -133,6 +143,14 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
              |}
              |${ev.value} = java.lang.Math.sqrt($dot);
              |""".stripMargin
+        case "EUCLIDEAN_SQ" =>
+          s"""double $dot = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $xi = $a.getDouble($i) - $b.getDouble($i);
+             |  $dot += $xi * $xi;
+             |}
+             |${ev.value} = $dot;
+             |""".stripMargin
         case "DOT_PRODUCT" =>
           s"""double $dot = 0.0;
              |for (int $i = 0; $i < $n; $i++) {
@@ -160,6 +178,15 @@ case class VectorDistance(first: Expression, second: Expression, third: Expressi
   * (`spark.sql.extensions=graft.functions.GraftExtensions`).
   */
 object GraftFunctions {
+  /** Idempotent convenience: register only if the session doesn't
+    * already carry the functions (operators like KMeans.withAssign
+    * emit `vector_distance` calls and must work in any session).
+    */
+  def ensure(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        FunctionIdentifier("vector_distance")))
+      register(spark)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vector_distance"),

@@ -94,7 +94,10 @@ object XSql {
     def shiftRight(x: String, n: String) = s"shiftright($x, int($n))"
     def shiftLeft1(n: String) = s"shiftleft(bigint(1), int($n))"
     def bigintArr(vals: Seq[Long]) = vals.map(v => s"bigint($v)").mkString("array(", ", ", ")")
-    def toDoubleArr(a: String) = s"transform($a, x_ -> double(x_))"
+    // cast, not a per-element transform lambda: Cast on arrays is
+    // codegen'd (the lambda runs interpreted per element), and
+    // float->double widening is exact, so the values are identical
+    def toDoubleArr(a: String) = s"cast($a as array<double>)"
   }
 
   object Duck extends Dialect {

@@ -140,11 +140,14 @@ object KMeans {
     * expression, so assignment costs ZERO shuffle instead of a k-way
     * row expansion + groupBy(vec_id) exchange per pass/round.
     */
-  private def nearestExpr: String = {
-    import graft.functions.XSql
+  private def nearestExpr: String =
+    // vector_distance EUCLIDEAN_SQ is XSql.dist2's left fold as a
+    // compiled loop (bit-identical by construction — same IEEE op
+    // sequence), so the argmin keeps oracle parity while the per-row
+    // cost drops from nested interpreted lambda folds to one native
+    // loop per centroid
     s"array_min(transform(carr_, c_ -> named_struct(" +
-      s"'d2', ${XSql.dist2("v", "c_.cv")(SqlSpark)}, 'cid', c_.cid)))"
-  }
+      s"'d2', vector_distance(v, c_.cv, 'EUCLIDEAN_SQ'), 'cid', c_.cid)))"
 
   /** Append the nearest-centroid id to `df` (needs `grp` and `v`) as
     * `cid`: one broadcast hash join of G array rows, then the per-row
@@ -153,10 +156,12 @@ object KMeans {
     * (the shape every consumer — mean update, IVF lists, PQ codes,
     * dedup shells — actually wants).
     */
-  def withAssignMulti(df: DataFrame, cents: DataFrame): DataFrame =
+  def withAssignMulti(df: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
     df.join(broadcast(centsArr(cents)), "grp")
       .withColumn("cid", expr(nearestExpr).getField("cid"))
       .drop("carr_")
+  }
 
   /** Single-group [[withAssignMulti]]: append `cid` to `df` (needs
     * `v`) for centroids `(cid, cv)`.

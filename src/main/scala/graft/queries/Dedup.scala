@@ -473,18 +473,27 @@ object Dedup {
       import graft.operators.KMeans
       val e = t(s, d, "embeddings")
         .withColumn("v", expr(dlDouble(SqlSpark))).select("vec_id", "v")
-      // centroids fit at the driver on the bounded training set
-      // (trainLocal — bit-identical to the gate-parity distributed
-      // trainer per KMeansSpec); the corpus-scale shell assignment
-      // below stays distributed
-      val cents = KMeans.trainLocal(e, 8, Similarity.LloydRounds)
+      // centroids fit at the driver on a BOUNDED training set — the
+      // k15/k16 index-build discipline, and SemDeDup's own (the paper
+      // clusters on a sample): a deterministic vec_id stride caps the
+      // driver-side Lloyd at 64k vectors, so the training term is a
+      // constant while the corpus-scale shell assignment below stays
+      // distributed and linear. The stride is 1 at every oracle'd
+      // scale (500–20k vectors), so cross-engine parity is untouched;
+      // past the cap the quantizer trains on the sample exactly like a
+      // production FAISS/ScaNN build. (Pre-fix the full-set retrain
+      // was the steepest non-graph 10x curve: 5.3x; see BENCH_SF10.)
+      val cents = KMeans.trainLocal(
+        Similarity.boundTraining(e, 1, cap = 1L << 16), 8,
+        Similarity.LloydRounds)
       // cluster id computed in place on the scan (withAssign's per-row
       // argmin) — no (e ⋈ assignment) vec_id join; one broadcast of
       // the k centroid rows attaches cv for the shell distance
       val dc = KMeans.withAssign(e, cents)
         .join(broadcast(cents), "cid")
         .select(col("vec_id"), col("cid"),
-          floor(expr(XSql.dist2("v", "cv")) * 1000).cast("long").as("shell"))
+          floor(expr("vector_distance(v, cv, 'EUCLIDEAN_SQ')") * 1000)
+            .cast("long").as("shell"))
       val kept = dc.groupBy("cid", "shell").agg(min(col("vec_id")).as("keep_id"))
       dc.join(kept, Seq("cid", "shell"))
         .groupBy("cid")

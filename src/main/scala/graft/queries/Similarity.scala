@@ -243,9 +243,10 @@ object Similarity {
     * and the DuckDB twin stays bit-exact. Surfaced by the round-12
     * 100x spot audit: 200k vectors x 8 PQ subspaces tripped the cap.
     */
-  private def boundTraining(vecs: org.apache.spark.sql.DataFrame,
-      rowsPerVec: Int): org.apache.spark.sql.DataFrame = {
-    val cap = graft.operators.KMeans.MaxTrainRows.toLong
+  private[queries] def boundTraining(vecs: org.apache.spark.sql.DataFrame,
+      rowsPerVec: Int,
+      cap: Long = graft.operators.KMeans.MaxTrainRows.toLong)
+      : org.apache.spark.sql.DataFrame = {
     val n = vecs.count()
     val s = (n * rowsPerVec + cap - 1) / cap
     if (s <= 1L) vecs else vecs.filter(col("vec_id") % s === 0)
