@@ -438,6 +438,31 @@ object TableStore {
     * retention keeps the markers, so dropped versions stay burned and
     * their commit notes remain queryable.
     */
+  /** Write `df` as a version/staging dir, guaranteeing the dir is
+    * READABLE even when `df` is empty: an empty frame often plans
+    * zero partitions and writes zero part files, and a fileless dir
+    * fails every later `spark.read.parquet` at schema inference. A
+    * legitimately EMPTY state is not an error — a fold table whose
+    * rows were all retracted checkpoints an empty snapshot
+    * (ReservedSlotPropertySpec found exactly this) — so a fileless
+    * write is re-done as one single-partition schema-only file.
+    */
+  private def writeDataDir(spark: SparkSession, df: DataFrame,
+      dir: String): Unit = {
+    df.write.parquet(dir)
+    val f = fs(spark, dir)
+    val dirPath = new Path(dir)
+    // a 0-partition plan may write no part files — and, plan-dependent,
+    // sometimes not even the directory
+    val empty = !f.exists(dirPath) || !f.listStatus(dirPath)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (empty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .repartition(1)
+        .write.mode("overwrite").parquet(dir)
+  }
+
   def publishVersion(spark: SparkSession, path: String, df: DataFrame,
       note: String = ""): Long = {
     requireCleanNote(note)
@@ -451,7 +476,7 @@ object TableStore {
     // after ITS claim file was lost to manual cleanup; deleting here
     // is safe because committed versions always have markers
     f.delete(vDir, true)
-    df.write.parquet(vDir.toString)
+    writeDataDir(spark, df, vDir.toString)
     val marker = new Path(s"$path/_committed_v$v")
     if (!createExclusive(f, marker, note.getBytes("UTF-8")))
       throw new java.io.IOException(
@@ -596,7 +621,7 @@ object TableStore {
       // same partial-dir hygiene as publishVersion: a crashed earlier
       // attempt at this reserved slot may have left bytes
       f.delete(vDir, true)
-      df.write.parquet(vDir.toString)
+      writeDataDir(spark, df, vDir.toString)
       val marker = new Path(s"$path/_committed_v$v")
       if (!createExclusive(f, marker, note.getBytes("UTF-8")))
         throw new java.io.IOException(
@@ -655,7 +680,7 @@ object TableStore {
     if (cur != expected) throw ConcurrentVersionException(path, expected, cur)
     val target = expected.getOrElse(0L) + 1L
     val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.write.parquet(s"$path/$stage")
+    writeDataDir(spark, df, s"$path/$stage")
     val marker = new Path(s"$path/_committed_v$target")
     if (!createExclusive(f, marker, (note + DataPtr + stage).getBytes("UTF-8"))) {
       f.delete(new Path(s"$path/$stage"), true)
@@ -681,7 +706,7 @@ object TableStore {
     val base = new Path(path)
     if (!f.exists(base)) f.mkdirs(base)
     val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.write.parquet(s"$path/$stage")
+    writeDataDir(spark, df, s"$path/$stage")
     stage
   }
 
@@ -1065,7 +1090,7 @@ object TableStore {
     val f = fs(spark, path)
     val target = parent + 1L
     val stage = s"d_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.write.parquet(s"$path/$stage")
+    writeDataDir(spark, df, s"$path/$stage")
     val marker = new Path(s"$path/_committed_v$target")
     if (!createExclusive(f, marker,
         (note + DataPtr + stage + BasePtr + parent).getBytes("UTF-8"))) {
