@@ -97,6 +97,76 @@ class HttpServeSpec extends SparkSpec {
     }
   }
 
+  test("concurrent load: 32 parallel document+similar requests are correct and genuinely overlapped") {
+    // the reference's measured serving win is concurrent lookups under
+    // load (readers/games.py:265-268 drives a ThreadPoolExecutor);
+    // this drives N=32 real HTTP requests at once through the server's
+    // worker pool and gates BOTH correctness of every composed
+    // response AND genuine overlap: the burst must complete in well
+    // under the serialized time (sum of sequential latencies), which a
+    // single-threaded executor or a global lock around the Spark
+    // actions would fail. The p95 is reported relative to the warm
+    // sequential median, not as an absolute (shared CI box).
+    val readers = Readers.build(TestSpark.spark, "/root/testdata/sf0.001", k = 3)
+    val srv = new HttpServe(readers)
+    srv.start()
+    val port = srv.boundPort
+    try {
+      val ids = (0L to 7L).toSeq
+      def check(id: Long, kind: String): Unit = kind match {
+        case "doc" =>
+          val (c, body) = get(port, s"/games/$id")
+          assert(c == 200 && body.contains(s""""vec_id":$id""") &&
+            body.contains("\"similar\":["), s"doc $id: $c $body")
+        case "sim" =>
+          val (c, body) = get(port, s"/games/$id/similar?metric=cosine&k=2")
+          assert(c == 200 && body.contains("\"metric\":\"COSINE\"") &&
+            body.split("\"dist\":").length - 1 == 2, s"sim $id: $c $body")
+      }
+      val work: Seq[(Long, String)] =
+        ids.flatMap(id => Seq(id -> "doc", id -> "sim")) ++
+          ids.flatMap(id => Seq(id -> "doc", id -> "sim"))
+      assert(work.size == 32)
+      // warm: caches, codegen, route plumbing — once per route kind
+      check(0L, "doc"); check(0L, "sim")
+      // warm sequential baseline (median of 8)
+      val seqLat = work.take(8).map { case (id, kind) =>
+        val t0 = System.nanoTime(); check(id, kind)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val seqMedian = seqLat(seqLat.size / 2)
+      // the burst: 32 requests issued simultaneously from 32 client
+      // threads; each asserts its own response body
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val lats = try {
+        val fs = work.map { case (id, kind) =>
+          Future {
+            val s = System.nanoTime(); check(id, kind)
+            (System.nanoTime() - s) / 1e9
+          }
+        }
+        fs.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val p95 = lats.sorted.apply((lats.size * 95) / 100 - 1)
+      val serialized = seqMedian * work.size
+      assert(wall < serialized * 0.6,
+        f"burst of ${work.size} took $wall%.2fs vs serialized " +
+          f"$serialized%.2fs (seq median $seqMedian%.3fs) — requests " +
+          "are not actually overlapping")
+      assert(p95 < seqMedian * work.size,
+        f"p95 $p95%.2fs implies full serialization behind one lock " +
+          f"(seq median $seqMedian%.3fs)")
+    } finally {
+      srv.stop()
+      readers.close()
+    }
+  }
+
   test("reader failure surfaces as a generic 500 — no exception detail in the body") {
     // a profiles frame that detonates at collect time stands in for
     // any backend failure (corrupt file, lost executor): the client
