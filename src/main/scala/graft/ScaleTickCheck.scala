@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The STREAMING/IVM tick-cost audit, one decade past
+  * BENCH_SF1_STATE's 10×-rows/2×-ticks gate: run the continuous
+  * maintenance loops at 10× ROWS **and 10× TICKS** (sf0.1 @ 3 ticks →
+  * sf1 @ 30 ticks), so the per-tick batch is the SAME SIZE while the
+  * accumulated state and the tick count both grow 10×. The engine's
+  * central scale thesis — per-tick cost is O(batch), independent of
+  * state size — then has a direct measurement, not an argument:
+  *
+  *   1. TICK RATIO: median per-tick wall at (10× rows, 10× ticks) /
+  *      median per-tick wall at (1×, 3 ticks) ≤ a committed ceiling.
+  *      Same batch size per tick → an O(batch) tick is ~flat; a tick
+  *      hiding an O(state) term reads ~10×.
+  *   2. TICK FLATNESS: within the 30-tick run, mean of the LAST 5
+  *      ticks / mean of ticks 1–5 (tick 0 excluded: stream-start
+  *      planning lands there) ≤ a ceiling. The fold chains cross ~15
+  *      CompactEvery=2 checkpoints in 30 ticks, so this is also the
+  *      "checkpoint/retention off the tick critical path at depth"
+  *      gate: synchronous rewrites of a growing state would tilt the
+  *      profile upward.
+  *   3. PLAN FLIPS: the final read plan gains no CartesianProduct /
+  *      BroadcastNestedLoopJoin at 10× stats.
+  *
+  * Per-tick walls come from [[graft.streaming.EventStream.TickWalls]]
+  * (each micro-batch body timed inside runForeachBatch). The batch
+  * replays of the same protocols (i4/i7 — single-tick delta algebra —
+  * and s50's reserved-slot choreography) have no tick stream; they
+  * gate on the overall wall ratio like ScaleStateCheck.
+  *
+  * Usage: tools/run.sh graft.ScaleTickCheck [smallDir largeDir [out]]
+  * Writes `out` (default BENCH_SF1_TICKS.json); exits nonzero on any
+  * gate failure.
+  */
+object ScaleTickCheck {
+
+  /** Continuous loops driven through runForeachBatch with the
+    * graft.state.ticks knob (per-tick walls captured).
+    */
+  private val Streaming = Seq(
+    "st15_stream_join_ivm", "st16_stream_components",
+    "st17_stream_topk", "st23_stream_atomic_ticks")
+
+  /** Batch replays of the same delta algebra / commit protocols —
+    * no tick stream, wall-ratio gate only.
+    */
+  private val Batch = Seq(
+    "i4_join_view_ivm", "i7_topk_ivm", "s50_backfilled_checkpoint")
+
+  /** Ceilings. Tick ratio: same per-tick batch size, 10× state —
+    * an O(batch) tick should be near-flat; 2.5× allows the real
+    * sub-linear terms (fold-chain scans between checkpoints see more
+    * bytes; the base-probe semi-joins read bigger version files)
+    * without admitting an O(state) term (~10×). Flatness: last-5 /
+    * first-5 inside the 30-tick run ≤ 2× — checkpoints land every 2
+    * ticks, so a rewrite on the critical path would tilt this far
+    * past 2 as state accumulates. Batch wall ratio: the
+    * ScaleStateCheck family default (4×).
+    */
+  private val MaxTickRatio = 2.5
+  private val MaxFlatness = 2.0
+  private val MaxBatchRatio = 4.0
+
+  private val Ops = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+  private def counts(p: String): Map[String, Int] =
+    Ops.map(op => op -> op.r.findAllIn(p).size).toMap
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val large = args.lift(1).getOrElse("/tmp/sf1")
+    val out = args.lift(2).getOrElse("BENCH_SF1_TICKS.json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.EventStream.TickWalls
+
+    final case class RunResult(wall: Double, ticks: Seq[(Long, Double)],
+        plan: Map[String, Int])
+
+    def run(name: String, dir: String, nTicks: Int): RunResult = {
+      sys.props("graft.state.ticks") = nTicks.toString
+      spark.catalog.clearCache()
+      TickWalls.clear()
+      TickWalls.enabled = true
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      TickWalls.enabled = false
+      RunResult(wall, TickWalls.snapshot().sortBy(_._1),
+        counts(df.queryExecution.executedPlan.toString()))
+    }
+
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+
+    // warm the store + streaming machinery per dir
+    run("st15_stream_join_ivm", small, 3)
+    run("st15_stream_join_ivm", large, 3)
+
+    var fails = 0
+    val streamRows = Streaming.map { n =>
+      val rs = run(n, small, 3)
+      val rl = run(n, large, 30)
+      // tick 0 carries stream-start planning/codegen on both sides —
+      // exclude it from the medians on BOTH scales identically
+      val ts = rs.ticks.drop(1).map(_._2)
+      val tl = rl.ticks.drop(1).map(_._2)
+      val tickRatio = if (median(ts) > 0) median(tl) / median(ts) else 0.0
+      val early = tl.take(5)
+      val late = tl.takeRight(5)
+      val flat = if (early.nonEmpty && early.sum > 0)
+        (late.sum / late.size) / (early.sum / early.size) else 0.0
+      val flip = Ops.exists(op => rl.plan(op) > rs.plan(op))
+      val tickFail = tickRatio > MaxTickRatio
+      val flatFail = flat > MaxFlatness
+      if (flip) fails += 1
+      if (tickFail) fails += 1
+      if (flatFail) fails += 1
+      println(f"""{"query":"$n","small_wall":${rs.wall}%.2f,"large_wall":${rl.wall}%.2f,"tick_med_small":${median(ts)}%.4f,"tick_med_large":${median(tl)}%.4f,"tick_ratio":$tickRatio%.2f,"flatness":$flat%.2f,"flip":$flip,"tick_fail":$tickFail,"flat_fail":$flatFail}""")
+      (n, rs, rl, ts, tl, tickRatio, flat, flip, tickFail, flatFail)
+    }
+
+    val batchRows = Batch.map { n =>
+      val rs = run(n, small, 3)
+      val rl = run(n, large, 3)
+      val ratio = if (rs.wall > 0) rl.wall / rs.wall else 0.0
+      val flip = Ops.exists(op => rl.plan(op) > rs.plan(op))
+      val fail = ratio > MaxBatchRatio
+      if (flip) fails += 1
+      if (fail) fails += 1
+      println(f"""{"query":"$n","small_wall":${rs.wall}%.2f,"large_wall":${rl.wall}%.2f,"wall_ratio":$ratio%.2f,"flip":$flip,"ratio_fail":$fail}""")
+      (n, rs, rl, ratio, flip, fail)
+    }
+
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    val json =
+      s"""{
+         | "metric": "ivm_tick_scale_headroom",
+         | "protocol": "streaming loops at (sf0.1, 3 ticks) vs (10x rows, 30 ticks): SAME per-tick batch size, 10x accumulated state, ~15 CompactEvery=2 checkpoints crossed; per-tick micro-batch body walls via EventStream.TickWalls, tick 0 (stream-start planning) excluded from medians on both scales; batch-replay protocols gate wall ratio",
+         | "gates": {"tick_ratio_max": $MaxTickRatio, "flatness_max": $MaxFlatness, "batch_wall_ratio_max": $MaxBatchRatio, "plan_flips": 0},
+         | "fails": $fails,
+         | "streaming": {
+         |${streamRows.map { case (n, rs, rl, ts, tl, tr, fl, flip, tf, ff) =>
+             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "tick_med_small": ${median(ts)}%.4f, "tick_med_large": ${median(tl)}%.4f, "tick_ratio": $tr%.2f, "flatness": $fl%.2f, "flip": $flip, "tick_fail": $tf, "flat_fail": $ff, "ticks_small": ${arr(ts)}, "ticks_large": ${arr(tl)}}"""
+           }.mkString(",\n")}
+         | },
+         | "batch": {
+         |${batchRows.map { case (n, rs, rl, r, flip, fail) =>
+             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "wall_ratio": $r%.2f, "flip": $flip, "ratio_fail": $fail}"""
+           }.mkString(",\n")}
+         | }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"wrote $out (fails=$fails)")
+    spark.stop()
+    if (fails > 0) sys.exit(1)
+  }
+}

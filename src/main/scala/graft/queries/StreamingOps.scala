@@ -531,13 +531,22 @@ object StreamingOps {
         tmp.resolve("stage").toString, nFiles = EventStream.ticks(3))
       // topKTick carries the WAL discipline (tick=<bid> guards on
       // BOTH publishes), so a redelivered micro-batch rolls forward
-      // instead of double-folding — same contract applyTick pins
+      // instead of double-folding — same contract applyTick pins.
+      // Reserved-slot base checkpoints every 2 ticks keep the per-tick
+      // newBase fold O(state), not O(state + ticks·batch) — off the
+      // tick critical path via the same AsyncCompactor st15 drives
+      val compactor = new JoinViewMaintenance.AsyncCompactor
       EventStream.runForeachBatch(s, stream,
         Some(tmp.resolve("ckpt").toString)) { (batch, bid) =>
         JoinViewMaintenance.topKTick(s, basePath, viewPath,
           batch.localCheckpoint(), bid,
-          Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", 3,
+          compactEvery = JoinViewMaintenance.CompactEvery,
+          compactor = Some(compactor))
       }
+      // the last checkpoint may still be rewriting: drain before the
+      // final read so retention cannot race the scan below
+      compactor.drain()
       TableStore.readFolded(s, viewPath).drop("_mult")
         .select(col("o_custkey"), posexplode(col("topk")).as(Seq("p", "e")))
         .select(col("o_custkey"), (col("p") + 1).cast("long").as("rk"),

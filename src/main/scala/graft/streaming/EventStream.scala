@@ -209,6 +209,24 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Per-tick wall capture for scale audits: when enabled,
+    * [[runForeachBatch]] times each micro-batch BODY (the maintenance
+    * work between offsets — delta compute, staged writes, commit
+    * markers, compaction submit) and records (batchId, seconds). This
+    * is the measurement behind the O(batch)-per-tick thesis: at 10×
+    * rows AND 10× ticks the per-tick batch is the same size while the
+    * accumulated state is 10× — a flat tick profile is the claim,
+    * measured (ScaleTickCheck).
+    */
+  object TickWalls {
+    @volatile var enabled = false
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def clear(): Unit = buf.synchronized { buf.clear() }
+    def record(batchId: Long, sec: Double): Unit =
+      buf.synchronized { buf += ((batchId, sec)); () }
+    def snapshot(): Seq[(Long, Double)] = buf.synchronized { buf.toList }
+  }
+
   /** Run a stream to completion through foreachBatch — the sink shape
     * for streaming incremental materialized views (each micro-batch
     * merges its delta into a stored table). Same state-partitioning
@@ -218,8 +236,15 @@ object EventStream {
       checkpoint: Option[String] = None)(
       fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit): Unit =
     withStreamConfs(spark) {
+      val timed: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        if (!TickWalls.enabled) fn
+        else (df, bid) => {
+          val t0 = System.nanoTime()
+          fn(df, bid)
+          TickWalls.record(bid, (System.nanoTime() - t0) / 1e9)
+        }
       val base = streamed.writeStream
-        .foreachBatch(fn)
+        .foreachBatch(timed)
         .trigger(Trigger.AvailableNow())
       // an explicit checkpoint makes the run RESUMABLE: a later run
       // with the same location continues from the committed offsets

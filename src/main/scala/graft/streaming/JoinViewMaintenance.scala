@@ -200,6 +200,59 @@ object JoinViewMaintenance {
       }
   }
 
+  /** RESERVED-SLOT checkpoints for `checkpointPaths` after tick
+    * `batchId`, plus retention on `retainPaths` — the shared
+    * compaction block of [[applyTick]] and [[topKTick]]: each table
+    * takes its version number NOW (above this tick's commits, below
+    * the next tick's — later claims count outstanding claim files)
+    * and pins its fold input at the post-tick version, so the rewrite
+    * can run on a background thread for as long as it likes: later
+    * deltas commit above the reserved slot, the anchor stays below
+    * them, and the fold never double-counts (the pinned input
+    * excludes them). Version ORDER, not commit wall-time, carries the
+    * anchor invariant — no tick ever drains a checkpoint.
+    * [[TableStore.reserveVersionAfter]] makes a single-writer
+    * violation loud (a commit landing between pin and reservation
+    * would be anchored out of the fold), and each reservation
+    * heartbeats its claim so a changefeed on these tables holds below
+    * the slot for as long as the rewrite runs. The per-table
+    * compactions are independent read-fold + full-write jobs and run
+    * in parallel; with a compactor, retention runs on the DRAINING
+    * thread, after every staging scan that could reference the old
+    * files completed — see [[AsyncCompactor]].
+    */
+  private def reservedCheckpoints(spark: SparkSession,
+      checkpointPaths: Seq[String], retainPaths: Seq[String],
+      batchId: Long, compactor: Option[AsyncCompactor]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val pins = checkpointPaths.map { p =>
+      val at = TableStore.currentVersion(spark, p).getOrElse(sys.error(
+        s"compaction tick $batchId at $p before any publish"))
+      (p, at, TableStore.reserveVersionAfter(spark, p, at))
+    }
+    def checkpointAll(): Unit = {
+      val compacts = pins.map { case (p, at, slot) =>
+        Future(TableStore.publishReserved(spark, p, slot,
+          TableStore.readFolded(spark, p, Some(at)),
+          checkpointNote(batchId)))
+      }
+      compacts.foreach(Await.result(_, Duration.Inf): Unit)
+    }
+    def retainAll(): Unit =
+      retainPaths.foreach { p =>
+        TableStore.currentVersion(spark, p).foreach { cur =>
+          TableStore.dropVersionsBelow(spark, p,
+            TableStore.foldAnchor(spark, p, cur))
+        }
+      }
+    compactor match {
+      case Some(c) => c.submit(checkpointAll())(retainAll())
+      case None => { checkpointAll(); retainAll() }
+    }
+  }
+
   /** Apply micro-batch `batchId` (deltas `dA`/`dB` in changesBetween
     * shape) to all three stored states — idempotent and roll-forward-
     * safe per the class doc. `afterPublish(path)` is a test seam: the
@@ -313,57 +366,9 @@ object JoinViewMaintenance {
     // this compaction and the stream checkpoint's commit replays
     // batch B into a tick that is provably already applied and is
     // skipped — never re-folded onto the advanced state.
-    if ((batchId + 1) % CompactEvery == 0) {
-      // RESERVED-SLOT checkpoints: each table takes its version
-      // number NOW (above this tick's commits, below the next tick's
-      // — later claims count outstanding claim files) and pins its
-      // fold input at the post-tick version, so the rewrite can run
-      // on a background thread for as long as it likes: later deltas
-      // commit above the reserved slot, the anchor stays below them,
-      // and the fold never double-counts (the pinned input excludes
-      // them). Version ORDER, not commit wall-time, carries the
-      // anchor invariant — no tick ever drains a checkpoint again.
-      // reserveVersionAfter: the pin (fold input at `at`) and the
-      // reservation are two filesystem operations — a commit landing
-      // between them would sit below the checkpoint but outside its
-      // pinned input, anchored out of the fold. Impossible under this
-      // stream's single-writer contract; the guard makes a violation
-      // loud instead of silent. Each reservation heartbeats its claim
-      // (TableStore.ReservationHeartbeatMs) so a changefeed on these
-      // tables holds below the slot for as long as the rewrite runs.
-      val pins = Seq(viewPath, aPath, bPath).map { p =>
-        val at = TableStore.currentVersion(spark, p).getOrElse(sys.error(
-          s"compaction tick $batchId at $p before any publish"))
-        (p, at, TableStore.reserveVersionAfter(spark, p, at))
-      }
-      // the three compactions are independent per-table checkpoints —
-      // run them in parallel too (each is a read-fold + full write job)
-      def checkpointAll(): Unit = {
-        val compacts = pins.map { case (p, at, slot) =>
-          Future(TableStore.publishReserved(spark, p, slot,
-            TableStore.readFolded(spark, p, Some(at)),
-            checkpointNote(batchId)))
-        }
-        compacts.foreach(Await.result(_, Duration.Inf): Unit)
-      }
-      def retainAll(): Unit =
-        Seq(viewPath, aPath, bPath).foreach { p =>
-          TableStore.currentVersion(spark, p).foreach { cur =>
-            TableStore.dropVersionsBelow(spark, p,
-              TableStore.foldAnchor(spark, p, cur))
-          }
-        }
-      compactor match {
-        // deferred: the rewrite runs entirely behind the stream — its
-        // reserved slot and pinned input make it order-independent,
-        // so nothing waits on it until the owner's final drain (or a
-        // later compaction's submit); retention runs on the draining
-        // thread, after every staging scan that could reference the
-        // old files has completed — see AsyncCompactor
-        case Some(c) => c.submit(checkpointAll())(retainAll())
-        case None => { checkpointAll(); retainAll() }
-      }
-    }
+    if ((batchId + 1) % CompactEvery == 0)
+      reservedCheckpoints(spark, Seq(viewPath, aPath, bPath),
+        Seq(viewPath, aPath, bPath), batchId, compactor)
     val t3 = System.nanoTime()
     onCost(TickCost(batchId, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
       (t3 - t2) / 1e9))
@@ -392,7 +397,8 @@ object JoinViewMaintenance {
     */
   def topKTick(spark: SparkSession, basePath: String, viewPath: String,
       slice: DataFrame, batchId: Long, keys: Seq[String], valueCol: String,
-      idCol: String, k: Int): Unit = {
+      idCol: String, k: Int, compactEvery: Int = 0,
+      compactor: Option[AsyncCompactor] = None): Unit = {
     if (tickVersion(spark, basePath, batchId).isEmpty)
       TableStore.publishFoldDelta(spark, basePath,
         baseDelta(slice), note(batchId)): Unit
@@ -409,6 +415,16 @@ object JoinViewMaintenance {
           slice, newBase, keys, valueCol, idCol, k),
         note(batchId)): Unit
     }
+    // bound the BASE fold chain: without a checkpoint every tick's
+    // newBase fold scans one more delta version — a per-tick term
+    // linear in tick count (measured as a 1.4→2.9 s tilt across 30
+    // ticks in the first ScaleTickCheck run). Same reserved-slot
+    // discipline as applyTick; the view needs no checkpoint (each
+    // tick already publishes it as a full snapshot) but its old
+    // snapshots are retained away on the same cadence.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      reservedCheckpoints(spark, Seq(basePath),
+        Seq(basePath, viewPath), batchId, compactor)
   }
 
   /** st23's tick — ATOMIC multi-table advancement: land the base fold
