@@ -387,12 +387,18 @@ object Sinks {
           .select(col("o_orderkey"),
             (col("l_linenumber") + 100).as("l_linenumber"),
             col("l_extendedprice")))
-      // the producer states are O(100k) rows: right-size the shuffles
-      // for the init/diff/tick stages (st15's discipline — the three
-      // pre-tick phases below run CONCURRENTLY, so halving task counts
-      // also halves scheduler contention)
+      // right-size the shuffles to the INPUT VOLUME, not a constant:
+      // at bench scale the producer states are O(100k) rows and 8
+      // partitions cut scheduler contention across the three
+      // concurrent pre-tick phases (st15's discipline), but a pinned
+      // 8 becomes the bottleneck the moment the fact table is 10x —
+      // the 10x audit read 6.7x wall with 750k-row tasks. One
+      // partition per ~8 MB of the driving fact file, clamped to the
+      // session's [8, 32] window.
+      val liBytes = new java.io.File(s"$d/lineitem.parquet").length
+      val parts = math.max(8L, math.min(32L, liBytes / (8L << 20)))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       // three independent pipelines overlap: the A version chain, the
       // B version chain (each CDC source publishes v1 then its edit),
       // and the fold-state init (v0 snapshots of both bases + the
