@@ -39,7 +39,7 @@ object ScaleSpotCheck {
     "q16_supplier_diversity", "j17_temporal_dim_join", "t22_game_profile",
     "d3_lsh_near_dup", "d15_substring_dedup", "d11_semantic_dedup",
     "i5_minmax_ivm", "k10_recall_report", "g3_triangle_count",
-    "s47_snapshot_source")
+    "g6_triangle_doulion", "s47_snapshot_source")
 
   /** Ceilings for 10× data. Default 12× = linear plus headroom.
     * g3's contract is super-linear by design: degree-ordered triangle
@@ -49,6 +49,13 @@ object ScaleSpotCheck {
     */
   private val DefaultMaxRatio = 12.0
   private val MaxRatio = Map("g3_triangle_count" -> 32.0)
+
+  /** g6 must also agree with g3's EXACT count within the DOULION
+    * bound at both scales — accuracy measured where the truth is
+    * known, not asserted (stderr ≈ sqrt((1/p³−1)/T): ~0.4% at sf1's
+    * ~4M triangles, ~0.13% at sf10's ~40M).
+    */
+  private val DoulionMaxErr = 0.02
 
   /** Below this small-side wall a ratio is scheduler jitter, not an
     * algorithm; such queries keep the plan-flip audit only.
@@ -92,6 +99,22 @@ object ScaleSpotCheck {
     // per-dir warmup to absorb codegen / scan staging
     time(Queries.head, small); time(Queries.head, large)
 
+    // DOULION accuracy gate: the g6 estimate vs g3's exact count at
+    // BOTH scales (one extra collect of each 1-row result)
+    def triCounts(dir: String): (Long, Long) = {
+      val exact = SparkEntry.queries("g3_triangle_count")(spark, dir)
+        .collect()(0).getAs[Long]("n_triangles")
+      val est = SparkEntry.queries("g6_triangle_doulion")(spark, dir)
+        .collect()(0).getAs[Long]("n_triangles_est")
+      (exact, est)
+    }
+    val (exS, estS) = triCounts(small)
+    val (exL, estL) = triCounts(large)
+    val errS = math.abs(estS.toDouble / exS - 1.0)
+    val errL = math.abs(estL.toDouble / exL - 1.0)
+    val doulionFail = errS > DoulionMaxErr || errL > DoulionMaxErr
+    println(f"""{"doulion_accuracy":{"sf1_exact":$exS,"sf1_est":$estS,"sf1_err":$errS%.4f,"sf10_exact":$exL,"sf10_est":$estL,"sf10_err":$errL%.4f,"max_err":$DoulionMaxErr,"fail":$doulionFail}}""")
+
     var flips = 0
     var ratioFails = 0
     var (totS, totL) = (0.0, 0.0)
@@ -122,6 +145,7 @@ object ScaleSpotCheck {
          | "protocol": "min-of-2, local[32], per-dir warmup query",
          | "plan_audit": "${Queries.size} queries, $flips flips, $ratioFails ratio-gate failures (default <=${DefaultMaxRatio}x above the ${NoiseFloorSec}s floor; g3<=32x per its O(m^1.5) contract)",
          | "worst_query": {"name": "${worst._1}", "ratio": ${worst._4}%.2f},
+         | "doulion_accuracy": {"gate": "g6 estimate within ${DoulionMaxErr}%.2f of g3's exact count at both scales", "sf1_exact": $exS, "sf1_est": $estS, "sf1_err": $errS%.4f, "sf10_exact": $exL, "sf10_est": $estL, "sf10_err": $errL%.4f, "fail": $doulionFail},
          | "queries": {
          |${rows.map(r => f""" "${r._1}": {"sf1_sec": ${r._2}%.4f, "sf10_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f}""").mkString(",\n")}
          | }
@@ -131,6 +155,6 @@ object ScaleSpotCheck {
     println(s"wrote $out (flips=$flips, ratioFails=$ratioFails, " +
       s"wall ${f"${totL / totS}%.2f"}x for 10x data)")
     spark.stop()
-    if (flips > 0 || ratioFails > 0) sys.exit(1)
+    if (flips > 0 || ratioFails > 0 || doulionFail) sys.exit(1)
   }
 }
