@@ -456,7 +456,7 @@ object Dedup {
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH e AS (SELECT vec_id, ${dlDouble(SqlDuck)} AS v FROM embeddings),
-           |${Similarity.lloydCtes(8, dims = 64)},
+           |${Similarity.lloydCtes(8, dims = 64, cap = 1L << 16)},
            |dc AS (SELECT a2.vec_id, a2.cid,
            |         cast(floor(${XSql.dist2("e.v", "c1.cv")} * 1000) as bigint) AS shell
            |       FROM e JOIN a2 ON e.vec_id = a2.vec_id

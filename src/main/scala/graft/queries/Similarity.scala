@@ -171,9 +171,22 @@ object Similarity {
     * 1-round chain exposed.
     */
   private[queries] def lloydCtes(k: Int, p: String = "", dims: Int = Dims,
-      src: String = "e", rounds: Int = LloydRounds): String = {
+      src: String = "e", rounds: Int = LloydRounds, rowsPerVec: Int = 1,
+      cap: Long = graft.operators.KMeans.MaxTrainRows.toLong): String = {
     implicit val dl: Dialect = SqlDuck
     def dist2(v: String, c: String) = XSql.dist2(v, c)
+    // TRAINING reads the same deterministic vec_id stride as the
+    // Spark side's boundTraining (s = ceil(n*rowsPerVec/cap); the
+    // identity below the cap, so every oracle'd scale is bit-exact) —
+    // the final a2 assignment below stays over the FULL src, exactly
+    // like KMeans.withAssign/assignMulti over the full corpus. Without
+    // this mirror the two engines train different centroids past the
+    // cap and the committed SQL silently stops being the twin.
+    val trn = s"${p}tr"
+    val trCte = s"""$trn AS MATERIALIZED (SELECT vec_id, v FROM $src
+       |  WHERE vec_id % greatest(1,
+       |    (SELECT (count(*) * $rowsPerVec + $cap - 1) // $cap FROM $src)) = 0),
+       |""".stripMargin
     // every chained CTE is MATERIALIZED (DuckDB-only syntax, and this
     // SQL only ever runs in DuckDB): ch_j references ch_{j-1} twice,
     // so inlined CTEs would re-evaluate the init chain 2^passes times.
@@ -185,22 +198,22 @@ object Similarity {
       s""",
          |${p}fp$j AS MATERIALIZED (SELECT vec_id FROM (
          |    SELECT s.vec_id, min(${dist2("s.v", "c.v")}) AS mind2
-         |    FROM $src s, ${p}ch${j - 1} c GROUP BY s.vec_id)
+         |    FROM $trn s, ${p}ch${j - 1} c GROUP BY s.vec_id)
          |  ORDER BY mind2 DESC, vec_id LIMIT $m),
          |${p}ch$j AS MATERIALIZED (SELECT vec_id, v FROM ${p}ch${j - 1} UNION ALL
-         |  SELECT s.vec_id, s.v FROM $src s JOIN ${p}fp$j USING (vec_id))""".stripMargin
+         |  SELECT s.vec_id, s.v FROM $trn s JOIN ${p}fp$j USING (vec_id))""".stripMargin
     }.mkString
     val loop = (1 to rounds).map { r =>
       val prevC = if (r == 1) s"${p}c0" else s"${p}cc${r - 1}"
       s""",
          |${p}ra$r AS (SELECT e.vec_id, c.cid, ${dist2("e.v", "c.cv")} AS d2
-         |           FROM $src e, $prevC c),
+         |           FROM $trn e, $prevC c),
          |${p}aa$r AS MATERIALIZED (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
          |    FROM ${p}ra$r) WHERE rn = 1),
          |${p}fl$r AS (SELECT a.cid, i, e.v[i + 1] AS val
-         |         FROM $src e JOIN ${p}aa$r a ON e.vec_id = a.vec_id,
+         |         FROM $trn e JOIN ${p}aa$r a ON e.vec_id = a.vec_id,
          |              (SELECT unnest(range(0, $dims)) AS i)),
          |${p}da$r AS (SELECT cid, i,
          |    ${SqlDuck.foldD(SqlDuck.arrSort("list(val)"), "a_", "x_", "a_ + x_")}
@@ -210,7 +223,7 @@ object Similarity {
          |    list_transform(list_sort(list({'i': i, 'm': m})), s_ -> s_.m) AS cv
          |  FROM ${p}da$r GROUP BY cid)""".stripMargin
     }.mkString
-    s"""${p}ch1 AS MATERIALIZED (SELECT vec_id, v FROM $src ORDER BY vec_id LIMIT 1)$init,
+    s"""$trCte${p}ch1 AS MATERIALIZED (SELECT vec_id, v FROM $trn ORDER BY vec_id LIMIT 1)$init,
        |${p}c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM ${p}ch${schedule.length + 1})$loop,
        |${p}c1 AS MATERIALIZED (SELECT cid, cv FROM ${p}cc$rounds),
        |${p}rf AS (SELECT e.vec_id, c.cid, ${dist2("e.v", "c.cv")} AS d2
@@ -262,7 +275,7 @@ object Similarity {
        |pqq AS (SELECT v AS qv FROM pqe WHERE vec_id = 0)""".stripMargin
     val subCtes = (0 until PqSub).map { i =>
       s"""e$i AS (SELECT vec_id, ${SqlDuck.slice("v", s"${i * sub}", sub)} AS v FROM pqe),
-         |${lloydCtes(PqCodes, s"p$i", sub, s"e$i")},
+         |${lloydCtes(PqCodes, s"p$i", sub, s"e$i", rowsPerVec = PqSub)},
          |dt$i AS (SELECT c.cid, ${XSql.dist2(
             SqlDuck.slice("q.qv", s"${i * sub}", sub), "c.cv")(SqlDuck)} AS dterm
          |         FROM p${i}c1 c, pqq q)""".stripMargin

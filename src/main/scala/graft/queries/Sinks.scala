@@ -399,6 +399,10 @@ object Sinks {
       val parts = math.max(8L, math.min(32L, liBytes / (8L << 20)))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // session-global conf: restore MUST survive a failure in any of
+      // the Awaits / applyTick below, or the volume-derived count
+      // leaks into every later query of a shared bench session
+      try {
       // three independent pipelines overlap: the A version chain, the
       // B version chain (each CDC source publishes v1 then its edit),
       // and the fold-state init (v0 snapshots of both bases + the
@@ -439,7 +443,7 @@ object Sinks {
       // one implementation
       JoinViewMaintenance.applyTick(s, viewPath, foldA, foldB,
         dA, dB, Seq("o_orderkey"), batchId = 0L)
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       // multiplicity-weighted exact decimal sums over the RAW signed
       // chain (v0 snapshot + tick delta): every sum distributes over
       // signed partials, so the per-tuple fold shuffle readFolded

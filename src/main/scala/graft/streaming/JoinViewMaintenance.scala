@@ -227,11 +227,27 @@ object JoinViewMaintenance {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val pins = checkpointPaths.map { p =>
+    // Pins are taken sequentially; a failure after the first must give
+    // the already-taken slots back (cancelReservation stops their
+    // heartbeats and deletes the claims) or they beat forever in this
+    // JVM and every changefeed on those tables holds its frontier
+    // below an orphaned slot. Cancelling is only safe while NO publish
+    // has started for them — which holds in both guarded regions: the
+    // pin loop itself, and submit() before the checkpoint body is
+    // queued (drain() rethrowing a PRIOR tick's failure). Once
+    // checkpointAll is running, publishReserved owns each slot's
+    // lifecycle (success deletes the claim; failure burns the number).
+    val taken = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def cancelTaken(): Unit = taken.foreach { case (p, _, slot) =>
+      try TableStore.cancelReservation(spark, p, slot)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    try checkpointPaths.foreach { p =>
       val at = TableStore.currentVersion(spark, p).getOrElse(sys.error(
         s"compaction tick $batchId at $p before any publish"))
-      (p, at, TableStore.reserveVersionAfter(spark, p, at))
-    }
+      taken += ((p, at, TableStore.reserveVersionAfter(spark, p, at)))
+    } catch { case e: Throwable => cancelTaken(); throw e }
+    val pins = taken.toSeq
     def checkpointAll(): Unit = {
       val compacts = pins.map { case (p, at, slot) =>
         Future(TableStore.publishReserved(spark, p, slot,
@@ -248,7 +264,12 @@ object JoinViewMaintenance {
         }
       }
     compactor match {
-      case Some(c) => c.submit(checkpointAll())(retainAll())
+      case Some(c) =>
+        // submit() drains the PREVIOUS checkpoint first and rethrows
+        // its failure before this tick's body is queued — this tick's
+        // pins have no publish in flight yet, so give them back.
+        try c.submit(checkpointAll())(retainAll())
+        catch { case e: Throwable => cancelTaken(); throw e }
       case None => { checkpointAll(); retainAll() }
     }
   }

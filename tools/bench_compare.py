@@ -62,6 +62,13 @@ def main():
     else:
         print(f"probe ratios new/old: cpu={rc and round(rc, 3)} "
               f"scan={rs and round(rs, 3)}")
+    def band_of(q):
+        """Largest measured pass-to-pass band for q across both files
+        (max/min over composite passes), or None if neither carries one."""
+        bands = [sp[q]["band"] for sp in (spo, spn)
+                 if q in sp and sp[q].get("band", 0) > 0]
+        return max(bands) if bands else None
+
     rows = []
     for q in sorted(set(qo) & set(qn)):
         to, tn = qo[q], qn[q]
@@ -74,8 +81,26 @@ def main():
     rows.sort(key=lambda r: -r[6])
     print(f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'raw':>6s} "
           f"{'n_cpu':>6s} {'n_scan':>6s} {'best':>6s}")
-    for q, to, tn, raw, ncpu, nscan, best in rows[:top]:
-        flag = " <-- REGRESSED" if best > threshold else ""
+    bad, noisy = [], []
+    for r in rows:
+        q, to, tn, raw, ncpu, nscan, best = r
+        if best > threshold:
+            b = band_of(q)
+            if b is not None and best <= b * 1.05:
+                noisy.append((q, best, b))
+            else:
+                bad.append(r)
+    shown = {r[0] for r in rows[:top]} | {r[0] for r in bad}
+    for q, to, tn, raw, ncpu, nscan, best in rows:
+        if q not in shown:
+            continue
+        if any(b[0] == q for b in bad):
+            flag = " <-- REGRESSED"
+        elif any(n[0] == q for n in noisy):
+            b = next(n[2] for n in noisy if n[0] == q)
+            flag = f"  noise(spread={b:.2f})"
+        else:
+            flag = ""
         print(f"{q:40s} {to:8.3f} {tn:8.3f} {raw:6.2f} "
               f"{ncpu:6.2f} {nscan:6.2f} {best:6.2f}{flag}")
     import statistics
@@ -84,13 +109,19 @@ def main():
         medb = statistics.median(r[6] for r in rows)
         print(f"\n{len(rows)} shared queries; median raw {med:.3f}, "
               f"median best-normalized {medb:.3f}")
-    bad = [r for r in rows if r[6] > threshold]
+    if noisy:
+        print(f"{len(noisy)} over-threshold queries classified noise "
+              "(inside measured pass-to-pass band x1.05):")
+        for q, best, b in noisy:
+            print(f"  {q}: best {best:.2f} <= band {b:.2f} x1.05")
     if bad:
-        print(f"{len(bad)} queries above best-normalized {threshold}x:")
+        print(f"{len(bad)} queries above best-normalized {threshold}x "
+              "AND outside their noise band:")
         for q, *_ in bad:
             print(f"  {q}")
         return 1
-    print(f"no query above best-normalized {threshold}x")
+    print(f"no query above best-normalized {threshold}x "
+          "(outside its noise band)")
     return 0
 
 
