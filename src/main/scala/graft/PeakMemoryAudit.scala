@@ -1,0 +1,65 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Memory-headroom probe for the scale audits: the wall-clock gates
+  * prove a query's TIME curve, but a query can be time-linear and
+  * still die one decade later because a single task's execution
+  * memory (hash map, sort buffer, collected list) grows with the
+  * data. This listener turns that into a measured, gateable number
+  * per audited query:
+  *
+  *   - `peakTaskMb`   — max over tasks of Spark's per-task
+  *     peakExecutionMemory (the unified-memory charge of its joins /
+  *     aggs / sorts). The scale contract of a well-partitioned
+  *     operator is that this stays bounded by the PARTITION size,
+  *     not the data size.
+  *   - `spillMb`      — total disk spill: nonzero means the memory
+  *     manager already ran out of headroom and the query survived by
+  *     spilling (time keeps scaling, but the cliff is near).
+  *   - `driverHeapMb` — JVM heap in use after the run (post-GC hint).
+  *     On local[32] driver and executors share the heap, so this is
+  *     the whole-engine resident set; what must stay bounded at scale
+  *     are the driver-side artifacts (collected manifests, centroid
+  *     tables, broadcast builds).
+  *
+  * The gate (`headroomFlag`): worst-case concurrent execution memory
+  * = peakTaskMb × slots must stay under 80% of the unified execution
+  * pool (0.6 × (heap − 300 MB) with the default memory fractions). A
+  * flagged query is the one to fix BEFORE the next decade finds it —
+  * the within-20%-of-heap early warning the audits' wall ratios
+  * cannot see.
+  */
+class PeakMemoryAudit extends SparkListener {
+  private val peakTask = new AtomicLong(0L)
+  private val spilled = new AtomicLong(0L)
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      spilled.addAndGet(m.diskBytesSpilled)
+    }
+  }
+
+  def reset(): Unit = { peakTask.set(0); spilled.set(0) }
+
+  def peakTaskMb: Double = peakTask.get / 1048576.0
+  def spillMb: Double = spilled.get / 1048576.0
+
+  def driverHeapMb: Double = {
+    System.gc() // audit-only path; stabilizes the in-use reading
+    val rt = Runtime.getRuntime
+    (rt.totalMemory - rt.freeMemory) / 1048576.0
+  }
+
+  /** 80%-of-execution-pool ceiling for `slots` concurrent tasks at
+    * the observed per-task peak. */
+  def headroomFlag(slots: Int): Boolean = {
+    val heapMb = Runtime.getRuntime.maxMemory / 1048576.0
+    val poolMb = 0.6 * (heapMb - 300.0)
+    peakTaskMb * slots > 0.8 * poolMb
+  }
+}

@@ -82,9 +82,15 @@ object ScaleSpotCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
+    val mem = new PeakMemoryAudit
+    spark.sparkContext.addSparkListener(mem)
 
-    def time(name: String, dir: String): (Double, Map[String, Int]) = {
+    case class Timing(secs: Double, ops: Map[String, Int], peakTaskMb: Double,
+        spillMb: Double, driverHeapMb: Double, memFlag: Boolean)
+
+    def time(name: String, dir: String): Timing = {
       var plan = ""
+      mem.reset()
       val secs = (0 until 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -93,7 +99,8 @@ object ScaleSpotCheck {
         plan = df.queryExecution.executedPlan.toString()
         (System.nanoTime() - t0) / 1e9
       }.min
-      (secs, counts(plan))
+      Timing(secs, counts(plan), mem.peakTaskMb, mem.spillMb,
+        mem.driverHeapMb, mem.headroomFlag(32))
     }
 
     // per-dir warmup to absorb codegen / scan staging
@@ -117,21 +124,24 @@ object ScaleSpotCheck {
 
     var flips = 0
     var ratioFails = 0
+    var memFlags = 0
     var (totS, totL) = (0.0, 0.0)
     val rows = Queries.map { n =>
-      val (ts, cs) = time(n, small)
-      val (tl, cl) = time(n, large)
-      val flip = cl("CartesianProduct") > cs("CartesianProduct") ||
-        cl("BroadcastNestedLoopJoin") > cs("BroadcastNestedLoopJoin")
+      val s0 = time(n, small)
+      val l0 = time(n, large)
+      val (ts, tl) = (s0.secs, l0.secs)
+      val flip = l0.ops("CartesianProduct") > s0.ops("CartesianProduct") ||
+        l0.ops("BroadcastNestedLoopJoin") > s0.ops("BroadcastNestedLoopJoin")
       if (flip) flips += 1
+      if (l0.memFlag) memFlags += 1
       totS += ts; totL += tl
       val ratio = if (ts > 0) tl / ts else 0.0
       val ceiling = MaxRatio.getOrElse(n,
         if (ts >= NoiseFloorSec) DefaultMaxRatio else Double.MaxValue)
       val ratioFail = ratio > ceiling
       if (ratioFail) ratioFails += 1
-      println(f"""{"query":"$n","sf1_sec":$ts%.4f,"sf10_sec":$tl%.4f,"ratio":$ratio%.2f,"flip":$flip,"ratio_fail":$ratioFail}""")
-      (n, ts, tl, ratio, flip)
+      println(f"""{"query":"$n","sf1_sec":$ts%.4f,"sf10_sec":$tl%.4f,"ratio":$ratio%.2f,"flip":$flip,"ratio_fail":$ratioFail,"sf10_peak_task_mb":${l0.peakTaskMb}%.1f,"sf10_spill_mb":${l0.spillMb}%.1f,"mem_flag":${l0.memFlag}}""")
+      (n, ts, tl, ratio, flip, s0, l0)
     }
     val worst = rows.maxBy(_._4)
     val json =
@@ -144,17 +154,18 @@ object ScaleSpotCheck {
          | "wall_ratio": ${totL / totS}%.2f,
          | "protocol": "min-of-2, local[32], per-dir warmup query",
          | "plan_audit": "${Queries.size} queries, $flips flips, $ratioFails ratio-gate failures (default <=${DefaultMaxRatio}x above the ${NoiseFloorSec}s floor; g3<=32x per its O(m^1.5) contract)",
+         | "memory_audit": "per-query max task peakExecutionMemory + disk spill + post-run driver heap at sf10; gate: peak_task_mb x 32 slots <= 80%% of the unified execution pool — $memFlags flagged",
          | "worst_query": {"name": "${worst._1}", "ratio": ${worst._4}%.2f},
          | "doulion_accuracy": {"gate": "g6 estimate within ${DoulionMaxErr}%.2f of g3's exact count at both scales", "sf1_exact": $exS, "sf1_est": $estS, "sf1_err": $errS%.4f, "sf10_exact": $exL, "sf10_est": $estL, "sf10_err": $errL%.4f, "fail": $doulionFail},
          | "queries": {
-         |${rows.map(r => f""" "${r._1}": {"sf1_sec": ${r._2}%.4f, "sf10_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f}""").mkString(",\n")}
+         |${rows.map(r => f""" "${r._1}": {"sf1_sec": ${r._2}%.4f, "sf10_sec": ${r._3}%.4f, "ratio": ${r._4}%.2f, "sf10_peak_task_mb": ${r._7.peakTaskMb}%.1f, "sf10_spill_mb": ${r._7.spillMb}%.1f, "sf10_driver_heap_mb": ${r._7.driverHeapMb}%.0f, "mem_flag": ${r._7.memFlag}}""").mkString(",\n")}
          | }
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes("UTF-8"))
     println(s"wrote $out (flips=$flips, ratioFails=$ratioFails, " +
-      s"wall ${f"${totL / totS}%.2f"}x for 10x data)")
+      s"memFlags=$memFlags, wall ${f"${totL / totS}%.2f"}x for 10x data)")
     spark.stop()
-    if (flips > 0 || ratioFails > 0 || doulionFail) sys.exit(1)
+    if (flips > 0 || ratioFails > 0 || doulionFail || memFlags > 0) sys.exit(1)
   }
 }

@@ -88,23 +88,28 @@ object ScaleTickCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
+    val mem = new PeakMemoryAudit
+    spark.sparkContext.addSparkListener(mem)
     import graft.streaming.EventStream.TickWalls
 
     final case class RunResult(wall: Double, ticks: Seq[(Long, Double)],
-        plan: Map[String, Int])
+        plan: Map[String, Int], peakTaskMb: Double, spillMb: Double,
+        driverHeapMb: Double, memFlag: Boolean)
 
     def run(name: String, dir: String, nTicks: Int): RunResult = {
       sys.props("graft.state.ticks") = nTicks.toString
       spark.catalog.clearCache()
       TickWalls.clear()
       TickWalls.enabled = true
+      mem.reset()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       TickWalls.enabled = false
       RunResult(wall, TickWalls.snapshot().sortBy(_._1),
-        counts(df.queryExecution.executedPlan.toString()))
+        counts(df.queryExecution.executedPlan.toString()),
+        mem.peakTaskMb, mem.spillMb, mem.driverHeapMb, mem.headroomFlag(32))
     }
 
     def median(xs: Seq[Double]): Double =
@@ -133,6 +138,7 @@ object ScaleTickCheck {
       if (flip) fails += 1
       if (tickFail) fails += 1
       if (flatFail) fails += 1
+      if (rl.memFlag) fails += 1
       println(f"""{"query":"$n","small_wall":${rs.wall}%.2f,"large_wall":${rl.wall}%.2f,"tick_med_small":${median(ts)}%.4f,"tick_med_large":${median(tl)}%.4f,"tick_ratio":$tickRatio%.2f,"flatness":$flat%.2f,"flip":$flip,"tick_fail":$tickFail,"flat_fail":$flatFail}""")
       (n, rs, rl, ts, tl, tickRatio, flat, flip, tickFail, flatFail)
     }
@@ -145,6 +151,7 @@ object ScaleTickCheck {
       val fail = ratio > BatchRatioOverride.getOrElse(n, MaxBatchRatio)
       if (flip) fails += 1
       if (fail) fails += 1
+      if (rl.memFlag) fails += 1
       println(f"""{"query":"$n","small_wall":${rs.wall}%.2f,"large_wall":${rl.wall}%.2f,"wall_ratio":$ratio%.2f,"flip":$flip,"ratio_fail":$fail}""")
       (n, rs, rl, ratio, flip, fail)
     }
@@ -155,16 +162,16 @@ object ScaleTickCheck {
       s"""{
          | "metric": "ivm_tick_scale_headroom",
          | "protocol": "streaming loops at (sf0.1, 3 ticks) vs (10x rows, 30 ticks): SAME per-tick batch size, 10x accumulated state, ~15 CompactEvery=2 checkpoints crossed; per-tick micro-batch body walls via EventStream.TickWalls, tick 0 (stream-start planning) excluded from medians on both scales; batch-replay protocols gate wall ratio",
-         | "gates": {"tick_ratio_max": $MaxTickRatio, "flatness_max": $MaxFlatness, "batch_wall_ratio_max": $MaxBatchRatio, "batch_overrides": {"i4_join_view_ivm": 5.5}, "plan_flips": 0},
+         | "gates": {"tick_ratio_max": $MaxTickRatio, "flatness_max": $MaxFlatness, "batch_wall_ratio_max": $MaxBatchRatio, "batch_overrides": {"i4_join_view_ivm": 5.5}, "plan_flips": 0, "memory": "per-run max task peakExecutionMemory x 32 slots <= 80 pct of the unified execution pool"},
          | "fails": $fails,
          | "streaming": {
          |${streamRows.map { case (n, rs, rl, ts, tl, tr, fl, flip, tf, ff) =>
-             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "tick_med_small": ${median(ts)}%.4f, "tick_med_large": ${median(tl)}%.4f, "tick_ratio": $tr%.2f, "flatness": $fl%.2f, "flip": $flip, "tick_fail": $tf, "flat_fail": $ff, "ticks_small": ${arr(ts)}, "ticks_large": ${arr(tl)}}"""
+             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "tick_med_small": ${median(ts)}%.4f, "tick_med_large": ${median(tl)}%.4f, "tick_ratio": $tr%.2f, "flatness": $fl%.2f, "flip": $flip, "tick_fail": $tf, "flat_fail": $ff, "peak_task_mb": ${rl.peakTaskMb}%.1f, "spill_mb": ${rl.spillMb}%.1f, "driver_heap_mb": ${rl.driverHeapMb}%.0f, "mem_flag": ${rl.memFlag}, "ticks_small": ${arr(ts)}, "ticks_large": ${arr(tl)}}"""
            }.mkString(",\n")}
          | },
          | "batch": {
          |${batchRows.map { case (n, rs, rl, r, flip, fail) =>
-             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "wall_ratio": $r%.2f, "flip": $flip, "ratio_fail": $fail}"""
+             f""" "$n": {"small_wall": ${rs.wall}%.2f, "large_wall": ${rl.wall}%.2f, "wall_ratio": $r%.2f, "flip": $flip, "ratio_fail": $fail, "peak_task_mb": ${rl.peakTaskMb}%.1f, "spill_mb": ${rl.spillMb}%.1f, "driver_heap_mb": ${rl.driverHeapMb}%.0f, "mem_flag": ${rl.memFlag}}"""
            }.mkString(",\n")}
          | }
          |}""".stripMargin

@@ -712,16 +712,30 @@ object Dedup {
         .select(col("doc_id"),
           expr(XSql.wordHashes(XSql.words("text"))).as("wh"))
         .select(col("doc_id"), explode(expr(winHashes("wh", 8))).as("h"))
-      val dup = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val cnt = wins.groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_windows"))
-      val hit = wins.join(dup, "h").groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_dup"))
+      // ONE pass over the exploded windows (round 14 — the sf10 audit
+      // read 4.9x for 10x data, and the dominant term was this
+      // relation TOKENIZED + EXPLODED THREE TIMES: once for the
+      // dup-hash set via a two-phase countDistinct, once for per-doc
+      // totals, once for the dup join). The named contract is
+      // O(W log W) in total window count W (~90 per doc), in exactly
+      // three shuffles of skinny rows:
+      //   1. groupBy (h, doc_id)  — map-side combinable pre-agg; its
+      //      row count per h IS the distinct-doc count;
+      //   2. window over h        — the 'shingle sort': rows of one
+      //      window-hash meet once, nd = docs sharing it (hot hashes
+      //      spill, never collect into a list);
+      //   3. groupBy doc_id       — the per-doc fraction fold.
+      // Same algebra as the three-pass oracle SQL, one tokenize pass.
+      val perDoc = wins.groupBy("h", "doc_id")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_windows"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_dup"))
       docs.select("doc_id")
-        .join(cnt, Seq("doc_id"), "left")
-        .join(hit, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_windows"), lit(0L)).as("n_windows"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),

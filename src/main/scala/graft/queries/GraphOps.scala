@@ -33,6 +33,81 @@ object GraphOps {
   /** Fixed-point scale: 1.0 of rank mass == 1e12. */
   private val S = 1000000000000L
 
+  /** Vertex-count ceiling under which the triangle family's degree
+    * table may be broadcast into the orientation join. 4M vertices ≈
+    * 200 MB of hashed relation (16 B of key+degree plus ~32 B of map
+    * overhead per entry) — comfortable on any executor profile that
+    * runs this engine. Overridable per deployment via
+    * -Dgraft.graph.degree.broadcast.max.vertices. */
+  private[queries] def degBroadcastMaxVertices: Long =
+    sys.props.getOrElse("graft.graph.degree.broadcast.max.vertices",
+      "4000000").toLong
+
+  /** Degree-ordered oriented adjacency lists — the shared front half
+    * of the triangle family (g3 exact, g6 DOULION-sampled). Orients
+    * each undirected edge from its lower (degree, id) endpoint — caps
+    * every out-list at O(√m) (Suri–Vassilvitskii) — and folds the
+    * oriented edges STRAIGHT into sorted adjacency lists: one
+    * shuffle, no materialized directed-edge table.
+    *
+    * The degree join is VOLUME-AWARE, not hinted unconditionally:
+    * `deg` is vertex-dimension-sized — tens of MB at every audited
+    * scale, but O(10⁹) rows × ~50 B of hashed-relation overhead at a
+    * 100 TB part-key graph, where a hard broadcast() hint is a driver
+    * OOM that no AQE threshold can override. So measure first (the
+    * count reads the already-checkpointed partitions, no recompute),
+    * then decide: hint the broadcast under the ceiling; above it
+    * leave the join unhinted, so the initial plan is a shuffle
+    * equi-join and AQE may still downgrade to broadcast from the
+    * RUNTIME bytes if they allow. The i4 discipline — size to
+    * measured volume, never to a constant (PlanSpec gates both
+    * regimes). */
+  private[graft] def orientedAdjPlan(e: DataFrame): DataFrame = {
+    // checkpointed so the two dimension builds below read the |V|-row
+    // result instead of re-running the 2·|E|-row degree shuffle each
+    val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nV = deg.count()
+    def sized(dim: DataFrame): DataFrame =
+      if (nV <= degBroadcastMaxVertices) broadcast(dim) else dim
+    e.join(sized(deg.select(col("id").as("u"), col("deg").as("du"))), Seq("u"))
+      .join(sized(deg.select(col("id").as("v"), col("deg").as("dv"))), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("v").as("o_dst")))
+          .otherwise(struct(col("v").as("id"), col("u").as("o_dst"))).as("o"))
+      .select(col("o.id").as("src"), col("o.o_dst").as("dst"))
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+  }
+
+  private[queries] def orientedAdj(e: DataFrame): DataFrame =
+    // checkpoint the adjacency fold: the intersection stage below
+    // reads it twice (explode side + probe side)
+    orientedAdjPlan(e).localCheckpoint()
+
+  /** Triangle count by ADJACENCY INTERSECTION, not wedge
+    * materialization: triangles(a<b<c in (deg,id) order) = Σ over
+    * oriented edges (x,y) of |N+(x) ∩ N+(y)| — each triangle counted
+    * exactly once, via its (a,b) edge (c sits in both out-lists; the
+    * other two edges find no common OUT-neighbor). Exploding the
+    * adjacency table re-derives the oriented edges WITH the src
+    * side's list already attached (it is the row being exploded), so
+    * the only movement is ONE hash join keyed on dst: O(m) skinny
+    * rows plus O(m) bounded-list entries — where the wedge self-join
+    * this replaces shuffled O(Σ outdeg²) = O(m^1.5) wedge rows into
+    * its closing probe (measured 504M wedge rows vs 30M edges at 100×
+    * bench volume; 61 s → ~35 s wall). graft_intersect_size is the
+    * codegen sort-merge count over the pre-sorted lists — no per-pair
+    * allocation, the quadratic term is pure local CPU. */
+  private def intersectionTriangles(adj: DataFrame, outCol: String,
+      scaleUp: Long = 1L): DataFrame =
+    adj.select(col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(expr("graft_intersect_size(nu, nv)").as("k"))
+      .agg((sum(col("k")) * scaleUp).cast("long").as(outCol))
+      .select(coalesce(col(outCol), lit(0L)).as(outCol))
+
   val all: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------
@@ -239,48 +314,10 @@ object GraphOps {
         .filter(col("u") < col("v"))
         .distinct()
         .cache()
-      // checkpointed so the TWO broadcast builds below read the 2M-row
-      // result instead of re-running the 2·|E|-row degree shuffle each
-      val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      // orient each edge from its lower (deg, id) endpoint — caps every
-      // out-list at O(√m) (Suri–Vassilvitskii) — and fold the oriented
-      // edges STRAIGHT into sorted adjacency lists: one shuffle, no
-      // materialized directed-edge table. The degree table is
-      // node-dimension-sized (|V| rows), broadcast like any dimension;
-      // on a graph whose vertex set outgrows a broadcast, drop the two
-      // hints and the same plan runs as shuffle joins.
-      val adj = e
-        .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), Seq("u"))
-        .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), Seq("v"))
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            struct(col("u").as("id"), col("v").as("o_dst")))
-            .otherwise(struct(col("v").as("id"), col("u").as("o_dst"))).as("o"))
-        .select(col("o.id").as("src"), col("o.o_dst").as("dst"))
-        .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint()
-      // count by ADJACENCY INTERSECTION, not wedge materialization:
-      // triangles(a<b<c in (deg,id) order) = Σ over oriented edges
-      // (x,y) of |N+(x) ∩ N+(y)| — each triangle counted exactly once,
-      // via its (a,b) edge (c sits in both out-lists; the other two
-      // edges find no common OUT-neighbor). Exploding the adjacency
-      // table re-derives the oriented edges WITH the src side's list
-      // already attached (it is the row being exploded), so the only
-      // movement is ONE hash join keyed on dst: O(m) skinny rows plus
-      // O(m) bounded-list entries — where the wedge self-join this
-      // replaces shuffled O(Σ outdeg²) = O(m^1.5) wedge rows into its
-      // closing probe (measured 504M wedge rows vs 30M edges at 100×
-      // bench volume; 61 s → ~35 s wall). graft_intersect_size is the
-      // codegen sort-merge count over the pre-sorted lists — no
-      // per-pair allocation, the quadratic term is pure local CPU.
-      val tri = adj
-        .select(col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
-        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-        .select(expr("graft_intersect_size(nu, nv)").as("k"))
-        .agg(sum(col("k")).cast("long").as("n_triangles"))
-        .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      // orientation + adjacency fold + intersection count: the shared
+      // volume-aware pipeline (scale rationale on orientedAdj /
+      // intersectionTriangles above)
+      val tri = intersectionTriangles(orientedAdj(e), "n_triangles")
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(tri))
     },
@@ -328,27 +365,11 @@ object GraphOps {
         .distinct()
         .filter(keep)
         .cache()
-      val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
       // identical pipeline to g3 on the sampled graph (orientation by
-      // SAMPLED degree — any consistent total order is correct)
-      val adj = e
-        .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))), Seq("u"))
-        .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))), Seq("v"))
-        .select(
-          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-            struct(col("u").as("id"), col("v").as("o_dst")))
-            .otherwise(struct(col("v").as("id"), col("u").as("o_dst"))).as("o"))
-        .select(col("o.id").as("src"), col("o.o_dst").as("dst"))
-        .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint()
-      val tri = adj
-        .select(col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
-        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
-        .select(expr("graft_intersect_size(nu, nv)").as("k"))
-        .agg((sum(col("k")) * 64).cast("long").as("n_triangles_est"))
-        .select(coalesce(col("n_triangles_est"), lit(0L)).as("n_triangles_est"))
+      // SAMPLED degree — any consistent total order is correct);
+      // /p³ = ×64 scale-up folded into the final aggregate
+      val tri = intersectionTriangles(orientedAdj(e), "n_triangles_est",
+        scaleUp = 64L)
       e.agg(count(lit(1)).as("n_sampled_edges"))
         .crossJoin(broadcast(tri))
     },

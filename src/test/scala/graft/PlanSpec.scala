@@ -158,6 +158,45 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("g3: degree join is volume-aware — broadcast under the vertex ceiling, shuffle above") {
+    // The triangle family joins every edge to the |V|-sized degree
+    // table twice. At audited scales that table is tens of MB and the
+    // broadcast is right; at a 10⁹-vertex graph a hard hint is a
+    // driver OOM no AQE threshold can override. orientedAdj measures
+    // the vertex count first and only hints under a ceiling — gate
+    // BOTH regimes, with size-based auto-broadcast disabled so the
+    // decision under test is the helper's, not the estimator's.
+    // the g3/g6 bodies checkpoint the adjacency fold (the join under
+    // test would be invisible in the final query's plan), so gate the
+    // shared pre-checkpoint builder directly
+    import spark.implicits._
+    def adjPlan(): String = {
+      val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)).toDF("u", "v")
+      graft.queries.GraphOps.orientedAdjPlan(e)
+        .queryExecution.executedPlan.toString()
+    }
+    def bhj(p: String) = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    val prop = "graft.graph.degree.broadcast.max.vertices"
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // regime A (default ceiling, tiny graph): both degree joins hinted
+      val under = adjPlan()
+      assert(bhj(under) == 2,
+        "degree joins should broadcast under the ceiling:\n" + under)
+      // regime B (ceiling 0 = every graph is 'too big'): the same two
+      // joins must be plannable as shuffle equi-joins — no forced hint
+      val prev = sys.props.get(prop)
+      sys.props(prop) = "0"
+      val over =
+        try adjPlan()
+        finally prev.fold { sys.props -= prop; () }(v => sys.props(prop) = v)
+      assert(bhj(over) == 0,
+        s"ceiling=0 should drop both degree broadcasts:\n" + over)
+      assert(over.contains("SortMergeJoin") || over.contains("ShuffledHashJoin"),
+        "above the ceiling the degree join must shuffle:\n" + over)
+      assert(!over.contains("CartesianProduct"), over)
+    }
+  }
+
   test("u4/u5: set ops plan as joins over aggregates, not nested loops") {
     assert(!plan("u4_intersect").contains("CartesianProduct"))
     assert(!plan("u5_except").contains("CartesianProduct"))
@@ -757,6 +796,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_"), "dup-set count must combine map-side:\n" + p)
+    // the round-14 one-pass contract: the exploded window relation is
+    // tokenized ONCE (it used to be rebuilt three times — the 4.9x
+    // curve the sf10 audit flagged), so the text column is read from
+    // exactly one documents scan (a second skinny scan feeds the
+    // final doc_id left join)
+    val textScans = p.linesIterator.count(l => l.contains("FileScan") &&
+      l.contains("documents") && l.contains("text"))
+    assert(textScans == 1,
+      s"window tokenization must run once, saw $textScans text scans:\n" + p)
   }
 
   test("t34: fertility is the row-local encode + ONE per-language aggregate") {
