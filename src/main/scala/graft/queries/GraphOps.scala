@@ -100,7 +100,7 @@ object GraphOps {
     * bench volume; 61 s → ~35 s wall). graft_intersect_size is the
     * codegen sort-merge count over the pre-sorted lists — no per-pair
     * allocation, the quadratic term is pure local CPU. */
-  private def intersectionTriangles(adj: DataFrame, outCol: String,
+  private[graft] def intersectionTriangles(adj: DataFrame, outCol: String,
       scaleUp: Long = 1L): DataFrame =
     adj.select(col("nbrs").as("nu"), explode(col("nbrs")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
