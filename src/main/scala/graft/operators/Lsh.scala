@@ -13,10 +13,17 @@ import graft.functions.XSql.{Spark => SqlSpark}
   * gate against THIS code every round).
   *
   * Scale shape: candidates come from an equi-join on (band_idx,
-  * band_key) — never an all-pairs product; the shingle arrays ride
-  * through the band join so a colliding pair re-checks Jaccard at most
-  * once per band (the candidate-then-rejoin alternative costs two
-  * extra shuffles of the shingle table).
+  * band_key) — never an all-pairs product — carrying doc_ids ONLY;
+  * the shingle arrays are re-attached per DISTINCT candidate pair by
+  * two equi-joins against the shingle table. Rounds ≤13 rode the
+  * arrays through the band join instead (saving those two shuffles);
+  * the sf100 audit measured the inversion point of that trade: band
+  * buckets saturate as the corpus grows, so collision rows grow
+  * super-linearly and every one of them carried ~1.6 KB of arrays —
+  * while dedup-before-verify also computes each pair's exact Jaccard
+  * ONCE, not once per colliding band (a 0.9-similarity pair collides
+  * in nearly all bands). The two shingle-table shuffles
+  * this buys back are O(corpus), the term that was already linear.
   */
 object Lsh {
 
@@ -33,21 +40,29 @@ object Lsh {
 
   /** Verified near-dup pairs: distinct (doc_a < doc_b, jacc) with
     * exact Jaccard >= `threshold`, candidates bounded by band
-    * collisions. The jaccard filter runs BEFORE the distinct so the
-    * dedup shuffles only matching pairs, not the full collision set.
+    * collisions. The band self-join moves doc_ids only; candidates
+    * deduplicate BEFORE verification (each pair's exact Jaccard runs
+    * once, however many bands it collides in), then the shingle
+    * arrays re-attach via two equi-joins against `sh` (see class doc
+    * for the measured inversion of the ride-through alternative).
     */
   def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
     implicit val dl: XSql.Dialect = SqlSpark
-    val bs = bands(sh)
-    val a = bs.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bs.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val bs = bands(sh).select(col("band_idx"), col("band_key"), col("doc_id"))
+    val cand = bs.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"))
+      .join(bs.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("jacc", expr(XSql.jaccard("sh_a", "sh_b")))
       .filter(col("jacc") >= threshold)
-      .select("doc_a", "doc_b", "jacc").distinct()
+      .select("doc_a", "doc_b", "jacc")
   }
 
   /** Increment-bounded verified candidates: every (new, other) band

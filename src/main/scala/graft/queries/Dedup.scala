@@ -726,7 +726,24 @@ object Dedup {
       //      spill, never collect into a list);
       //   3. groupBy doc_id       — the per-doc fraction fold.
       // Same algebra as the three-pass oracle SQL, one tokenize pass.
-      val perDoc = wins.groupBy("h", "doc_id")
+      //
+      // VOLUME-SIZED window shuffle (round 14 — the sf100 memory gate
+      // caught this): the window sort's per-task buffer is
+      // O(rows/partitions), so at a pinned session partition count the
+      // task memory grows LINEARLY with data (measured 2 GB/task at
+      // 425M windows over 32 partitions — within 20% of the pool at
+      // 32 slots). One explicit repartition by h, sized off the
+      // documents file (~85 windows/doc ≈ 8 bytes of window rows per
+      // corpus byte; ~4 MB of corpus per partition keeps a task's
+      // sort in the low hundreds of MB), bounds it: hash(h) clusters
+      // satisfy BOTH the (h, doc_id) pre-agg and the window, so the
+      // plan still carries exactly one data-sized exchange. At bench
+      // SF the clamp floor keeps the session's 32 — the plan is
+      // unchanged below ~130 MB of corpus.
+      val docBytes = new java.io.File(s"$d/documents.parquet").length
+      val winParts = math.max(32L, math.min(4096L, docBytes / (4L << 20))).toInt
+      val perDoc = wins.repartition(winParts, col("h"))
+        .groupBy("h", "doc_id")
         .agg(count(lit(1)).as("c"))
         .withColumn("nd", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("h")))
