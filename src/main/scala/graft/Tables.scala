@@ -88,6 +88,12 @@ object Tables {
       name: String): String = {
     val original = s"$sfDir/$name.parquet"
     if (!shardKey.contains(name)) return original
+    // deployment knob for disk-constrained hosts: the staged copy is
+    // a pure scan-layout optimization (content-identical), so a host
+    // that cannot afford a second copy of its largest input reads the
+    // original instead (the sf100 audit's i4 leg needs the ~13 GB
+    // this frees for its transient version store)
+    if (sys.props.contains("graft.tables.stage.disable")) return original
     val src = new java.io.File(original)
     if (!src.isFile || src.length < StageThresholdBytes) return original
     // cache key = full path hash + source size + mtime: a regenerated

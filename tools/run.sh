@@ -11,7 +11,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+# GRAFT_JVM_OPTS: optional extra -D flags (e.g. graft.tables.stage.disable)
+exec java $ADD_OPENS $GRAFT_JVM_OPTS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Duser.timezone=UTC \
