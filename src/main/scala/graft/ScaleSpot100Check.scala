@@ -100,24 +100,29 @@ object ScaleSpot100Check {
       val spark = session()
       val mem = new PeakMemoryAudit
       spark.sparkContext.addSparkListener(mem)
-      def run(dir: String, reps: Int): (Double, Map[String, Int]) = {
-        var plan = ""
-        val secs = (0 until reps).map { _ =>
+      // memory fields are captured PER REP (listener reset each rep)
+      // and the reported fields come from the rep whose wall was kept
+      // (the min) — under min-of-2 a shared accumulator would sum
+      // spill across both reps and could report a peak from the rep
+      // that was discarded
+      final case class Rep(sec: Double, plan: Map[String, Int],
+          peakMb: Double, spillMb: Double, flag: Boolean)
+      def run(dir: String, reps: Int): Rep =
+        (0 until reps).map { _ =>
           spark.catalog.clearCache()
+          mem.reset()
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(name)(spark, dir)
           df.write.format("noop").mode("overwrite").save()
-          plan = df.queryExecution.executedPlan.toString()
           val dt = (System.nanoTime() - t0) / 1e9
           if (name.startsWith("i4")) cleanScratch()
-          dt
-        }.min
-        (secs, counts(plan))
-      }
+          Rep(dt, counts(df.queryExecution.executedPlan.toString()),
+            mem.peakTaskMb, mem.spillMb, mem.headroomFlag(32))
+        }.minBy(_.sec)
       run("/tmp/sf1", 1) // warm THIS query's plan/codegen on tiny data
-      val (ts, cs) = run(small, MinOf(name))
-      mem.reset()
-      val (tl, cl) = run(large, MinOf(name))
+      val rs = run(small, MinOf(name))
+      val rl = run(large, MinOf(name))
+      val (ts, cs, tl, cl) = (rs.sec, rs.plan, rl.sec, rl.plan)
       val est =
         if (name.startsWith("g6"))
           s""","est":${SparkEntry.queries(name)(spark, large)
@@ -126,8 +131,8 @@ object ScaleSpot100Check {
       println(s"""{"query":"$name","small_sec":$ts,"large_sec":$tl,""" +
         s""""ops_small":{"cp":${cs("CartesianProduct")},"bnlj":${cs("BroadcastNestedLoopJoin")}},""" +
         s""""ops_large":{"cp":${cl("CartesianProduct")},"bnlj":${cl("BroadcastNestedLoopJoin")}},""" +
-        f""""peak_task_mb":${mem.peakTaskMb}%.1f,"spill_mb":${mem.spillMb}%.1f,""" +
-        f""""driver_heap_mb":${mem.driverHeapMb}%.0f,"mem_flag":${mem.headroomFlag(32)}$est}""")
+        f""""peak_task_mb":${rl.peakMb}%.1f,"spill_mb":${rl.spillMb}%.1f,""" +
+        f""""driver_heap_mb":${mem.driverHeapMb}%.0f,"mem_flag":${rl.flag}$est}""")
       spark.stop()
 
     case "--exact-tri" :: dir :: Nil =>

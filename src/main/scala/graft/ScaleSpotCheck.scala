@@ -89,18 +89,20 @@ object ScaleSpotCheck {
         spillMb: Double, driverHeapMb: Double, memFlag: Boolean)
 
     def time(name: String, dir: String): Timing = {
-      var plan = ""
-      mem.reset()
-      val secs = (0 until 2).map { _ =>
+      // listener reset PER REP; the reported memory fields belong to
+      // the rep whose wall was kept (min-of-2) — a shared accumulator
+      // would double-count spill and could report the discarded rep's
+      // peak (same fix as ScaleSpot100Check)
+      (0 until 2).map { _ =>
         spark.catalog.clearCache()
+        mem.reset()
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
-        plan = df.queryExecution.executedPlan.toString()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      Timing(secs, counts(plan), mem.peakTaskMb, mem.spillMb,
-        mem.driverHeapMb, mem.headroomFlag(32))
+        val secs = (System.nanoTime() - t0) / 1e9
+        Timing(secs, counts(df.queryExecution.executedPlan.toString()),
+          mem.peakTaskMb, mem.spillMb, mem.driverHeapMb, mem.headroomFlag(32))
+      }.minBy(_.secs)
     }
 
     // per-dir warmup to absorb codegen / scan staging

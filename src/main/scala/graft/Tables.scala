@@ -127,4 +127,26 @@ object Tables {
   /** Register all tables as temp views (used by SQL-form tests). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Total bytes of a parquet input at `path` — the volume the
+    * volume-sized operators (d15's window width, i4's shuffle count)
+    * derive their partition counts from. A single local file reports
+    * its length; a DIRECTORY-style dataset (multi-file parquet, the
+    * normal shape everywhere but this sandbox) reports the sum of its
+    * leaf data files — `File.length` on a directory is a meaningless
+    * dir-entry size (~4 KB) that would silently clamp every derived
+    * width to its floor and reinstate the linear per-task growth the
+    * sizing exists to prevent. Metadata/marker files (`_SUCCESS`,
+    * `.crc`) are skipped; missing paths size 0 (callers clamp to a
+    * floor anyway).
+    */
+  def inputBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) {
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+        else f.length
+      } else
+        Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
 }

@@ -740,7 +740,7 @@ object Dedup {
       // plan still carries exactly one data-sized exchange. At bench
       // SF the clamp floor keeps the session's 32 — the plan is
       // unchanged below ~130 MB of corpus.
-      val docBytes = new java.io.File(s"$d/documents.parquet").length
+      val docBytes = graft.Tables.inputBytes(s"$d/documents.parquet")
       val winParts = math.max(32L, math.min(4096L, docBytes / (4L << 20))).toInt
       val perDoc = wins.repartition(winParts, col("h"))
         .groupBy("h", "doc_id")

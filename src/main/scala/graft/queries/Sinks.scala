@@ -395,7 +395,7 @@ object Sinks {
       // the 10x audit read 6.7x wall with 750k-row tasks. One
       // partition per ~8 MB of the driving fact file, clamped to the
       // session's [8, 32] window.
-      val liBytes = new java.io.File(s"$d/lineitem.parquet").length
+      val liBytes = graft.Tables.inputBytes(s"$d/lineitem.parquet")
       val parts = math.max(8L, math.min(32L, liBytes / (8L << 20)))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)

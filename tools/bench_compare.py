@@ -40,7 +40,8 @@ def load(path):
     probe = d.get("host_probe") or {}
     cpu = probe.get("cpu_s", -1)
     scan = probe.get("scan_s", -1)
-    return d.get("queries", {}), (cpu, scan), d.get("spread") or {}
+    return (d.get("queries", {}), (cpu, scan), d.get("spread") or {},
+            d.get("n_passes"))
 
 
 def main():
@@ -52,8 +53,14 @@ def main():
         return 2
     threshold = float(opts.get("--threshold", 1.5))
     top = int(opts.get("--top", 20))
-    qo, (co, so), spo = load(args[0])
-    qn, (cn, sn), spn = load(args[1])
+    qo, (co, so), spo, npo = load(args[0])
+    qn, (cn, sn), spn, npn = load(args[1])
+    print(f"pass counts: old={npo} new={npn}")
+    if npo is not None and npn is not None and npo != npn:
+        print(f"WARNING: composites built from different pass counts "
+              f"({npo} vs {npn}) - the elementwise min deepens with extra "
+              f"passes, so the cross-file median is confounded by min-depth; "
+              f"rebuild both at the canonical 4 passes before gating")
     rc = cn / co if co > 0 and cn > 0 else None
     rs = sn / so if so > 0 and sn > 0 else None
     if rc is None and rs is None:

@@ -19,10 +19,20 @@ then cites a measured band instead of asserting an absolute.
 host_probe: elementwise min over passes (fastest clean observation of
 the host). value: sum of the composed per-query walls.
 
+CANONICAL PASS COUNT: 4. The elementwise min deepens with every extra
+pass, so composites built from different pass counts are not
+comparable (r13's 8-pass min vs r14's 4-pass min read as a phantom
+1.04x median drift on untouched code). The canonical round composite
+is built from exactly 4 passes; the output records `n_passes` and
+bench_compare.py warns on a mismatch. Other counts still build (for
+ad-hoc use) but print a loud warning.
+
 Usage: bench_composite.py OUT.json PASS1.json PASS2.json [...]
 """
 import json
 import sys
+
+CANONICAL_PASSES = 4
 
 
 def main():
@@ -30,6 +40,11 @@ def main():
         print(__doc__)
         return 2
     out, passes = sys.argv[1], sys.argv[2:]
+    if len(passes) != CANONICAL_PASSES:
+        sys.stderr.write(
+            f"WARNING: {len(passes)} passes; the canonical composite is "
+            f"{CANONICAL_PASSES} (min-depth affects cross-round medians — "
+            "do not compare this artifact against a canonical one)\n")
     ds = [json.load(open(p)) for p in passes]
     names = set()
     for d in ds:
@@ -63,6 +78,8 @@ def main():
         "composite": (f"elementwise min over {len(passes)} full passes "
                       "(each min-of-2, st* min-of-3); per-query pass "
                       "spread retained in `spread`"),
+        "n_passes": len(passes),
+        "canonical_passes": CANONICAL_PASSES,
         "host_probe": host,
         "queries": queries,
         "spread": spread,

@@ -124,9 +124,11 @@ def main():
         for q, r in prior.get("queries", {}).items():
             if q in only:
                 continue
+            # flip is persisted per query (older artifacts predate the
+            # field: treat absent as False, matching their green gates)
             rows[q] = {"query": q, "small_sec": r["sf10_sec"],
                        "large_sec": r["sf100_sec"], "ratio": r["ratio"],
-                       "flip": False, "ratio_fail":
+                       "flip": r.get("flip", False), "ratio_fail":
                            r["ratio"] > MAX_RATIO.get(q, DEFAULT_MAX_RATIO),
                        "peak_task_mb": r["sf100_peak_task_mb"],
                        "spill_mb": r["sf100_spill_mb"],
@@ -138,14 +140,7 @@ def main():
         if only and q not in only:
             continue
         clean_tmp()
-        extra = {}
-        if q == "i4_join_view_ivm":
-            # i4's transient version store needs every GB this sandbox
-            # has: drop the (re-creatable) scan-layout staging and run
-            # the measurement against the original files on BOTH sides
-            shutil.rmtree("/tmp/graft_stage", ignore_errors=True)
-            extra = {"GRAFT_JVM_OPTS": "-Dgraft.tables.stage.disable=1"}
-        rc, row = run_jvm(["--one", q, small, large], extra_env=extra)
+        rc, row = run_jvm(["--one", q, small, large])
         if rc != 0 or row is None:
             fails.append(f"{q}: measurement failed rc={rc}")
             continue
@@ -240,6 +235,7 @@ def main():
             "sf10_sec": round(r["small_sec"], 4),
             "sf100_sec": round(r["large_sec"], 4),
             "ratio": r["ratio"],
+            "flip": r["flip"],
             "sf100_peak_task_mb": r["peak_task_mb"],
             "sf100_spill_mb": r["spill_mb"],
             "sf100_driver_heap_mb": r["driver_heap_mb"],
