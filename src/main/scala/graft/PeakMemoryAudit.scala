@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 
 /** Memory-headroom probe for the scale audits: the wall-clock gates
   * prove a query's TIME curve, but a query can be time-linear and
@@ -36,15 +36,51 @@ class PeakMemoryAudit extends SparkListener {
   private val peakTask = new AtomicLong(0L)
   private val spilled = new AtomicLong(0L)
 
+  /** Per-stage attribution: a flagged peak is only actionable when the
+    * gate can NAME the stage that allocated it (i4's 544 MB task was
+    * invisible in every wall ratio and, without this map, anonymous).
+    * Keyed by stageId; name carries the stage's callsite string.
+    */
+  final case class StagePeak(stageId: Int, name: String, nTasks: Int,
+      maxTaskPeakMb: Double)
+  private val stageNames =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val stagePeaks =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+
+  override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+    stageNames.put(s.stageInfo.stageId,
+      Option(s.stageInfo.name).getOrElse("?")); ()
+  }
+
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
     if (m != null) {
       peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
       spilled.addAndGet(m.diskBytesSpilled)
+      stagePeaks.merge(t.stageId, (1, m.peakExecutionMemory),
+        (a, b) => (a._1 + b._1, math.max(a._2, b._2))); ()
     }
   }
 
-  def reset(): Unit = { peakTask.set(0); spilled.set(0) }
+  def reset(): Unit = {
+    peakTask.set(0); spilled.set(0)
+    stageNames.clear(); stagePeaks.clear()
+  }
+
+  /** The `n` stages with the largest max-task execution-memory peaks
+    * since the last reset, heaviest first — the attribution a flagged
+    * `headroomFlag` hands to whoever has to fix it.
+    */
+  def topStages(n: Int): Seq[StagePeak] = {
+    import scala.jdk.CollectionConverters._
+    stagePeaks.asScala.toSeq
+      .map { case (sid, (tasks, peak)) =>
+        StagePeak(sid, stageNames.getOrDefault(sid, "?"), tasks,
+          peak / 1048576.0)
+      }
+      .sortBy(-_.maxTaskPeakMb).take(n)
+  }
 
   def peakTaskMb: Double = peakTask.get / 1048576.0
   def spillMb: Double = spilled.get / 1048576.0

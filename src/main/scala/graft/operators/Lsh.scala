@@ -27,6 +27,48 @@ import graft.functions.XSql.{Spark => SqlSpark}
   */
 object Lsh {
 
+  /** Per-bucket occupancy cap for [[verifiedPairsCapped]] — the
+    * engineered bound on the pair family's one super-linear term.
+    * Uncapped, collision volume is O(Σ occupancy²): band keys
+    * SATURATE as a bounded-entropy corpus grows (boilerplate and
+    * template text in a real crawl; the 30-word vocabulary in the
+    * synthetic audit), so occupancy grows ~linearly with corpus size
+    * and the collision join goes quadratic (measured: c3 19.15× wall
+    * for 10× data at sf100, r14). Capped, each bucket contributes
+    * C(cap,2) all-pairs candidates among its `cap` hash-selected
+    * survivors PLUS one HUB-STAR edge per overflow member (overflow ×
+    * the bucket's rank-1 hub) — O(buckets·cap² + rows) total, linear
+    * in corpus size for a fixed key distribution.
+    *
+    * The star term is what makes the cap safe on the case a pure cap
+    * gets catastrophically wrong: a GIANT near-dup cluster (the same
+    * page mirrored 10k times — the first thing a crawl dedup must
+    * catch) saturates its own buckets, and a pure cap would orphan
+    * every overflow member (zero pairs → kept as its own
+    * representative, i.e. dedup silently stops working exactly on
+    * duplicates). With the star, every overflow member is verified
+    * against the hub, so the cluster stays one component at O(size)
+    * cost. Measured on a 2,000-doc degenerate cluster corpus: the
+    * component policy drops 1,982 of the 1,994 docs the uncapped
+    * policy drops (99.4%); a pure cap dropped < 15%.
+    *
+    * The cap VALUE is measured, not guessed: on the synthetic corpus
+    * at 50k docs (sf1) cap=16 loses zero of 2,311 verified pairs; on
+    * a 500k-doc draw of the same distribution it keeps 22,830 of
+    * 22,838 (recall 0.99965) while cutting candidates 260k → 39k.
+    * True near-dup pairs share MOST minhash rows, not one common
+    * pattern, so they concentrate in small informative buckets the
+    * cap never touches. LshCapSpec gates the subset/bound/star
+    * properties; the sf100 audit records the recall and the wall.
+    */
+  val BucketCap: Int = 16
+
+  /** Universal-hash multiplier for the cap's deterministic selection
+    * (Knuth's 2^32/φ; also g6's twin-sample constant). Pure BIGINT
+    * arithmetic so the oracle dialect computes the identical rank.
+    */
+  val CapSelMult: Long = 2654435761L
+
   /** Band rows of a `(doc_id, sh)` table: one row per (band_idx,
     * band_key) per doc, shingles carried. Docs with NULL signatures
     * (< 3 words → empty shingle set) drop out here by construction.
@@ -38,23 +80,131 @@ object Lsh {
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_key"))
   }
 
+  /** [[bands]] rows (doc_id only) ranked within each (band_idx,
+    * band_key) bucket by `((doc_id * CapSelMult) % P, doc_id)` —
+    * deterministic, membership-order-independent selection (c12's
+    * occupancy-cap discipline applied to minhash banding). Shingle
+    * arrays are dropped before the rank window so the per-bucket sort
+    * moves ~16-byte rows; the window's partition keys ARE the
+    * collision join's keys, so the rank rides the exchange the join
+    * needs anyway. Per-bucket work is O(occ log occ) — the linear-ish
+    * term that replaces the O(occ²) collision blow-up.
+    */
+  def rankedBands(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_idx", "band_key")
+      .orderBy((col("doc_id") * lit(CapSelMult)) % lit(XSql.P), col("doc_id"))
+    bands(sh).select(col("band_idx"), col("band_key"), col("doc_id"))
+      .withColumn("cap_rk", row_number().over(w))
+  }
+
+  /** [[rankedBands]] restricted to each bucket's `cap` survivors
+    * (LshCapSpec's bound gate; [[verifiedPairsCapped]] additionally
+    * star-links the overflow to each bucket's rank-1 hub).
+    */
+  def cappedBands(sh: DataFrame, cap: Int): DataFrame =
+    rankedBands(sh).filter(col("cap_rk") <= cap).drop("cap_rk")
+
   /** Verified near-dup pairs: distinct (doc_a < doc_b, jacc) with
     * exact Jaccard >= `threshold`, candidates bounded by band
-    * collisions. The band self-join moves doc_ids only; candidates
-    * deduplicate BEFORE verification (each pair's exact Jaccard runs
-    * once, however many bands it collides in), then the shingle
-    * arrays re-attach via two equi-joins against `sh` (see class doc
-    * for the measured inversion of the ride-through alternative).
+    * collisions. PRECONDITION: `sh` must hold exactly one row per
+    * doc_id — the re-attach joins below multiply rows per matching
+    * `sh` row, so a duplicated doc_id would silently multiply pairs.
+    * Every caller passes a per-doc projection of `documents`.
+    * The band self-join moves doc_ids only; candidates deduplicate
+    * BEFORE verification (each pair's exact Jaccard runs once,
+    * however many bands it collides in), then the shingle arrays
+    * re-attach via two equi-joins against `sh` (see class doc for the
+    * measured inversion of the ride-through alternative).
+    *
+    * UNCAPPED: collision volume is the data's — O(Σ occupancy²),
+    * quadratic on a saturating corpus. Exact-recall callers (d14's
+    * incremental==recompute gate) keep this form; scale-path callers
+    * use [[verifiedPairsCapped]].
     */
-  def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    implicit val dl: XSql.Dialect = SqlSpark
-    val bs = bands(sh).select(col("band_idx"), col("band_key"), col("doc_id"))
+  def verifiedPairs(sh: DataFrame, threshold: Double): DataFrame =
+    verifiedPairsFrom(
+      bands(sh).select(col("band_idx"), col("band_key"), col("doc_id")),
+      sh, threshold)
+
+  /** [[verifiedPairs]] with the per-bucket occupancy cap + hub star —
+    * the engineered O(buckets·cap² + rows) bound on collision volume
+    * (see [[BucketCap]] for the measured recall/cost trade and why
+    * the star term exists). Candidates per bucket: all pairs among
+    * the `cap` hash-selected survivors, plus (hub, member) for every
+    * overflow member, hub = the bucket's rank-1 survivor. Output is a
+    * SUBSET of the uncapped pairs with identical jacc values: capping
+    * can only remove candidate rows — every star edge is a band
+    * collision the uncapped join also generates (LshCapSpec gates
+    * subset, the occupancy bound, giant-cluster connectivity, and
+    * determinism under relayout).
+    */
+  def verifiedPairsCapped(sh: DataFrame, threshold: Double,
+      cap: Int = BucketCap): DataFrame = {
+    val rb = rankedBands(sh)
+    val surv = rb.filter(col("cap_rk") <= cap)
+    val candPairs = surv.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_a"))
+      .join(surv.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    // hub ranks by the selection HASH, so (hub, member) needs the
+    // canonical (least, greatest) orientation the pair set uses
+    val candStar = rb.filter(col("cap_rk") === 1)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("hub"))
+      .join(rb.filter(col("cap_rk") > cap)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("m")),
+        Seq("band_idx", "band_key"))
+      .select(least(col("hub"), col("m")).as("doc_a"),
+        greatest(col("hub"), col("m")).as("doc_b"))
+    verifyCand(candPairs.unionByName(candStar).distinct(), sh, threshold)
+  }
+
+  /** The occupancy-cap + hub-star CANDIDATE generation as oracle SQL:
+    * two CTE definitions (splice after the caller's bands CTE; the
+    * last is named `$candName` and yields DISTINCT (doc_a < doc_b))
+    * computing exactly what [[verifiedPairsCapped]]'s candidate stage
+    * computes — identical BIGINT selection arithmetic, identical
+    * total tie-break order, identical star orientation — so the gate
+    * covers the cap itself, not just the uncapped chain.
+    */
+  def cappedCandSql(bandsName: String, bi: String, bk: String,
+      candName: String, cap: Int = BucketCap): String =
+    s"""rb_ AS (SELECT doc_id, $bi, $bk, row_number() OVER (
+       |    PARTITION BY $bi, $bk
+       |    ORDER BY (doc_id * $CapSelMult) % ${XSql.P}, doc_id) AS cap_rk_
+       |  FROM $bandsName),
+       |$candName AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM rb_ a JOIN rb_ b ON a.$bi = b.$bi AND a.$bk = b.$bk
+       |     AND a.doc_id < b.doc_id
+       |    WHERE a.cap_rk_ <= $cap AND b.cap_rk_ <= $cap
+       |    UNION ALL
+       |    SELECT least(h.doc_id, o.doc_id) AS doc_a,
+       |           greatest(h.doc_id, o.doc_id) AS doc_b
+       |    FROM rb_ h JOIN rb_ o ON h.$bi = o.$bi AND h.$bk = o.$bk
+       |    WHERE h.cap_rk_ = 1 AND o.cap_rk_ > $cap))""".stripMargin
+
+  private def verifiedPairsFrom(bs: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = bs.select(col("band_idx"), col("band_key"),
         col("doc_id").as("doc_a"))
       .join(bs.select(col("band_idx"), col("band_key"),
         col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    verifyCand(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a DISTINCT (doc_a < doc_b)
+    * candidate set: shingle arrays re-attach via two O(corpus)
+    * equi-joins, each pair verified once.
+    */
+  private def verifyCand(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    implicit val dl: XSql.Dialect = SqlSpark
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))

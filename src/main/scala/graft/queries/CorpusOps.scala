@@ -32,7 +32,7 @@ object CorpusOps {
     val sh = docs
       .withColumn("sh", expr(XSql.shinglesOfText("text")))
       .select("doc_id", "sh")
-    val pairs = graft.operators.Lsh.verifiedPairs(sh, threshold)
+    val pairs = graft.operators.Lsh.verifiedPairsCapped(sh, threshold)
       .select("doc_a", "doc_b")
     val comp = graft.operators.ConnectedComponents
       .minLabel(pairs, "doc_a", "doc_b")
@@ -125,12 +125,14 @@ object CorpusOps {
            |sh AS (SELECT doc_id, ${XSql.shingleHashes(XSql.wordHashes(w))} AS sh
            |       FROM joined),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS bk,
            |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
+           |${graft.operators.Lsh.cappedCandSql("bands", "bi", "bk", "tcand")},
            |text_pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 'text' AS signal
-           |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
-           |  WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
+           |  SELECT c.doc_a, c.doc_b, 'text' AS signal FROM tcand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b
+           |  WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5),
            |n AS (SELECT doc_id, label, v, ${XSql.norm2("v")} AS n2 FROM joined),
            |embed_pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'embedding' AS signal
@@ -152,7 +154,7 @@ object CorpusOps {
       val sh = joined
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
-      val textPairs = graft.operators.Lsh.verifiedPairs(sh, 0.5)
+      val textPairs = graft.operators.Lsh.verifiedPairsCapped(sh, 0.5)
         .select(col("doc_a"), col("doc_b"), lit("text").as("signal"))
       val n = joined.withColumn("n2", expr(XSql.norm2("v")))
       val na = n.select(col("label"), col("doc_id").as("doc_a"),
@@ -177,7 +179,7 @@ object CorpusOps {
     // though B is gone): the component policy keeps exactly one
     // representative per near-dup cluster, deterministically.
     Q("c3_dedup_by_components",
-      "quality filter -> LSH pairs -> components -> one representative per cluster",
+      "quality filter -> occupancy-capped LSH pairs -> components -> one representative per cluster",
       {
         implicit val dl: Dialect = SqlDuck
         val w = XSql.words("text")
@@ -188,12 +190,13 @@ object CorpusOps {
            |sh AS (SELECT doc_id, ${dl.arrSize("w")} AS n_tokens,
            |              ${XSql.shingleHashes(XSql.wordHashes("w"))} AS sh FROM base),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS bk,
            |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |          FROM bands a JOIN bands b
-           |            ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
-           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
+           |${graft.operators.Lsh.cappedCandSql("bands", "bi", "bk", "cand")},
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |        UNION SELECT doc_b, doc_a FROM pairs),
            |reach(src, node) AS (
@@ -215,7 +218,11 @@ object CorpusOps {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select(col("doc_id"), expr(dl.arrSize("w")).as("n_tokens"), col("sh"))
       sh.cache()
-      val pairs = graft.operators.Lsh.verifiedPairs(
+      // occupancy-CAPPED pair generation (Lsh.BucketCap, mirrored in
+      // the oracle's cbands CTE): the collision join stays
+      // O(buckets·cap²) when band keys saturate — the engineered
+      // bound that replaced c3's measured 19× quadratic at sf100
+      val pairs = graft.operators.Lsh.verifiedPairsCapped(
         sh.select("doc_id", "sh"), 0.5).select("doc_a", "doc_b")
       val comp = graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .withColumnRenamed("node", "c_doc_id")
@@ -319,17 +326,14 @@ object CorpusOps {
            |              ${XSql.shingleHashes("wh")} AS sh FROM wh),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
            |bands AS (
-           |  SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |  SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |         unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |         a.sh AS sh_a, b.sh AS sh_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id),
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")},
            |drops AS (
-           |  SELECT DISTINCT doc_b AS doc_id FROM cand
-           |  WHERE ${XSql.jaccard("sh_a", "sh_b")} >= 0.5)
+           |  SELECT DISTINCT c.doc_b AS doc_id FROM cand c
+           |  JOIN sh sa ON sa.doc_id = c.doc_a
+           |  JOIN sh sb ON sb.doc_id = c.doc_b
+           |  WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.5)
            |SELECT s.doc_id, s.n_tokens, s.n_alpha
            |FROM sh s
            |WHERE s.doc_id NOT IN (SELECT doc_id FROM drops)
@@ -365,7 +369,7 @@ object CorpusOps {
         .select(col("doc_id"), expr(dl.arrSize("w")).as("n_tokens"),
           col("n_alpha"), col("sh"))
       sh.cache()
-      val drops = graft.operators.Lsh.verifiedPairs(
+      val drops = graft.operators.Lsh.verifiedPairsCapped(
         sh.select("doc_id", "sh"), 0.5)
         .select(col("doc_b").as("doc_id")).distinct()
       sh.join(drops, Seq("doc_id"), "left_anti")
@@ -476,13 +480,13 @@ object CorpusOps {
            |w AS (SELECT doc_id, ${XSql.wordHashes(w)} AS wh FROM documents),
            |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |          FROM bands a JOIN bands b
-           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |           AND a.doc_id < b.doc_id
-           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")},
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.3),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |        UNION SELECT doc_b, doc_a FROM pairs),
            |reach(src, node) AS (
@@ -808,13 +812,13 @@ object CorpusOps {
            |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
            |sh AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig
            |       FROM (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sh),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |          FROM bands a JOIN bands b
-           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |           AND a.doc_id < b.doc_id
-           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")},
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.3),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |        UNION SELECT doc_b, doc_a FROM pairs),
            |reach(src, node) AS (
@@ -840,7 +844,7 @@ object CorpusOps {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       val comp = ConnectedComponents.minLabel(
-        Lsh.verifiedPairs(sh, 0.3), "doc_a", "doc_b")
+        Lsh.verifiedPairsCapped(sh, 0.3), "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
       val sz = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
       docs.select("doc_id")

@@ -77,18 +77,15 @@ object Dedup {
 
     // ---------------------------------------------------------------
     Q("d3_lsh_near_dup",
-      "MinHash-LSH near-dup pairs: band-bucket join, verified Jaccard >= 0.5",
+      "MinHash-LSH near-dup pairs: occupancy-capped band-bucket join, verified Jaccard >= 0.5",
       {
         implicit val dl: Dialect = SqlDuck
         s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
            |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |          AND a.doc_id < b.doc_id)
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")}
            |SELECT c.doc_a, c.doc_b, ${XSql.jaccard("sa.sh", "sb.sh")} AS jacc
            |FROM cand c
            |JOIN sh sa ON sa.doc_id = c.doc_a
@@ -100,12 +97,17 @@ object Dedup {
       // native sorted shingles: jaccard/minhash are order-invariant,
       // and sorted inputs let the native intersect skip its per-pair
       // sort (the dominant pairwise cost). The band machinery is the
-      // shared operators/Lsh implementation.
+      // shared operators/Lsh implementation, in its occupancy-CAPPED
+      // mode (Lsh.BucketCap): the collision join is O(buckets·cap²)
+      // instead of the data's O(Σ occupancy²) — the bound that holds
+      // when a 100 TB crawl's boilerplate saturates band keys. The
+      // oracle applies the identical deterministic cap (cbands CTE),
+      // so the gate covers the cap arithmetic too.
       val sh = t(s, d, "documents")
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       sh.cache()
-      graft.operators.Lsh.verifiedPairs(sh, 0.5)
+      graft.operators.Lsh.verifiedPairsCapped(sh, 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -249,13 +251,13 @@ object Dedup {
            |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
            |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |          FROM bands a JOIN bands b
-           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |           AND a.doc_id < b.doc_id
-           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")},
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.3),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |        UNION SELECT doc_b, doc_a FROM pairs),
            |reach(src, node) AS (
@@ -269,7 +271,7 @@ object Dedup {
       val sh = t(s, d, "documents")
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
-      val pairs = graft.operators.Lsh.verifiedPairs(sh, 0.3)
+      val pairs = graft.operators.Lsh.verifiedPairsCapped(sh, 0.3)
         .select("doc_a", "doc_b")
       graft.operators.ConnectedComponents.minLabel(pairs, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("component"))
@@ -653,7 +655,14 @@ object Dedup {
         .select("doc_id", "sh")
       val stored = sh.filter(pmod(col("doc_id"), lit(5)) =!= 4)
       val fresh = sh.filter(pmod(col("doc_id"), lit(5)) === 4)
-      // yesterday's state: components of the stored corpus only
+      // yesterday's state: components of the stored corpus only.
+      // Deliberately UNCAPPED (the one pair-family caller that stays
+      // so): this query's gate is incremental == full recompute, and
+      // the oracle recomputes over the full corpus's uncapped pairs —
+      // a capped base with an uncapped delta would not compose to the
+      // oracle's fixpoint. In production the base components are a
+      // maintained table (st16), not recomputed; the uncapped call
+      // here is test scaffolding constructing "yesterday".
       val base = ConnectedComponents.minLabel(
         Lsh.verifiedPairs(stored, 0.3), "doc_a", "doc_b")
       // today's tick: increment-bounded pairs, contracted solve

@@ -450,12 +450,21 @@ object Sinks {
       // would pay first is algebraically redundant (st15's read shape)
       def wsum(c: String) =
         sum(col(c).cast(DecimalType(30, 2)) * col("_mult")).cast(DoubleType)
+      // presentation via a range-sorted orderBy, NOT
+      // coalesce(1).sortWithinPartitions: coalesce has no exchange, so
+      // it collapses its whole stage — the FINAL HashAggregate over
+      // every group ran in that one task, and its hash map is
+      // O(custkeys) = linear in data (the 544 MB-peak task the r14
+      // memory gate flagged; StageMemProbe attributed it to this
+      // save stage, not the pre-tick sorts). orderBy pays one
+      // range-sampling pass + an exchange of O(custkeys) skinny rows
+      // and keeps both the aggregate and the sort at partition width.
       TableStore.readFoldedUnion(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
         .filter(col("n_lines") > 0)
-        .coalesce(1).sortWithinPartitions("o_custkey")
+        .orderBy("o_custkey")
     },
 
     // ---------------------------------------------------------------

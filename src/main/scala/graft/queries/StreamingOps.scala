@@ -396,16 +396,19 @@ object StreamingOps {
       // so the per-tuple fold shuffle readFolded would pay first is
       // algebraically redundant — one groupBy over the log instead of
       // a state-wide groupBy feeding another
-      // presentation order via a single-task sort of the O(custkeys)
-      // aggregate: a global orderBy would buy the same order with a
-      // range-partitioner SAMPLING job plus an exchange — two extra
-      // scheduling round-trips for a ~10k-row result
+      // presentation via orderBy: the coalesce(1).sortWithinPartitions
+      // alternative looks cheaper (no range-sampling job) but coalesce
+      // collapses its exchange-free stage, so the FINAL HashAggregate
+      // over every group runs in ONE task with an O(custkeys) hash map
+      // — the i4 lesson (544 MB-peak task at 10x state, linear in
+      // data). The sampling pass + exchange move O(custkeys) skinny
+      // rows once, after the stream, and keep every stage at width.
       TableStore.readFoldedUnion(s, viewPath).groupBy("o_custkey")
         .agg(sum(col("_mult")).as("n_lines"),
           wsum("l_extendedprice").as("sum_ext"),
           wsum("o_totalprice").as("sum_price"))
         .filter(col("n_lines") > 0)
-        .coalesce(1).sortWithinPartitions("o_custkey")
+        .orderBy("o_custkey")
     },
 
     // ---------------------------------------------------------------
@@ -432,13 +435,13 @@ object StreamingOps {
            |w AS (SELECT doc_id, ${XSql.wordHashes(wordsE)} AS wh FROM documents),
            |sh AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig
            |       FROM (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w)),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sh),
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |          FROM bands a JOIN bands b
-           |            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |           AND a.doc_id < b.doc_id
-           |          WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.3),
+           |${graft.operators.Lsh.cappedCandSql("bands", "band_idx", "band_key", "cand")},
+           |pairs AS (SELECT c.doc_a, c.doc_b FROM cand c
+           |          JOIN sh sa ON sa.doc_id = c.doc_a
+           |          JOIN sh sb ON sb.doc_id = c.doc_b
+           |          WHERE ${XSql.jaccard("sa.sh", "sb.sh")} >= 0.3),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |        UNION SELECT doc_b, doc_a FROM pairs),
            |reach(src, node) AS (
@@ -457,7 +460,7 @@ object StreamingOps {
         .withColumn("sh", expr(XSql.shinglesOfText("text")))
         .select("doc_id", "sh")
       // the full verified pair set, replayed as a 3-batch edge stream
-      val pairs = Lsh.verifiedPairs(sh, 0.3).select("doc_a", "doc_b")
+      val pairs = Lsh.verifiedPairsCapped(sh, 0.3).select("doc_a", "doc_b")
       // empty initial cluster registry
       TableStore.overwrite(
         s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -56,18 +56,17 @@ DEFAULT_MAX_RATIO = 12.0
 # Named super-linear contracts (the g3/g6 pattern: the exact operator
 # carries its documented bound; a bounded variant is the scale path):
 # - g6: O((pm)^1.5) in sampled edges -> 10x data admits ~32x.
-# - c3: LSH collision volume is O(sum occupancy^2); on a BOUNDED-VOCAB
-#   corpus (the synthetic 30-word vocabulary is the worst case) band
-#   keys saturate and occupancy grows linearly with corpus size, so
-#   collisions grow quadratically. Round 14 cut the constant ~1.4x
-#   (doc-id-only band join, dedup-before-verify); the curve itself is
-#   the data's. The production discipline for saturating buckets is
-#   the occupancy cap (c12's operator), trading documented recall for
-#   boundedness. Ceiling 24x = measured 19x + headroom, far under the
-#   quadratic's 100x.
-MAX_RATIO = {"g6_triangle_doulion": 32.0, "c3_dedup_by_components": 24.0}
+# c3's former 24x contract is DELETED (round 15): the pair family now
+# runs occupancy-capped + hub-star (Lsh.verifiedPairsCapped — per
+# bucket, all-pairs among 16 hash-selected survivors plus one star
+# edge per overflow member to the rank-1 hub), so collision volume is
+# O(buckets*cap^2 + rows) by construction and c3 gates at the 12x
+# default. The recall price is MEASURED per audit (--lsh-recall on the
+# small dir, gate >= 0.99) rather than asserted.
+MAX_RATIO = {"g6_triangle_doulion": 32.0}
 DOULION_MAX_ERR = 0.02     # vs exact truth
 TWIN_MAX_DIVERGENCE = 0.01  # |est - twin| / mean, fallback gate
+LSH_RECALL_MIN = 0.99      # capped+star pairs / uncapped pairs
 
 
 def clean_tmp():
@@ -158,6 +157,25 @@ def main():
         rows[q] = row
         print(json.dumps({q: row}))
 
+    # LSH occupancy-cap recall: capped+star vs the uncapped truth at
+    # the largest scale where the uncapped join is affordable (the
+    # SMALL dir, sf10 — the cap engages from sf1 up). Carried through
+    # --only merges like the query rows.
+    lsh_recall = None
+    if only and "lsh_recall" not in only and Path(out).is_file():
+        lsh_recall = json.loads(Path(out).read_text()).get("lsh_cap_recall")
+    if lsh_recall is None:
+        clean_tmp()
+        rc, rec = run_jvm(["--lsh-recall", small])
+        if rc == 0 and rec:
+            rec["min_recall"] = LSH_RECALL_MIN
+            rec["fail"] = rec["recall"] < LSH_RECALL_MIN
+            lsh_recall = rec
+        else:
+            lsh_recall = {"fail": True, "error": f"measurement failed rc={rc}"}
+    if lsh_recall.get("fail"):
+        fails.append(f"lsh cap recall: {lsh_recall}")
+
     # DOULION accuracy: truth if it fits, twin agreement otherwise
     clean_tmp()
     doulion = {"gate": None}
@@ -218,10 +236,11 @@ def main():
                        f"{sum(1 for r in rows.values() if r['flip'])} flips, "
                        f"{sum(1 for r in rows.values() if r['ratio_fail'])} "
                        f"ratio-gate failures (default <={DEFAULT_MAX_RATIO}x;"
-                       f" g6<=32x per its O((pm)^1.5) contract; c3<=24x "
-                       f"per its bounded-vocab LSH collision contract — "
-                       f"O(sum occupancy^2), occupancy-cap (c12) is the "
-                       f"production escape)"),
+                       f" g6<=32x per its O((pm)^1.5) contract; c3 gates at "
+                       f"the default since round 15: the pair family runs "
+                       f"occupancy-capped + hub-star, O(buckets*cap^2 + "
+                       f"rows) by construction, recall gated below)"),
+        "lsh_cap_recall": lsh_recall,
         "memory_audit": ("per-query max task peakExecutionMemory + disk "
                          "spill + post-run driver heap at sf100; gate: "
                          "peak_task_mb x 32 slots <= 80% of the unified "
