@@ -147,14 +147,24 @@ object Bench {
     // tails that actually diff); everything else stays min-of-2
     val streamRepeats =
       sys.env.get("SPARK_GRAFT_STREAM_REPEATS").map(_.toInt).getOrElse(3).max(1)
+    // memory-headroom fields ride along on every run (the i4 lesson:
+    // a 544 MB-peak task was invisible in every wall ratio — the tick
+    // audit's gate caught it, and the bench's heavy tail deserves the
+    // same instrument). Listener reset per rep; the reported fields
+    // belong to the rep whose wall was kept (the min).
+    val mem = new PeakMemoryAudit
+    spark.sparkContext.addSparkListener(mem)
+    final case class Run(sec: Double, peakMb: Double, spillMb: Double,
+        flag: Boolean)
     val results = measured.map { case (name, fn) =>
       val n = if (name.startsWith("st")) streamRepeats else repeats
-      val times = (1 to n).map { _ =>
+      val runs = (1 to n).map { _ =>
         // queries cache intermediates (shingle tables etc.) and cannot
         // unpersist them before returning; dropping the cache between
         // runs keeps each measurement self-contained instead of
         // letting earlier runs' blocks squat on storage memory
         spark.catalog.clearCache()
+        mem.reset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -165,27 +175,43 @@ object Bench {
               false
           }
         // a failed run must not contribute a bogus timing: -1 marks it
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        Run(sec, mem.peakTaskMb, mem.spillMb,
+          mem.headroomFlag(cpus.toInt))
       }
-      // any failed run fails the query; otherwise report the min
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // any failed run fails the query; otherwise report the min rep
+      name -> (if (runs.exists(_.sec < 0)) Run(-1.0, 0, 0, flag = false)
+        else runs.minBy(_.sec))
     }
     // 4-decimal rounding (0.1 ms) halves the line length — the long
     // line is exactly what keeps getting truncated in round captures
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v.sec) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val n = results.count(_._2 >= 0)
+    val total = results.values.map(_.sec).filter(_ >= 0).sum
+    val n = results.count(_._2.sec >= 0)
     val avg = if (n > 0) total / n else 0.0
+    // memory fields for the bench's heavy tail: the 15 slowest queries
+    // carry the min-rep's peak/spill/flag (the same gate model as the
+    // scale audits — peak x slots <= 80% of the unified pool at THIS
+    // session's heap, recorded so the model is reproducible). Flags
+    // are RECORDED, not exit-coded: the bench heap is a harness choice
+    // and the number is the signal.
+    val heapMb = Runtime.getRuntime.maxMemory / 1048576
+    val top15 = results.toSeq.filter(_._2.sec >= 0)
+      .sortBy(-_._2.sec).take(15)
+    val memJson = top15.map { case (k, r) =>
+      f""""$k":{"peak_task_mb":${r.peakMb}%.1f,"spill_mb":${r.spillMb}%.1f,"mem_flag":${r.flag}}"""
+    }.mkString("{", ",", "}")
+    val nFlagged = top15.count(_._2.flag)
     // n_queries/avg make totals comparable across rounds as the
     // catalog grows (a bigger catalog is not a slower engine)
     // stream_repeats is reported separately: st* timings are min-of-
     // streamRepeats, NOT min-of-repeats — a reader comparing rounds
     // must know which protocol produced each number
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$n,"avg_per_query":${fmt(avg)},"repeats":$repeats,"stream_repeats":$streamRepeats,"host_probe":{"cpu_s":${fmt(probeCpu)},"scan_s":${fmt(probeScan)}},"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$n,"avg_per_query":${fmt(avg)},"repeats":$repeats,"stream_repeats":$streamRepeats,"host_probe":{"cpu_s":${fmt(probeCpu)},"scan_s":${fmt(probeScan)}},"memory_top15":{"heap_mb":$heapMb,"slots":$cpus,"n_flagged":$nFlagged,"queries":$memJson},"queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the stdout line has repeatedly survived only as a truncated tail
     // in the round captures (BENCH_r04/r05: "parsed": null, most

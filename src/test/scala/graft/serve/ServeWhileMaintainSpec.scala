@@ -179,6 +179,24 @@ class ServeWhileMaintainSpec extends SparkSpec {
       assert(p95 < serialized,
         f"p95 $p95%.2fs implies requests queueing behind maintenance " +
           f"(seq median $seqMedian%.3fs)")
+      // the ABSOLUTE serving contract (round 15, verdict task #8): the
+      // reference's optimized `GET /games/{id}` headline is ~1.2 s PER
+      // REQUEST on a quiescent store (BASELINE.md). The comparable
+      // number here is the SEQUENTIAL per-request latency measured
+      // above — UNDER LIVE MAINTENANCE — not the burst p95: this spec
+      // session is local[4], so 32 concurrent Spark-backed requests
+      // share 4 cores and their p95 measures queueing depth, not the
+      // serving path (the burst stays gated RELATIVELY via the
+      // overlap/serialized assertions). Gate: the median single
+      // request beats the reference headline with ~10x typical
+      // headroom (measured ~0.05-0.15 s), churn running throughout.
+      assert(seqMedian < 1.2,
+        f"serving contract broken: per-request median $seqMedian%.3fs " +
+          ">= 1.2s (the reference's optimized point-lookup headline) " +
+          "under live maintenance")
+      info(f"under live maintenance: per-request median $seqMedian%.3fs " +
+        f"(contract < 1.2s), 32-way burst p95 $p95%.3fs, " +
+        f"wall $wall%.2fs vs serialized $serialized%.2fs")
 
       // the served table really did advance + get vacuumed while the
       // pinned responses stayed fixed: the live version is mutated

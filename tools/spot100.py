@@ -32,26 +32,19 @@ QUERIES = [
     "j17_temporal_dim_join", "c3_dedup_by_components",
 ]
 
-# Measured, not skipped: i4's sf100 leg was attempted three ways (one
-# JVM, staging preserved; staging dropped via graft.tables.stage.disable
-# for +13 GB; 80 g heap to keep the 600M-row checkpoint off disk) and
-# each run died ENOSPC writing its transient version store. The
-# measurement needs ~70 GB of concurrent scratch — the CDC source
-# chains it SEEDS (full v1+v2 snapshots of a 150M-row and a 600M-row
-# base: O(data) setup by construction, not the operator), the fold
-# inits, and the full-outer diff shuffles — against the ~60 GB this
-# sandbox has with the sf100 dataset resident. The OPERATOR's scale
-# behavior is measured elsewhere: applyTick is O(delta) per tick, flat
-# at 10x state over 30 ticks (BENCH_SF1_TICKS.json) and ratio 3.05x at
-# 10x state (BENCH_SF1_STATE.json).
-DISK_BOUNDED = {
-    "i4_join_view_ivm": (
-        "ENOSPC at ~94% disk: needs ~70 GB transient version-store + "
-        "shuffle scratch (dominated by O(data) CDC-chain SEEDING, not "
-        "applyTick) vs ~60 GB available; operator scale evidence: "
-        "BENCH_SF1_TICKS (flat per-tick at 10x state / 30 ticks), "
-        "BENCH_SF1_STATE (3.05x wall for 10x state)"),
-}
+# i4's sf100 leg (round 15 — previously recorded disk-bounded: the
+# one-process form needed ~70 GB of concurrent scratch): measured via
+# the PRE-SEEDED protocol — per scale, one JVM seeds the three fold
+# states (--i4-seed: the O(data) step BY CONSTRUCTION, timed as its
+# own named number) and a second JVM runs ONE applyTick with a
+# fixed-size slice delta (--i4-tick: o_orderkey < 1M at every scale,
+# same absolute batch, 10x state). The tick gate is the per-tick
+# scale thesis at the decade; its named contract includes the base
+# probe SCAN (delta-broadcast probes read both fold snapshots once —
+# no keyed file layout prunes them yet), so tick wall tracks base
+# bytes, ceiling = the 12x default for 10x data.
+I4_TICK_MAX_RATIO = 12.0
+I4_STORE = "/tmp/i4store"  # outside /tmp/graft_* so clean_tmp keeps it
 DEFAULT_MAX_RATIO = 12.0
 # Named super-linear contracts (the g3/g6 pattern: the exact operator
 # carries its documented bound; a bounded variant is the scale path):
@@ -157,6 +150,53 @@ def main():
         rows[q] = row
         print(json.dumps({q: row}))
 
+    # i4 pre-seeded tick legs (seed JVM + tick JVM per scale; store
+    # lives outside the clean_tmp glob and is dropped between scales)
+    i4 = None
+    if only and "i4_tick" not in only and Path(out).is_file():
+        i4 = json.loads(Path(out).read_text()).get("i4_tick")
+    if i4 is None:
+        i4 = {"protocol": (
+            "pre-seeded store: --i4-seed publishes foldA/foldB/view v0 "
+            "snapshots (O(data) by construction, timed separately, own "
+            "JVM + disk budget); --i4-tick runs ONE applyTick — the same "
+            "audited path as the catalog i4 / st15 loop — with the i4 "
+            "edit script restricted to o_orderkey < 1M (identical "
+            "absolute batch at both scales, 10x state). Contract: tick "
+            "wall = O(base probe scan) + O(batch*fanout); the probe scan "
+            "reads both fold snapshots once (no keyed-layout pruning "
+            "yet), so the ceiling is the 12x data-ratio default. "
+            "Maintained==recomputed aggregate check runs on the sf10 "
+            "leg (GRAFT_I4_CHECK; also green at sf1 in-repo)."),
+            "gate": I4_TICK_MAX_RATIO}
+        ok = True
+        for scale, d in (("sf10", small), ("sf100", large)):
+            shutil.rmtree(I4_STORE, ignore_errors=True)
+            clean_tmp()
+            env = {"GRAFT_I4_CHECK": "1"} if scale == "sf10" else {}
+            rc1, seed = run_jvm(["--i4-seed", d, I4_STORE])
+            clean_tmp()  # seed shuffle scratch; the store survives
+            rc2, tick = (run_jvm(["--i4-tick", d, I4_STORE],
+                                 extra_env=env)
+                         if rc1 == 0 and seed else (1, None))
+            if rc1 != 0 or rc2 != 0 or not seed or not tick:
+                fails.append(f"i4_tick {scale}: rc_seed={rc1} rc_tick={rc2}")
+                ok = False
+                break
+            i4[scale] = {"seed": seed, "tick": tick}
+            if seed.get("mem_flag") or tick.get("mem_flag"):
+                fails.append(f"i4_tick {scale}: memory headroom flag")
+        shutil.rmtree(I4_STORE, ignore_errors=True)
+        if ok and "sf10" in i4 and "sf100" in i4:
+            tr = i4["sf100"]["tick"]["wall"] / i4["sf10"]["tick"]["wall"]
+            sr = i4["sf100"]["seed"]["wall"] / i4["sf10"]["seed"]["wall"]
+            i4["tick_ratio"] = round(tr, 2)
+            i4["seed_ratio_recorded_ungated"] = round(sr, 2)
+            i4["fail"] = tr > I4_TICK_MAX_RATIO
+            if i4["fail"]:
+                fails.append(f"i4_tick ratio {tr:.2f} over "
+                             f"{I4_TICK_MAX_RATIO}x")
+
     # LSH occupancy-cap recall: capped+star vs the uncapped truth at
     # the largest scale where the uncapped join is affordable (the
     # SMALL dir, sf10 — the cap engages from sf1 up). Carried through
@@ -248,7 +288,7 @@ def main():
                          f"{sum(1 for r in rows.values() if r['mem_flag'])} "
                          "flagged"),
         "doulion_accuracy": doulion,
-        "disk_bounded": DISK_BOUNDED,
+        "i4_tick": i4,
         "fails": fails,
         "queries": {q: {
             "sf10_sec": round(r["small_sec"], 4),
