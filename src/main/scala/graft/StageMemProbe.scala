@@ -30,13 +30,21 @@ object StageMemProbe {
     val mem = new PeakMemoryAudit
     spark.sparkContext.addSparkListener(mem)
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir)
-      .write.format("noop").mode("overwrite").save()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    // join-strategy summary of the FINAL plan (BHJ→SMJ flips between
+    // scales are invisible to the CP/BNLJ flip audit but decide the
+    // curve of dim-join queries — the j17 attribution need)
+    val plan = df.queryExecution.executedPlan.toString()
+    val joinOps = Seq("BroadcastHashJoin", "SortMergeJoin",
+      "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(op => s"$op=${op.r.findAllIn(plan).size}").mkString(" ")
     // let straggler task-end events drain before reading the map
     Thread.sleep(500)
     println(f"query=$name wall=$wall%.2f peak_task_mb=${mem.peakTaskMb}%.1f " +
       f"spill_mb=${mem.spillMb}%.1f flag=${mem.headroomFlag(32)}")
+    println(s"  final-plan joins: $joinOps")
     mem.topStages(topN).foreach { s =>
       println(f"  stage ${s.stageId}%5d  peak ${s.maxTaskPeakMb}%7.1f MB  " +
         f"tasks ${s.nTasks}%4d  ${s.name.take(160)}")

@@ -57,6 +57,32 @@ DEFAULT_MAX_RATIO = 12.0
 # default. The recall price is MEASURED per audit (--lsh-recall on the
 # small dir, gate >= 0.99) rather than asserted.
 MAX_RATIO = {"g6_triangle_doulion": 32.0}
+# Named per-query scale contracts, recorded in the artifact so every
+# audited curve has a stated shape (the d15/g6 pattern; j17 was the
+# steepest unnamed curve after round 14):
+CONTRACTS = {
+    "g6_triangle_doulion": (
+        "O((pm)^1.5) in sampled edges (p=1/4 DOULION) -> 10x data "
+        "admits ~32x; accuracy gated vs the exact count"),
+    "d15_substring_dedup": (
+        "O(W log W) in total window count (~90/doc), three skinny "
+        "shuffles, window width volume-sized off the corpus bytes"),
+    "d11_semantic_dedup": (
+        "64k-stride-bounded quantizer: training sample fixed, "
+        "assignment one broadcast argmin pass -> ~linear"),
+    "j17_temporal_dim_join": (
+        "point-in-time SCD2 join: wall = 3 O(dim) scd2Upsert version "
+        "writes + an equi SortMergeJoin of facts x history (the dim "
+        "crosses the broadcast budget between sf1 and sf10 — "
+        "StageMemProbe: BHJ at sf1, SMJ at sf10 AND sf100, so the "
+        "audited decade stays in one regime, no flip) with validity-"
+        "window fan-out bounded by versions/key <= 3; "
+        "O(E log E + D log D + 3D) -> 12x default"),
+    "c3_dedup_by_components": (
+        "occupancy-capped + hub-star LSH pairs (O(buckets*cap^2 + "
+        "rows) collision volume) -> components -> 12x default; recall "
+        "vs uncapped gated via lsh_cap_recall"),
+}
 DOULION_MAX_ERR = 0.02     # vs exact truth
 TWIN_MAX_DIVERGENCE = 0.01  # |est - twin| / mean, fallback gate
 LSH_RECALL_MIN = 0.99      # capped+star pairs / uncapped pairs
@@ -295,6 +321,7 @@ def main():
             "sf100_sec": round(r["large_sec"], 4),
             "ratio": r["ratio"],
             "flip": r["flip"],
+            "contract": CONTRACTS.get(q, "linear-ish, 12x default"),
             "sf100_peak_task_mb": r["peak_task_mb"],
             "sf100_spill_mb": r["spill_mb"],
             "sf100_driver_heap_mb": r["driver_heap_mb"],
