@@ -382,6 +382,16 @@ object Ivm {
     val db = signed(dB)
     // the deltas are the small sides — broadcast them into the base
     // probes; the cross term is delta × delta (tiny × tiny).
+    // CONTRACT: deltas are MICRO-BATCH-SIZED — the broadcast is the
+    // right plan exactly because the streaming protocol bounds |Δ|
+    // per tick (measured at sf100: a 1.55M-row delta broadcasts in a
+    // tick whose wall is 1.03× its 10×-smaller-state twin). A
+    // catch-up replay whose delta is O(state) must not land here in
+    // one tick: split it into micro-batches (the stream's own
+    // batching does), or the broadcast build becomes a driver/exec
+    // memory cliff no AQE threshold overrides — the same reasoning
+    // as GraphOps' volume-aware degree join, resolved here by the
+    // protocol instead of a runtime switch.
     // Callers whose base frames are EXPENSIVE to materialize (fold
     // chains, multi-version unions) should pre-restrict them to the
     // delta's keys before passing them in — see
