@@ -141,24 +141,31 @@ object Lsh {
     */
   def verifiedPairsCapped(sh: DataFrame, threshold: Double,
       cap: Int = BucketCap): DataFrame = {
+    // ONE rank-ordered self-join generates BOTH candidate classes:
+    //   a.rk < b.rk AND (b.rk <= cap  -- both survive: all-pairs
+    //                    OR a.rk = 1) -- hub star: overflow member
+    // Per unordered pair one row (rank order is total within a
+    // bucket), re-oriented to (least, greatest). Equivalent to the
+    // two-join + union form but half the stages — at bench scale the
+    // cap's cost is DAG overhead, not data, and the first cut of this
+    // operator measured 2.8x on d3 at sf0.1 from exactly that.
+    // no persist on rb: the two branches share one canonical exchange
+    // subtree (banding/minhash computes once — measured: an explicit
+    // MEMORY_AND_DISK persist was wall-neutral at sf0.1 and would
+    // leak an unpersistable cached table per call); the window above
+    // the reused exchange re-evaluates per branch over skinny rows.
     val rb = rankedBands(sh)
-    val surv = rb.filter(col("cap_rk") <= cap)
-    val candPairs = surv.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_a"))
-      .join(surv.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("doc_b")), Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    // hub ranks by the selection HASH, so (hub, member) needs the
-    // canonical (least, greatest) orientation the pair set uses
-    val candStar = rb.filter(col("cap_rk") === 1)
-      .select(col("band_idx"), col("band_key"), col("doc_id").as("hub"))
-      .join(rb.filter(col("cap_rk") > cap)
-          .select(col("band_idx"), col("band_key"), col("doc_id").as("m")),
+    val cand = rb.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("da"), col("cap_rk").as("ra"))
+      .join(rb.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("db"), col("cap_rk").as("rb")),
         Seq("band_idx", "band_key"))
-      .select(least(col("hub"), col("m")).as("doc_a"),
-        greatest(col("hub"), col("m")).as("doc_b"))
-    verifyCand(candPairs.unionByName(candStar).distinct(), sh, threshold)
+      .filter(col("ra") < col("rb") &&
+        (col("rb") <= cap || col("ra") === 1))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    verifyCand(cand, sh, threshold)
   }
 
   /** The occupancy-cap + hub-star CANDIDATE generation as oracle SQL:
@@ -176,16 +183,11 @@ object Lsh {
        |    ORDER BY (doc_id * $CapSelMult) % ${XSql.P}, doc_id) AS cap_rk_
        |  FROM $bandsName),
        |$candName AS (
-       |  SELECT DISTINCT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |    FROM rb_ a JOIN rb_ b ON a.$bi = b.$bi AND a.$bk = b.$bk
-       |     AND a.doc_id < b.doc_id
-       |    WHERE a.cap_rk_ <= $cap AND b.cap_rk_ <= $cap
-       |    UNION ALL
-       |    SELECT least(h.doc_id, o.doc_id) AS doc_a,
-       |           greatest(h.doc_id, o.doc_id) AS doc_b
-       |    FROM rb_ h JOIN rb_ o ON h.$bi = o.$bi AND h.$bk = o.$bk
-       |    WHERE h.cap_rk_ = 1 AND o.cap_rk_ > $cap))""".stripMargin
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |         greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM rb_ a JOIN rb_ b ON a.$bi = b.$bi AND a.$bk = b.$bk
+       |   AND a.cap_rk_ < b.cap_rk_
+       |  WHERE b.cap_rk_ <= $cap OR a.cap_rk_ = 1)""".stripMargin
 
   private def verifiedPairsFrom(bs: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
