@@ -27,7 +27,7 @@ object Plans {
     "k4_knn_native_expr" ->
       "Brute-force kNN: broadcast query row + codegen'd vector_distance inside one scan stage.",
     "d3_lsh_near_dup" ->
-      "MinHash-LSH: candidate pairs from an equi-join on band keys; exact Jaccard only on candidates.",
+      "MinHash-LSH: occupancy-capped + hub-star candidates from ONE rank-ordered self-join on band keys (the rank window rides the join's own exchange — one data-sized shuffle); exact Jaccard only on candidates.",
     "c1_corpus_pipeline" ->
       "The composed corpus clean: narrow maps + LSH-bounded near-dup removal, one dataflow.",
     "j13_asof_join" ->
