@@ -165,6 +165,9 @@ object Bench {
         // letting earlier runs' blocks squat on storage memory
         spark.catalog.clearCache()
         mem.reset()
+        // guide §1.5: label jobs so UI/event-log traces attribute
+        // stages to queries (thread-local; cleared after the run)
+        spark.sparkContext.setJobDescription(s"bench: $name")
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -176,6 +179,7 @@ object Bench {
           }
         // a failed run must not contribute a bogus timing: -1 marks it
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        spark.sparkContext.setJobDescription(null)
         Run(sec, mem.peakTaskMb, mem.spillMb,
           mem.headroomFlag(cpus.toInt))
       }
