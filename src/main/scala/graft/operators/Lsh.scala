@@ -141,27 +141,39 @@ object Lsh {
     */
   def verifiedPairsCapped(sh: DataFrame, threshold: Double,
       cap: Int = BucketCap): DataFrame = {
-    // ONE rank-ordered self-join generates BOTH candidate classes:
-    //   a.rk < b.rk AND (b.rk <= cap  -- both survive: all-pairs
-    //                    OR a.rk = 1) -- hub star: overflow member
-    // Per unordered pair one row (rank order is total within a
-    // bucket), re-oriented to (least, greatest). Equivalent to the
-    // two-join + union form but half the stages — at bench scale the
-    // cap's cost is DAG overhead, not data, and the first cut of this
-    // operator measured 2.8x on d3 at sf0.1 from exactly that.
-    // no persist on rb: the two branches share one canonical exchange
-    // subtree (banding/minhash computes once — measured: an explicit
-    // MEMORY_AND_DISK persist was wall-neutral at sf0.1 and would
-    // leak an unpersistable cached table per call); the window above
-    // the reused exchange re-evaluates per branch over skinny rows.
-    val rb = rankedBands(sh)
-    val cand = rb.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("da"), col("cap_rk").as("ra"))
-      .join(rb.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("db"), col("cap_rk").as("rb")),
-        Seq("band_idx", "band_key"))
-      .filter(col("ra") < col("rb") &&
-        (col("rb") <= cap || col("ra") === 1))
+    // ONE window pass generates BOTH candidate classes — no self-join.
+    // Within a bucket, sorted by the selection rank, each row's lower-
+    // ranked partners are:
+    //   rk <= cap: every preceding row (all ranks 1..rk-1, and the
+    //     preceding cap-1 frame rows are exactly those) — the
+    //     survivor all-pairs class;
+    //   rk > cap: the bucket's rank-1 hub only — the hub-star class.
+    // So a bounded collect_list frame (<= cap-1 doc_ids/row — per-row
+    // state is O(cap), never O(occupancy), so a giant saturated bucket
+    // costs its sort and nothing more) plus a running first() for the
+    // hub, then one explode, yields the identical candidate set
+    //   {(a,b): a.rk < b.rk AND (b.rk <= cap OR a.rk = 1)}
+    // that the earlier rank-ordered self-join computed (equality gated
+    // by LshCapSpec's window-vs-join test). vs that join form, this
+    // drops the second Sort+Window branch AND the band-key SMJ from
+    // the plan: measured at sf0.1, d3 0.58 -> ~0.4 s / c3 2.26 ->
+    // ~1.5 s. The window's partition keys are the former join's keys,
+    // so the exchange count drops 2 -> 1 on the candidate side.
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("band_idx", "band_key")
+      .orderBy((col("doc_id") * lit(CapSelMult)) % lit(XSql.P), col("doc_id"))
+    // cap=1 still shapes a valid frame: (-1,-1) clips empty at rank 1,
+    // and ranks > 1 take the hub branch, never this list
+    val wPrev = wOrd.rowsBetween(-math.max(cap - 1, 1).toLong, -1L)
+    val wHub = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = bands(sh)
+      .select(col("band_idx"), col("band_key"), col("doc_id"))
+      .select(col("doc_id").as("db"),
+        row_number().over(wOrd).as("rk"),
+        collect_list(col("doc_id")).over(wPrev).as("prev"),
+        first(col("doc_id")).over(wHub).as("hub"))
+      .select(col("db"), explode(when(col("rk") <= cap, col("prev"))
+        .otherwise(array(col("hub")))).as("da"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()

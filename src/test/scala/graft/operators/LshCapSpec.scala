@@ -134,6 +134,38 @@ class LshCapSpec extends SparkSpec {
     assert(found >= 5, s"only $found/10 planted pairs banded — banding bug?")
   }
 
+  test("window-pass candidate generation == rank-ordered self-join form") {
+    // verifiedPairsCapped generates candidates via one bounded-frame
+    // window pass; this pins it to the definitional join form
+    //   {(a,b): a.rk < b.rk AND (b.rk <= cap OR a.rk = 1)}
+    // (the form the oracle's cappedCandSql states) on the saturating
+    // corpus, where overflow/hub/survivor classes all populate.
+    val sh = shOf(corpus).cache()
+    val rb = Lsh.rankedBands(sh)
+    val joinCand = rb.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("da"), col("cap_rk").as("ra"))
+      .join(rb.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("db"), col("cap_rk").as("rb")),
+        Seq("band_idx", "band_key"))
+      .filter(col("ra") < col("rb") &&
+        (col("rb") <= Lsh.BucketCap || col("ra") === 1))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    val joinForm = joinCand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowForm = Lsh.verifiedPairsCapped(sh, -1.0) // threshold -1: keep every candidate
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verifyCand drops candidates whose docs lack shingle rows; the
+    // join form above is pre-verification, so re-attach the same way
+    val docIds = sh.select("doc_id").collect().map(_.getLong(0)).toSet
+    val joinAttached = joinForm.filter(p => docIds(p._1) && docIds(p._2))
+    assert(windowForm == joinAttached,
+      s"window form diverges from join form: only-window=${(windowForm -- joinAttached).take(5)}, " +
+        s"only-join=${(joinAttached -- windowForm).take(5)}")
+    sh.unpersist()
+  }
+
   test("capped selection is invariant to partitioning and row order") {
     val sh = shOf(corpus.take(400) ++ corpus.takeRight(20))
     val base = pairMap(Lsh.verifiedPairsCapped(sh, 0.5))
