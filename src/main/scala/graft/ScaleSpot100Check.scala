@@ -195,8 +195,14 @@ object ScaleSpot100Check {
       val t0 = System.nanoTime()
       val (a, b) = i4Bases(spark, dir)
       val note = s"tick=$InitTick"
-      TableStore.publishFoldSnapshotDistinct(spark, s"$store/fa", a, note)
-      TableStore.publishFoldSnapshotDistinct(spark, s"$store/fb", b, note)
+      // key-range-clustered on the join key (r16): the tick's
+      // delta-key-range probe predicate can then prune these
+      // snapshots' scans via parquet footer min/max — the keyed fold
+      // layout r15 named as the next-decade lever
+      TableStore.publishFoldSnapshotDistinct(spark, s"$store/fa", a, note,
+        clusterBy = Seq("o_orderkey"))
+      TableStore.publishFoldSnapshotDistinct(spark, s"$store/fb", b, note,
+        clusterBy = Seq("o_orderkey"))
       TableStore.publishFoldSnapshotCanonical(spark, s"$store/view",
         a.join(b, "o_orderkey").withColumn("_mult", lit(1L)), note)
       val wall = (System.nanoTime() - t0) / 1e9
@@ -327,6 +333,68 @@ object ScaleSpot100Check {
       println(s"""{"uncapped_pairs":$full,"capped_pairs":$capped,""" +
         f""""recall":${capped.toDouble / full}%.5f,""" +
         s""""cap":${graft.operators.Lsh.BucketCap}}""")
+      spark.stop()
+
+    case "--incr-recall" :: dir :: Nil =>
+      // the STORED-side cap's recall gate (r16: Lsh.cappedStored wired
+      // into d9/st7), at the scale where it engages (sf1) — the same
+      // playbook as --lsh-recall. Two recalls, because the two callers
+      // report different things:
+      //   d9 pairs/verdicts: capped vs uncapped candidate pairs of the
+      //     (new × old) ∪ (new × new-prior) policy, AND the kept/drop
+      //     verdict agreement over the new docs (kept is what d9's
+      //     consumers act on);
+      //   st7 pair set: union over the 3 deterministic batches
+      //     (doc_id % 3) of per-batch incremental pairs, capped vs
+      //     uncapped stored side.
+      val spark = session()
+      implicit val dl: graft.functions.XSql.Dialect =
+        graft.functions.XSql.Spark
+      import graft.operators.Lsh
+      val sh = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("sh",
+          expr(graft.functions.XSql.shinglesOfText("text")))
+        .select("doc_id", "sh").cache()
+      val bands = Lsh.bands(sh)
+        .select("band_idx", "band_key", "doc_id", "sh")
+        .filter(col("band_key").isNotNull).cache()
+      // ---- d9 shape
+      val fresh9 = bands.filter(col("doc_id") % 5 === 4)
+      val stored9 = bands.filter(col("doc_id") % 5 =!= 4)
+      def d9Verdicts(cand: org.apache.spark.sql.DataFrame) = cand
+        .groupBy("na").agg(
+          countDistinct(when(col("b_old"), col("ob"))).as("n_old"),
+          countDistinct(when(!col("b_old") && col("ob") < col("na"),
+            col("ob"))).as("n_prior"))
+        .select(col("na"),
+          (col("n_old") === 0 && col("n_prior") === 0).as("kept"))
+      val unc9 = Lsh.incrementalCandidates(fresh9, stored9, 0.5)
+      val cap9 = Lsh.incrementalCandidatesCapped(fresh9, stored9, 0.5)
+      def pairs9(c: org.apache.spark.sql.DataFrame) =
+        c.filter(col("b_old") || col("ob") < col("na"))
+          .select(least(col("na"), col("ob")).as("a"),
+            greatest(col("na"), col("ob")).as("b")).distinct().count()
+      val (p9u, p9c) = (pairs9(unc9), pairs9(cap9))
+      val verdictDisagree = d9Verdicts(unc9).withColumnRenamed("kept", "ku")
+        .join(d9Verdicts(cap9).withColumnRenamed("kept", "kc"), Seq("na"),
+          "full_outer")
+        .filter(!(col("ku") <=> col("kc"))).count()
+      val nNew = sh.filter(col("doc_id") % 5 === 4).count()
+      // ---- st7 shape (3 sequential batches, stored side capped)
+      def st7Pairs(capped: Boolean): Long = (0 until 3).map { k =>
+        val nb = bands.filter(col("doc_id") % 3 === k)
+        val st = bands.filter(col("doc_id") % 3 < k)
+        if (capped) Lsh.incrementalPairsCapped(nb, st, 0.5)
+        else Lsh.incrementalPairs(nb, st, 0.5)
+      }.reduce(_ unionByName _).select("doc_a", "doc_b").distinct().count()
+      val (p7u, p7c) = (st7Pairs(false), st7Pairs(true))
+      println(s"""{"d9":{"uncapped_pairs":$p9u,"capped_pairs":$p9c,""" +
+        f""""pair_recall":${p9c.toDouble / p9u}%.5f,""" +
+        s""""verdict_disagree":$verdictDisagree,"n_new_docs":$nNew,""" +
+        f""""verdict_agreement":${1.0 - verdictDisagree.toDouble / nNew}%.5f},""" +
+        s""""st7":{"uncapped_pairs":$p7u,"capped_pairs":$p7c,""" +
+        f""""pair_recall":${p7c.toDouble / p7u}%.5f},""" +
+        s""""cap":${Lsh.BucketCap}}""")
       spark.stop()
 
     case "--doulion-twin" :: dir :: Nil =>

@@ -156,9 +156,20 @@ object Lsh {
     // that the earlier rank-ordered self-join computed (equality gated
     // by LshCapSpec's window-vs-join test). vs that join form, this
     // drops the second Sort+Window branch AND the band-key SMJ from
-    // the plan: measured at sf0.1, d3 0.58 -> ~0.4 s / c3 2.26 ->
-    // ~1.5 s. The window's partition keys are the former join's keys,
-    // so the exchange count drops 2 -> 1 on the candidate side.
+    // the plan: under the isolated 4-pass family protocol
+    // (OPTIMIZATION_r15.md §1) d3 measured 0.81 -> 0.61 s and c3
+    // 2.85 -> 2.56 s. The window's partition keys are the former
+    // join's keys, so the exchange count drops 2 -> 1 on the
+    // candidate side.
+    // NULL band keys: none exist by construction (bandKeys xxhashes
+    // non-null signature slices), and the window form RELIES on that —
+    // a join discards NULL keys while a window would bucket and pair
+    // them, silently diverging from cappedCandSql's join form if
+    // band-key generation ever admitted nulls.
+    require(cap >= 1, s"verifiedPairsCapped: cap must be >= 1, got $cap " +
+      "(cap <= 0 would route every row through the hub branch, and the " +
+      "rank-1 row's running first() is itself — a (d,d) self-pair the " +
+      "join/oracle form never emits)")
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("band_idx", "band_key")
       .orderBy((col("doc_id") * lit(CapSelMult)) % lit(XSql.P), col("doc_id"))
@@ -269,4 +280,78 @@ object Lsh {
       .select(least(col("na"), col("ob")).as("doc_a"),
         greatest(col("na"), col("ob")).as("doc_b"), col("jacc"))
       .distinct()
+
+  /** STORED-side occupancy cap for the incremental family (the batch
+    * cap's discipline transferred — r15's named residual 1):
+    * [[incrementalCandidates]]'s per-collision term is O(|fresh| ·
+    * stored-bucket occupancy), and stored buckets SATURATE as the
+    * corpus accretes (same bounded-entropy argument as [[BucketCap]]),
+    * so a fresh doc landing in a saturated stored bucket fans out to
+    * every member — the one super-linear term left in the incremental
+    * path. Ranking the stored band rows per (band_idx, band_key) by
+    * the batch cap's deterministic hash rank and keeping each
+    * bucket's `cap` survivors bounds the probe at O(cap) stored
+    * partners per bucket: O(|fresh|·bands·cap) collisions total.
+    *
+    * No hub star is needed on a PROBE-side cap (unlike
+    * [[verifiedPairsCapped]]): the star exists so capped BATCH dedup
+    * keeps a giant cluster connected among its own members, but here
+    * the stored overflow members were already deduped against the
+    * survivors when THEY were fresh, and detecting "near-dup of ANY
+    * stored doc" needs any one surviving representative — the
+    * survivors of a bucket saturated by one near-dup cluster are
+    * near-dups of each other. Where the cap binds it shrinks d9's
+    * reported per-doc dup COUNTS (≤ cap stored partners per bucket)
+    * and st7's cross-batch pair SET — sanctioned, mirrored exactly in
+    * both callers' oracle SQL via [[cappedStoredSql]], recall-gated
+    * at sf1 where it engages (the d3/c3 playbook); at the driver's
+    * correctness scales bucket occupancy never exceeds the cap, so
+    * results there are bit-identical to the uncapped form.
+    *
+    * Plan shape: the rank window's partition keys ARE the collision
+    * join's keys, so its Exchange+Sort (by bucket, then rank key — a
+    * (band_idx, band_key) sort prefix) feeds the sort-merge join with
+    * no further exchange or sort on the stored side; the window adds
+    * one row_number projection to a shuffle the join paid anyway.
+    */
+  def cappedStored(stored: DataFrame, cap: Int = BucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, s"cappedStored: cap must be >= 1, got $cap")
+    val w = Window.partitionBy("band_idx", "band_key")
+      .orderBy((col("doc_id") * lit(CapSelMult)) % lit(XSql.P), col("doc_id"))
+    stored.withColumn("cap_rk", row_number().over(w))
+      .filter(col("cap_rk") <= cap).drop("cap_rk")
+  }
+
+  /** [[incrementalCandidates]] with the stored side capped per
+    * [[cappedStored]] — d9's scale-path form. Fresh × fresh stays
+    * uncapped: that term is bounded by the increment size, which is
+    * the production control knob (a 0.1% daily batch), not by the
+    * unbounded accumulated corpus the stored side grows into.
+    */
+  def incrementalCandidatesCapped(fresh: DataFrame, stored: DataFrame,
+      threshold: Double, cap: Int = BucketCap): DataFrame =
+    incrementalCandidates(fresh, cappedStored(stored, cap), threshold)
+
+  /** [[incrementalPairs]] with the stored side capped per
+    * [[cappedStored]] — st7's scale-path form.
+    */
+  def incrementalPairsCapped(fresh: DataFrame, stored: DataFrame,
+      threshold: Double, cap: Int = BucketCap): DataFrame =
+    incrementalPairs(fresh, cappedStored(stored, cap), threshold)
+
+  /** [[cappedStored]] as oracle SQL: a CTE pair ranking `bandsName`
+    * rows per ($bi, $bk) bucket — identical BIGINT selection
+    * arithmetic, identical total tie-break — yielding `$outName` =
+    * each bucket's `cap` survivors, projected to `$cols`. Splice
+    * after the caller's stored-bands CTE so the gate covers the cap
+    * itself, exactly as [[cappedCandSql]] does for the batch family.
+    */
+  def cappedStoredSql(bandsName: String, bi: String, bk: String,
+      outName: String, cols: String, cap: Int = BucketCap): String =
+    s"""${outName}_rb AS (SELECT $cols, row_number() OVER (
+       |    PARTITION BY $bi, $bk
+       |    ORDER BY (doc_id * $CapSelMult) % ${XSql.P}, doc_id) AS cap_rk_
+       |  FROM $bandsName),
+       |$outName AS (SELECT $cols FROM ${outName}_rb WHERE cap_rk_ <= $cap)""".stripMargin
 }

@@ -1490,7 +1490,7 @@ object TableStore {
     * extra shuffle of the full state per read.
     */
   def publishFoldSnapshot(spark: SparkSession, path: String, df: DataFrame,
-      note: String = ""): Long = {
+      note: String = "", clusterBy: Seq[String] = Nil): Long = {
     val withMult =
       if (df.columns.contains("_mult")) df
       else df.withColumn("_mult", lit(1L))
@@ -1498,8 +1498,26 @@ object TableStore {
     val canon = withMult.groupBy(dataCols.map(col): _*)
       .agg(sum(col("_mult")).as("_mult"))
       .filter(col("_mult") > 0)
-    publishVersion(spark, path, canon, note)
+    publishVersion(spark, path, clusterFold(canon, clusterBy), note)
   }
+
+  /** KEY-RANGE-CLUSTER a fold snapshot before it is written (r15
+    * verdict task 3): range-partition + sort by `clusterBy` so every
+    * parquet file covers a narrow key range and its min/max footer
+    * stats actually exclude files — the layout that lets a
+    * maintenance tick's delta-key-range probe predicate
+    * ([[graft.streaming.JoinViewMaintenance.applyTick]]) prune the
+    * snapshot scan to touched row groups instead of reading the whole
+    * base state. Without the clustering the predicate still holds but
+    * prunes nothing: a hash-partitioned snapshot smears every key
+    * range across every file. Partition count inherits the session's
+    * shuffle width (callers size it to volume), so no local constant
+    * is introduced. Empty `clusterBy` = today's layout, unchanged.
+    */
+  private def clusterFold(df: DataFrame, clusterBy: Seq[String]): DataFrame =
+    if (clusterBy.isEmpty || !clusterBy.forall(df.columns.contains)) df
+    else df.repartitionByRange(clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
 
   /** Snapshot publish for frames the CALLER proves are already
     * canonical (one row per distinct data tuple; implicit `_mult` 1)
@@ -1513,10 +1531,11 @@ object TableStore {
     * use [[publishFoldSnapshot]].
     */
   def publishFoldSnapshotDistinct(spark: SparkSession, path: String,
-      df: DataFrame, note: String = ""): Long = {
+      df: DataFrame, note: String = "", clusterBy: Seq[String] = Nil): Long = {
     require(!df.columns.contains("_mult"),
       "publishFoldSnapshotDistinct: caller passes data columns only")
-    publishVersion(spark, path, df.withColumn("_mult", lit(1L)), note)
+    publishVersion(spark, path,
+      clusterFold(df.withColumn("_mult", lit(1L)), clusterBy), note)
   }
 
   /** Snapshot publish for frames the CALLER proves are ALREADY in the

@@ -297,9 +297,15 @@ object Dedup {
            |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS bk,
            |                 unnest(range(0, ${XSql.LshBands})) AS bi FROM sig),
            |new_bands AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+           |old_bands AS (SELECT doc_id, sh, bk, bi FROM bands WHERE doc_id % 5 <> 4),
+           |${graft.operators.Lsh.cappedStoredSql("old_bands", "bi", "bk",
+               "old_capped", "doc_id, sh, bk, bi")},
+           |probe AS (SELECT doc_id, sh, bk, bi, true AS b_new FROM new_bands
+           |          UNION ALL
+           |          SELECT doc_id, sh, bk, bi, false AS b_new FROM old_capped),
            |cand AS (
-           |  SELECT DISTINCT a.doc_id AS na, b.doc_id AS ob, b.doc_id % 5 = 4 AS b_new
-           |  FROM new_bands a JOIN bands b
+           |  SELECT DISTINCT a.doc_id AS na, b.doc_id AS ob, b.b_new
+           |  FROM new_bands a JOIN probe b
            |    ON a.bi = b.bi AND a.bk = b.bk AND b.doc_id != a.doc_id
            |  WHERE ${XSql.jaccard("a.sh", "b.sh")} >= 0.5),
            |agg AS (
@@ -321,8 +327,12 @@ object Dedup {
         .select("doc_id", "sh")
       val bands = graft.operators.Lsh.bands(sh)
       // shared increment-bounded machinery (operators/Lsh) — only the
-      // new slice drives the join, old x old never compared
-      val cand = graft.operators.Lsh.incrementalCandidates(
+      // new slice drives the join, old x old never compared, and the
+      // STORED side is occupancy-capped per bucket (Lsh.cappedStored:
+      // a fresh doc probes O(cap) members of a saturated stored
+      // bucket, not all of them — mirrored in the oracle's
+      // old_capped CTE, recall-gated at sf1 where the cap binds)
+      val cand = graft.operators.Lsh.incrementalCandidatesCapped(
         bands.filter(col("doc_id") % 5 === 4),
         bands.filter(col("doc_id") % 5 =!= 4), 0.5)
       val agg = cand.groupBy("na").agg(

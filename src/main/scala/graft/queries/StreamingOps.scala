@@ -694,34 +694,65 @@ object StreamingOps {
 
     // ---------------------------------------------------------------
     // Streaming near-dup dedup — the LSH pipeline as an INCREMENTAL
-    // materialized view: documents arrive over 4 micro-batches; each
-    // batch LSH-joins only (new × stored) ∪ (new × new-prior) — the
-    // d9 increment bound, so old × old is never recomputed — appends
-    // its verified pairs, and appends its bands to the store. The
-    // oracle is the BATCH pair set over the whole corpus (d3's query):
-    // stream/batch equivalence is exact because every pair is found
-    // exactly once, in whichever batch its second member arrives.
-    // Scale: per-batch cost is |batch × accumulated| band collisions —
-    // the honest streaming-dedup architecture at corpus scale. The
-    // band store is COMPACTED mid-stream (every 2nd batch): the
-    // per-batch appends accrete files forever on a daily crawl, and
-    // compaction must be provably invisible to the pair results
-    // (StreamingCompactionSpec pins that; the oracle equality here
-    // re-proves it end-to-end every round).
+    // materialized view: documents arrive over 3 deterministic
+    // micro-batches (batch k = doc_id % 3, sequenced); each batch
+    // LSH-joins only (new × capped-stored) ∪ (new × new-prior) — the
+    // d9 increment bound, so old × old is never recomputed, AND the
+    // stored side is occupancy-capped per bucket (Lsh.cappedStored),
+    // so a new doc probes O(cap) members of a saturated stored
+    // bucket, not all of them — appends its verified pairs, and
+    // appends its bands to the store. The oracle states the SAME
+    // per-batch capped semantics (stored1/stored2 rank CTEs below),
+    // so the gate covers the cap itself; at the driver's correctness
+    // scales bucket occupancy never exceeds the cap and the result
+    // equals the full batch pair set, bit-identical to the uncapped
+    // rounds. Scale: per-batch cost is O(|batch| · bands · cap)
+    // collisions + the store's rank window — the bound that makes
+    // streaming dedup flat-per-tick as the store accretes without
+    // limit. The band store is COMPACTED mid-stream (every 2nd
+    // batch): the per-batch appends accrete files forever on a daily
+    // crawl, and compaction must be provably invisible to the pair
+    // results (StreamingCompactionSpec pins that; the oracle equality
+    // here re-proves it end-to-end every round).
     Q("st7_stream_near_dup",
-      "streaming LSH near-dup via foreachBatch increments == batch pair set",
+      "streaming LSH near-dup via foreachBatch increments == per-batch capped-stored pair set",
       {
         implicit val dl: Dialect = SqlDuck
         val w = XSql.words("text")
+        // batch k of the stream is docs with doc_id % 3 = k (the
+        // sequenced staging below pins that), so the capped-stored
+        // semantics are statable: batch k's probes see the per-bucket
+        // cap survivors among batches < k (stored1/stored2 ranked by
+        // Lsh.cappedStoredSql — identical arithmetic to the Scala
+        // path), while same-batch pairs stay uncapped
         s"""WITH w AS (SELECT doc_id, ${XSql.wordHashes(w)} AS wh FROM documents),
            |sh AS (SELECT doc_id, ${XSql.shingleHashes("wh")} AS sh FROM w),
            |sig AS (SELECT doc_id, sh, ${XSql.minhashSig("sh")} AS sig FROM sh),
-           |bands AS (SELECT doc_id, sh, unnest(${XSql.bandKeys("sig")}) AS band_key,
+           |bands AS (SELECT doc_id, doc_id % 3 AS bt, sh,
+           |                 unnest(${XSql.bandKeys("sig")}) AS band_key,
            |                 unnest(range(0, ${XSql.LshBands})) AS band_idx FROM sig),
-           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           |          AND a.doc_id < b.doc_id)
+           |stored1 AS (SELECT doc_id, band_idx, band_key FROM bands WHERE bt < 1),
+           |stored2 AS (SELECT doc_id, band_idx, band_key FROM bands WHERE bt < 2),
+           |${graft.operators.Lsh.cappedStoredSql("stored1", "band_idx",
+               "band_key", "st1", "doc_id, band_idx, band_key")},
+           |${graft.operators.Lsh.cappedStoredSql("stored2", "band_idx",
+               "band_key", "st2", "doc_id, band_idx, band_key")},
+           |cand AS (
+           |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           |         greatest(a.doc_id, b.doc_id) AS doc_b
+           |  FROM bands a JOIN st1 b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.bt = 1
+           |  UNION
+           |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+           |  FROM bands a JOIN st2 b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.bt = 2
+           |  UNION
+           |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |   AND a.bt = b.bt AND b.doc_id < a.doc_id)
            |SELECT c.doc_a, c.doc_b, ${XSql.jaccard("sa.sh", "sb.sh")} AS jacc
            |FROM cand c
            |JOIN sh sa ON sa.doc_id = c.doc_a
@@ -735,8 +766,16 @@ object StreamingOps {
       val bandStore = tmp.resolve("bands").toString
       val pairStore = tmp.resolve("pairs").toString
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val stream = EventStream.stagedFileStream(s, docs,
-        tmp.resolve("stage").toString, nFiles = 3)
+      // DETERMINISTIC micro-batching: part k = docs with doc_id % 3 =
+      // k, replayed IN ORDER (sequencedFileStream's mtime staging).
+      // The uncapped union was batch-split-invariant so the split
+      // never mattered; the capped-stored probe below is NOT (which
+      // pairs cross batches depends on what is stored when), so the
+      // split must be a function the oracle can state — doc_id % 3 —
+      // instead of whatever repartition(3) happened to produce.
+      val stream = EventStream.sequencedFileStream(s,
+        (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k)),
+        tmp.resolve("stage").toString)
       EventStream.runForeachBatch(s, stream) { (batch, batchId) =>
         val sh = batch.withColumn("sh", expr(XSql.shinglesOfText("text")))
           .select("doc_id", "sh")
@@ -746,7 +785,11 @@ object StreamingOps {
         val stored =
           if (TableStore.exists(s, bandStore)) TableStore.read(s, bandStore)
           else nb.limit(0)
-        val pairs = Lsh.incrementalPairs(nb, stored, 0.5)
+        // stored side occupancy-capped (Lsh.cappedStored): a new doc
+        // probes O(cap) members of a saturated stored bucket — the
+        // bound that keeps per-batch cost O(batch·bands·cap) as the
+        // store accretes without limit (r15's named residual 1)
+        val pairs = Lsh.incrementalPairsCapped(nb, stored, 0.5)
         TableStore.append(pairs, pairStore)
         TableStore.append(nb.select("doc_id", "sh", "band_idx", "band_key"), bandStore)
         nb.unpersist()

@@ -104,10 +104,18 @@ object JoinViewMaintenance {
     // row here, so every later read sees the same representation.
     // The three v0 publishes are independent writes — run in parallel
     // (no tick ordering exists yet; the WAL protocol starts at tick 0)
+    // base snapshots are KEY-RANGE-CLUSTERED on the join keys: each
+    // parquet file then covers a narrow key range, so the per-tick
+    // delta-key-range probe predicate (applyTick) prunes the base
+    // scan via footer min/max instead of reading the whole state —
+    // the keyed-fold-layout lever r15 named. The VIEW snapshot stays
+    // unclustered: nothing range-probes it (it is read whole, folded)
     def pubBase(p: String, df: DataFrame): Long =
       if (inputsDistinct)
-        TableStore.publishFoldSnapshotDistinct(spark, p, df, note(InitTick))
-      else TableStore.publishFoldSnapshot(spark, p, df, note(InitTick))
+        TableStore.publishFoldSnapshotDistinct(spark, p, df, note(InitTick),
+          clusterBy = keys)
+      else TableStore.publishFoldSnapshot(spark, p, df, note(InitTick),
+        clusterBy = keys)
     Seq(
       Future(pubBase(aPath, a)),
       Future(pubBase(bPath, b)),
@@ -223,7 +231,8 @@ object JoinViewMaintenance {
     */
   private def reservedCheckpoints(spark: SparkSession,
       checkpointPaths: Seq[String], retainPaths: Seq[String],
-      batchId: Long, compactor: Option[AsyncCompactor]): Unit = {
+      batchId: Long, compactor: Option[AsyncCompactor],
+      clusterBy: Map[String, Seq[String]] = Map.empty): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -250,8 +259,16 @@ object JoinViewMaintenance {
     val pins = taken.toSeq
     def checkpointAll(): Unit = {
       val compacts = pins.map { case (p, at, slot) =>
+        // checkpoint snapshots re-establish the keyed layout (init's
+        // clustering discipline): one range exchange on a rewrite
+        // that already runs OFF the critical path (AsyncCompactor)
+        // keeps every later tick's probe predicate able to prune
+        def clustered(df: DataFrame): DataFrame =
+          clusterBy.get(p).filter(_.forall(df.columns.contains))
+            .fold(df)(cols => df.repartitionByRange(cols.map(col): _*)
+              .sortWithinPartitions(cols.map(col): _*))
         Future(TableStore.publishReserved(spark, p, slot,
-          TableStore.readFolded(spark, p, Some(at)),
+          clustered(TableStore.readFolded(spark, p, Some(at))),
           checkpointNote(batchId)))
       }
       compacts.foreach(Await.result(_, Duration.Inf): Unit)
@@ -336,15 +353,46 @@ object JoinViewMaintenance {
         val committed = TableStore.committedVersions(spark, p)
         committed.count(_ >= TableStore.foldAnchor(spark, p, committed.last))
       }
-      def keyFilter(base: DataFrame, p: String, d: DataFrame): DataFrame =
-        if (chainLen(p) <= 1) base
-        else base.join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
+      // delta-key-RANGE predicate on the probe scans (r15 verdict
+      // task 3): [min, max] of the opposing delta's first join key,
+      // collected as two scalars (one tiny agg job over the
+      // batch-sized delta), applied as a plain comparison filter —
+      // which, unlike the broadcast semi-join below, PUSHES DOWN to
+      // the parquet scans of the chain (no groupBy above them), so on
+      // the key-range-clustered snapshot layout (init/checkpoints)
+      // footer min/max excludes whole files/row groups and the probe
+      // reads O(touched key range), not O(state). Correct because
+      // every joinViewDelta term that touches the base is an inner
+      // equi-join on `keys`: rows outside the delta's key range
+      // cannot match. An EMPTY delta admits nothing (its probe term
+      // is empty anyway).
+      def rangeFilter(base: DataFrame, d: DataFrame): DataFrame = {
+        val k = keys.head
+        val r = d.agg(min(col(k)), max(col(k))).head()
+        if (r.isNullAt(0)) base.filter(lit(false))
+        else base.filter(col(k) >= lit(r.get(0)) && col(k) <= lit(r.get(1)))
+      }
+      def keyFilter(base: DataFrame, p: String, d: DataFrame): DataFrame = {
+        val ranged = rangeFilter(base, d)
+        // the semi-join only pays when it prunes a multi-version
+        // union; on a bare snapshot the probe's inner join drops
+        // non-matching survivors of the range predicate for free
+        if (chainLen(p) <= 1) ranged
+        else ranged.join(broadcast(d.select(keys.map(col): _*)), keys, "left_semi")
+      }
       val aPrev = keyFilter(aPrev0, aPath, dB)
       val bPrev = keyFilter(bPrev0, bPath, dA)
       val viewCols = (aPrev0.columns ++ bPrev0.columns).distinct
         .filterNot(_ == "_mult").toSeq
       val dView = Ivm.joinViewDelta(aPrev, bPrev, dA, dB, keys, viewCols)
         .withColumnRenamed("_dmult", "_mult")
+      // evidence seam: the probe plan is internal to the tick (never
+      // a catalog query's final frame), so the optimization-round
+      // plan dumps can only capture it here
+      if (sys.env.contains("GRAFT_EXPLAIN_TICK"))
+        System.err.println(s"[tick-plan] batch=$batchId\n" +
+          dView.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       Some(Future(TableStore.stageVersionData(spark, viewPath, dView)))
     } else None
     // base deltas stage CONCURRENTLY with the view compute: staging
@@ -389,7 +437,8 @@ object JoinViewMaintenance {
     // skipped — never re-folded onto the advanced state.
     if ((batchId + 1) % CompactEvery == 0)
       reservedCheckpoints(spark, Seq(viewPath, aPath, bPath),
-        Seq(viewPath, aPath, bPath), batchId, compactor)
+        Seq(viewPath, aPath, bPath), batchId, compactor,
+        clusterBy = Map(aPath -> keys, bPath -> keys))
     val t3 = System.nanoTime()
     onCost(TickCost(batchId, (t1 - t0) / 1e9, (t2 - t1) / 1e9,
       (t3 - t2) / 1e9))
@@ -424,16 +473,42 @@ object JoinViewMaintenance {
       TableStore.publishFoldDelta(spark, basePath,
         baseDelta(slice), note(batchId)): Unit
     if (tickVersion(spark, viewPath, batchId).isEmpty) {
-      val newBase = TableStore.readFolded(spark, basePath).drop("_mult")
+      // The rescan's base access goes through applyDeltaTopKWith so
+      // the group restriction lands BELOW the fold: the old shape
+      // (readFolded(basePath) up front) paid a full-state groupBy
+      // shuffle EVERY tick just to have applyDeltaTopK semi-join it
+      // down to the few evicted groups — the dominant tick term the
+      // sf1 tick audit measured as st17's 1.72 growth at 10× state.
+      // Filter-then-fold is exact (the fold groups by every data
+      // column, so a group-key restriction commutes) and costs the
+      // chain scan plus an O(touched-group rows) fold. The
+      // single-snapshot chain keeps readFolded's filter-only fast
+      // path: a canonical snapshot needs no re-fold after the semi.
+      def foldedFor(gk: DataFrame): DataFrame = {
+        val committed = TableStore.committedVersions(spark, basePath)
+        val chainLen = committed.count(
+          _ >= TableStore.foldAnchor(spark, basePath, committed.last))
+        val chain = TableStore.readFoldedUnion(spark, basePath)
+        val gkR = gk.select(keys.map(kc => col(kc).as(s"_g_$kc")): _*)
+        val cond = keys.map(kc => col(kc) <=> col(s"_g_$kc")).reduce(_ && _)
+        val touched = chain.join(broadcast(gkR), cond, "left_semi")
+        if (chainLen <= 1) touched.filter(col("_mult") > 0).drop("_mult")
+        else {
+          val dataCols = touched.columns.filterNot(_ == "_mult").toSeq
+          touched.groupBy(dataCols.map(col): _*)
+            .agg(sum(col("_mult")).as("_mult"))
+            .filter(col("_mult") > 0).drop("_mult")
+        }
+      }
       // Distinct publish: applyDeltaTopK emits ONE row per group by
       // construction (incr from a per-group full-outer merge,
       // rescanned from a groupBy, groups disjoint — IvmTopKSpec), so
       // the canonicalizing groupBy of publishFoldSnapshot would be a
       // per-tick full-view shuffle bought for nothing
       TableStore.publishFoldSnapshotDistinct(spark, viewPath,
-        graft.operators.Ivm.applyDeltaTopK(
+        graft.operators.Ivm.applyDeltaTopKWith(
           TableStore.readFolded(spark, viewPath).drop("_mult"),
-          slice, newBase, keys, valueCol, idCol, k),
+          slice, keys, valueCol, idCol, k)(foldedFor),
         note(batchId)): Unit
     }
     // bound the BASE fold chain: without a checkpoint every tick's

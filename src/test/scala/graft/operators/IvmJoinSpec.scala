@@ -127,6 +127,26 @@ class IvmJoinSpec extends SparkSpec {
     assert(messages(ex).contains("went negative"), messages(ex))
   }
 
+  test("an oversized delta trips the broadcast guard with the contract named") {
+    // the micro-batch contract as a runtime bound (r15 verdict task 5):
+    // shrink the ceiling so an ordinary delta is "oversized", and the
+    // guard must refuse BEFORE any probe plan is built
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
+    val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")
+    val v0 = Ivm.joinView(a, b, Seq("k"))
+    sys.props("graft.ivm.maxDeltaRows") = "0"
+    try {
+      val ex = intercept[IllegalStateException] {
+        Ivm.applyJoinDelta(v0, a, b, dA((1L, "delete", "x")), emptyDB, Seq("k"))
+      }
+      assert(ex.getMessage.contains("MICRO-BATCH-SIZED"), ex.getMessage)
+      assert(ex.getMessage.contains("graft.ivm.maxDeltaRows"), ex.getMessage)
+    } finally sys.props -= "graft.ivm.maxDeltaRows"
+    // with the bound back at its default the same tick goes through
+    val v1 = Ivm.applyJoinDelta(v0, a, b, dA((1L, "delete", "x")), emptyDB, Seq("k"))
+    assert(viewSet(v1) == Set((2L, "y", 20L, 1L)))
+  }
+
   test("the deltas ride broadcasts into the base probes (O(Δ) tick, plan-gated)") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "va")
     val b = Seq((1L, 10L), (2L, 20L)).toDF("k", "vb")

@@ -59,6 +59,73 @@ class LshIncrementalSpec extends SparkSpec {
     }
   }
 
+  // ---- stored-side occupancy cap (r15 verdict task 2) --------------
+
+  /** A corpus whose shared text SATURATES its band buckets: `n` docs
+    * that are near-identical (every bucket they band into has
+    * occupancy ~n), so a cap < n must bind.
+    */
+  private def saturating(n: Int, from: Long): Seq[(Long, String)] =
+    (0 until n).map(i => (from + i,
+      s"the same boilerplate template text repeated across the crawl " +
+        s"with trailing variation token_$i"))
+
+  test("capped stored buckets never exceed the cap and keep the rank-1 hub") {
+    val stored = Lsh.bands(docs(saturating(40, 100L): _*))
+      .filter(col("band_key").isNotNull)
+    val capped = Lsh.cappedStored(stored, cap = 4)
+    val occ = capped.groupBy("band_idx", "band_key").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(occ <= 4, s"capped bucket occupancy $occ > cap 4")
+    // the rank-1 survivor of every bucket is retained (the probe's
+    // guaranteed representative of a saturated cluster)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band_idx", "band_key")
+      .orderBy((col("doc_id") * lit(Lsh.CapSelMult)) % lit(XSql.P),
+        col("doc_id"))
+    val hubs = stored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    assert(hubs.join(capped, Seq("band_idx", "band_key", "doc_id"),
+      "left_anti").count() == 0, "a bucket's rank-1 hub was capped away")
+  }
+
+  test("capped incremental pairs are a subset with identical jacc; " +
+    "equality when no bucket saturates") {
+    val fresh = Lsh.bands(docs(saturating(3, 500L) ++ corpus.take(2): _*))
+      .filter(col("band_key").isNotNull)
+    val stored = Lsh.bands(docs(saturating(40, 100L) ++ corpus.drop(2): _*))
+      .filter(col("band_key").isNotNull)
+    val capped = Lsh.incrementalPairsCapped(fresh, stored, 0.5, cap = 4)
+    val uncapped = Lsh.incrementalPairs(fresh, stored, 0.5)
+    // subset with identical jacc values
+    assert(capped.join(uncapped, Seq("doc_a", "doc_b", "jacc"), "left_anti")
+      .count() == 0, "capped emitted a pair (or jacc) the uncapped form lacks")
+    // the saturated stored cluster is still DETECTED: every fresh
+    // near-dup of it keeps at least one stored partner
+    val freshDupIds = Set(500L, 501L, 502L)
+    val partners = capped.filter(col("doc_a").isin(freshDupIds.toSeq: _*) ||
+      col("doc_b").isin(freshDupIds.toSeq: _*)).count()
+    assert(partners > 0, "fresh dups of the saturated stored cluster lost all partners")
+    // where no bucket saturates the cap, capped == uncapped exactly
+    val smallStored = Lsh.bands(docs(corpus.drop(2): _*))
+      .filter(col("band_key").isNotNull)
+    val smallFresh = Lsh.bands(docs(corpus.take(2): _*))
+      .filter(col("band_key").isNotNull)
+    assert(pairSet(Lsh.incrementalPairsCapped(smallFresh, smallStored, 0.5))
+      == pairSet(Lsh.incrementalPairs(smallFresh, smallStored, 0.5)),
+      "cap changed results on a corpus where it never binds")
+  }
+
+  test("cappedStored selection is membership-determined, not layout-determined") {
+    val stored = Lsh.bands(docs(saturating(30, 100L): _*))
+      .filter(col("band_key").isNotNull)
+    def surv(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      Lsh.cappedStored(df, cap = 4).select("band_idx", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(surv(stored) == surv(stored.repartition(7).orderBy(desc("doc_id"))),
+      "survivor set depends on physical layout")
+  }
+
   test("incremental candidates keep orientation and provenance for count policies") {
     val first = docs(corpus.take(4): _*)
     val firstBands = Lsh.bands(first).filter(col("band_key").isNotNull)

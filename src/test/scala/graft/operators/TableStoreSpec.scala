@@ -760,6 +760,57 @@ class TableStoreSpec extends SparkSpec {
     assert(got == Set((2L, Some("x"))), s"null-key delta stranded: $got")
   }
 
+  test("clusterBy snapshots write key-range-disjoint files a range predicate can prune") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions.{col, min, max}
+    val p = scratch()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // AQE would coalesce this tiny range shuffle to ONE file (at scale
+    // it coalesces to ~advisory-sized RANGE-CONTIGUOUS partitions, so
+    // per-file disjointness holds either way); pin the width so the
+    // disjointness property is visible on test-sized data
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = (1L to 4000L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartition(8) // scrambled input layout: clustering must fix it
+      TableStore.publishFoldSnapshotDistinct(spark, p, df,
+        clusterBy = Seq("k"))
+      // content identical to an unclustered publish
+      val got = TableStore.readFolded(spark, p).select("k").as[Long]
+        .collect().toSet
+      assert(got == (1L to 4000L).toSet)
+      // per-file key ranges are DISJOINT — the property that makes a
+      // pushed range predicate prune whole files via footer min/max
+      val dataDir = TableStore.versionDataDirs(spark, p,
+        TableStore.currentVersion(spark, p).get)
+      val files = dataDir.flatMap(dir => new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString))
+      assert(files.size >= 2, s"need >= 2 files to show disjointness: $files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"overlapping file key ranges: $ranges")
+        case _ => ()
+      }
+      // and the probe-shaped read pushes the range comparison into the
+      // parquet scan (PushedFilters), so the layout is actually usable
+      val probe = TableStore.readFolded(spark, p)
+        .filter(col("k") >= 100L && col("k") <= 110L)
+      val plan = probe.queryExecution.executedPlan.toString()
+      assert(plan.contains("GreaterThanOrEqual(k,100)") ||
+        plan.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100)"),
+        s"range predicate not pushed to the scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("commitTimes are strictly increasing even when marker clocks tie or run backwards") {
     val p = scratch()
     TableStore.publishVersion(spark, p, kv(1L -> "a"), note = "v1")
